@@ -1,0 +1,61 @@
+"""CLI entry: convert an NDJSON(.gz) file/dir to sorted, tuned Parquet.
+
+Usage:
+    python -m json_to_parquet_spark SRC DEST [--sort-column time]
+        [--mode cluster|global|none] [--dt-mode strict|coerce]
+
+This is the engine's equivalent of the reference's ``python
+pyarrow/main.py`` local entry (reference pyarrow/main.py:300-314), minus
+the synthetic-S3-event wrapper: SRC/DEST are paths (local, s3a://, hdfs://).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .operators.convert import DEFAULT_SORT_COLUMN, convert
+from .session import build_session
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="json_to_parquet_spark", description=__doc__)
+    p.add_argument("src", help="NDJSON(.gz) file or directory (local/s3a/hdfs path)")
+    p.add_argument("dest", help="output Parquet directory")
+    p.add_argument("--sort-column", default=DEFAULT_SORT_COLUMN)
+    p.add_argument("--mode", choices=["cluster", "global", "none"], default="cluster")
+    p.add_argument("--dt-mode", choices=["strict", "coerce"], default="strict")
+    args = p.parse_args(argv)
+
+    spark = build_session(app_name="json_to_parquet_spark.convert")
+    try:
+        res = convert(
+            spark,
+            args.src,
+            args.dest,
+            sort_column=args.sort_column,
+            mode=args.mode,
+            dt_mode=args.dt_mode,
+        )
+    except Exception as exc:  # surface a one-line error, not a JVM stack wall
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+    # Lineage log — the reference logs rows/sort/schemas per run
+    # (pyarrow/main.py:152-165); we print the same facts as one JSON line.
+    print(
+        json.dumps(
+            {
+                "output": res.output_path,
+                "rows": res.rows,
+                "sorted_by": res.sorted_by,
+                "rewritten_dt_paths": res.rewritten_dt_paths,
+                "schema_after": res.schema_after,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,109 @@
+"""The convert pipeline — the reference's entire end-to-end surface,
+re-expressed as one lazy DataFrame chain.
+
+Reference pipeline (SURVEY §3 EP1; /root/reference/pyarrow/main.py:94-169):
+scan gzipped NDJSON → infer schema → recursive ``_dt`` timestamp rewrite →
+global ascending sort on ``sort_column`` (skip if absent,
+pyarrow/main.py:70-73) → tuned single Parquet file.
+
+Spark mapping: ``spark.read.json`` → compiled ``_dt`` Project →
+Sort/Exchange → InsertIntoHadoopFsRelation. Catalyst owns the physical
+plan; the writer confs live on the session (session.py).
+
+Scale design (SURVEY §7b): a single global ``orderBy`` at 100 TB funnels
+the tail of the job through one total-order range exchange and — if a
+single output file is demanded — one writer task. The default mode is
+therefore ``cluster``: ``repartitionByRange(sort_col)`` +
+``sortWithinPartitions(sort_col)``, which gives globally range-partitioned,
+per-file-sorted output — the same downstream min/max-pruning benefit as a
+global sort with no single-task bottleneck, and N output files. Mode
+``global`` (exact reference parity: one file, one total order) remains for
+single-object conversion, which is the reference's actual deployment shape
+(one Lambda = one small S3 object).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.dt_rewrite import dt_rewrite_paths, rewrite_dt_fields
+from ..sources.ndjson import read_ndjson
+
+# Reference default sort column (pyarrow/main.py:14: SORT_COLUMN env, default "time").
+DEFAULT_SORT_COLUMN = os.environ.get("SORT_COLUMN", "time")
+
+
+@dataclasses.dataclass
+class ConvertResult:
+    """Lineage record, mirroring the reference's structured log payload
+    (pyarrow/main.py:152-165: row count, sort decision, before/after schema)."""
+
+    output_path: str
+    rows: int
+    sorted_by: str | None
+    rewritten_dt_paths: list[str]
+    schema_before: str
+    schema_after: str
+
+
+def derive_output_name(key: str, compression: str = "zstd") -> str:
+    """Key-stem naming rule (reference pyarrow/main.py:119-133): the output
+    name is the input key's stem plus an extension that encodes compression —
+    ``.zst.parquet`` for zstd, ``.gz.parquet`` for gzip."""
+    stem = os.path.basename(key).split(".", 1)[0]
+    ext = {"zstd": ".zst.parquet", "gzip": ".gz.parquet"}.get(compression)
+    if ext is None:
+        raise ValueError(f"unsupported compression {compression!r}")
+    return stem + ext
+
+
+def convert(
+    spark: SparkSession,
+    source: str | DataFrame,
+    dest: str,
+    sort_column: str | None = None,
+    mode: str = "cluster",
+    dt_mode: str = "strict",
+    schema=None,
+) -> ConvertResult:
+    """Run the full convert pipeline and write Parquet to ``dest``.
+
+    mode='cluster' (default, scale path): repartitionByRange + per-partition
+    sort. mode='global': exact total order coalesced to one file (reference
+    parity for single-object conversion). mode='none': no sort.
+    """
+    if mode not in ("cluster", "global", "none"):
+        raise ValueError(f"unknown sort mode {mode!r}")
+    sort_column = DEFAULT_SORT_COLUMN if sort_column is None else sort_column
+
+    df = source if isinstance(source, DataFrame) else read_ndjson(spark, source, schema)
+    schema_before = df.schema.simpleString()
+    out = rewrite_dt_fields(df, mode=dt_mode)
+    rewritten = dt_rewrite_paths(df.schema)
+
+    # Sort is SKIPPED, not failed, when the column is absent (reference
+    # pyarrow/main.py:70-73) — same contract here.
+    sorted_by: str | None = None
+    if mode != "none" and sort_column in out.columns:
+        sorted_by = sort_column
+        if mode == "global":
+            out = out.orderBy(F.asc(sort_column)).coalesce(1)
+        else:
+            out = out.repartitionByRange(F.asc(sort_column)).sortWithinPartitions(
+                F.asc(sort_column)
+            )
+
+    out.write.mode("overwrite").parquet(dest)
+    written = spark.read.parquet(dest)
+    return ConvertResult(
+        output_path=dest,
+        rows=written.count(),
+        sorted_by=sorted_by,
+        rewritten_dt_paths=rewritten,
+        schema_before=schema_before,
+        schema_after=written.schema.simpleString(),
+    )

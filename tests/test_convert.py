@@ -1,0 +1,93 @@
+"""End-to-end convert pipeline parity tests (FIXTURES.md §A assertions):
+timestamps at every ``_dt`` site and nowhere else; rows sorted by ``time``;
+sorted and shuffled inputs produce identical output; heterogeneous sibling
+structs infer as the key-union with nulls; sort skipped when column absent."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+
+from json_to_parquet_spark.operators.convert import convert, derive_output_name
+from tests.findings_fixture import DT_PATHS, write_fixture
+
+
+@pytest.fixture(scope="module")
+def fixture_paths(tmp_path_factory):
+    d = tmp_path_factory.mktemp("findings")
+    return write_fixture(str(d), n=300)
+
+
+def _collect_sorted(spark, path):
+    df = spark.read.parquet(path)
+    return df.orderBy("time").collect(), df
+
+
+def test_convert_end_to_end(spark, fixture_paths, tmp_path):
+    sorted_path, shuffled_path = fixture_paths
+    res = convert(spark, shuffled_path, str(tmp_path / "out"), mode="global")
+    assert res.rows == 300
+    assert res.sorted_by == "time"
+    assert sorted(res.rewritten_dt_paths) == DT_PATHS
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    # every _dt site is a timestamp and no string *_dt remains
+    from tests.test_dt_rewrite import _ts_sites
+
+    assert sorted(_ts_sites(out.schema)) == DT_PATHS
+    # globally sorted ascending by time
+    times = [r.time for r in out.select("time").collect()]
+    assert times == sorted(times)
+
+
+def test_sorted_and_shuffled_inputs_identical_output(spark, fixture_paths, tmp_path):
+    sorted_path, shuffled_path = fixture_paths
+    convert(spark, sorted_path, str(tmp_path / "a"), mode="global")
+    convert(spark, shuffled_path, str(tmp_path / "b"), mode="global")
+    rows_a, _ = _collect_sorted(spark, str(tmp_path / "a"))
+    rows_b, _ = _collect_sorted(spark, str(tmp_path / "b"))
+    assert rows_a == rows_b
+
+
+def test_cluster_mode_range_partitioned(spark, fixture_paths, tmp_path):
+    """Scale path: per-file sorted, file ranges non-overlapping on `time`."""
+    _, shuffled_path = fixture_paths
+    res = convert(spark, shuffled_path, str(tmp_path / "c"), mode="cluster")
+    assert res.rows == 300
+    pieces = []
+    import glob
+
+    for f in sorted(glob.glob(str(tmp_path / "c" / "*.parquet"))):
+        t = pq.read_table(f, columns=["time"])["time"].to_pylist()
+        assert t == sorted(t)  # sorted within each file
+        if t:
+            pieces.append((min(t), max(t)))
+    pieces.sort()
+    for (_, hi), (lo, _) in zip(pieces, pieces[1:]):
+        assert hi <= lo  # file ranges don't overlap → min/max pruning works
+
+
+def test_sort_skipped_when_column_absent(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
+    res = convert(spark, df, str(tmp_path / "nosort"), sort_column="missing")
+    assert res.sorted_by is None
+    assert res.rows == 2
+
+
+def test_zstd_compression_and_no_int96(spark, fixture_paths, tmp_path):
+    _, shuffled_path = fixture_paths
+    convert(spark, shuffled_path, str(tmp_path / "z"), mode="global")
+    import glob
+
+    f = glob.glob(str(tmp_path / "z" / "*.parquet"))[0]
+    meta = pq.ParquetFile(f).metadata
+    assert meta.row_group(0).column(0).compression.lower() == "zstd"
+    sch = pq.read_schema(f)
+    assert "INT96" not in str(sch)  # TIMESTAMP_MICROS, not deprecated INT96
+
+
+def test_output_naming_rule():
+    assert derive_output_name("foo/bar.ndjson.gz") == "bar.zst.parquet"
+    assert derive_output_name("x.ndjson.gz", "gzip") == "x.gz.parquet"
+    with pytest.raises(ValueError):
+        derive_output_name("x.ndjson.gz", "lz4")
