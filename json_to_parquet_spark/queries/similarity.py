@@ -1,0 +1,179 @@
+"""Similarity search over embeddings (SURVEY §2.C X3): brute-force exact
+cosine top-k (the correctness baseline) and an LSH-bucketed approximate
+variant (the scale path), plus vector-norm profiling.
+
+Numeric determinism: float32 elements widened to float64 are exact, and
+float64 products of float32s are exact (24+24 mantissa bits < 53), so
+per-pair dot products differ across engines only in sum association
+order (~1e-14). All scores are ROUND(·, 6) before ranking/aggregation,
+which is 8 orders of magnitude coarser — both engines see identical
+rounded values (helpers.py rule 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from . import QuerySpec, register
+
+N_QUERY_VECS = 5  # vec_id < 5 are the query vectors
+TOP_K = 10
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in index order, JVM-side (zip_with + aggregate)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return F.round(dot(a, b) / (l2norm(a) * l2norm(b)), 6)
+
+
+def x11_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k: broadcast the query vectors against the full corpus —
+    one scan, no shuffle of the big side; per-query top-k via window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    pairs = emb.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    scored = pairs.select(
+        "q_id",
+        "vec_id",
+        cosine(F.col("q_vec"), F.col("embedding")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+register(
+    QuerySpec(
+        "x11_cosine_topk",
+        x11_cosine_topk,
+        f"""
+        WITH q AS (
+          SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+          FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+        scored AS (
+          SELECT q.q_id, e.vec_id,
+                 ROUND(list_dot_product(q.q_vec, CAST(e.embedding AS DOUBLE[]))
+                       / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                          * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(e.embedding AS DOUBLE[])))), 6)
+                     AS cos_sim
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id != q.q_id)
+        SELECT q_id, vec_id, cos_sim,
+               CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM scored
+        QUALIFY rank <= {TOP_K}
+        """,
+        "exact brute-force cosine top-k (broadcast queries, windowed k)",
+    )
+)
+
+
+# LSH for the approximate path: random-hyperplane signs from a fixed seed.
+LSH_PLANES = 8
+
+
+def x12_cosine_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for ANN: sign-LSH bucketing. Each vector hashes to an
+    8-bit bucket of hyperplane signs (planes derived deterministically
+    from xxhash64 of (plane, dim) — pseudo-random ±1 components, no
+    stored model). Search then only scans the query's bucket: the
+    cross-join shrinks by ~2^planes. Bucket stats here; rows-only check
+    (xxhash64 not reproducible in DuckDB).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    # ±1 hyperplane components: sign of xxhash64(plane, dim_index)
+    sign_dot = [
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda x, i: x.cast("double")
+                * F.when(F.xxhash64(F.lit(p), i) % 2 == 0, 1.0).otherwise(-1.0),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for p in range(LSH_PLANES)
+    ]
+    bucket = sum(
+        ((s > 0).cast("long") * (1 << p) for p, s in enumerate(sign_dot)),
+        start=F.lit(0).cast("long"),
+    )
+    return (
+        emb.select("vec_id", "label", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "x12_cosine_lsh_buckets",
+        x12_cosine_lsh_buckets,
+        None,
+        "sign-LSH bucket assignment for approximate NN (8 hyperplanes)",
+    )
+)
+
+
+def x13_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector-norm profile; rounded norms aggregated via exact
+    decimal sums (helpers rule 3)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm6 = F.round(l2norm(F.col("embedding")), 6)
+    return (
+        emb.select("label", norm6.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("norm").alias("min_norm"),
+            F.max("norm").alias("max_norm"),
+            (F.sum(F.col("norm").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1))).alias("avg_norm"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "x13_embedding_norms",
+        x13_embedding_norms,
+        """
+        WITH t AS (
+          SELECT label,
+                 ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))), 6) AS norm
+          FROM embeddings)
+        SELECT label, COUNT(*) AS n_vecs,
+               MIN(norm) AS min_norm, MAX(norm) AS max_norm,
+               CAST(CAST(SUM(CAST(norm AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / COUNT(*)
+                   AS avg_norm
+        FROM t GROUP BY label
+        """,
+        "per-label L2-norm stats (rounded-then-decimal aggregation)",
+    )
+)

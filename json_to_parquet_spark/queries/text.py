@@ -1,0 +1,194 @@
+"""Text analysis operators (SURVEY §2.C X4): tokenization, token/char
+stats, per-language profiles, quality scoring, language-ID heuristic,
+document fingerprinting.
+
+All token math stays JVM-side (split / size / array_distinct / filter
+higher-order functions) — no Python UDFs. Counts are ints (exact);
+ratios are int/int double divisions (deterministic across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from . import QuerySpec, register
+
+def _tokens():
+    return F.split(F.col("text"), " ")
+
+# Small English-stopword marker set for the language-ID heuristic.
+EN_MARKERS = ("the", "a", "an", "of", "and", "to", "in", "is")
+
+
+def x04_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(_tokens()).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(_tokens())).cast("long").alias("n_distinct_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+    )
+
+
+register(
+    QuerySpec(
+        "x04_token_stats",
+        x04_token_stats,
+        """
+        SELECT doc_id, lang, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars_measured
+        FROM documents
+        """,
+        "per-document token/char counts (whitespace tokenizer)",
+    )
+)
+
+
+def x05_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens()).cast("long")
+    return (
+        docs.select("lang", "source", "n_chars", n_tokens.alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "x05_lang_profile",
+        x05_lang_profile,
+        """
+        SELECT lang, COUNT(*) AS n_docs,
+               SUM(n_chars) AS total_chars,
+               SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+               CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE) / COUNT(*)
+                   AS avg_tokens,
+               COUNT(DISTINCT source) AS n_sources
+        FROM documents GROUP BY lang
+        """,
+        "per-language corpus profile (int-exact sums, deterministic ratios)",
+    )
+)
+
+
+def x06_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio + length band — the shape of a pretraining quality
+    filter (exact-arithmetic stand-in for a model-based scorer)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens()).cast("long")
+    n_distinct = F.size(F.array_distinct(_tokens())).cast("long")
+    ttr = n_distinct.cast("double") / n_tokens.cast("double")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        ttr.alias("ttr"),
+        F.when(n_tokens < 30, "short")
+        .when(n_tokens > 80, "long")
+        .otherwise("medium")
+        .alias("length_band"),
+        (ttr >= 0.25).cast("boolean").alias("keep"),
+    )
+
+
+register(
+    QuerySpec(
+        "x06_quality_score",
+        x06_quality_score,
+        """
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+          FROM documents)
+        SELECT doc_id, n_tokens,
+               CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+               CASE WHEN n_tokens < 30 THEN 'short'
+                    WHEN n_tokens > 80 THEN 'long'
+                    ELSE 'medium' END AS length_band,
+               (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) >= 0.25 AS keep
+        FROM t
+        """,
+        "quality scoring: type-token ratio + length bands + keep flag",
+    )
+)
+
+
+def x07_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language-ID heuristic: fraction of tokens that are
+    English marker words; threshold → predicted label."""
+    docs = load_table(spark, sf_dir, "documents")
+    markers = F.array(*[F.lit(m) for m in EN_MARKERS])
+    n_tokens = F.size(_tokens()).cast("long")
+    n_hits = F.size(F.filter(_tokens(), lambda t: F.array_contains(markers, t))).cast("long")
+    ratio = n_hits.cast("double") / n_tokens.cast("double")
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_hits.alias("n_marker_hits"),
+        ratio.alias("en_ratio"),
+        F.when(ratio >= 0.05, "en").otherwise("other").alias("predicted"),
+    )
+
+
+register(
+    QuerySpec(
+        "x07_langid",
+        x07_langid,
+        f"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(string_split(text, ' '),
+                      x -> list_contains({list(EN_MARKERS)!r}, x))) AS BIGINT) AS n_hits
+          FROM documents)
+        SELECT doc_id, lang, n_hits AS n_marker_hits,
+               CAST(n_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS en_ratio,
+               CASE WHEN CAST(n_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.05
+                    THEN 'en' ELSE 'other' END AS predicted
+        FROM t
+        """,
+        "stopword-ratio language-ID heuristic",
+    )
+)
+
+
+def x03_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: md5 + sha256 of the raw text, plus a cheap
+    128-char prefix fingerprint — the exact-dedup keys a 100 TB pipeline
+    groups on (hash first, compare bytes only on hash collision)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("md5_fp"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("sha256_fp"),
+        F.md5(F.substring("text", 1, 128).cast("binary")).alias("prefix_fp"),
+    )
+
+
+register(
+    QuerySpec(
+        "x03_fingerprint",
+        x03_fingerprint,
+        """
+        SELECT doc_id,
+               md5(text) AS md5_fp,
+               sha256(text) AS sha256_fp,
+               md5(substring(text, 1, 128)) AS prefix_fp
+        FROM documents
+        """,
+        "document fingerprints (md5/sha256/prefix-hash)",
+    )
+)

@@ -59,6 +59,10 @@ def build_session(
         .config("spark.hadoop.parquet.page.size", str(PARQUET_PAGE_SIZE))
         # No INT96 (reference: use_deprecated_int96_timestamps=False).
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # Read INT64 TIMESTAMP(NANOS) parquet (Spark has no nanos type and
+        # errors by default); the catalog converts the long back to a
+        # microsecond timestamp — see sources/catalog.py.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )

@@ -31,7 +31,19 @@ ALWAYS_BROADCAST = frozenset({"region", "nation"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is INT64 TIMESTAMP(NANOS) parquet. Spark has no nanos
+        # timestamp type: with spark.sql.legacy.parquet.nanosAsLong=true it
+        # surfaces as a long, which we floor-divide to a microsecond
+        # timestamp — the same truncation every microsecond engine
+        # (including the DuckDB oracle) applies to nanos.
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
