@@ -1,0 +1,110 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1}
+
+Query execution is measured with the noop sink (full plan executes —
+scan, shuffles, projections — nothing written, no driver collect), which
+is the closest local stand-in for cluster throughput. The convert
+pipeline is benched on a generated 100k-record nested NDJSON.gz — the
+reference's own exercised workload size (BASELINE.md)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from json_to_parquet_spark.operators.convert import convert  # noqa: E402
+from json_to_parquet_spark.queries import registry  # noqa: E402
+from json_to_parquet_spark.session import build_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative slice of the registry: scan+agg, broadcast join chain,
+# window top-k, running window, JSON extraction, keyed dedup, similarity
+# join, MinHash-LSH, cosine top-k.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_join_revenue_by_nation",
+    "q07_topk_per_customer",
+    "q08_running_window",
+    "q17_json_funcs",
+    "x02_dedup_keyed",
+    "x08_ngram_jaccard",
+    "x09_minhash_lsh",
+    "x11_cosine_topk",
+]
+
+CONVERT_RECORDS = 100_000
+CONVERT_CACHE = os.environ.get(
+    "SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench"
+)
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _convert_fixture() -> str:
+    """100k-record nested findings NDJSON.gz, cached across runs."""
+    os.makedirs(CONVERT_CACHE, exist_ok=True)
+    path = os.path.join(CONVERT_CACHE, f"finding-{CONVERT_RECORDS}.ndjson.gz")
+    if not os.path.exists(path):
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+        from findings_fixture import make_record  # noqa: E402
+
+        import gzip
+        import random
+
+        rng = random.Random(11)
+        with gzip.open(path, "wt") as f:
+            for i in range(CONVERT_RECORDS):
+                f.write(json.dumps(make_record(i, rng)) + "\n")
+    return path
+
+
+def main() -> None:
+    spark = build_session(app_name="bench")
+    reg = registry()
+    timings: dict[str, float] = {}
+
+    for name in HEADLINE:
+        fn = reg[name].spark
+        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()  # warm JIT/IO
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    src = _convert_fixture()
+    with tempfile.TemporaryDirectory() as td:
+        t0 = time.perf_counter()
+        convert(spark, src, os.path.join(td, "out"), mode="cluster")
+        timings["convert_100k_ndjson"] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

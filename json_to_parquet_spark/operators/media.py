@@ -1,0 +1,100 @@
+"""Multimodal decode / feature-extract plumbing (SURVEY §2.C X5).
+
+Treats image/audio/video as opaque ``BinaryType`` payloads with a typed
+metadata struct, and runs decode/feature kernels as Arrow-batched
+``mapInPandas`` — the Spark-idiomatic shape for Python-side media work:
+whole Arrow batches cross the JVM↔Python boundary once per partition
+chunk (not per row), partitioning is preserved, and the output schema is
+declared up front so Catalyst can plan around the opaque stage.
+
+The container ships no media codecs, so the real decode kernel is a
+clearly-marked stub (``decode_image`` raises ``NotImplementedError``);
+``fake_decode`` is a deterministic stand-in with the same signature so
+the plumbing — schema, batching, UDF shape — is fully exercised by tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> tuple[int, int, int]:
+    """Decode an image payload → (width, height, channels).
+
+    STUB: no image codecs (Pillow/libjpeg/...) in this environment. On a
+    real cluster, swap in the codec of choice; everything around this
+    function (batching, schema, partitioning) is production-shaped.
+    """
+    raise NotImplementedError(
+        "image decoding requires a codec library not present in this build"
+    )
+
+
+def fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in decode: pretend the first bytes are a header.
+    Same signature/contract as decode_image, so tests exercise the real
+    plumbing with a fake kernel."""
+    h = hashlib.sha256(payload).digest()
+    return (h[0] + 1, h[1] + 1, (h[2] % 4) + 1)
+
+
+def extract_media_features(
+    media: DataFrame,
+    decode: Callable[[bytes], tuple[int, int, int]] = decode_image,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """media(id, payload binary, ...) → per-item features via mapInPandas.
+
+    One Python worker per partition, Arrow batches in/out; the decode
+    kernel sees raw bytes only. At 100 TB this stage is embarrassingly
+    parallel — no shuffle is introduced.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": pdf[id_col].astype("int64"),
+                "n_bytes": pdf[payload_col].map(len).astype("int64"),
+                "sha256": pdf[payload_col].map(
+                    lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                ),
+            }
+            dims = pdf[payload_col].map(lambda b: decode(bytes(b)))
+            out["width"] = dims.map(lambda d: d[0]).astype("int32")
+            out["height"] = dims.map(lambda d: d[1]).astype("int32")
+            out["channels"] = dims.map(lambda d: d[2]).astype("int32")
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, payload_col).mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapt the documents table into a media-shaped frame (binary payload
+    + metadata struct) for tests and the x14 catalog query."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.col("source").alias("origin"),
+            F.col("n_chars").alias("n_chars"),
+        ).alias("meta"),
+    )

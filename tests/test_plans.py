@@ -1,0 +1,57 @@
+"""Physical-plan shape assertions — the scale contract, checked in CI.
+
+Correctness says the operators compute the right rows; these tests pin
+the *plans* that make them viable at 100 TB: filters reach the parquet
+scan, constant-size dims broadcast, global top-k avoids a total sort,
+and no query drops into row-at-a-time Python."""
+
+from __future__ import annotations
+
+import pytest
+
+from json_to_parquet_spark.queries import registry
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = registry()[name].spark(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q02_filter_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q02_filter_project")
+    assert "PushedFilters: [" in plan
+    # the shipdate range + quantity predicates reach the parquet reader
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+    assert "l_quantity" in plan.split("PushedFilters")[1][:400]
+
+
+def test_q02_column_pruned_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q02_filter_project")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # 16-column table: the scan must read only the 6 referenced columns
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema
+    assert "l_partkey" not in read_schema
+
+
+def test_q03_dims_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q03_join_revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation & region never shuffle
+
+
+def test_q18_no_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q18_global_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_x11_big_side_not_shuffled(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x11_cosine_topk")
+    # query vectors broadcast; corpus scanned in place
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize("name", sorted(registry()))
+def test_no_python_udf_anywhere(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "BatchEvalPython" not in plan  # row-at-a-time Python: forbidden
