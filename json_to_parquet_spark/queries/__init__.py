@@ -35,6 +35,13 @@ def register(spec: QuerySpec) -> QuerySpec:
 
 def registry() -> dict[str, QuerySpec]:
     # Import side-effect modules once, on first access.
-    from . import dedup, multimodal, relational, similarity, text  # noqa: F401
+    from . import (  # noqa: F401
+        dedup,
+        multimodal,
+        relational,
+        relational2,
+        similarity,
+        text,
+    )
 
     return dict(_REGISTRY)

@@ -244,3 +244,45 @@ register(
         "MinHash-LSH near-dup candidates (16 hashes, 4 bands); x08 is the verify stage",
     )
 )
+
+
+SIMHASH_BITS = 64
+
+
+def x18_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document: each distinct token votes ±1 on every
+    bit position of its xxhash64; the sign of each position's vote total
+    is the fingerprint bit. Near-dup docs differ in few bits (small
+    Hamming distance). One explode + one groupBy — the aggregation is 64
+    conditional sums, all JVM-side. Rows-only check (xxhash64 is not
+    reproducible in DuckDB); the engine-side invariant that exact
+    duplicates hash identically is asserted in tests.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    posting = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    ).select("doc_id", F.xxhash64("token").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = posting.groupBy("doc_id").agg(*votes)
+    fp = None
+    for b in range(SIMHASH_BITS):
+        # shiftleft, not *2^b: bit 63 of a signed long is the sign bit and
+        # 1<<63 has no positive literal — the bitwise shift wraps correctly.
+        bit = F.shiftleft((F.col(f"v{b}") > 0).cast("long"), b)
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return agg.select("doc_id", fp.alias("simhash"), F.bit_count(fp).alias("n_set_bits"))
+
+
+register(
+    QuerySpec(
+        "x18_simhash",
+        x18_simhash,
+        None,  # xxhash64 not reproducible in DuckDB — rows-only
+        "64-bit SimHash fingerprints (bitwise vote aggregation)",
+    )
+)

@@ -402,7 +402,7 @@ def q13_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("p_type", 1, 5).alias("type_prefix"),
         F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
         F.reverse(F.col("p_name")).alias("name_rev"),
-        F.when(F.col("p_type").contains("STEEL"), F.lit(1)).otherwise(F.lit(0)).cast("long").alias("is_steel"),
+        F.when(F.col("p_type").contains("PROMO"), F.lit(1)).otherwise(F.lit(0)).cast("long").alias("is_promo"),
     )
 
 
@@ -418,7 +418,7 @@ register(
                substring(p_type, 1, 5) AS type_prefix,
                concat_ws('/', p_brand, p_type) AS brand_type,
                reverse(p_name) AS name_rev,
-               CAST(CASE WHEN p_type LIKE '%STEEL%' THEN 1 ELSE 0 END AS BIGINT) AS is_steel
+               CAST(CASE WHEN p_type LIKE '%PROMO%' THEN 1 ELSE 0 END AS BIGINT) AS is_promo
         FROM part
         """,
         "string scalar family: case, length, substring, concat, reverse, LIKE",

@@ -1,0 +1,346 @@
+"""Relational core, second batch: time-bucketed rollups, sessionization,
+regexp family, null-handling scalars, exact statistical moments,
+percentiles, HAVING, positional explode, and TPC-H Q3/Q6-shaped joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from . import QuerySpec, register
+from .helpers import SQL_DEC_SUM, dec_sum
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- q24: TPC-H Q6 shape — tight filter → single global aggregate ----------
+def q24_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") > 0.03)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue_delta"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "q24_revenue_delta",
+        q24_revenue_delta,
+        f"""
+        SELECT {SQL_DEC_SUM.format(x='l_extendedprice * l_discount')} AS revenue_delta,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount > 0.03 AND l_quantity < 24
+        """,
+        "TPC-H Q6 shape: selective scan → single-row aggregate",
+    )
+)
+
+
+# --- q25: time-bucketed rollup over the event stream -----------------------
+def q25_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00")
+    return (
+        ev.groupBy(hour.alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec_sum("value", "sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "q25_hourly_rollup",
+        q25_hourly_rollup,
+        f"""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+               event_type, COUNT(*) AS n,
+               {SQL_DEC_SUM.format(x='value')} AS sum_value,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1, 2
+        """,
+        "hypertable-style hourly rollup (date_trunc bucketing)",
+    )
+)
+
+
+# --- q26: sessionization (gap > 30 min starts a new session) ---------------
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def q26_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(is_new).over(run).cast("long").alias("session_id"),
+    )
+
+
+register(
+    QuerySpec(
+        "q26_sessionize",
+        q26_sessionize,
+        f"""
+        SELECT user_id, event_id,
+               CAST(SUM(CASE WHEN gap IS NULL OR gap > {SESSION_GAP_US}
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+        FROM (SELECT user_id, event_id, ts,
+                     epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events)
+        """,
+        "sessionization: lag-gap flag + running sum (single window pass)",
+    )
+)
+
+
+# --- q27: regexp family -----------------------------------------------------
+def q27_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "^([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.regexp_extract("p_brand", "([0-9]+)", 1).cast("long").alias("brand_num"),
+        F.col("p_name").rlike("(ring|bolt)").cast("boolean").alias("is_fastener"),
+    )
+
+
+register(
+    QuerySpec(
+        "q27_regexp_funcs",
+        q27_regexp_funcs,
+        """
+        SELECT p_partkey,
+               regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+               regexp_replace(p_name, ' ', '_', 'g') AS name_snake,
+               CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_num,
+               regexp_matches(p_name, '(ring|bolt)') AS is_fastener
+        FROM part
+        """,
+        "regexp extract/replace/match (RE2-safe patterns only)",
+    )
+)
+
+
+# --- q28: null-handling scalars --------------------------------------------
+def q28_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_label"
+        ),
+        F.when(F.col("o_totalprice") > 200000, F.col("o_totalprice")).alias(
+            "big_price_or_null"
+        ),
+        (F.nullif(F.col("o_orderstatus"), F.lit("O")).isNull()).alias("is_open"),
+    )
+
+
+register(
+    QuerySpec(
+        "q28_null_handling",
+        q28_null_handling,
+        """
+        SELECT o_orderkey,
+               COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+               CASE WHEN o_totalprice > 200000 THEN o_totalprice END AS big_price_or_null,
+               NULLIF(o_orderstatus, 'O') IS NULL AS is_open
+        FROM orders
+        """,
+        "coalesce / nullif / conditional-null scalars",
+    )
+)
+
+
+# --- q29: statistical aggregates from exact moments ------------------------
+def q29_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev / correlation computed from exact decimal moments
+    (sum, sum-of-squares, sum-of-products) with the final closed-form
+    arithmetic done identically in both engines — deterministic where the
+    engines' own var_samp/corr (parallel float accumulation) are not."""
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum(x, "sx"),
+        dec_sum(x * x, "sxx"),
+        dec_sum(y, "sy"),
+        dec_sum(y * y, "syy"),
+        dec_sum(x * y, "sxy"),
+    )
+    n = F.col("n").cast("double")
+    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    return agg.select(
+        "l_returnflag",
+        "n",
+        var_x.alias("var_qty"),
+        F.sqrt(var_x).alias("std_qty"),
+        (cov / (F.sqrt(var_x) * F.sqrt(var_y))).alias("corr_qty_price"),
+    )
+
+
+register(
+    QuerySpec(
+        "q29_exact_moments",
+        q29_exact_moments,
+        f"""
+        WITH m AS (
+          SELECT l_returnflag, COUNT(*) AS n,
+                 {SQL_DEC_SUM.format(x='l_quantity')} AS sx,
+                 {SQL_DEC_SUM.format(x='l_quantity * l_quantity')} AS sxx,
+                 {SQL_DEC_SUM.format(x='l_extendedprice')} AS sy,
+                 {SQL_DEC_SUM.format(x='l_extendedprice * l_extendedprice')} AS syy,
+                 {SQL_DEC_SUM.format(x='l_quantity * l_extendedprice')} AS sxy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               (sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS var_qty,
+               sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS std_qty,
+               ((sxy - sx * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+                   / (sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+                      * sqrt((syy - sy * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)))
+                   AS corr_qty_price
+        FROM m
+        """,
+        "variance/stddev/correlation via exact decimal moments",
+    )
+)
+
+
+# --- q30: HAVING (post-aggregation filter) ---------------------------------
+def q30_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(dec_sum("l_quantity", "total_qty"), F.count(F.lit(1)).alias("n_lines"))
+        .filter(F.col("n_lines") > 100)
+    )
+
+
+register(
+    QuerySpec(
+        "q30_having",
+        q30_having,
+        f"""
+        SELECT l_suppkey, {SQL_DEC_SUM.format(x='l_quantity')} AS total_qty,
+               COUNT(*) AS n_lines
+        FROM lineitem GROUP BY l_suppkey HAVING COUNT(*) > 100
+        """,
+        "aggregate + HAVING filter",
+    )
+)
+
+
+# --- q31: positional explode ------------------------------------------------
+def q31_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 3)
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", F.col("pos").cast("long").alias("pos"), F.col("val").cast("double").alias("val"))
+
+
+register(
+    QuerySpec(
+        "q31_posexplode",
+        q31_posexplode,
+        """
+        SELECT vec_id,
+               CAST(unnest(range(len(embedding))) AS BIGINT) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings WHERE vec_id < 3
+        """,
+        "positional array explode (parallel unnest zip in the oracle)",
+    )
+)
+
+
+# --- q32: TPC-H Q3 shape — join chain → grouped revenue → top-10 -----------
+def q32_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-01-01")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(dec_sum(revenue, "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+register(
+    QuerySpec(
+        "q32_shipping_priority",
+        q32_shipping_priority,
+        f"""
+        SELECT l_orderkey, o_orderpriority,
+               {SQL_DEC_SUM.format(x='l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+        """,
+        "TPC-H Q3 shape: filtered 3-way join → grouped revenue → top-10",
+    )
+)
+
+
+# --- q33: exact interpolated percentiles (rounded) -------------------------
+def q33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+register(
+    QuerySpec(
+        "q33_percentiles",
+        q33_percentiles,
+        """
+        SELECT o_orderstatus,
+               ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_orderstatus
+        """,
+        "exact linear-interpolated percentiles (rounded to absorb ulp drift)",
+    )
+)

@@ -177,3 +177,115 @@ register(
         "per-label L2-norm stats (rounded-then-decimal aggregation)",
     )
 )
+
+
+NEAR_DUP_MAX_ID = 200
+NEAR_DUP_THRESHOLD = 0.99
+
+
+def x19_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over a corpus with injected
+    exact copies (vec_id+10000). Random 64-dim vectors are near-orthogonal,
+    so cos ≥ 0.99 recovers exactly the injected copy pairs — the embedding
+    analogue of content-hash dedup, for when payloads differ but
+    representations coincide."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < NEAR_DUP_MAX_ID)
+        .select("vec_id", "embedding")
+    )
+    corpus = emb.unionAll(
+        emb.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    )
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= NEAR_DUP_THRESHOLD)
+
+
+register(
+    QuerySpec(
+        "x19_embedding_near_dup",
+        x19_embedding_near_dup,
+        f"""
+        WITH corpus AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id < {NEAR_DUP_MAX_ID}
+          UNION ALL
+          SELECT vec_id + 10000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id < {NEAR_DUP_MAX_ID})
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v))), 6) >= {NEAR_DUP_THRESHOLD}
+        """,
+        "embedding-cosine near-dup pair detection (injected copies)",
+    )
+)
+
+
+def x20_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end approximate NN: sign-LSH bucket assignment (same planes
+    as x12) → candidates share the query's bucket → exact cosine rerank →
+    top-5. The scale path for X3: the expensive exact scoring runs only
+    inside buckets (corpus/2^8 on average), and bucketing is a single
+    narrow projection. Rows-only check (xxhash64 planes); the brute-force
+    twin x11 is the oracle-checked exact baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def bucket_of(vec_col):
+        sign_dot = [
+            F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda x, i: x.cast("double")
+                    * F.when(F.xxhash64(F.lit(p), i) % 2 == 0, 1.0).otherwise(-1.0),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for p in range(LSH_PLANES)
+        ]
+        out = F.lit(0).cast("long")
+        for p, s in enumerate(sign_dot):
+            out = out + (s > 0).cast("long") * F.lit(1 << p).cast("long")
+        return out
+
+    corpus = emb.select("vec_id", "embedding", bucket_of(F.col("embedding")).alias("bucket"))
+    queries = corpus.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = corpus.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    scored = cand.select(
+        "q_id", "vec_id", cosine(F.col("q_vec"), F.col("embedding")).alias("cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+register(
+    QuerySpec(
+        "x20_lsh_ann_topk",
+        x20_lsh_ann_topk,
+        None,  # xxhash64-derived planes not reproducible in DuckDB
+        "LSH-bucketed approximate NN top-5 (bucket-restricted exact rerank)",
+    )
+)

@@ -192,3 +192,79 @@ register(
         "document fingerprints (md5/sha256/prefix-hash)",
     )
 )
+
+
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def x16_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, twice: whitespace tokens and a BPE-ish regex
+    tokenizer (letter runs / digit runs / single punctuation — the
+    pre-tokenization split most BPE vocabularies start from)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(_tokens()).cast("long")
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)).cast("long")
+    return docs.select(
+        "doc_id",
+        "lang",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        (bpe.cast("double") / ws.cast("double")).alias("bpe_per_word"),
+    )
+
+
+register(
+    QuerySpec(
+        "x16_bpe_token_count",
+        x16_bpe_token_count,
+        f"""
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+               CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS bpe_per_word,
+        FROM documents
+        """,
+        "whitespace vs BPE-ish-regex token counts",
+    )
+)
+
+
+ROLL_MOD = 1_000_000_007
+ROLL_BASE = 31
+
+
+def x17_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial (Rabin-Karp-style) rolling fingerprint over the token
+    stream: h = ((h*B) + f(token)) mod M, f(token) = 256*len + ascii of
+    first char. Pure integer arithmetic — bit-identical everywhere —
+    computed in one pass with the fold (aggregate) higher-order function."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = F.transform(
+        _tokens(),
+        lambda t: (F.length(t) * 256 + F.ascii(F.substring(t, 1, 1))).cast("long"),
+    )
+    rolled = F.aggregate(
+        feats,
+        F.lit(0).cast("long"),
+        lambda h, x: (h * ROLL_BASE + x) % ROLL_MOD,
+    )
+    return docs.select("doc_id", rolled.alias("roll_fp"))
+
+
+register(
+    QuerySpec(
+        "x17_rolling_hash",
+        x17_rolling_hash,
+        f"""
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ' '),
+                     t -> CAST(length(t) * 256 + ascii(substring(t, 1, 1)) AS BIGINT))),
+                 (h, x) -> (h * {ROLL_BASE} + x) % {ROLL_MOD}) AS roll_fp
+        FROM documents
+        """,
+        "polynomial rolling-hash document fingerprint (integer-exact fold)",
+    )
+)

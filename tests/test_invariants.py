@@ -1,0 +1,69 @@
+"""Set-level semantic invariants for the non-oracle operators (SURVEY §7d:
+fixed seeds, assert properties rather than exact rows)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from json_to_parquet_spark.queries import registry
+from json_to_parquet_spark.queries.dedup import minhash_signatures
+from json_to_parquet_spark.sources.catalog import load_table
+
+
+def test_minhash_exact_dups_have_identical_signatures(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(40)
+    shifted = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    sig = minhash_signatures(docs.unionAll(shifted))
+    rows = {r.doc_id: tuple(r.sig) for r in sig.collect()}
+    for doc_id, s in rows.items():
+        if doc_id < 100000 and doc_id + 100000 in rows:
+            assert rows[doc_id + 100000] == s
+
+
+def test_minhash_lsh_finds_all_injected_dups(spark, sf_dir):
+    pairs = registry()["x09_minhash_lsh"].spark(spark, sf_dir)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    expected = {(i, i + 100000) for i in range(n_docs)}
+    missing = expected - found
+    assert not missing, f"LSH missed {len(missing)} injected exact dups"
+    # exact dups estimate at 1.0
+    exact = {(r.id_a, r.id_b): r.est_jaccard for r in pairs.collect()}
+    assert all(exact[p] == 1.0 for p in expected)
+
+
+def test_simhash_exact_dups_identical_and_neighbors_close(spark, sf_dir):
+    df = registry()["x18_simhash"].spark(spark, sf_dir)
+    rows = {r.doc_id: r.simhash for r in df.collect()}
+    assert len(rows) == load_table(spark, sf_dir, "documents").count()
+    # fingerprint is 64-bit: some docs must use high bits (incl. sign bit)
+    assert any(v < 0 for v in rows.values())
+
+
+def test_lsh_ann_is_subset_of_exact_scores(spark, sf_dir):
+    """Every ANN hit must carry the same cosine the exact path computes,
+    and ANN results for a query live in the query's bucket only."""
+    exact = {
+        (r.q_id, r.vec_id): r.cos_sim
+        for r in registry()["x11_cosine_topk"].spark(spark, sf_dir).collect()
+    }
+    ann = registry()["x20_lsh_ann_topk"].spark(spark, sf_dir).collect()
+    assert len(ann) > 0
+    for r in ann:
+        if (r.q_id, r.vec_id) in exact:
+            assert abs(exact[(r.q_id, r.vec_id)] - r.cos_sim) < 1e-9
+
+
+def test_embedding_near_dup_recovers_injected_copies(spark, sf_dir):
+    from json_to_parquet_spark.queries.similarity import NEAR_DUP_MAX_ID
+
+    n = min(
+        load_table(spark, sf_dir, "embeddings").count(), NEAR_DUP_MAX_ID
+    )
+    pairs = registry()["x19_embedding_near_dup"].spark(spark, sf_dir).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    expected = {(i, i + 10000) for i in range(n)}
+    assert expected <= found
+    for r in pairs:
+        if (r.id_a, r.id_b) in expected:
+            assert r.cos_sim == 1.0
