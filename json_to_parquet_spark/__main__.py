@@ -26,6 +26,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sort-column", default=DEFAULT_SORT_COLUMN)
     p.add_argument("--mode", choices=["cluster", "global", "none"], default="cluster")
     p.add_argument("--dt-mode", choices=["strict", "coerce"], default="strict")
+    p.add_argument(
+        "--sorting-metadata",
+        action="store_true",
+        help="record a Parquet SortingColumn footer (PyArrow post-pass)",
+    )
     args = p.parse_args(argv)
 
     spark = build_session(app_name="json_to_parquet_spark.convert")
@@ -37,6 +42,7 @@ def main(argv: list[str] | None = None) -> int:
             sort_column=args.sort_column,
             mode=args.mode,
             dt_mode=args.dt_mode,
+            sorting_metadata=args.sorting_metadata,
         )
     except Exception as exc:  # surface a one-line error, not a JVM stack wall
         print(f"error: {exc}", file=sys.stderr)

@@ -69,6 +69,7 @@ def convert(
     mode: str = "cluster",
     dt_mode: str = "strict",
     schema=None,
+    sorting_metadata: bool = False,
 ) -> ConvertResult:
     """Run the full convert pipeline and write Parquet to ``dest``.
 
@@ -98,6 +99,12 @@ def convert(
             )
 
     out.write.mode("overwrite").parquet(dest)
+    if sorting_metadata and sorted_by is not None:
+        # Reference-parity SortingColumn footer (SURVEY §2 O3); PyArrow
+        # post-pass since Spark's writer can't record it.
+        from .sorting_metadata import add_sorting_metadata
+
+        add_sorting_metadata(dest, sorted_by)
     written = spark.read.parquet(dest)
     return ConvertResult(
         output_path=dest,
