@@ -344,3 +344,99 @@ register(
         "exact linear-interpolated percentiles (rounded to absorb ulp drift)",
     )
 )
+
+
+# --- q34/q35/q36: outer and cross joins ------------------------------------
+def q34_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers LEFT OUTER their urgent orders: null-padded right side,
+    then null-tolerant aggregation — the join family q03-q05 doesn't cover."""
+    customer = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    j = customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_outer")
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderkey").alias("n_urgent_orders"),  # nulls not counted
+        F.countDistinct("c_custkey").alias("n_customers"),
+        dec_sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0)), "urgent_revenue"),
+    )
+
+
+register(
+    QuerySpec(
+        "q34_left_outer_join",
+        q34_left_outer_join,
+        f"""
+        SELECT c_mktsegment, COUNT(*) AS n_rows,
+               COUNT(o_orderkey) AS n_urgent_orders,
+               COUNT(DISTINCT c_custkey) AS n_customers,
+               {SQL_DEC_SUM.format(x="COALESCE(o_totalprice, 0.0)")} AS urgent_revenue
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+        GROUP BY c_mktsegment
+        """,
+        "left outer join with null-tolerant aggregation",
+    )
+)
+
+
+def q35_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER of two per-nation aggregates (suppliers vs customers):
+    either side may be missing → coalesced keys, null-aware counts."""
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    j = supp.join(cust, "nk", "full_outer")
+    return j.select(
+        F.col("nk").cast("long").alias("nationkey"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+    )
+
+
+register(
+    QuerySpec(
+        "q35_full_outer_join",
+        q35_full_outer_join,
+        """
+        WITH s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+                   FROM supplier GROUP BY 1),
+             c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+                   FROM customer GROUP BY 1)
+        SELECT CAST(COALESCE(s.nk, c.nk) AS BIGINT) AS nationkey,
+               COALESCE(n_suppliers, 0) AS n_suppliers,
+               COALESCE(n_customers, 0) AS n_customers
+        FROM s FULL OUTER JOIN c ON s.nk = c.nk
+        """,
+        "full outer join of two aggregates with coalesced keys",
+    )
+)
+
+
+def q36_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded cross join: region × region distance-matrix shape."""
+    r1 = _t(spark, sf_dir, "region").select(F.col("r_name").alias("from_region"))
+    r2 = _t(spark, sf_dir, "region").select(F.col("r_name").alias("to_region"))
+    return r1.crossJoin(r2).filter(F.col("from_region") != F.col("to_region"))
+
+
+register(
+    QuerySpec(
+        "q36_cross_join",
+        q36_cross_join,
+        """
+        SELECT a.r_name AS from_region, b.r_name AS to_region
+        FROM region a CROSS JOIN region b
+        WHERE a.r_name != b.r_name
+        """,
+        "bounded cross join (dim × dim)",
+    )
+)
