@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.dt_rewrite import dt_rewrite_paths, rewrite_dt_fields
-from ..sources.ndjson import read_ndjson
+from ..sources.ndjson import read_ndjson_parallel
 
 # Reference default sort column (pyarrow/main.py:14: SORT_COLUMN env, default "time").
 DEFAULT_SORT_COLUMN = os.environ.get("SORT_COLUMN", "time")
@@ -81,7 +81,13 @@ def convert(
         raise ValueError(f"unknown sort mode {mode!r}")
     sort_column = DEFAULT_SORT_COLUMN if sort_column is None else sort_column
 
-    df = source if isinstance(source, DataFrame) else read_ndjson(spark, source, schema)
+    df = (
+        source
+        if isinstance(source, DataFrame)
+        # parallel path: decompress single-threaded, parse/rewrite/sort on
+        # all cores — see read_ndjson_parallel (2-4× on single-gz objects)
+        else read_ndjson_parallel(spark, source, schema)
+    )
     schema_before = df.schema.simpleString()
     out = rewrite_dt_fields(df, mode=dt_mode)
     rewritten = dt_rewrite_paths(df.schema)
