@@ -440,3 +440,80 @@ register(
         "bounded cross join (dim × dim)",
     )
 )
+
+
+# --- q37/q38/q39: collection aggregates and unpivot ------------------------
+def q37_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic collection aggregate: collect_set is unordered, so the
+    output is always sort_array'd before leaving the operator."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.sort_array(F.collect_set(F.col("l_suppkey") % 10)).alias("supp_mod10"),
+    )
+
+
+register(
+    QuerySpec(
+        "q37_array_agg",
+        q37_array_agg,
+        """
+        SELECT l_returnflag,
+               list_sort(list(DISTINCT l_linestatus)) AS statuses,
+               list_sort(list(DISTINCT l_suppkey % 10)) AS supp_mod10
+        FROM lineitem GROUP BY l_returnflag
+        """,
+        "array aggregation (collect_set, canonicalized by sorting)",
+    )
+)
+
+
+def q38_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias("types_csv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+register(
+    QuerySpec(
+        "q38_string_agg",
+        q38_string_agg,
+        """
+        SELECT user_id,
+               string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
+               COUNT(*) AS n
+        FROM events GROUP BY user_id
+        """,
+        "ordered string aggregation",
+    )
+)
+
+
+def q39_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long: unpivot the per-line charge components into
+    (measure, value) rows via stack()."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return li.select(
+        "l_orderkey",
+        F.expr(
+            "stack(3, 'price', l_extendedprice, 'discount', l_discount, 'tax', l_tax)"
+        ).alias("measure", "value"),
+    )
+
+
+register(
+    QuerySpec(
+        "q39_unpivot",
+        q39_unpivot,
+        """
+        SELECT l_orderkey, measure, value
+        FROM (SELECT l_orderkey, l_extendedprice AS price,
+                     l_discount AS discount, l_tax AS tax
+              FROM lineitem WHERE l_linenumber = 1)
+        UNPIVOT (value FOR measure IN (price, discount, tax))
+        """,
+        "unpivot wide columns to (measure, value) rows",
+    )
+)
