@@ -517,3 +517,42 @@ register(
         "unpivot wide columns to (measure, value) rows",
     )
 )
+
+
+# --- q40: SCD2 history construction ----------------------------------------
+def q40_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn a change log (each order =
+    a change to its customer's 'current order' attribute) into validity
+    intervals via a single lead() window — the engine-native CDC shape
+    (no MERGE needed for append-only history builds)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    lead_date = F.lead("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("version_key"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(F.date_format(lead_date, "yyyy-MM-dd"), F.lit("9999-12-31")).alias(
+            "valid_to"
+        ),
+        (lead_date.isNull()).alias("is_current"),
+    )
+
+
+register(
+    QuerySpec(
+        "q40_scd2_history",
+        q40_scd2_history,
+        """
+        SELECT o_custkey,
+               o_orderkey AS version_key,
+               strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+               COALESCE(strftime(lead(o_orderdate) OVER w, '%Y-%m-%d'),
+                        '9999-12-31') AS valid_to,
+               lead(o_orderdate) OVER w IS NULL AS is_current
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "SCD2 validity intervals from a change log (single lead window)",
+    )
+)

@@ -289,3 +289,124 @@ register(
         "LSH-bucketed approximate NN top-5 (bucket-restricted exact rerank)",
     )
 )
+
+
+IVF_N_CENTROIDS = 16
+IVF_N_PROBE = 2
+
+
+def x21_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate NN, fully oracle-able: the coarse quantizer is
+    deterministic (centroids = the first IVF_N_CENTROIDS corpus vectors),
+    every vector is assigned to its nearest centroid (inverted lists), and
+    each query scans only its IVF_N_PROBE nearest lists before exact
+    rerank. At scale the inverted lists are pre-materialized/partitioned
+    by centroid id, so a query touches corpus/centroids × probes vectors.
+
+    Distances are rounded per helpers rule 3; ties broken by id, so list
+    assignment is identical across engines.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+
+    def assign(df, vec_col, id_col, n_keep, out_prefix):
+        """nearest-centroid ranks via broadcast cross join + window."""
+        scored = df.crossJoin(F.broadcast(cent)).select(
+            id_col,
+            "c_id",
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            vec_col,
+                            F.col("c_vec"),
+                            lambda x, y: (x.cast("double") - y.cast("double"))
+                            * (x.cast("double") - y.cast("double")),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                ),
+                6,
+            ).alias("dist"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.asc("dist"), F.asc("c_id"))
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= n_keep)
+            .select(id_col, F.col("c_id").alias(f"{out_prefix}_c"), "crank")
+        )
+
+    lists = assign(emb, F.col("embedding"), "vec_id", 1, "list")
+    corpus = emb.join(lists, "vec_id")
+
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    probes = assign(
+        queries.select(F.col("q_id").alias("vec_id"), F.col("q_vec").alias("embedding")),
+        F.col("embedding"),
+        "vec_id",
+        IVF_N_PROBE,
+        "probe",
+    ).select(F.col("vec_id").alias("q_id"), F.col("probe_c"))
+
+    cand = (
+        corpus.join(F.broadcast(probes), corpus.list_c == probes.probe_c)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(queries), "q_id")
+    )
+    scored = cand.select(
+        "q_id", "vec_id", cosine(F.col("q_vec"), F.col("embedding")).alias("cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+register(
+    QuerySpec(
+        "x21_ivf_ann",
+        x21_ivf_ann,
+        f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e WHERE vec_id < {IVF_N_CENTROIDS}),
+        adist AS (
+          SELECT e.vec_id, c.c_id,
+                 ROUND(sqrt(list_sum(list_transform(
+                     list_zip(e.v, c.c_vec),
+                     p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS dist
+          FROM e CROSS JOIN cent c),
+        lists AS (
+          SELECT vec_id, c_id AS list_c FROM adist
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id) = 1),
+        probes AS (
+          SELECT vec_id AS q_id, c_id AS probe_c FROM adist
+          WHERE vec_id < {N_QUERY_VECS}
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id)
+                  <= {IVF_N_PROBE}),
+        cand AS (
+          SELECT p.q_id, e.vec_id
+          FROM e JOIN lists l ON e.vec_id = l.vec_id
+                 JOIN probes p ON l.list_c = p.probe_c
+          WHERE e.vec_id != p.q_id),
+        scored AS (
+          SELECT c.q_id, c.vec_id,
+                 ROUND(list_dot_product(q.v, e.v)
+                       / (sqrt(list_dot_product(q.v, q.v))
+                          * sqrt(list_dot_product(e.v, e.v))), 6) AS cos_sim
+          FROM cand c JOIN e ON c.vec_id = e.vec_id
+                      JOIN e q ON c.q_id = q.vec_id)
+        SELECT q_id, vec_id, cos_sim,
+               CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM scored QUALIFY rank <= 5
+        """,
+        "IVF-style ANN: deterministic coarse quantizer + probed inverted lists",
+    )
+)

@@ -268,3 +268,50 @@ register(
         "polynomial rolling-hash document fingerprint (integer-exact fold)",
     )
 )
+
+
+TOP_BIGRAMS_PER_LANG = 5
+
+
+def x22_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram frequency tables: top word-bigrams per language — the
+    vocabulary-analysis pass of a corpus pipeline (explode bigrams →
+    count → per-group top-k)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+    )
+    exploded = docs.select("lang", F.explode(bigrams).alias("bigram"))
+    counts = exploded.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_BIGRAMS_PER_LANG)
+        .select("lang", "bigram", "n", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+register(
+    QuerySpec(
+        "x22_bigram_freq",
+        x22_bigram_freq,
+        f"""
+        WITH toks AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
+        bi AS (
+          SELECT lang,
+                 unnest(list_transform(range(1, len(t)),
+                                       i -> t[i] || ' ' || t[i+1])) AS bigram
+          FROM toks),
+        counts AS (SELECT lang, bigram, COUNT(*) AS n FROM bi GROUP BY 1, 2)
+        SELECT lang, bigram, n,
+               CAST(row_number() OVER (PARTITION BY lang
+                    ORDER BY n DESC, bigram ASC) AS BIGINT) AS rank
+        FROM counts QUALIFY rank <= {TOP_BIGRAMS_PER_LANG}
+        """,
+        "top word-bigrams per language (vocabulary analysis)",
+    )
+)
