@@ -556,3 +556,44 @@ register(
         "SCD2 validity intervals from a change log (single lead window)",
     )
 )
+
+
+# --- q41: ranking window functions ------------------------------------------
+def q41_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking family over one window (unique total order via the
+    orderkey tie-breaker, so every engine ranks identically)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.first_value(F.col("o_orderkey")).over(w).alias("top_order"),
+    )
+
+
+register(
+    QuerySpec(
+        "q41_window_ranks",
+        q41_window_ranks,
+        """
+        SELECT o_orderkey, o_orderstatus,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+               percent_rank() OVER w AS prnk,
+               cume_dist() OVER w AS cdist,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               first_value(o_orderkey) OVER w AS top_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice DESC, o_orderkey ASC)
+        """,
+        "rank / dense_rank / percent_rank / cume_dist / ntile / first_value",
+    )
+)

@@ -1,0 +1,15 @@
+#!/usr/bin/env bash
+# Full pre-round gate: tests at fixture scale, driver-gate mirror at
+# sf0.01, then bench. Exits nonzero on any failure.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== pytest (sf0.001 fixtures) =="
+python -m pytest tests/ -q
+
+echo "== oracle parity at driver scale (sf0.01) =="
+SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 \
+  python -m pytest tests/test_oracle_parity.py tests/test_invariants.py -q
+
+echo "== bench (sf0.1) =="
+python bench.py

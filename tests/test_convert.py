@@ -91,3 +91,28 @@ def test_output_naming_rule():
     assert derive_output_name("x.ndjson.gz", "gzip") == "x.gz.parquet"
     with pytest.raises(ValueError):
         derive_output_name("x.ndjson.gz", "lz4")
+
+
+def test_multi_file_input_keeps_native_parallelism(spark, tmp_path):
+    """read_ndjson_parallel must NOT inject a repartition when the input is
+    already parallel (many objects) — the at-scale shape."""
+    import gzip
+    import json
+
+    from json_to_parquet_spark.sources.ndjson import read_ndjson_parallel
+
+    d = tmp_path / "many"
+    d.mkdir()
+    for i in range(6):
+        with gzip.open(d / f"f{i}.ndjson.gz", "wt") as f:
+            for j in range(10):
+                f.write(json.dumps({"time": i * 100 + j}) + "\n")
+    df = read_ndjson_parallel(spark, str(d), min_partitions=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" not in plan  # no injected repartition
+    assert df.count() == 60
+
+    single = read_ndjson_parallel(spark, str(d / "f0.ndjson.gz"), min_partitions=4)
+    plan1 = single._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan1  # single gz object → spread it
+    assert single.count() == 10
