@@ -28,9 +28,25 @@ TABLES = (
 ALWAYS_BROADCAST = frozenset({"region", "nation"})
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """The engine's queries may run under a caller-provided SparkSession
+    (the correctness driver builds its own) that lacks the session confs
+    the data requires. Both are runtime-settable SQL confs, so pin them
+    here, idempotently, at every table load:
+
+      * nanosAsLong — events.ts is INT64 TIMESTAMP(NANOS) parquet, which
+        Spark 4 refuses outright without it (PARQUET_TYPE_ILLEGAL)
+      * UTC session TZ — date/hour string rendering must be
+        timezone-stable to match the DuckDB oracle
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # events.ts is INT64 TIMESTAMP(NANOS) parquet. Spark has no nanos
