@@ -597,3 +597,104 @@ register(
         "rank / dense_rank / percent_rank / cume_dist / ntile / first_value",
     )
 )
+
+
+# --- q42/q43/q44: correlated agg subquery, arg-extremes, conditional distinct
+def q42_above_own_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers whose average order value exceeds the global average —
+    correlated aggregate subquery shape, decomposed Spark-style into two
+    exact-decimal aggregates and a broadcast of the 1-row global."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(30,10)")).cast("double") / F.count(F.lit(1))).alias("cust_avg"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    overall = orders.agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(30,10)")).cast("double") / F.count(F.lit(1))).alias("global_avg")
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(overall))
+        .filter(F.col("cust_avg") > F.col("global_avg"))
+        .select("o_custkey", "cust_avg", "n_orders")
+    )
+
+
+register(
+    QuerySpec(
+        "q42_above_own_avg",
+        q42_above_own_avg,
+        """
+        WITH g AS (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+                          / COUNT(*) AS global_avg FROM orders)
+        SELECT o_custkey,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+                   / COUNT(*) AS cust_avg,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+        HAVING cust_avg > (SELECT global_avg FROM g)
+        """,
+        "correlated-aggregate shape: per-group avg vs broadcast global avg",
+    )
+)
+
+
+def q43_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (arg-extremes) with a composite comparator so ties
+    cannot make the picked row nondeterministic."""
+    orders = _t(spark, sf_dir, "orders")
+    key = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return orders.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", key).alias("biggest_order"),
+        F.min_by("o_orderkey", key).alias("smallest_order"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+register(
+    QuerySpec(
+        "q43_arg_extremes",
+        q43_arg_extremes,
+        """
+        WITH m AS (SELECT o_orderstatus, MAX(o_totalprice) AS mx,
+                          MIN(o_totalprice) AS mn
+                   FROM orders GROUP BY 1)
+        SELECT m.o_orderstatus,
+               (SELECT MAX(o_orderkey) FROM orders o
+                WHERE o.o_orderstatus = m.o_orderstatus
+                  AND o.o_totalprice = m.mx) AS biggest_order,
+               (SELECT MIN(o_orderkey) FROM orders o
+                WHERE o.o_orderstatus = m.o_orderstatus
+                  AND o.o_totalprice = m.mn) AS smallest_order,
+               m.mx AS max_price
+        FROM m
+        """,
+        "arg_min/arg_max with composite tie-proof comparator",
+    )
+)
+
+
+def q44_conditional_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct(F.when(F.col("value") > 50, F.col("user_id"))).alias(
+            "big_spenders"
+        ),
+        F.countDistinct(
+            F.when(F.hour("ts") < 12, F.col("user_id"))
+        ).alias("morning_users"),
+    )
+
+
+register(
+    QuerySpec(
+        "q44_conditional_distinct",
+        q44_conditional_distinct,
+        """
+        SELECT event_type,
+               COUNT(DISTINCT CASE WHEN value > 50 THEN user_id END) AS big_spenders,
+               COUNT(DISTINCT CASE WHEN hour(ts) < 12 THEN user_id END) AS morning_users
+        FROM events GROUP BY event_type
+        """,
+        "conditional distinct counting",
+    )
+)

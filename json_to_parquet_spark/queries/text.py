@@ -315,3 +315,103 @@ register(
         "top word-bigrams per language (vocabulary analysis)",
     )
 )
+
+
+HIST_BUCKET_CHARS = 100
+
+
+def x23_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (fixed-width integer buckets) per lang —
+    the size-distribution profile used to pick filtering thresholds."""
+    docs = load_table(spark, sf_dir, "documents")
+    # floor explicitly: Spark's double→long cast truncates toward zero but
+    # DuckDB's CAST rounds to nearest — floor() agrees everywhere
+    bucket = F.floor(F.col("n_chars") / HIST_BUCKET_CHARS).cast("long")
+    return (
+        docs.groupBy("lang", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "lang",
+            (F.col("bucket") * HIST_BUCKET_CHARS).alias("bucket_lo"),
+            "n_docs",
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "x23_length_histogram",
+        x23_length_histogram,
+        f"""
+        SELECT lang,
+               CAST(floor(n_chars / {HIST_BUCKET_CHARS}) AS BIGINT)
+                   * {HIST_BUCKET_CHARS} AS bucket_lo,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY 1, 2
+        """,
+        "per-language document-length histogram",
+    )
+)
+
+
+TFIDF_TOP_K = 5
+
+
+def x24_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: tf(token, doc) × ln(N/df(token)), top-5 tokens per doc.
+    ln() differs by ≤1 ulp across libm implementations — scores are
+    ROUND(·,6) before ranking (helpers rule 3) and ties break on token."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    n_docs = docs.count()
+    posting = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = posting.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        posting.select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = tf.join(df_, "token").select(
+        "doc_id",
+        "token",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "token", "tfidf", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+register(
+    QuerySpec(
+        "x24_tfidf",
+        x24_tfidf,
+        f"""
+        WITH docs AS (SELECT * FROM documents WHERE doc_id < 100),
+        n AS (SELECT COUNT(*) AS n_docs FROM docs),
+        posting AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM docs),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM posting GROUP BY 1, 2),
+        df AS (SELECT token, COUNT(*) AS df
+               FROM (SELECT DISTINCT doc_id, token FROM posting) GROUP BY 1),
+        scored AS (
+          SELECT tf.doc_id, tf.token,
+                 ROUND(tf.tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / df.df), 6)
+                     AS tfidf
+          FROM tf JOIN df ON tf.token = df.token)
+        SELECT doc_id, token, tfidf,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, token ASC) AS BIGINT) AS rank
+        FROM scored QUALIFY rank <= {TFIDF_TOP_K}
+        """,
+        "TF-IDF top tokens per document",
+    )
+)
