@@ -698,3 +698,44 @@ register(
         "conditional distinct counting",
     )
 )
+
+
+# --- q45: null repair (fillna / dropna family) ------------------------------
+def q45_null_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Induce nulls (every 7th value, empty-ish types), then repair:
+    fill numeric with a default, fill string with a sentinel, and flag
+    rows that needed repair — the cleanup pass before training-data use."""
+    ev = _t(spark, sf_dir, "events")
+    dirty = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 != 0, F.col("value")).alias("value"),
+        F.nullif(F.col("event_type"), F.lit("view")).alias("event_type"),
+    )
+    repaired = dirty.select(
+        "event_id",
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value_filled"),
+        F.coalesce(F.col("event_type"), F.lit("unknown")).alias("type_filled"),
+        (F.col("value").isNull() | F.col("event_type").isNull()).alias("was_repaired"),
+    )
+    return repaired
+
+
+register(
+    QuerySpec(
+        "q45_null_repair",
+        q45_null_repair,
+        """
+        WITH dirty AS (
+          SELECT event_id,
+                 CASE WHEN event_id % 7 != 0 THEN value END AS value,
+                 NULLIF(event_type, 'view') AS event_type
+          FROM events)
+        SELECT event_id,
+               COALESCE(value, 0.0) AS value_filled,
+               COALESCE(event_type, 'unknown') AS type_filled,
+               (value IS NULL OR event_type IS NULL) AS was_repaired
+        FROM dirty
+        """,
+        "null induction + fillna-style repair with repair flags",
+    )
+)

@@ -415,3 +415,47 @@ register(
         "TF-IDF top tokens per document",
     )
 )
+
+
+SPLIT_BOUNDARIES = (80, 90)  # train < 80 <= val < 90 <= test (md5 % 100)
+
+
+def x25_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = first 4 hex chars
+    of md5(doc_id) mod 100. Hash-based (not rand()) so the split is stable
+    across runs, engines, partitionings, and re-shards — the property a
+    training pipeline needs so examples never migrate between splits."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_BOUNDARIES[0], "train")
+        .when(bucket < SPLIT_BOUNDARIES[1], "val")
+        .otherwise("test")
+    )
+    assigned = docs.select("doc_id", "lang", bucket.alias("bucket"), split.alias("split"))
+    return assigned.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+register(
+    QuerySpec(
+        "x25_dataset_split",
+        x25_dataset_split,
+        f"""
+        WITH a AS (
+          SELECT doc_id, lang,
+                 CAST(from_hex(substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIT::INT
+                      AS BIGINT) % 100 AS bucket
+          FROM documents)
+        SELECT CASE WHEN bucket < {SPLIT_BOUNDARIES[0]} THEN 'train'
+                    WHEN bucket < {SPLIT_BOUNDARIES[1]} THEN 'val'
+                    ELSE 'test' END AS split,
+               lang, COUNT(*) AS n_docs
+        FROM a GROUP BY 1, 2
+        """,
+        "deterministic md5-bucket train/val/test split, per-language counts",
+    )
+)
