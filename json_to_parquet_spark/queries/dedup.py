@@ -290,3 +290,114 @@ register(
         "64-bit SimHash fingerprints (bitwise vote aggregation)",
     )
 )
+
+
+CLUSTER_MAX_ID = 80
+CLUSTER_JACCARD = 0.5
+
+
+def x26_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph: every document
+    gets the MIN doc_id of its component as cluster id — the step that
+    turns pairwise similarity into dedup groups (keep one per cluster).
+
+    Spark side: iterative min-label propagation (the standard distributed
+    connected-components loop — each iteration is one join + aggregate;
+    converges in O(diameter) rounds, and near-dup components are tiny so
+    diameter is small). Oracle: recursive CTE transitive closure. This is
+    the contract's 'iterative algorithm' case, yet still SQL-checkable.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < CLUSTER_MAX_ID)
+        .select("doc_id", F.array_distinct(F.split("text", " ")).alias("tokens"))
+    )
+    sizes = docs.select("doc_id", F.size("tokens").cast("long").alias("n_tok"))
+    posting = docs.select("doc_id", F.explode("tokens").alias("token"))
+    a, b = posting.alias("a"), posting.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_inter")
+    ).cast("double")
+    edges = (
+        inter.join(sa, F.col("src") == F.col("sa.doc_id"))
+        .join(sb, F.col("dst") == F.col("sb.doc_id"))
+        .filter(jac >= CLUSTER_JACCARD)
+        .select("src", "dst")
+    )
+
+    # undirected: propagate labels both ways
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(20):  # diameter bound; near-dup components are tiny
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sort_array(F.collect_list("doc_id")).alias("members"),
+    )
+
+
+register(
+    QuerySpec(
+        "x26_dedup_clusters",
+        x26_dedup_clusters,
+        f"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokens
+          FROM documents WHERE doc_id < {CLUSTER_MAX_ID}),
+        sizes AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tok FROM toks),
+        posting AS (SELECT doc_id, unnest(tokens) AS token FROM toks),
+        inter AS (
+          SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS n_inter
+          FROM posting a JOIN posting b
+            ON a.token = b.token AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        edges AS (
+          SELECT src, dst FROM inter
+          JOIN sizes sa ON src = sa.doc_id
+          JOIN sizes sb ON dst = sb.doc_id
+          WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_inter AS DOUBLE)
+                >= {CLUSTER_JACCARD}),
+        sym AS (SELECT src, dst FROM edges
+                UNION ALL SELECT dst AS src, src AS dst FROM edges),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM toks
+          UNION
+          SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id),
+        labels AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1)
+        SELECT cluster_id, COUNT(*) AS n_members,
+               list_sort(list(doc_id)) AS members
+        FROM labels GROUP BY cluster_id
+        """,
+        "dedup clusters: connected components over the near-dup graph",
+    )
+)

@@ -459,3 +459,54 @@ register(
         "deterministic md5-bucket train/val/test split, per-language counts",
     )
 )
+
+
+PACK_BUDGET = 2048  # tokens per packed sequence
+
+
+def x27_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents (in deterministic doc_id order)
+    to fixed-token-budget bins via running token count — the batching step
+    before training. Single window pass; bin boundaries are exact integer
+    arithmetic so assignment is engine-independent."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens()).cast("long")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum(n_tokens).over(w)
+    assigned = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.floor((cum - 1) / PACK_BUDGET).cast("long").alias("bin_id"),
+    )
+    return assigned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+register(
+    QuerySpec(
+        "x27_sequence_packing",
+        x27_sequence_packing,
+        f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+        a AS (
+          SELECT doc_id, n_tokens,
+                 CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+                      / {PACK_BUDGET}) AS BIGINT) AS bin_id
+          FROM t)
+        SELECT bin_id, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM a GROUP BY bin_id
+        """,
+        "sequence packing: token-budget bin assignment via running sums",
+    )
+)
