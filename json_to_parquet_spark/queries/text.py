@@ -467,17 +467,37 @@ PACK_BUDGET = 2048  # tokens per packed sequence
 def x27_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign documents (in deterministic doc_id order)
     to fixed-token-budget bins via running token count — the batching step
-    before training. Single window pass; bin boundaries are exact integer
-    arithmetic so assignment is engine-independent."""
+    before training.
+
+    Scale shape: a naive global-ordered window is a single-partition
+    bottleneck, so the prefix sum is two-phase — range-partition by
+    doc_id, per-partition running sums, then add each partition's starting
+    offset (a tiny per-partition aggregate, broadcast back). Identical
+    values to a global window, no global sort."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     n_tokens = F.size(_tokens()).cast("long")
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = F.sum(n_tokens).over(w)
-    assigned = docs.select(
+    parts = docs.repartitionByRange(F.col("doc_id")).select(
+        "doc_id", n_tokens.alias("n_tokens"), F.spark_partition_id().alias("pid")
+    )
+    # phase 1: per-partition running sum (partition-local window, parallel)
+    wp = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parts.withColumn("local_cum", F.sum("n_tokens").over(wp))
+    # phase 2: partition offsets = exclusive prefix over per-partition totals
+    totals = local.groupBy("pid").agg(F.sum("n_tokens").alias("tot"))
+    wo = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "pid", F.coalesce(F.sum("tot").over(wo), F.lit(0)).alias("offset")
+    )  # rows = number of partitions: trivially small, broadcast below
+    cum = F.col("local_cum") + F.col("offset")
+    assigned = local.join(F.broadcast(offsets), "pid").select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
+        "n_tokens",
         F.floor((cum - 1) / PACK_BUDGET).cast("long").alias("bin_id"),
     )
     return assigned.groupBy("bin_id").agg(
