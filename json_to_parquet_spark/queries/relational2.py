@@ -739,3 +739,46 @@ register(
         "null induction + fillna-style repair with repair flags",
     )
 )
+
+
+# --- q46: map type construction and access ---------------------------------
+def q46_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + key access + cardinality; the map stays internal
+    to the query (cross-engine map rendering differs), scalars come out."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    m = F.create_map(
+        F.lit("k"), k,
+        F.lit("double_k"), k * 2,
+        F.lit("event"), F.col("event_id"),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.element_at(m, "double_k").alias("k2_val"),
+        F.size(m).cast("long").alias("map_size"),
+        F.array_contains(F.map_keys(m), "event").alias("has_event_key"),
+    )
+
+
+register(
+    QuerySpec(
+        "q46_map_funcs",
+        q46_map_funcs,
+        """
+        SELECT event_id,
+               m['k'][1] AS k_val,
+               m['double_k'][1] AS k2_val,
+               CAST(cardinality(m) AS BIGINT) AS map_size,
+               list_contains(map_keys(m), 'event') AS has_event_key
+        FROM (
+          SELECT event_id,
+                 map(['k', 'double_k', 'event'],
+                     [CAST(json_extract_string(props, '$.k') AS BIGINT),
+                      CAST(json_extract_string(props, '$.k') AS BIGINT) * 2,
+                      event_id]) AS m
+          FROM events)
+        """,
+        "map construction, key access, cardinality, key introspection",
+    )
+)

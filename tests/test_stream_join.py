@@ -54,3 +54,32 @@ def test_corrupt_record_capture(spark, tmp_path):
     bad = [r._bad for r in rows if r._bad is not None]
     assert sorted(good) == [1, 3]
     assert bad == ["{not json at all"]
+
+def test_streaming_dedup_drops_cross_batch_duplicates(spark, sf_dir, tmp_path):
+    from json_to_parquet_spark.streaming.dedup import dedup_stream
+
+    ev = load_table(spark, sf_dir, "events").limit(200).cache()
+    src = str(tmp_path / "dupsrc")
+    # write the SAME rows twice as separate files → duplicates arrive in a
+    # later micro-batch; watermarked dedup must drop them
+    ev.coalesce(1).write.mode("append").parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        dedup_stream(stream, ["event_id"], watermark="10 days")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("SELECT event_id FROM dedup_out").collect()
+    ids = [r.event_id for r in got]
+    assert len(ids) == len(set(ids)), "duplicates leaked through"
+    assert sorted(ids) == sorted(r.event_id for r in ev.collect())
