@@ -294,6 +294,18 @@ register(
 
 CLUSTER_MAX_ID = 80
 CLUSTER_JACCARD = 0.5
+# Stop-word guard for the posting-list self-join: a token present in more
+# than this many documents is dropped before pairing. At corpus scale the
+# posting self-join costs Σ df(token)², so one stop-word with df=10⁶ makes
+# 10¹² candidate pairs — the df-cap bounds the worst posting list. Jaccard
+# is then computed over the capped token sets on BOTH engines (a
+# stop-word-filtered Jaccard, the standard trick; df-capped tokens carry
+# no near-dup signal anyway).
+CLUSTER_DF_CAP = 48  # 60% of the 80-doc window
+# Truncate the label-propagation lineage every iteration: the convergence
+# count materializes the frame anyway, so an eager localCheckpoint makes
+# each loop step start from a depth-1 plan instead of i joins deep.
+_CLUSTER_MAX_ITERS = 20
 
 
 def x26_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,8 +324,18 @@ def x26_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < CLUSTER_MAX_ID)
         .select("doc_id", F.array_distinct(F.split("text", " ")).alias("tokens"))
     )
-    sizes = docs.select("doc_id", F.size("tokens").cast("long").alias("n_tok"))
-    posting = docs.select("doc_id", F.explode("tokens").alias("token"))
+    posting_all = docs.select("doc_id", F.explode("tokens").alias("token"))
+    # df-cap: drop stop-words before the self-join. The df frame is tiny
+    # (distinct tokens) — broadcast it so the filter adds no shuffle.
+    common = (
+        posting_all.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= CLUSTER_DF_CAP)
+        .select("token")
+    )
+    posting = posting_all.join(F.broadcast(common), "token").select("doc_id", "token")
+    # sizes over the CAPPED token sets so Jaccard is consistent on both engines
+    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     a, b = posting.alias("a"), posting.alias("b")
     inter = (
         a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -336,33 +358,41 @@ def x26_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    for _ in range(20):  # diameter bound; near-dup components are tiny
+    for _ in range(_CLUSTER_MAX_ITERS):  # diameter bound; components are tiny
         neighbor_min = (
             sym.join(labels, sym.dst == labels.doc_id)
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # Min-propagation is monotonic, so "changed" == "new label < old";
+        # computing the flag inline avoids re-joining new vs old labels.
+        merged = F.least(
+            F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+        )
         new_labels = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
+                merged.alias("new_cid"),
+                (merged < F.col("cluster_id")).alias("chg"),
             )
+            # eager localCheckpoint: the convergence count below forces
+            # materialization anyway; checkpointing here truncates lineage
+            # so every iteration's plan is one join deep, not i joins deep.
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("chg")).count()
+        labels = new_labels.select("doc_id", F.col("new_cid").alias("cluster_id"))
         if changed == 0:
             break
     return labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members"),
-        F.sort_array(F.collect_list("doc_id")).alias("members"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+            ),
+        ).alias("members"),
     )
 
 
@@ -374,8 +404,15 @@ register(
         WITH RECURSIVE toks AS (
           SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokens
           FROM documents WHERE doc_id < {CLUSTER_MAX_ID}),
-        sizes AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tok FROM toks),
-        posting AS (SELECT doc_id, unnest(tokens) AS token FROM toks),
+        posting_all AS (SELECT doc_id, unnest(tokens) AS token FROM toks),
+        common AS (
+          SELECT token FROM posting_all GROUP BY token
+          HAVING COUNT(*) <= {CLUSTER_DF_CAP}),
+        posting AS (
+          SELECT p.doc_id, p.token FROM posting_all p JOIN common USING (token)),
+        sizes AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+          FROM posting GROUP BY doc_id),
         inter AS (
           SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS n_inter
           FROM posting a JOIN posting b
@@ -395,7 +432,9 @@ register(
           SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id),
         labels AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1)
         SELECT cluster_id, COUNT(*) AS n_members,
-               list_sort(list(doc_id)) AS members
+               array_to_string(
+                   list_transform(list_sort(list(doc_id)),
+                                  x -> CAST(x AS VARCHAR)), ',') AS members
         FROM labels GROUP BY cluster_id
         """,
         "dedup clusters: connected components over the near-dup graph",

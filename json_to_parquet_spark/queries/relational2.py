@@ -445,11 +445,21 @@ register(
 # --- q37/q38/q39: collection aggregates and unpivot ------------------------
 def q37_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic collection aggregate: collect_set is unordered, so the
-    output is always sort_array'd before leaving the operator."""
+    output is always sort_array'd before leaving the operator — and then
+    serialized to a CSV string (helpers.py rule: no array columns in
+    output; the driver's pandas canonicalization cannot sort lists)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
-        F.sort_array(F.collect_set(F.col("l_suppkey") % 10)).alias("supp_mod10"),
+        F.concat_ws(",", F.sort_array(F.collect_set("l_linestatus"))).alias(
+            "statuses"
+        ),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_set(F.col("l_suppkey") % 10)),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("supp_mod10"),
     )
 
 
@@ -459,11 +469,15 @@ register(
         q37_array_agg,
         """
         SELECT l_returnflag,
-               list_sort(list(DISTINCT l_linestatus)) AS statuses,
-               list_sort(list(DISTINCT l_suppkey % 10)) AS supp_mod10
+               array_to_string(list_sort(list(DISTINCT l_linestatus)), ',')
+                   AS statuses,
+               array_to_string(
+                   list_transform(list_sort(list(DISTINCT l_suppkey % 10)),
+                                  x -> CAST(x AS VARCHAR)), ',')
+                   AS supp_mod10
         FROM lineitem GROUP BY l_returnflag
         """,
-        "array aggregation (collect_set, canonicalized by sorting)",
+        "array aggregation (collect_set, sorted + CSV-serialized)",
     )
 )
 
