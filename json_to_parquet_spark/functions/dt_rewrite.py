@@ -89,13 +89,17 @@ def _rewrite_expr(
         return result if changed else None
 
     if isinstance(dtype, T.ArrayType):
-        # Probe the element type with a throwaway paths list first, so we
-        # only emit a transform() when some element field actually changes.
+        # Elements carry no field name of their own: the reference's list
+        # path (pyarrow/main.py:258-279) recurses only into list<struct>
+        # and passes list<string> through unchanged — so an array field
+        # named '*_dt' must NOT have its string elements cast. Recursing
+        # with an empty name reproduces exactly that: only named struct
+        # fields inside the element can match the _dt rule.
         probe: list[str] = []
         sample = _rewrite_expr(
             F.lit(None).cast(dtype.elementType),
             dtype.elementType,
-            name,
+            "",
             mode,
             f"{path}[]",
             probe,
@@ -105,16 +109,18 @@ def _rewrite_expr(
         paths.extend(probe)
         return F.transform(
             col,
-            lambda x: _rewrite_expr(x, dtype.elementType, name, mode, f"{path}[]", []),
+            lambda x: _rewrite_expr(x, dtype.elementType, "", mode, f"{path}[]", []),
         )
 
     if isinstance(dtype, T.MapType):
-        # Map values may contain structs with _dt fields.
+        # Map values may contain structs with _dt fields. Same rule as
+        # arrays: the value slot is anonymous, so a map field named
+        # '*_dt' does not cast plain string values.
         probe_v: list[str] = []
         sample_v = _rewrite_expr(
             F.lit(None).cast(dtype.valueType),
             dtype.valueType,
-            name,
+            "",
             mode,
             f"{path}{{}}",
             probe_v,
@@ -126,7 +132,7 @@ def _rewrite_expr(
             F.map_keys(col),
             F.transform(
                 F.map_values(col),
-                lambda v: _rewrite_expr(v, dtype.valueType, name, mode, f"{path}{{}}", []),
+                lambda v: _rewrite_expr(v, dtype.valueType, "", mode, f"{path}{{}}", []),
             ),
         )
 
@@ -145,11 +151,11 @@ def _rewrite_type(dtype: T.DataType, name: str = "") -> T.DataType:
             ]
         )
     if isinstance(dtype, T.ArrayType):
-        return T.ArrayType(_rewrite_type(dtype.elementType, name), dtype.containsNull)
+        return T.ArrayType(_rewrite_type(dtype.elementType, ""), dtype.containsNull)
     if isinstance(dtype, T.MapType):
         return T.MapType(
             dtype.keyType,
-            _rewrite_type(dtype.valueType, name),
+            _rewrite_type(dtype.valueType, ""),
             dtype.valueContainsNull,
         )
     return dtype

@@ -53,8 +53,11 @@ class ConvertResult:
 def derive_output_name(key: str, compression: str = "zstd") -> str:
     """Key-stem naming rule (reference pyarrow/main.py:119-133): the output
     name is the input key's stem plus an extension that encodes compression —
-    ``.zst.parquet`` for zstd, ``.gz.parquet`` for gzip."""
-    stem = os.path.basename(key).split(".", 1)[0]
+    ``.zst.parquet`` for zstd, ``.gz.parquet`` for gzip. The stem keeps the
+    key's full directory prefix (``key.split('.', 1)[0]`` on the whole key,
+    pyarrow/main.py:120) so ``a/data.ndjson.gz`` and ``b/data.ndjson.gz``
+    land at distinct outputs."""
+    stem = key.split(".", 1)[0]
     ext = {"zstd": ".zst.parquet", "gzip": ".gz.parquet"}.get(compression)
     if ext is None:
         raise ValueError(f"unsupported compression {compression!r}")

@@ -643,7 +643,11 @@ register(
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders
         WHERE o_totalprice > (
-            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*)
+            -- VARCHAR round-trip (helpers.py SQL_DEC_AVG): DuckDB's
+            -- decimal->double cast can be 1 ulp off Spark's, which could
+            -- flip membership of rows sitting exactly at the threshold.
+            SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS VARCHAR)
+                        AS DOUBLE) / COUNT(*)
             FROM orders) * 1.8
         """,
         "scalar subquery as broadcast 1-row aggregate",

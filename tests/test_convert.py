@@ -87,7 +87,12 @@ def test_zstd_compression_and_no_int96(spark, fixture_paths, tmp_path):
 
 
 def test_output_naming_rule():
-    assert derive_output_name("foo/bar.ndjson.gz") == "bar.zst.parquet"
+    # full key path is kept (reference pyarrow/main.py:120-121): distinct
+    # prefixes must not collide at the same output name
+    assert derive_output_name("foo/bar.ndjson.gz") == "foo/bar.zst.parquet"
+    assert derive_output_name("a/data.ndjson.gz") != derive_output_name(
+        "b/data.ndjson.gz"
+    )
     assert derive_output_name("x.ndjson.gz", "gzip") == "x.gz.parquet"
     with pytest.raises(ValueError):
         derive_output_name("x.ndjson.gz", "lz4")

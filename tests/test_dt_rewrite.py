@@ -112,17 +112,17 @@ def test_coerce_vs_strict(spark):
         rewrite_dt_fields(df, mode="strict").collect()
 
 
-def test_array_of_dt_strings(spark):
+def test_array_of_dt_strings_passes_through(spark):
+    """Reference parity: the list path (pyarrow/main.py:258-279) recurses
+    only into list<struct>; a top-level array<string> named '*_dt' is NOT
+    converted — element strings stay strings even in strict mode."""
     df = spark.createDataFrame(
-        [Row(seen_dt=["2025-01-01T00:00:00Z", "2025-01-02T00:00:00Z"])],
+        [Row(seen_dt=["2025-01-01T00:00:00Z", "not a date at all"])],
         "seen_dt array<string>",
     )
-    out = rewrite_dt_fields(df)
-    assert out.schema["seen_dt"].dataType == T.ArrayType(T.TimestampType())
-    assert out.collect()[0].seen_dt == [
-        datetime.datetime(2025, 1, 1),
-        datetime.datetime(2025, 1, 2),
-    ]
+    out = rewrite_dt_fields(df, mode="strict")
+    assert out is df  # no rewrite site → identity
+    assert out.schema["seen_dt"].dataType == T.ArrayType(T.StringType())
 
 
 def test_columns_stay_in_schema_order(spark):
