@@ -36,11 +36,13 @@ def register(spec: QuerySpec) -> QuerySpec:
 def registry() -> dict[str, QuerySpec]:
     # Import side-effect modules once, on first access.
     from . import (  # noqa: F401
+        convert_gate,
         dedup,
         multimodal,
         relational,
         relational2,
         similarity,
+        streaming_gate,
         text,
     )
 

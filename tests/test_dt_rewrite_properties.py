@@ -77,7 +77,9 @@ def expect(dtype: T.DataType, name: str, value):
     if isinstance(dtype, T.StringType) and name.endswith("_dt"):
         return PARSED
     if isinstance(dtype, T.ArrayType):
-        return [expect(dtype.elementType, name, v) for v in value]
+        # elements are anonymous: an array field named '*_dt' does NOT
+        # convert its string elements (reference list-path semantics)
+        return [expect(dtype.elementType, "", v) for v in value]
     if isinstance(dtype, T.StructType):
         return {
             f.name: expect(f.dataType, f.name, value[f.name]) for f in dtype.fields
