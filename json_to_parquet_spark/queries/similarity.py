@@ -179,27 +179,45 @@ register(
 )
 
 
-NEAR_DUP_MAX_ID = 200
 NEAR_DUP_THRESHOLD = 0.99
+# Blocking key width: bit-packed signs of the first SIGN_BLOCK_BITS vector
+# components. Unlike the xxhash64 hyperplanes of x12/x20 this is
+# SQL-expressible, so the scale-shaped (blocked, not all-pairs) plan stays
+# fully oracle-backed.
+SIGN_BLOCK_BITS = 8
+
+
+def _sign_block(vec: Column) -> Column:
+    out = F.lit(0).cast("long")
+    for i in range(SIGN_BLOCK_BITS):
+        out = out + (F.element_at(vec, i + 1) > 0).cast("long") * F.lit(1 << i)
+    return out
 
 
 def x19_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs over a corpus with injected
-    exact copies (vec_id+10000). Random 64-dim vectors are near-orthogonal,
-    so cos ≥ 0.99 recovers exactly the injected copy pairs — the embedding
-    analogue of content-hash dedup, for when payloads differ but
-    representations coincide."""
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < NEAR_DUP_MAX_ID)
-        .select("vec_id", "embedding")
-    )
+    """Embedding-cosine near-duplicate pairs over the FULL corpus with
+    injected exact copies (vec_id+10000) — the embedding analogue of
+    content-hash dedup, for when payloads differ but representations
+    coincide.
+
+    Scale shape: pairs are generated only within sign-blocks (bit-packed
+    component signs), never all-pairs — the join shuffles on the block key
+    and costs Σ block² instead of n². Exact-copy duplicates share blocks
+    by construction; near-dups with a component sign flipped near zero
+    need the multi-band variant (x20's hyperplane LSH with rerank), which
+    is this operator's recall-safe production twin.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = emb.unionAll(
         emb.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
-    )
+    ).select("vec_id", "embedding", _sign_block(F.col("embedding")).alias("block"))
     a = corpus.alias("a")
     b = corpus.alias("b")
-    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+    pairs = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
         F.col("a.vec_id").alias("id_a"),
         F.col("b.vec_id").alias("id_b"),
         cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
@@ -207,27 +225,34 @@ def x19_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("cos_sim") >= NEAR_DUP_THRESHOLD)
 
 
+_SIGN_BLOCK_SQL = " + ".join(
+    f"(CASE WHEN v[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(SIGN_BLOCK_BITS)
+)
+
 register(
     QuerySpec(
         "x19_embedding_near_dup",
         x19_embedding_near_dup,
         f"""
         WITH corpus AS (
-          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-          FROM embeddings WHERE vec_id < {NEAR_DUP_MAX_ID}
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
           UNION ALL
           SELECT vec_id + 10000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
-          FROM embeddings WHERE vec_id < {NEAR_DUP_MAX_ID})
+          FROM embeddings),
+        blocked AS (
+          SELECT vec_id, v, {_SIGN_BLOCK_SQL} AS block FROM corpus)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                ROUND(list_dot_product(a.v, b.v)
                      / (sqrt(list_dot_product(a.v, a.v))
                         * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
-        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        FROM blocked a JOIN blocked b
+          ON a.block = b.block AND a.vec_id < b.vec_id
         WHERE ROUND(list_dot_product(a.v, b.v)
                     / (sqrt(list_dot_product(a.v, a.v))
                        * sqrt(list_dot_product(b.v, b.v))), 6) >= {NEAR_DUP_THRESHOLD}
         """,
-        "embedding-cosine near-dup pair detection (injected copies)",
+        "embedding near-dup via sign-block join (no all-pairs; full corpus)",
     )
 )
 

@@ -55,14 +55,15 @@ def test_lsh_ann_is_subset_of_exact_scores(spark, sf_dir):
 
 
 def test_embedding_near_dup_recovers_injected_copies(spark, sf_dir):
-    from json_to_parquet_spark.queries.similarity import NEAR_DUP_MAX_ID
-
-    n = min(
-        load_table(spark, sf_dir, "embeddings").count(), NEAR_DUP_MAX_ID
-    )
+    # sign-blocking must not lose a single injected exact copy: identical
+    # vectors share the block by construction, so recall on them is exact
+    ids = [
+        r.vec_id
+        for r in load_table(spark, sf_dir, "embeddings").select("vec_id").collect()
+    ]
     pairs = registry()["x19_embedding_near_dup"].spark(spark, sf_dir).collect()
     found = {(r.id_a, r.id_b) for r in pairs}
-    expected = {(i, i + 10000) for i in range(n)}
+    expected = {(i, i + 10000) for i in ids}
     assert expected <= found
     for r in pairs:
         if (r.id_a, r.id_b) in expected:

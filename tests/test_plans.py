@@ -51,6 +51,15 @@ def test_x11_big_side_not_shuffled(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_x19_no_all_pairs_join(spark, sf_dir):
+    # near-dup pairing must be blocked (equi-join on the sign block),
+    # never a cartesian/nested-loop over the corpus — the O(n²) shape
+    # flagged in round 1
+    plan = _plan(spark, sf_dir, "x19_embedding_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 @pytest.mark.parametrize("name", sorted(registry()))
 def test_no_python_udf_anywhere(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
