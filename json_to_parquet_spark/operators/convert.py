@@ -84,6 +84,7 @@ def convert(
         raise ValueError(f"unknown sort mode {mode!r}")
     sort_column = DEFAULT_SORT_COLUMN if sort_column is None else sort_column
 
+    parsed_here = not isinstance(source, DataFrame)
     df = (
         source
         if isinstance(source, DataFrame)
@@ -98,7 +99,22 @@ def convert(
     # Sort is SKIPPED, not failed, when the column is absent (reference
     # pyarrow/main.py:70-73) — same contract here.
     sorted_by: str | None = None
-    if mode != "none" and sort_column in out.columns:
+    will_range_exchange = mode != "none" and sort_column in out.columns
+
+    # A range exchange SAMPLES its child in a separate job before the
+    # shuffle, so an unpersisted JSON-parse chain would run twice
+    # (decompress + from_json for sampling, then again for the shuffle).
+    # When we built that chain ourselves, persist the parsed frame across
+    # the two jobs — at scale a serialized cache round-trip is far cheaper
+    # than re-parsing JSON. The lineage count below doubles as the cache
+    # materialization step, so no extra pass is spent on it.
+    cached = out.persist() if (parsed_here and will_range_exchange) else None
+    rows: int | None = None
+    if cached is not None:
+        out = cached
+        rows = out.count()  # one pass: materializes the cache AND counts
+
+    if will_range_exchange:
         sorted_by = sort_column
         if mode == "global":
             out = out.orderBy(F.asc(sort_column)).coalesce(1)
@@ -107,7 +123,11 @@ def convert(
                 F.asc(sort_column)
             )
 
-    out.write.mode("overwrite").parquet(dest)
+    try:
+        out.write.mode("overwrite").parquet(dest)
+    finally:
+        if cached is not None:
+            cached.unpersist()
     if sorting_metadata and sorted_by is not None:
         # Reference-parity SortingColumn footer (SURVEY §2 O3); PyArrow
         # post-pass since Spark's writer can't record it.
@@ -115,9 +135,11 @@ def convert(
 
         add_sorting_metadata(dest, sorted_by)
     written = spark.read.parquet(dest)
+    if rows is None:
+        rows = written.count()
     return ConvertResult(
         output_path=dest,
-        rows=written.count(),
+        rows=rows,
         sorted_by=sorted_by,
         rewritten_dt_paths=rewritten,
         schema_before=schema_before,
