@@ -90,6 +90,17 @@ def main() -> None:
         fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Release query-phase session state before timing convert: a few
+    # operators persist intermediates (x09 signatures, x26 edges) and
+    # localCheckpoint per iteration; dropping the Python refs + forcing
+    # both GCs lets the ContextCleaner reclaim the blocks so the convert
+    # timings measure convert, not leftover storage pressure.
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()
+    spark._jvm.System.gc()
+
     src = _convert_fixture()
     warm_src = _convert_fixture(1_000)
     with tempfile.TemporaryDirectory() as td:

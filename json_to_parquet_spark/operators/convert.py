@@ -109,10 +109,16 @@ def convert(
     # than re-parsing JSON. The lineage count below doubles as the cache
     # materialization step, so no extra pass is spent on it.
     cached = out.persist() if (parsed_here and will_range_exchange) else None
+    # Inference-path line cache (ndjson._graft_text_cache): once the parsed
+    # frame is materialized the raw lines are never read again — drop them.
+    text_cache = getattr(df, "_graft_text_cache", None)
     rows: int | None = None
     if cached is not None:
         out = cached
         rows = out.count()  # one pass: materializes the cache AND counts
+        if text_cache is not None:
+            text_cache.unpersist()
+            text_cache = None
 
     if will_range_exchange:
         sorted_by = sort_column
@@ -128,6 +134,8 @@ def convert(
     finally:
         if cached is not None:
             cached.unpersist()
+        if text_cache is not None:
+            text_cache.unpersist()
     if sorting_metadata and sorted_by is not None:
         # Reference-parity SortingColumn footer (SURVEY §2 O3); PyArrow
         # post-pass since Spark's writer can't record it.

@@ -63,19 +63,52 @@ def read_ndjson_parallel(
     splittable compression) the repartition is skipped — no regression at
     scale, ~2-4× on the single-object shape.
 
-    With ``schema=None`` one extra single-threaded inference pass runs
-    first (union-schema semantics, same as the reference); pass a pinned
-    schema to skip it.
+    Already-parallel input (many objects, or splittable compression) goes
+    straight to the native JSON datasource — distributed inference and
+    parse, full pushdown/pruning, no extra shuffle: the at-scale shape is
+    untouched. Only the single-unsplittable-object shape (the reference's
+    own deployment unit) pays the spread: raw lines are round-robined and
+    cached once, and with ``schema=None`` the union-schema inference runs
+    over that SAME cached line frame — so inference is distributed too,
+    and the decompress+shuffle cost is paid once, not once per pass. The
+    cached line frame is attached to the returned DataFrame as
+    ``_graft_text_cache``; callers that materialize the parse (e.g. the
+    convert pipeline) should ``unpersist()`` it afterwards — otherwise
+    the ContextCleaner reclaims it once the frame is unreachable.
+
+    Pass a pinned schema to skip inference entirely (production mode).
     """
-    if schema is None:
-        schema = spark.read.json(path).schema
     target = min_partitions or _default_cpus()
     text = spark.read.text(path).filter(F.length("value") > 0)
-    if text.rdd.getNumPartitions() < target:
-        text = text.repartition(target)
+    if text.rdd.getNumPartitions() >= target:
+        return read_ndjson(spark, path, schema)
+    text = text.repartition(target)
+    if schema is None:
+        cached_text = text.persist()
+        try:
+            parsed = _json_from_lines(spark, cached_text)
+        except Exception:
+            # Classic-session JVM handle unavailable (e.g. Spark Connect):
+            # fall back to a single-threaded inference pass over the source.
+            cached_text.unpersist()
+            schema = spark.read.json(path).schema
+        else:
+            parsed._graft_text_cache = cached_text
+            return parsed
     return text.select(
         F.from_json(F.col("value"), schema).alias("r")
     ).select("r.*")
+
+
+def _json_from_lines(spark: SparkSession, text: DataFrame) -> DataFrame:
+    """``DataFrameReader.json(Dataset[String])`` via the JVM handle:
+    distributed union-schema inference + parse over an in-cluster line
+    frame, with no Python round-trip. (PySpark only exposes the
+    RDD-of-strings overload, which would pipe every line through the
+    Python worker; the Scala Dataset overload is public API.)"""
+    jdf = text.select(F.col("value").cast("string").alias("value"))._jdf
+    jds = getattr(jdf, "as")(spark._jvm.org.apache.spark.sql.Encoders.STRING())
+    return DataFrame(spark._jsparkSession.read().json(jds), spark)
 
 
 def _default_cpus() -> int:
