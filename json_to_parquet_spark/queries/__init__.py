@@ -39,6 +39,7 @@ def registry() -> dict[str, QuerySpec]:
         convert_gate,
         dedup,
         multimodal,
+        pipeline,
         relational,
         relational2,
         similarity,

@@ -63,6 +63,46 @@ def x15_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x30_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract over binary payloads through the real
+    Arrow-batched ``mapInPandas`` plumbing (operators/media.py), with the
+    deterministic stand-in kernel (sha256-derived dims) in place of the
+    absent codec — the kernel's arithmetic is SQL-expressible, so the
+    whole Python-stage pipeline is oracle-checked, not just row-counted.
+    At 100 TB the stage is embarrassingly parallel: no shuffle, one
+    Python worker per partition, whole Arrow batches across the boundary."""
+    from ..operators.media import documents_as_media, extract_media_features, fake_decode
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_media_features(documents_as_media(docs), decode=fake_decode)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "sha256",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+    )
+
+
+register(
+    QuerySpec(
+        "x30_media_features",
+        x30_media_features,
+        """
+        SELECT doc_id,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               sha256(text) AS sha256,
+               CAST(CAST(concat('0x', substr(sha256(text), 1, 2)) AS INTEGER) + 1 AS BIGINT) AS width,
+               CAST(CAST(concat('0x', substr(sha256(text), 3, 2)) AS INTEGER) + 1 AS BIGINT) AS height,
+               CAST((CAST(concat('0x', substr(sha256(text), 5, 2)) AS INTEGER) % 4) + 1 AS BIGINT) AS channels
+        FROM documents
+        """,
+        "media feature extraction through mapInPandas (deterministic kernel, oracle-checked)",
+    )
+)
+
+
 register(
     QuerySpec(
         "x15_binary_dedup",

@@ -60,6 +60,14 @@ def test_x19_no_all_pairs_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_q47_interval_join_is_binned_not_nested_loop(spark, sf_dir):
+    # the no-equi-key proximity join must run as an equi-join on the time
+    # bucket, never a nested-loop/cartesian over purchases × clicks
+    plan = _plan(spark, sf_dir, "q47_interval_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 @pytest.mark.parametrize("name", sorted(registry()))
 def test_no_python_udf_anywhere(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
