@@ -31,10 +31,24 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="record a Parquet SortingColumn footer (PyArrow post-pass)",
     )
+    p.add_argument(
+        "--schema-file",
+        default=None,
+        help="schema-registry path: if the file exists, pin the scan to it "
+        "(skips inference); otherwise infer from SRC and write it there "
+        "for the feed's subsequent objects",
+    )
     args = p.parse_args(argv)
 
     spark = build_session(app_name="json_to_parquet_spark.convert")
     try:
+        import os as _os
+
+        pinned = None
+        if args.schema_file and _os.path.exists(args.schema_file):
+            from .sources.schema_registry import load_schema
+
+            pinned = load_schema(args.schema_file)
         res = convert(
             spark,
             args.src,
@@ -42,8 +56,13 @@ def main(argv: list[str] | None = None) -> int:
             sort_column=args.sort_column,
             mode=args.mode,
             dt_mode=args.dt_mode,
+            schema=pinned,
             sorting_metadata=args.sorting_metadata,
         )
+        if args.schema_file and pinned is None and res.input_schema is not None:
+            from .sources.schema_registry import save_schema
+
+            save_schema(res.input_schema, args.schema_file)
     except Exception as exc:  # surface a one-line error, not a JVM stack wall
         print(f"error: {exc}", file=sys.stderr)
         return 1

@@ -48,6 +48,9 @@ class ConvertResult:
     rewritten_dt_paths: list[str]
     schema_before: str
     schema_after: str
+    # The (possibly inferred) input schema as a StructType — what a caller
+    # pins into the schema registry for later objects of the same feed.
+    input_schema: object | None = None
 
 
 def derive_output_name(key: str, compression: str = "zstd") -> str:
@@ -152,4 +155,5 @@ def convert(
         rewritten_dt_paths=rewritten,
         schema_before=schema_before,
         schema_after=written.schema.simpleString(),
+        input_schema=df.schema,
     )

@@ -1,0 +1,60 @@
+"""Schema registry: StructType JSON round-trip, and the CLI contract —
+first run infers and writes the registry file, second run pins to it and
+produces identical output (no inference divergence across a feed)."""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+from pyspark.sql import types as T
+
+from json_to_parquet_spark.__main__ import main as cli_main
+from json_to_parquet_spark.sources.schema_registry import load_schema, save_schema
+
+NESTED = T.StructType(
+    [
+        T.StructField("time", T.LongType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("tags", T.ArrayType(T.StringType())),
+                    T.StructField("kv", T.MapType(T.StringType(), T.LongType())),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def test_round_trip(tmp_path):
+    p = str(tmp_path / "schema.json")
+    save_schema(NESTED, p)
+    assert load_schema(p) == NESTED
+
+
+def test_cli_pins_schema_across_runs(spark, tmp_path, capsys):
+    src = tmp_path / "feed-0.ndjson.gz"
+    with gzip.open(src, "wt") as f:
+        for i in range(20):
+            f.write(json.dumps({"time": i, "when_dt": "2024-01-01T00:00:00Z"}) + "\n")
+    reg = str(tmp_path / "feed.schema.json")
+
+    # first object: infers, converts, writes the registry file
+    assert cli_main([str(src), str(tmp_path / "out0"), "--schema-file", reg]) == 0
+    pinned = load_schema(reg)
+    assert [f.name for f in pinned.fields] == ["time", "when_dt"]
+    rows0 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    # later object of the feed — same logical stream, but alone it would
+    # infer a NARROWER schema (missing key). Pinning keeps the feed width.
+    src2 = tmp_path / "feed-1.ndjson.gz"
+    with gzip.open(src2, "wt") as f:
+        for i in range(5):
+            f.write(json.dumps({"time": 100 + i}) + "\n")
+    assert cli_main([str(src2), str(tmp_path / "out1"), "--schema-file", reg]) == 0
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # pinned run keeps when_dt (as rewritten timestamp) despite src2 lacking it
+    assert rows0["schema_after"] == out1["schema_after"]
+    assert out1["rows"] == 5
