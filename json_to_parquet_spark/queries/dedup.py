@@ -308,17 +308,10 @@ CLUSTER_DF_CAP = 48  # 60% of the 80-doc window
 _CLUSTER_MAX_ITERS = 20
 
 
-def x26_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the near-dup pair graph: every document
-    gets the MIN doc_id of its component as cluster id — the step that
-    turns pairwise similarity into dedup groups (keep one per cluster).
-
-    Spark side: iterative min-label propagation (the standard distributed
-    connected-components loop — each iteration is one join + aggregate;
-    converges in O(diameter) rounds, and near-dup components are tiny so
-    diameter is small). Oracle: recursive CTE transitive closure. This is
-    the contract's 'iterative algorithm' case, yet still SQL-checkable.
-    """
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id=MIN doc_id of its near-dup component) via
+    iterative min-label propagation — shared by x26 (cluster rollup) and
+    x33 (survivor selection)."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < CLUSTER_MAX_ID)
@@ -385,6 +378,21 @@ def x26_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels.select("doc_id", F.col("new_cid").alias("cluster_id"))
         if changed == 0:
             break
+    return labels
+
+
+def x26_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph: every document
+    gets the MIN doc_id of its component as cluster id — the step that
+    turns pairwise similarity into dedup groups (keep one per cluster).
+
+    Spark side: iterative min-label propagation (the standard distributed
+    connected-components loop — each iteration is one join + aggregate;
+    converges in O(diameter) rounds, and near-dup components are tiny so
+    diameter is small). Oracle: recursive CTE transitive closure. This is
+    the contract's 'iterative algorithm' case, yet still SQL-checkable.
+    """
+    labels = _cluster_labels(spark, sf_dir)
     return labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.concat_ws(
@@ -438,5 +446,76 @@ register(
         FROM labels GROUP BY cluster_id
         """,
         "dedup clusters: connected components over the near-dup graph",
+    )
+)
+
+
+def x33_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end of the dedup pipeline: the KEPT corpus. One survivor per
+    near-dup component (the MIN doc_id — exactly the component label, so
+    survivor selection is a filter, not another aggregation), annotated
+    with how many near-dups it displaced. This is the frame a training
+    pipeline actually feeds downstream; candidates (x09), verification
+    (x08), clusters (x26) and survivors (x33) are the full chain."""
+    labels = _cluster_labels(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return (
+        labels.filter(F.col("doc_id") == F.col("cluster_id"))
+        .join(sizes, "cluster_id")
+        .join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            (F.col("n_members") - 1).cast("long").alias("n_dupes_removed"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "x33_dedup_survivors",
+        x33_dedup_survivors,
+        f"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokens
+          FROM documents WHERE doc_id < {CLUSTER_MAX_ID}),
+        posting_all AS (SELECT doc_id, unnest(tokens) AS token FROM toks),
+        common AS (
+          SELECT token FROM posting_all GROUP BY token
+          HAVING COUNT(*) <= {CLUSTER_DF_CAP}),
+        posting AS (
+          SELECT p.doc_id, p.token FROM posting_all p JOIN common USING (token)),
+        sizes AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+          FROM posting GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS n_inter
+          FROM posting a JOIN posting b
+            ON a.token = b.token AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        edges AS (
+          SELECT src, dst FROM inter
+          JOIN sizes sa ON src = sa.doc_id
+          JOIN sizes sb ON dst = sb.doc_id
+          WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_inter AS DOUBLE)
+                >= {CLUSTER_JACCARD}),
+        sym AS (SELECT src, dst FROM edges
+                UNION ALL SELECT dst AS src, src AS dst FROM edges),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM toks
+          UNION
+          SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id),
+        labels AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1),
+        csize AS (SELECT cluster_id, COUNT(*) AS n_members FROM labels GROUP BY 1)
+        SELECT l.doc_id, d.lang, d.source,
+               CAST(c.n_members - 1 AS BIGINT) AS n_dupes_removed
+        FROM labels l
+        JOIN csize c USING (cluster_id)
+        JOIN documents d USING (doc_id)
+        WHERE l.doc_id = l.cluster_id
+        """,
+        "dedup survivors: the kept corpus, one doc per near-dup cluster",
     )
 )
