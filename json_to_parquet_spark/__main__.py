@@ -32,6 +32,12 @@ def main(argv: list[str] | None = None) -> int:
         help="record a Parquet SortingColumn footer (PyArrow post-pass)",
     )
     p.add_argument(
+        "--partition-by",
+        default=None,
+        help="comma-separated columns for a hive-layout partitioned sink "
+        "(requires --mode cluster|none)",
+    )
+    p.add_argument(
         "--schema-file",
         default=None,
         help="schema-registry path: if the file exists, pin the scan to it "
@@ -58,6 +64,7 @@ def main(argv: list[str] | None = None) -> int:
             dt_mode=args.dt_mode,
             schema=pinned,
             sorting_metadata=args.sorting_metadata,
+            partition_by=args.partition_by.split(",") if args.partition_by else None,
         )
         if args.schema_file and pinned is None and res.input_schema is not None:
             from .sources.schema_registry import save_schema

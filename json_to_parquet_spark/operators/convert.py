@@ -76,15 +76,26 @@ def convert(
     dt_mode: str = "strict",
     schema=None,
     sorting_metadata: bool = False,
+    partition_by: list[str] | None = None,
 ) -> ConvertResult:
     """Run the full convert pipeline and write Parquet to ``dest``.
 
     mode='cluster' (default, scale path): repartitionByRange + per-partition
     sort. mode='global': exact total order coalesced to one file (reference
     parity for single-object conversion). mode='none': no sort.
+
+    ``partition_by`` writes a hive-layout sink (``dest/col=value/...``) —
+    the at-scale output shape the single-file reference can't express:
+    downstream readers get partition pruning on those columns for free.
+    Combined with the default cluster sort, each partition directory's
+    files stay sorted on the sort column (repartitionByRange keys on the
+    partition columns first so a partition's rows co-locate, then range
+    on the sort column within them).
     """
     if mode not in ("cluster", "global", "none"):
         raise ValueError(f"unknown sort mode {mode!r}")
+    if partition_by and mode == "global":
+        raise ValueError("partition_by requires mode='cluster' or 'none'")
     sort_column = DEFAULT_SORT_COLUMN if sort_column is None else sort_column
 
     parsed_here = not isinstance(source, DataFrame)
@@ -127,13 +138,21 @@ def convert(
         sorted_by = sort_column
         if mode == "global":
             out = out.orderBy(F.asc(sort_column)).coalesce(1)
+        elif partition_by:
+            # co-locate each hive partition's rows, then range-order the
+            # sort column within them — one exchange, sorted files per dir
+            keys = [F.asc(c) for c in partition_by] + [F.asc(sort_column)]
+            out = out.repartitionByRange(*keys).sortWithinPartitions(*keys)
         else:
             out = out.repartitionByRange(F.asc(sort_column)).sortWithinPartitions(
                 F.asc(sort_column)
             )
 
     try:
-        out.write.mode("overwrite").parquet(dest)
+        writer = out.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(dest)
     finally:
         if cached is not None:
             cached.unpersist()

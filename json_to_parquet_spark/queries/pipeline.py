@@ -154,6 +154,128 @@ def x32_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"555-[0-9]{4}"
+
+
+def x34_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex redaction of emails/phone patterns with
+    per-document match counts — the compliance pass a corpus pipeline runs
+    before training. The synthetic corpus carries no PII, so deterministic
+    PII is injected first (doc_id-derived addresses on a subset), then
+    redacted; the md5 of the redacted text value-checks the full rewrite,
+    not just the counts. Stateless projection — no shuffle, JVM regex only."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" call 555-0142")).otherwise(F.lit("")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(injected, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(injected, F.lit(EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(injected, F.lit(PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+register(
+    QuerySpec(
+        "x34_pii_redaction",
+        x34_pii_redaction,
+        f"""
+        WITH inj AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0 THEN ' call 555-0142' ELSE '' END AS t
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+               md5(regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+        FROM inj
+        """,
+        "PII redaction: regex scrub with match counts, value-checked via md5",
+    )
+)
+
+
+REP_KEEP_MAX = 0.2  # gopher-style repetition threshold
+
+
+def x35_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (gopher-style quality filter): the
+    fraction of word-bigrams that are duplicates, the hottest bigram's
+    count, and the keep decision. Shape: explode bigrams → (doc, bigram)
+    count → per-doc aggregate; at corpus scale both aggregations are plain
+    hash-partial→final on keys whose cardinality ∝ corpus tokens — no
+    windows, no skew beyond hot bigrams inside one doc (bounded by doc
+    length)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+    )
+    counts = (
+        docs.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rep_ratio = F.round(
+        1.0 - F.count(F.lit(1)).cast("double") / F.sum("n").cast("double"), 6
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.max("n").cast("long").alias("top_count"),
+        rep_ratio.alias("rep_ratio"),
+        (rep_ratio <= REP_KEEP_MAX).alias("keep"),
+    )
+
+
+register(
+    QuerySpec(
+        "x35_repetition_signals",
+        x35_repetition_signals,
+        f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        bi AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(t)),
+                                       i -> t[i] || ' ' || t[i+1])) AS bg
+          FROM toks),
+        counts AS (SELECT doc_id, bg, COUNT(*) AS n FROM bi GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(SUM(n) AS BIGINT) AS n_bigrams,
+               CAST(COUNT(*) AS BIGINT) AS n_unique,
+               CAST(MAX(n) AS BIGINT) AS top_count,
+               ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS rep_ratio,
+               ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+                   <= {REP_KEEP_MAX} AS keep
+        FROM counts GROUP BY doc_id
+        """,
+        "per-doc repetition signals: duplicate-bigram ratio + keep flag",
+    )
+)
+
+
 register(
     QuerySpec(
         "x32_source_quota",

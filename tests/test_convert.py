@@ -98,6 +98,35 @@ def test_output_naming_rule():
         derive_output_name("x.ndjson.gz", "lz4")
 
 
+def test_partitioned_sink(spark, fixture_paths, tmp_path):
+    """partition_by writes hive layout; every partition dir's rows are
+    sorted by the sort column; totals and _dt rewrite are unaffected."""
+    import glob
+    import os
+
+    _, shuffled_path = fixture_paths
+    dest = str(tmp_path / "out_part")
+    res = convert(
+        spark, shuffled_path, dest, mode="cluster", partition_by=["severity"]
+    )
+    assert res.rows == 300
+    dirs = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(dest, "severity=*"))
+    )
+    assert dirs and all(d.startswith("severity=") for d in dirs)
+
+    back = spark.read.parquet(dest)
+    assert back.count() == 300
+    assert dict(back.groupBy().count().collect()[0].asDict()) == {"count": 300}
+    for d in glob.glob(os.path.join(dest, "severity=*")):
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            times = pq.read_table(f, columns=["time"]).column("time").to_pylist()
+            assert times == sorted(times), f
+
+    with pytest.raises(ValueError):
+        convert(spark, shuffled_path, dest, mode="global", partition_by=["severity"])
+
+
 def test_multi_file_input_keeps_native_parallelism(spark, tmp_path):
     """read_ndjson_parallel must NOT inject a repartition when the input is
     already parallel (many objects) — the at-scale shape."""
