@@ -72,3 +72,26 @@ def test_q47_interval_join_is_binned_not_nested_loop(spark, sf_dir):
 def test_no_python_udf_anywhere(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "BatchEvalPython" not in plan  # row-at-a-time Python: forbidden
+
+
+# The only queries allowed a BroadcastNestedLoopJoin — each broadcasts a
+# provably tiny side: a 1-row aggregate (q21, q42), a bounded dim×dim
+# cross (q36), the query-vector set (x11), the centroid table (x21).
+_BNLJ_ALLOWED = {
+    "q21_above_avg_orders",
+    "q36_cross_join",
+    "q42_above_own_avg",
+    "x11_cosine_topk",
+    "x21_ivf_ann",
+}
+
+
+@pytest.mark.parametrize("name", sorted(registry()))
+def test_no_unbounded_join_shapes(spark, sf_dir, name):
+    """No query may plan a cartesian product, and nested-loop joins are
+    allowed only where the broadcast side is constant-size — the registry-
+    wide guard against O(n²) shapes sneaking in with a new operator."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    if name not in _BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan
