@@ -32,6 +32,13 @@ def main(argv: list[str] | None = None) -> int:
         help="record a Parquet SortingColumn footer (PyArrow post-pass)",
     )
     p.add_argument(
+        "--format",
+        choices=["ndjson", "csv"],
+        default="ndjson",
+        help="source format: ndjson (reference parity, default) or csv "
+        "(header row; splittable, so it scans parallel natively)",
+    )
+    p.add_argument(
         "--partition-by",
         default=None,
         help="comma-separated columns for a hive-layout partitioned sink "
@@ -55,9 +62,21 @@ def main(argv: list[str] | None = None) -> int:
             from .sources.schema_registry import load_schema
 
             pinned = load_schema(args.schema_file)
+        source: object = args.src
+        if args.format == "csv":
+            # CSV is splittable (uncompressed), so the native scan is
+            # already parallel — hand convert the DataFrame directly. The
+            # _dt rewrite applies to string *_dt columns the same way.
+            reader = spark.read.option("header", "true")
+            reader = (
+                reader.schema(pinned)
+                if pinned is not None
+                else reader.option("inferSchema", "true")
+            )
+            source = reader.csv(args.src)
         res = convert(
             spark,
-            args.src,
+            source,
             args.dest,
             sort_column=args.sort_column,
             mode=args.mode,

@@ -154,6 +154,58 @@ def x32_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_WINDOW_GAP_US = 10 * 60 * 1_000_000  # 10 minutes
+
+
+def q48_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session aggregation with Spark's native ``session_window``
+    operator (dynamic-gap merging windows — an operator the reference and
+    plain SQL lack; q26 is the manual islands formulation of the same
+    semantics). Merging happens inside one hash aggregation keyed by
+    (user, merged window): partial sessions merge map-side, so the shuffle
+    carries per-session partials, not events. The oracle reconstructs
+    identical sessions via lag-gap islands: a new session starts when the
+    gap is >= the window (Spark merges only on strict overlap)."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = ev.groupBy(
+        "user_id", F.session_window("ts", "10 minutes").alias("sw")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return sess.select(
+        "user_id",
+        F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+        F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+register(
+    QuerySpec(
+        "q48_session_window",
+        q48_session_window,
+        f"""
+        WITH g AS (
+          SELECT user_id, ts,
+                 epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts) AS gap
+          FROM events),
+        s AS (
+          SELECT user_id, ts,
+                 SUM(CASE WHEN gap IS NULL OR gap >= {SESSION_WINDOW_GAP_US}
+                          THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM g)
+        SELECT user_id,
+               MIN(epoch_us(ts)) AS session_start_us,
+               MAX(epoch_us(ts)) + {SESSION_WINDOW_GAP_US} AS session_end_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, sid
+        """,
+        "native session_window aggregation (vs oracle's lag-gap islands)",
+    )
+)
+
+
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"555-[0-9]{4}"
 

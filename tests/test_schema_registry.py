@@ -58,3 +58,23 @@ def test_cli_pins_schema_across_runs(spark, tmp_path, capsys):
     # pinned run keeps when_dt (as rewritten timestamp) despite src2 lacking it
     assert rows0["schema_after"] == out1["schema_after"]
     assert out1["rows"] == 5
+
+
+def test_cli_csv_source(spark, tmp_path, capsys):
+    src = tmp_path / "data.csv"
+    src.write_text(
+        "time,when_dt,name\n"
+        + "".join(f"{i},2024-01-0{1 + i % 9}T00:00:00Z,row{i}\n" for i in range(30))
+    )
+    dest = str(tmp_path / "out_csv")
+    assert cli_main([str(src), dest, "--format", "csv", "--mode", "global"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 30
+    assert out["sorted_by"] == "time"
+    # CSV inference may already type ISO strings as timestamps (nothing
+    # left to rewrite); either way the output column must be a timestamp
+    assert out["rewritten_dt_paths"] in ([], ["when_dt"])
+    df = spark.read.parquet(dest)
+    assert dict(df.dtypes)["when_dt"] == "timestamp"
+    times = [r.time for r in df.select("time").collect()]
+    assert times == sorted(times)
