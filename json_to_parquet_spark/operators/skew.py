@@ -38,8 +38,9 @@ def salted_join(
     else:
         spread = F.xxhash64(F.col(spread_by) if isinstance(spread_by, str) else spread_by)
     big_s = big.withColumn("__salt", F.pmod(spread, F.lit(salts)).cast("int"))
-    all_salts = small.sparkSession.range(salts).select(
-        F.col("id").cast("int").alias("__salt")
+    # Replicate the small side via explode (a Generate — row-local, no
+    # join, no broadcast) rather than a crossJoin against a salt table.
+    small_s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i).cast("int") for i in range(salts)]))
     )
-    small_s = small.crossJoin(all_salts)
     return big_s.join(small_s, on=[on, "__salt"], how=how).drop("__salt")

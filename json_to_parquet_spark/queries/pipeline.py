@@ -154,6 +154,40 @@ def x32_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q49_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof join under the gate: orders ⋈ customer through the
+    deterministic salted-key path (operators/skew.py) — the manual
+    mitigation for celebrity keys that overwhelm even AQE's skew split.
+    The salt spreads each hot customer's orders across 8 partitions; the
+    customer side replicates via explode (row-local Generate, no join).
+    The result is value-identical to the plain join, which is exactly
+    what the oracle checks."""
+    from ..operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return salted_join(
+        orders, cust, on="o_custkey", salts=8, spread_by="o_orderkey"
+    ).select("o_orderkey", "o_custkey", "c_mktsegment", "o_totalprice")
+
+
+register(
+    QuerySpec(
+        "q49_salted_join",
+        q49_salted_join,
+        """
+        SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "deterministic salted join (skew mitigation), value-identical to plain join",
+    )
+)
+
+
 SESSION_WINDOW_GAP_US = 10 * 60 * 1_000_000  # 10 minutes
 
 

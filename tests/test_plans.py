@@ -68,6 +68,12 @@ def test_q47_interval_join_is_binned_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_q49_salt_spreads_join_key(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q49_salted_join")
+    assert "__salt" in plan  # the join key really carries the salt
+    assert "Generate explode" in plan  # replication is row-local, not a join
+
+
 @pytest.mark.parametrize("name", sorted(registry()))
 def test_no_python_udf_anywhere(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
