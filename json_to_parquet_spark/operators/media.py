@@ -86,6 +86,56 @@ def extract_media_features(
     return media.select(id_col, payload_col).mapInPandas(batches, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_len", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+FRAME_BYTES = 64
+
+
+def extract_frames(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_bytes: int = FRAME_BYTES,
+) -> DataFrame:
+    """Frame-sampling plumbing: one input row → N frame rows (the
+    video/audio chunking shape). Demonstrates variable-cardinality
+    ``mapInPandas`` output — each Arrow batch in yields an exploded batch
+    out, no shuffle, partitioning preserved. The "frame decoder" here is
+    a deterministic fixed-stride splitter + content hash (stand-in for a
+    real codec's frame boundaries, same contract)."""
+    import math
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, lens, hashes = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                n = max(1, math.ceil(len(b) / frame_bytes))
+                for i in range(n):
+                    chunk = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    lens.append(len(chunk))
+                    hashes.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_len": pd.Series(lens, dtype="int64"),
+                    "frame_md5": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(batches, FRAME_SCHEMA)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapt the documents table into a media-shaped frame (binary payload
     + metadata struct) for tests and the x14 catalog query."""

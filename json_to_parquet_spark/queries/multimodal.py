@@ -103,6 +103,43 @@ register(
 )
 
 
+def x38_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through mapInPandas with VARIABLE-cardinality output
+    (one payload → N frame rows) — the video/audio chunking shape. The
+    fixed-stride splitter + md5 stand-in kernel is SQL-expressible
+    (payloads are ASCII text bytes, so char slicing == byte slicing), so
+    the exploding Python stage is value-checked end-to-end."""
+    from ..operators.media import documents_as_media, extract_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_frames(documents_as_media(docs))
+
+
+register(
+    QuerySpec(
+        "x38_media_frames",
+        x38_media_frames,
+        """
+        WITH f AS (
+          SELECT doc_id,
+                 unnest(range(0, CAST(greatest(1, ceil(strlen(text) / 64.0)) AS BIGINT)))
+                     AS frame_idx
+          FROM documents),
+        c AS (
+          SELECT f.doc_id, f.frame_idx,
+                 substr(d.text, CAST(f.frame_idx * 64 + 1 AS BIGINT), 64) AS chunk
+          FROM f JOIN documents d USING (doc_id))
+        SELECT doc_id,
+               CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(length(chunk) AS BIGINT) AS frame_len,
+               md5(chunk) AS frame_md5
+        FROM c
+        """,
+        "frame sampling: 1→N mapInPandas chunking, value-checked via chunk md5",
+    )
+)
+
+
 register(
     QuerySpec(
         "x15_binary_dedup",

@@ -154,6 +154,49 @@ def x32_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x36_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) key per event over (user_id, hour-bucket) — the
+    multi-dimensional clustering key (operators/zorder.py) that lets one
+    sorted layout serve range filters on either dimension. The key is a
+    32-term shift/mask/or fold, all JVM-side and constant-folded into one
+    whole-stage-codegen projection; the oracle computes the identical
+    integer arithmetic."""
+    from ..operators.zorder import morton_key
+
+    ev = load_table(spark, sf_dir, "events")
+    hour_bucket = F.floor(F.unix_micros(F.col("ts")) / F.lit(3_600_000_000))
+    return ev.select(
+        "event_id",
+        morton_key(F.col("user_id"), hour_bucket).alias("zkey"),
+    )
+
+
+def _morton_sql(x: str, y: str, bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+register(
+    QuerySpec(
+        "x36_zorder_key",
+        x36_zorder_key,
+        f"""
+        WITH d AS (
+          SELECT event_id,
+                 user_id & 65535 AS ux,
+                 (epoch_us(ts) // 3600000000) & 65535 AS uy
+          FROM events)
+        SELECT event_id, CAST({_morton_sql("ux", "uy")} AS BIGINT) AS zkey
+        FROM d
+        """,
+        "z-order (Morton) clustering key over (user, hour) — bit-interleave fold",
+    )
+)
+
+
 def q49_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-proof join under the gate: orders ⋈ customer through the
     deterministic salted-key path (operators/skew.py) — the manual

@@ -179,3 +179,55 @@ register(
         "streaming stateful dedup (dropDuplicatesWithinWatermark) vs DISTINCT oracle",
     )
 )
+
+
+def x37_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join, drained with availableNow: the
+    event stream joins a static per-user dimension (broadcast each
+    micro-batch; the static side never becomes state, so this scales to
+    unbounded streams — the pattern for dimension enrichment at ingest).
+    Every event appears exactly once regardless of batch boundaries, so
+    the batch join is an exact oracle."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(GATE_DIR, f"events37_{sf_tag}")
+    dest = os.path.join(GATE_DIR, f"out_x37_{sf_tag}")
+    ckpt = os.path.join(GATE_DIR, f"ckpt_x37_{sf_tag}")
+    _fresh(src, dest, ckpt)
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    ev.repartitionByRange(4, "event_id").write.parquet(src)
+    user_dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_user_events"))
+
+    stream = (
+        spark.readStream.schema("event_id bigint, user_id bigint, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    joined = stream.join(user_dim, "user_id").select(
+        "event_id", "user_id", "event_type", F.col("n_user_events").cast("long")
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(dest)
+
+
+register(
+    QuerySpec(
+        "x37_stream_static_join",
+        x37_stream_static_join,
+        """
+        SELECT e.event_id, e.user_id, e.event_type, d.n_user_events
+        FROM events e
+        JOIN (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_user_events
+              FROM events GROUP BY user_id) d USING (user_id)
+        """,
+        "stream-static enrichment join (availableNow) vs batch join oracle",
+    )
+)
