@@ -83,24 +83,9 @@ def main() -> None:
     reg = registry()
     timings: dict[str, float] = {}
 
-    for name in HEADLINE:
-        fn = reg[name].spark
-        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()  # warm JIT/IO
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-
-    # Release query-phase session state before timing convert: a few
-    # operators persist intermediates (x09 signatures, x26 edges) and
-    # localCheckpoint per iteration; dropping the Python refs + forcing
-    # both GCs lets the ContextCleaner reclaim the blocks so the convert
-    # timings measure convert, not leftover storage pressure.
-    import gc
-
-    spark.catalog.clearCache()
-    gc.collect()
-    spark._jvm.System.gc()
-
+    # Convert is timed FIRST, on a fresh session: the query phase leaves
+    # storage/GC pressure behind (persisted intermediates, checkpoint
+    # blocks) that inflates convert by 1.5-2x even after an explicit GC.
     src = _convert_fixture()
     warm_src = _convert_fixture(1_000)
     with tempfile.TemporaryDirectory() as td:
@@ -117,9 +102,19 @@ def main() -> None:
         # the unsplittable gzip — the number a real deployment sees after
         # the first file of a feed.
         pinned = spark.read.json(src).schema  # untimed: the pin itself
+        # warm the pinned-path plan shape too (distinct codegen from infer)
+        convert(spark, warm_src, os.path.join(td, "warm_pinned"), mode="cluster", schema=pinned)
         t0 = time.perf_counter()
         convert(spark, src, os.path.join(td, "out_pinned"), mode="cluster", schema=pinned)
         timings["convert_100k_ndjson_pinned"] = round(time.perf_counter() - t0, 3)
+
+    for name in HEADLINE:
+        fn = reg[name].spark
+        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()  # warm JIT/IO
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
 
     total = round(sum(timings.values()), 3)
     print(
