@@ -33,10 +33,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument(
         "--format",
-        choices=["ndjson", "csv"],
+        choices=["ndjson", "csv", "xml"],
         default="ndjson",
-        help="source format: ndjson (reference parity, default) or csv "
-        "(header row; splittable, so it scans parallel natively)",
+        help="source format: ndjson (reference parity, default), csv "
+        "(header row; splittable, so it scans parallel natively), or xml "
+        "(Spark 4 built-in XML source, one row per --xml-row-tag element)",
+    )
+    p.add_argument(
+        "--xml-row-tag",
+        default="row",
+        help="XML element name that delimits one record (--format xml)",
     )
     p.add_argument(
         "--partition-by",
@@ -74,6 +80,10 @@ def main(argv: list[str] | None = None) -> int:
                 else reader.option("inferSchema", "true")
             )
             source = reader.csv(args.src)
+        elif args.format == "xml":
+            from .sources.xml import read_xml
+
+            source = read_xml(spark, args.src, row_tag=args.xml_row_tag, schema=pinned)
         res = convert(
             spark,
             source,

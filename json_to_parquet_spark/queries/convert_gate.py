@@ -93,6 +93,75 @@ def q00_convert_dt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+XML_FIXTURE_PATH = os.path.join(GATE_DIR, "xml_gate.xml")
+XML_OUTPUT_PATH = os.path.join(GATE_DIR, "out_x39")
+
+
+def ensure_xml_fixture(path: str = XML_FIXTURE_PATH) -> str:
+    """Deterministic XML fixture (atomic rename): one <row> element per
+    record, same generating formula the oracle recomputes in SQL. Names
+    carry XML-special characters so the scan's unescaping is actually
+    value-checked, and rows are written in the stride-7 permutation so the
+    convert sort has work to do."""
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    from xml.sax.saxutils import escape
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("<rows>\n")
+        for j in range(_N_ROWS):
+            i = (j * 7) % _N_ROWS
+            t = _BASE_EPOCH + i
+            name = escape(f"prod{i % 5}&<>")
+            f.write(
+                f"  <row><id>{i}</id><time>{t * 1000}</time>"
+                f"<name>{name}</name><when_dt>{_iso(t)}</when_dt></row>\n"
+            )
+        f.write("</rows>\n")
+    os.replace(tmp, path)
+    return path
+
+
+def x39_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML scan (Spark 4 built-in source) through the full convert
+    pipeline: infer per-rowTag records, ``_dt`` rewrite casts ``when_dt``,
+    cluster-sort on ``time``, tuned Parquet sink — then read the written
+    output back. The oracle recomputes the fixture's generating formula,
+    so the XML parse, entity unescaping, and timestamp rewrite are all
+    value-checked end-to-end."""
+    from ..operators.convert import convert
+    from ..sources.xml import read_xml
+
+    src = ensure_xml_fixture()
+    df = read_xml(spark, src, row_tag="row")
+    convert(spark, df, XML_OUTPUT_PATH, sort_column="time", mode="cluster")
+    out = spark.read.parquet(XML_OUTPUT_PATH)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("time").cast("long").alias("time"),
+        "name",
+        F.unix_micros("when_dt").alias("when_dt_us"),
+    )
+
+
+register(
+    QuerySpec(
+        "x39_xml_source",
+        x39_xml_source,
+        f"""
+        SELECT CAST(i AS BIGINT) AS id,
+               CAST(({_BASE_EPOCH} + i) * 1000 AS BIGINT) AS time,
+               'prod' || CAST(i % 5 AS VARCHAR) || '&<>' AS name,
+               CAST(({_BASE_EPOCH} + i) * 1000000 AS BIGINT) AS when_dt_us
+        FROM range({_N_ROWS}) t(i)
+        """,
+        "XML source (rowTag scan, entity unescape) through convert vs formula oracle",
+    )
+)
+
+
 register(
     QuerySpec(
         "q00_convert_dt",

@@ -60,6 +60,34 @@ def test_cli_pins_schema_across_runs(spark, tmp_path, capsys):
     assert out1["rows"] == 5
 
 
+def test_cli_xml_source(spark, tmp_path, capsys):
+    src = tmp_path / "data.xml"
+    src.write_text(
+        "<rows>\n"
+        + "".join(
+            f"<item><time>{i}</time><when_dt>2024-01-0{1 + i % 9}T00:00:00Z</when_dt>"
+            f"<name>r&amp;{i}</name></item>\n"
+            for i in range(30)
+        )
+        + "</rows>\n"
+    )
+    dest = str(tmp_path / "out_xml")
+    assert (
+        cli_main(
+            [str(src), dest, "--format", "xml", "--xml-row-tag", "item", "--mode", "global"]
+        )
+        == 0
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 30
+    assert out["sorted_by"] == "time"
+    df = spark.read.parquet(dest)
+    assert dict(df.dtypes)["when_dt"] == "timestamp"
+    assert df.filter("name = 'r&7'").count() == 1  # entity unescaped at scan
+    times = [r.time for r in df.select("time").collect()]
+    assert times == sorted(times)
+
+
 def test_cli_csv_source(spark, tmp_path, capsys):
     src = tmp_path / "data.csv"
     src.write_text(
