@@ -197,6 +197,59 @@ register(
 )
 
 
+def x40_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile of the orders table (operators/profile.py)
+    — per column: rows, nulls, exact distinct, min, max. The timestamp and
+    double columns are pre-projected to epoch-micros / decimal(18,2) so the
+    stringified min/max are bit-stable across engines (helpers.py rules 1,
+    4); the operator itself is type-generic."""
+    from ..operators.profile import profile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+        # o_orderdate is TIMESTAMP_NTZ; NTZ→LTZ under the UTC session TZ
+        # is the same wall-clock interpretation DuckDB's epoch_us applies
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
+    )
+    return profile(orders)
+
+
+def _profile_sql_one(col: str, expr: str) -> str:
+    return f"""
+        SELECT '{col}' AS col_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN {expr} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nulls,
+               CAST(COUNT(DISTINCT {expr}) AS BIGINT) AS n_distinct,
+               CAST(MIN({expr}) AS VARCHAR) AS min_val,
+               CAST(MAX({expr}) AS VARCHAR) AS max_val
+        FROM orders"""
+
+
+register(
+    QuerySpec(
+        "x40_profile",
+        x40_profile,
+        " UNION ALL ".join(
+            _profile_sql_one(c, e)
+            for c, e in [
+                ("o_orderkey", "o_orderkey"),
+                ("o_custkey", "o_custkey"),
+                ("o_orderstatus", "o_orderstatus"),
+                ("o_orderpriority", "o_orderpriority"),
+                ("o_totalprice", "CAST(o_totalprice AS DECIMAL(18,2))"),
+                ("o_orderdate_us", "epoch_us(o_orderdate)"),
+            ]
+        ),
+        "single-pass per-column profile (rows/nulls/distinct/min/max) vs UNION oracle",
+    )
+)
+
+
 def q49_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-proof join under the gate: orders ⋈ customer through the
     deterministic salted-key path (operators/skew.py) — the manual
