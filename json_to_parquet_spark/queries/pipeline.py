@@ -250,6 +250,83 @@ register(
 )
 
 
+def x41_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge (operators/cdc.py): roll the orders snapshot forward by a
+    deterministic changelog derived from it — two versioned updates per
+    key ending in 3 (latest wins), an update-then-delete per key ending
+    in 7 (delete wins), an insert per key ending in 5 (new key). Prices
+    stay decimal(18,2) end-to-end and are emitted as strings, so the
+    merge arithmetic is bit-stable across engines."""
+    from ..operators.cdc import apply_changes
+
+    k, cust = F.col("o_orderkey"), F.col("o_custkey")
+    base = load_table(spark, sf_dir, "orders").select(
+        k.alias("k"),
+        cust.alias("cust"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    price = F.col("price")
+
+    def change(src: DataFrame, key, new_price, op: str, v: int) -> DataFrame:
+        return src.select(
+            key.alias("k"),
+            F.col("cust"),
+            new_price.cast("decimal(18,2)").alias("price"),
+            F.lit(op).alias("op"),
+            F.lit(v).alias("version"),
+        )
+
+    m3 = base.filter(F.col("k") % 10 == 3)
+    m7 = base.filter(F.col("k") % 10 == 7)
+    m5 = base.filter(F.col("k") % 10 == 5)
+    changes = (
+        change(m3, F.col("k"), price + 1, "U", 1)
+        .unionAll(change(m3, F.col("k"), price + 2, "U", 2))
+        .unionAll(change(m7, F.col("k"), price + 5, "U", 1))
+        .unionAll(change(m7, F.col("k"), price, "D", 2))
+        .unionAll(change(m5, F.col("k") + 10_000_000, price, "I", 1))
+    )
+    out = apply_changes(base, changes, keys=["k"])
+    return out.select("k", "cust", F.col("price").cast("string").alias("price_str"))
+
+
+register(
+    QuerySpec(
+        "x41_cdc_merge",
+        x41_cdc_merge,
+        """
+        WITH base AS (
+          SELECT o_orderkey AS k, o_custkey AS cust,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS price
+          FROM orders),
+        changes AS (
+          SELECT k, cust, CAST(price + 1 AS DECIMAL(18,2)) AS price,
+                 'U' AS op, 1 AS v FROM base WHERE k % 10 = 3
+          UNION ALL SELECT k, cust, CAST(price + 2 AS DECIMAL(18,2)), 'U', 2
+          FROM base WHERE k % 10 = 3
+          UNION ALL SELECT k, cust, CAST(price + 5 AS DECIMAL(18,2)), 'U', 1
+          FROM base WHERE k % 10 = 7
+          UNION ALL SELECT k, cust, price, 'D', 2 FROM base WHERE k % 10 = 7
+          UNION ALL SELECT k + 10000000, cust, price, 'I', 1
+          FROM base WHERE k % 10 = 5),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC) AS rn
+            FROM changes) WHERE rn = 1),
+        m AS (
+          SELECT COALESCE(b.k, c.k) AS k,
+                 CASE WHEN c.op IS NOT NULL THEN c.cust ELSE b.cust END AS cust,
+                 CASE WHEN c.op IS NOT NULL THEN c.price ELSE b.price END AS price,
+                 c.op
+          FROM base b FULL OUTER JOIN latest c ON b.k = c.k)
+        SELECT k, cust, CAST(price AS VARCHAR) AS price_str
+        FROM m WHERE op IS NULL OR op <> 'D'
+        """,
+        "CDC merge: versioned I/U/D changelog onto snapshot, latest-wins, vs SQL MERGE shape",
+    )
+)
+
+
 def q49_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-proof join under the gate: orders ⋈ customer through the
     deterministic salted-key path (operators/skew.py) — the manual
