@@ -796,3 +796,45 @@ register(
         "map construction, key access, cardinality, key introspection",
     )
 )
+
+
+# --- q50: lateral join (correlated per-row subquery) -----------------------
+def q50_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation top-3 customers by account balance via a correlated
+    LATERAL subquery (Spark 4 ``DataFrame.lateralJoin``). Catalyst
+    decorrelates the ORDER BY ... LIMIT into a WindowGroupLimit pushed
+    map-side of one equi-join shuffle — each partition pre-prunes to its
+    local top-3 per key before the exchange, so the shuffle carries at
+    most 3 rows per (partition, nation), not the whole customer table.
+    Balance is a row-level double (helpers.py rule 2); c_custkey breaks
+    balance ties so the selected set is well-defined (rule 6)."""
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    top = (
+        cust.where(F.col("c_nationkey") == F.col("n_nationkey").outer())
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .limit(3)
+    )
+    return nation.lateralJoin(top).select(
+        "n_name", "c_custkey", "c_name", F.col("c_acctbal").alias("bal")
+    )
+
+
+register(
+    QuerySpec(
+        "q50_lateral_topk",
+        q50_lateral_topk,
+        """
+        SELECT n.n_name, t.c_custkey, t.c_name, t.bal
+        FROM nation n, LATERAL (
+          SELECT c_custkey, c_name, c_acctbal AS bal
+          FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 3) t
+        """,
+        "correlated LATERAL subquery with per-row ORDER BY/LIMIT (top-3 per nation)",
+    )
+)

@@ -54,6 +54,13 @@ def build_session(
         )
         # Arrow for any pandas-UDF / toPandas boundary crossing.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Runtime bloom-filter semi-join pruning: a selective dim-side
+        # filter is turned into a bloom filter applied at the fact-side
+        # scan, cutting the shuffle before it happens. The default 10 GiB
+        # application-side threshold means it only fires at real scale —
+        # tests force the threshold down to assert the injection
+        # (tests/test_plans_helpers.py).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # --- Parquet writer parity with the reference (SURVEY §4) ---
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.hadoop.parquet.page.size", str(PARQUET_PAGE_SIZE))

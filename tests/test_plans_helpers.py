@@ -53,3 +53,31 @@ def test_sorting_metadata_postpass(spark, tmp_path):
     # data survived the rewrite, still sorted
     rows = spark.read.parquet(str(tmp_path / "o")).collect()
     assert [r.time for r in rows] == [1, 2, 3]
+
+
+def test_runtime_bloom_filter_injection(spark, tmp_path):
+    """session.py enables runtime bloom-filter pruning; its 10 GiB
+    application-side threshold only fires at real scale, so force the
+    thresholds down and assert the injected might_contain lands as a
+    filter at the fact-side scan of a shuffle join."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        spark.range(100_000).selectExpr("id AS k", "id % 100 AS v").write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "fact"))
+        spark.range(5_000).selectExpr("id * 7 AS k", "id AS dv").write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "dim"))
+        fact = spark.read.parquet(str(tmp_path / "fact"))
+        dim = spark.read.parquet(str(tmp_path / "dim")).filter("dv % 50 = 3")
+        plan = fact.join(dim, "k")._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
