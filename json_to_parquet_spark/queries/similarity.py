@@ -435,3 +435,85 @@ register(
         "IVF-style ANN: deterministic coarse quantizer + probed inverted lists",
     )
 )
+
+
+PQ_M = 4  # subspaces
+PQ_SUBDIM = 16  # 64-dim embeddings / 4
+PQ_K = 8  # centroids per subspace
+
+
+def x42_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: the embedding-compression pass an ANN index
+    build runs — split each 64-dim vector into PQ_M contiguous subvectors
+    and encode each as the id of its nearest subspace centroid, shrinking
+    a vector to PQ_M small codes (here 4×3 bits) plus a shared codebook.
+
+    Deterministic codebook (same trick as x21's coarse quantizer): subspace
+    m's centroids are the m-th subvectors of the first PQ_K corpus vectors,
+    so the whole thing is oracle-able. One explode (corpus × M subvectors),
+    one broadcast join against the 32-row codebook, one window top-1 per
+    (vector, subspace) — the shuffle carries (vec_id, m, dist)-sized rows
+    only. At scale the codebook is a real k-means fit, but the assignment
+    plan — the expensive part — is exactly this.
+
+    Output: one row per (vec_id, subspace): the code and the (rounded,
+    helpers rule 3) quantization distance.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    slices = F.array(
+        *[F.slice("embedding", m * PQ_SUBDIM + 1, PQ_SUBDIM) for m in range(PQ_M)]
+    )
+    sub = emb.select("vec_id", F.posexplode(slices).alias("m", "subvec"))
+    cent = sub.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("c_id"), "m", F.col("subvec").alias("c_vec")
+    )
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("subvec"),
+                    F.col("c_vec"),
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+        6,
+    )
+    scored = sub.join(F.broadcast(cent), "m").select(
+        "vec_id", F.col("m").cast("long").alias("m"), "c_id", dist.alias("dist")
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("dist"), F.asc("c_id"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "m", F.col("c_id").alias("code"), "dist")
+    )
+
+
+register(
+    QuerySpec(
+        "x42_pq_codes",
+        x42_pq_codes,
+        f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sub AS (
+          SELECT vec_id, m, v[m * {PQ_SUBDIM} + 1 : (m + 1) * {PQ_SUBDIM}] AS sv
+          FROM e CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) t),
+        cent AS (
+          SELECT vec_id AS c_id, m, sv AS c_vec FROM sub WHERE vec_id < {PQ_K}),
+        scored AS (
+          SELECT s.vec_id, s.m, c.c_id,
+                 ROUND(sqrt(list_sum(list_transform(
+                     list_zip(s.sv, c.c_vec),
+                     p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS dist
+          FROM sub s JOIN cent c USING (m))
+        SELECT vec_id, CAST(m AS BIGINT) AS m, c_id AS code, dist
+        FROM scored
+        QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c_id) = 1
+        """,
+        "product quantization: per-subspace nearest-centroid codes + quantization error",
+    )
+)
