@@ -551,3 +551,54 @@ register(
         "per-source quota down-sampling (deterministic hash order, data mixing)",
     )
 )
+
+
+def x44_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture resampling: give each source a target weight
+    and emit round(weight) copies of each doc — integer part by explode
+    replication, fractional part by a hash-gated extra copy — the
+    up/down-sampling pass that sets a training mix. No rand(): the gate is
+    integer LCG arithmetic on doc_id, so the sample is identical across
+    runs, engines, and partitionings (same principle as x31's stratified
+    sampler). Weights here: source number % 4 → 2.5 / 1.0 / 0.4 / 0
+    (dropped entirely).
+
+    Scale shape: one narrow projection + explode — no shuffle at all; the
+    replication factor is bounded by ceil(max weight)."""
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", r"(\d+)", 1).cast("long")
+    w_int = F.when(src_num % 4 == 0, 2).when(src_num % 4 == 1, 1).otherwise(0)
+    w_frac_pct = (
+        F.when(src_num % 4 == 0, 50).when(src_num % 4 == 2, 40).otherwise(0)
+    )
+    gate = (F.col("doc_id") * 1103515245 + 12345) % 100
+    copies = (w_int + (gate < w_frac_pct).cast("int")).alias("copies")
+    sized = docs.select("doc_id", "source", copies)
+    seq = F.when(
+        F.col("copies") >= 1, F.sequence(F.lit(1), F.col("copies"))
+    ).otherwise(F.array().cast("array<int>"))
+    return sized.select("doc_id", "source", F.explode(seq).alias("copy")).select(
+        "doc_id", "source", F.col("copy").cast("long").alias("copy")
+    )
+
+
+register(
+    QuerySpec(
+        "x44_mixture_resample",
+        x44_mixture_resample,
+        """
+        WITH sized AS (
+          SELECT doc_id, source,
+                 (CASE CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 4
+                    WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END)
+                 + (CASE WHEN (doc_id * 1103515245 + 12345) % 100 <
+                        (CASE CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 4
+                           WHEN 0 THEN 50 WHEN 2 THEN 40 ELSE 0 END)
+                    THEN 1 ELSE 0 END) AS copies
+          FROM documents)
+        SELECT doc_id, source, CAST(copy AS BIGINT) AS copy
+        FROM sized, LATERAL (SELECT unnest(generate_series(1, copies)) AS copy) t
+        """,
+        "deterministic mixture resampling: per-source weights via hash-gated replication",
+    )
+)

@@ -838,3 +838,97 @@ register(
         "correlated LATERAL subquery with per-row ORDER BY/LIMIT (top-3 per nation)",
     )
 )
+
+
+# --- q51: RANGE-frame window (rolling 30-day sum) --------------------------
+def q51_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer rolling 30-day order total via a RANGE window frame
+    over epoch seconds — the time-decay feature shape (ROWS frames count
+    rows; RANGE frames bound by the ORDER-BY value, so same-timestamp
+    peers always share a frame in both engines). One shuffle on customer;
+    the sum follows helpers rule 1 (decimal addends, exact, order-free)."""
+    orders = _t(spark, sf_dir, "orders")
+    sec = F.unix_micros(F.col("o_orderdate").cast("timestamp")) / F.lit(1_000_000)
+    base = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        sec.cast("long").alias("order_sec"),
+        F.col("o_totalprice").alias("price"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("order_sec")
+        .rangeBetween(-30 * 86400, 0)
+    )
+    rolling = F.sum(F.col("price").cast("decimal(30,10)")).over(w).cast("double")
+    return base.select(
+        "o_orderkey", "o_custkey", "order_sec", rolling.alias("rolling_30d")
+    )
+
+
+register(
+    QuerySpec(
+        "q51_range_window",
+        q51_range_window,
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(epoch_us(o_orderdate) // 1000000 AS BIGINT) AS order_sec,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY epoch_us(o_orderdate) // 1000000
+                   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+               ) AS VARCHAR) AS DOUBLE) AS rolling_30d
+        FROM orders
+        """,
+        "RANGE-frame window: rolling 30-day per-customer revenue",
+    )
+)
+
+
+# --- q52: forward fill (last_value IGNORE NULLS) ---------------------------
+def q52_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill: carry the last observed value over a deterministic
+    null gap (event_id % 3 = 0) per user in time order — the sensor /
+    telemetry gap-repair shape. ``last(ignorenulls)`` over ROWS UNBOUNDED
+    PRECEDING is one shuffle on user_id; value is a row-level double
+    (rule 2), event_id breaks ts ties (rule 6)."""
+    ev = _t(spark, sf_dir, "events")
+    gapped = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(F.col("event_id") % 3 != 0, F.col("value")).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return gapped.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        F.col("v").isNull().alias("was_gap"),
+    )
+
+
+register(
+    QuerySpec(
+        "q52_gap_fill",
+        q52_gap_fill,
+        """
+        WITH gapped AS (
+          SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                 CASE WHEN event_id % 3 != 0 THEN value END AS v
+          FROM events)
+        SELECT event_id, user_id, ts_us,
+               LAST_VALUE(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+               v IS NULL AS was_gap
+        FROM gapped
+        """,
+        "forward fill over deterministic gaps (last_value IGNORE NULLS window)",
+    )
+)

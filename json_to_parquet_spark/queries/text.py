@@ -530,3 +530,60 @@ register(
         "sequence packing: token-budget bin assignment via running sums",
     )
 )
+
+
+def x43_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup cleanup: strip tags, collapse whitespace, pull URLs, count
+    tags — the HTML-to-plain-text pass of a web-crawl pipeline. The markup
+    is injected deterministically around the corpus text (like q45's null
+    induction) so the regex semantics — not a fixture — are what's
+    value-checked across engines. All JVM-side regexp functions, no UDFs.
+    (DuckDB's regexp_replace is first-match-only by default; the oracle
+    passes the 'g' flag to match Spark's replace-all.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<p class="d'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('">'),
+        F.col("text"),
+        F.lit(" see https://ex"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".com/a?q="),
+        F.col("doc_id").cast("string"),
+        F.lit("</p><br/>"),
+    )
+    dirty = docs.select("doc_id", html.alias("html"))
+    stripped = F.trim(
+        F.regexp_replace(F.regexp_replace("html", r"<[^>]+>", " "), r"\s+", " ")
+    )
+    return dirty.select(
+        "doc_id",
+        stripped.alias("clean_text"),
+        F.regexp_extract("html", r"https?://[^\s<]+", 0).alias("url"),
+        F.size(F.regexp_extract_all("html", F.lit(r"<[^>]+>"), F.lit(0)))
+        .cast("long")
+        .alias("n_tags"),
+    )
+
+
+register(
+    QuerySpec(
+        "x43_text_clean",
+        x43_text_clean,
+        """
+        WITH dirty AS (
+          SELECT doc_id,
+                 '<p class="d' || CAST(doc_id % 7 AS VARCHAR) || '">' || text ||
+                 ' see https://ex' || CAST(doc_id % 5 AS VARCHAR) ||
+                 '.com/a?q=' || CAST(doc_id AS VARCHAR) || '</p><br/>' AS html
+          FROM documents)
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(html, '<[^>]+>', ' ', 'g'),
+                                   '\\s+', ' ', 'g')) AS clean_text,
+               regexp_extract(html, 'https?://[^\\s<]+', 0) AS url,
+               CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT) AS n_tags
+        FROM dirty
+        """,
+        "markup strip + URL extraction + tag counts (web-crawl cleanup pass)",
+    )
+)
