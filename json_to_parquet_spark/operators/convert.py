@@ -118,11 +118,18 @@ def convert(
     # A range exchange SAMPLES its child in a separate job before the
     # shuffle, so an unpersisted JSON-parse chain would run twice
     # (decompress + from_json for sampling, then again for the shuffle).
-    # When we built that chain ourselves, persist the parsed frame across
-    # the two jobs — at scale a serialized cache round-trip is far cheaper
-    # than re-parsing JSON. The lineage count below doubles as the cache
-    # materialization step, so no extra pass is spent on it.
-    cached = out.persist() if (parsed_here and will_range_exchange) else None
+    # When we built that chain ourselves over an UNSPLITTABLE source,
+    # persist the parsed frame across the two jobs — a serialized cache
+    # round-trip beats re-decompressing the gzip. A SPILLED source
+    # (ndjson._spill_to_splittable) re-scans in parallel from the
+    # page-cached splittable file, which measures cheaper than the cache
+    # round-trip — so no persist there.
+    spill_dir = getattr(df, "_graft_spill_dir", None)
+    cached = (
+        out.persist()
+        if (parsed_here and will_range_exchange and spill_dir is None)
+        else None
+    )
     # Inference-path line cache (ndjson._graft_text_cache): once the parsed
     # frame is materialized the raw lines are never read again — drop them.
     text_cache = getattr(df, "_graft_text_cache", None)
@@ -158,6 +165,10 @@ def convert(
             cached.unpersist()
         if text_cache is not None:
             text_cache.unpersist()
+        if spill_dir is not None:
+            import shutil
+
+            shutil.rmtree(spill_dir, ignore_errors=True)
     if sorting_metadata and sorted_by is not None:
         # Reference-parity SortingColumn footer (SURVEY §2 O3); PyArrow
         # post-pass since Spark's writer can't record it.

@@ -149,12 +149,27 @@ def test_multi_file_input_keeps_native_parallelism(spark, tmp_path):
     assert "FileScan json" in plan
     assert df.count() == 60
 
-    # single gz object → spread it: inference and parse run over the
-    # round-robined cached line frame (>= target partitions), not the
-    # 1-partition gzip stream
+    # single local gz object → SPILL to a splittable temp file and use the
+    # native scan (pushdown-capable; maxPartitionBytes splits real sizes)
+    import os
+    import shutil
+
     single = read_ndjson_parallel(spark, str(d / "f0.ndjson.gz"), min_partitions=4)
-    assert single.rdd.getNumPartitions() >= 4
+    spill_dir = getattr(single, "_graft_spill_dir", None)
+    assert spill_dir is not None and os.path.isdir(spill_dir)
+    plan1 = single._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan json" in plan1
+    assert "RoundRobinPartitioning" not in plan1
     assert single.count() == 10
-    cache = getattr(single, "_graft_text_cache", None)
+    shutil.rmtree(spill_dir, ignore_errors=True)
+
+    # remote/no-spill fallback: round-robin the raw lines; inference and
+    # parse run over the cached line frame (>= target partitions)
+    fallback = read_ndjson_parallel(
+        spark, str(d / "f0.ndjson.gz"), min_partitions=4, spill=False
+    )
+    assert fallback.rdd.getNumPartitions() >= 4
+    assert fallback.count() == 10
+    cache = getattr(fallback, "_graft_text_cache", None)
     if cache is not None:
         cache.unpersist()
