@@ -602,3 +602,116 @@ register(
         "deterministic mixture resampling: per-source weights via hash-gated replication",
     )
 )
+
+
+PR_ITERS = 10
+PR_DAMP_NUM, PR_DAMP_DEN = 17, 20  # damping 0.85 as an exact rational
+PR_SCALE = 1_000_000  # fixed-point micro-units
+
+
+def x45_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation→nation trade graph (customer's nation →
+    supplier's nation per lineitem) — the iterative-algorithm shape on
+    Spark, sibling to x26's label propagation. The recurrence runs in
+    FIXED-POINT integer micro-units (floor division, damping as the exact
+    rational 17/20), so every iteration is bit-exact on any engine and
+    the oracle simply unrolls the same recurrence as chained CTEs — no
+    float-rounding treaty needed (reproducible ranking is a real
+    requirement for data-pipeline reruns, not just a test trick).
+
+    Scale shape: edge extraction is the only big-data touch — two fact
+    joins reduced immediately to a nation×nation weight matrix (≤625
+    rows). The loop then iterates on frames bounded by |V| and |E| with a
+    ``localCheckpoint`` every 3 rounds to truncate lineage (the x26
+    lesson); no dangling nodes here — every nation both buys and sells."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    wout = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
+    ew = edges.join(wout, "src").persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # driver scalar (graph-node count, tiny)
+    base_u = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n)
+    pr = nodes.select("node", F.lit(PR_SCALE // n).cast("long").alias("pr_u"))
+    for i in range(PR_ITERS):
+        contrib = ew.join(pr, ew.src == pr.node).select(
+            F.col("dst"),
+            F.expr("pr_u * w DIV w_out").alias("c"),
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        pr = nodes.join(sums, nodes.node == sums.dst, "left").select(
+            "node",
+            (
+                F.lit(base_u)
+                + F.expr(f"{PR_DAMP_NUM} * coalesce(s, 0L) DIV {PR_DAMP_DEN}")
+            ).alias("pr_u"),
+        )
+        if (i + 1) % 3 == 0:
+            pr = pr.localCheckpoint()
+    out = pr.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("pr_u").cast("long").alias("pr_micro"),
+    )
+    ew.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def _pagerank_sql(n_iter: int = PR_ITERS) -> str:
+    head = """
+        WITH e AS (
+          SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1, 2),
+        ew AS (SELECT e.*, SUM(w) OVER (PARTITION BY src) AS w_out FROM e),
+        nodes AS (
+          SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst FROM e),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        pr0 AS (
+          SELECT node, 1000000 // (SELECT n FROM nn) AS pr_u FROM nodes)"""
+    steps = []
+    for i in range(n_iter):
+        steps.append(f"""
+        pr{i + 1} AS (
+          SELECT nd.node,
+                 (150000 // (SELECT n FROM nn))
+                 + (17 * COALESCE(sm.s, 0)) // 20 AS pr_u
+          FROM nodes nd LEFT JOIN (
+            SELECT ew.dst AS node, SUM((p.pr_u * ew.w) // ew.w_out) AS s
+            FROM ew JOIN pr{i} p ON ew.src = p.node
+            GROUP BY ew.dst) sm ON nd.node = sm.node)""")
+    return (
+        head + "," + ",".join(steps)
+        + f"""
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(pr_u AS BIGINT) AS pr_micro FROM pr{n_iter}"""
+    )
+
+
+register(
+    QuerySpec(
+        "x45_pagerank",
+        x45_pagerank,
+        _pagerank_sql(),
+        "PageRank over the nation trade graph: fixed-point, bit-exact iteration",
+    )
+)
