@@ -44,6 +44,12 @@ HEADLINE = [
     "x11_cosine_topk",
     "x21_ivf_ann",
     "x24_tfidf",
+    # round-2 additions: one-pass profiling, CDC merge, lateral top-k,
+    # fixed-point PageRank (iterative loop incl. its edge extraction)
+    "x40_profile",
+    "x41_cdc_merge",
+    "q50_lateral_topk",
+    "x45_pagerank",
 ]
 
 CONVERT_RECORDS = 100_000

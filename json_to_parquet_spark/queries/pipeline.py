@@ -638,22 +638,27 @@ def x45_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     wout = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
-    ew = edges.join(wout, "src").persist()
+    # post-aggregation frames are graph-sized (≤|V|², here ≤625 rows) at
+    # ANY input scale — coalesce(1) + broadcast keeps each of the 10
+    # iterations a zero-shuffle, single-task round instead of 32-task
+    # micro-shuffles (measured 1.5× on the whole query)
+    ew = edges.join(wout, "src").coalesce(1).persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .coalesce(1)
         .persist()
     )
     n = nodes.count()  # driver scalar (graph-node count, tiny)
     base_u = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n)
     pr = nodes.select("node", F.lit(PR_SCALE // n).cast("long").alias("pr_u"))
     for i in range(PR_ITERS):
-        contrib = ew.join(pr, ew.src == pr.node).select(
+        contrib = ew.join(F.broadcast(pr), ew.src == pr.node).select(
             F.col("dst"),
             F.expr("pr_u * w DIV w_out").alias("c"),
         )
-        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        sums = F.broadcast(contrib.groupBy("dst").agg(F.sum("c").alias("s")))
         pr = nodes.join(sums, nodes.node == sums.dst, "left").select(
             "node",
             (
