@@ -34,13 +34,40 @@ def morton_key(x: Column | str, y: Column | str) -> Column:
     return reduce(lambda a, b: a.bitwiseOR(b), terms).cast("long")
 
 
+def normalized_morton_key(df: DataFrame, x: str, y: str) -> Column:
+    """Morton key over RANGE-NORMALIZED dimensions: each column is scaled
+    to the full ZBITS space from its actual min/max first. Raw
+    interleaving is wrong whenever a dimension's range is small or offset
+    (its high bits are constant — or worse, wrap under the mask — so it
+    contributes nothing to file separation); normalizing is what makes
+    both dimensions actually prune. One cheap min/max pass (at 100 TB:
+    read from table stats or sample instead)."""
+    row = df.agg(
+        F.min(x).alias("xmin"),
+        F.max(x).alias("xmax"),
+        F.min(y).alias("ymin"),
+        F.max(y).alias("ymax"),
+    ).collect()[0]
+    top = (1 << ZBITS) - 1
+
+    def scale(col: str, lo, hi) -> Column:
+        if lo is None or hi is None or hi == lo:
+            return F.lit(0).cast("long")
+        return ((F.col(col).cast("long") - F.lit(int(lo))) * top / F.lit(int(hi - lo))).cast(
+            "long"
+        )
+
+    return morton_key(scale(x, row.xmin, row.xmax), scale(y, row.ymin, row.ymax))
+
+
 def write_zordered(
     df: DataFrame, dest: str, x: str, y: str, n_files: int | None = None
 ) -> None:
-    """Write ``df`` clustered by the (x, y) Morton key: one range exchange
-    on the key, per-file sorted — downstream scans filtering on either
-    dimension prune row groups via min/max stats."""
-    keyed = df.withColumn("__zkey", morton_key(x, y))
+    """Write ``df`` clustered by the range-normalized (x, y) Morton key:
+    one range exchange on the key, per-file sorted — downstream scans
+    filtering on EITHER dimension prune files/row groups via min/max
+    stats."""
+    keyed = df.withColumn("__zkey", normalized_morton_key(df, x, y))
     parts = (
         keyed.repartitionByRange(n_files, F.asc("__zkey"))
         if n_files
