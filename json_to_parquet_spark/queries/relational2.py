@@ -932,3 +932,76 @@ register(
         "forward fill over deterministic gaps (last_value IGNORE NULLS window)",
     )
 )
+
+
+# --- q53: quantile-bucket featurization (ntile / percent_rank / cume_dist) --
+def q53_quantile_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile featurization: decile bucket, percent rank, and cumulative
+    distribution of order value WITHIN each priority class — the
+    feature-binning pass before model training. Partitioned by priority
+    (bounded cardinality), never a global single-partition window;
+    o_orderkey breaks price ties so every rank function is well-defined
+    (helpers rule 6); the fractional ranks are rounded (rule 3)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+register(
+    QuerySpec(
+        "q53_quantile_features",
+        q53_quantile_features,
+        """
+        SELECT o_orderkey, o_orderpriority,
+               CAST(ntile(10) OVER w AS BIGINT) AS decile,
+               ROUND(percent_rank() OVER w, 6) AS pct_rank,
+               ROUND(cume_dist() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+        """,
+        "quantile featurization: ntile/percent_rank/cume_dist per priority class",
+    )
+)
+
+
+# --- q54: multiset set ops (INTERSECT ALL / EXCEPT ALL) ---------------------
+def q54_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag semantics set ops: customers' order-status multisets compared
+    with INTERSECT ALL (min multiplicity survives) and EXCEPT ALL
+    (multiplicity subtracts) — q09's set-op family completed. Catalyst
+    rewrites both to one hash aggregate + generate, no join."""
+    orders = _t(spark, sf_dir, "orders")
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    urgent_c = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return (
+        open_c.intersectAll(urgent_c)
+        .withColumn("op", F.lit("intersect_all"))
+        .unionAll(open_c.exceptAll(urgent_c).withColumn("op", F.lit("except_all")))
+    )
+
+
+register(
+    QuerySpec(
+        "q54_set_ops_all",
+        q54_set_ops_all,
+        """
+        WITH o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        u AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        SELECT o_custkey, 'intersect_all' AS op
+        FROM (SELECT o_custkey FROM o INTERSECT ALL SELECT o_custkey FROM u)
+        UNION ALL
+        SELECT o_custkey, 'except_all' AS op
+        FROM (SELECT o_custkey FROM o EXCEPT ALL SELECT o_custkey FROM u)
+        """,
+        "bag-semantics INTERSECT ALL / EXCEPT ALL over customer multisets",
+    )
+)
