@@ -9,7 +9,7 @@ ratios are int/int double divisions (deterministic across engines).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
@@ -585,5 +585,73 @@ register(
         FROM dirty
         """,
         "markup strip + URL extraction + tag counts (web-crawl cleanup pass)",
+    )
+)
+
+
+VOCAB_SIZE = 200
+
+
+def x46_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary build: corpus-wide token counts, keep the top
+    VOCAB_SIZE as the vocab with dense ids assigned by (count desc, token)
+    — a total order, so ids are reproducible (helpers rule 6) — and fold
+    everything else into one OOV row carrying its mass. The id table is
+    what a downstream encode step broadcast-joins against.
+
+    Scale shape: explode → hash agg on token (map-side combine: shuffle
+    carries one (token, count) per partition), then top-K via
+    orderBy+limit — Catalyst plans TakeOrderedAndProject: each partition
+    keeps K rows, the driver merges K·p, never a global sort even at
+    100M-token cardinality. Ids come from a window over the K-row result
+    (tiny by construction); the OOV mass is a broadcast anti-join of the
+    counts frame against the vocab."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    ).persist()
+    top = counts.orderBy(F.desc("n"), F.asc("tok")).limit(VOCAB_SIZE)
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))  # over the K-row top only
+    vocab = top.withColumn("token_id", F.row_number().over(w).cast("long")).select(
+        "tok", "token_id", "n"
+    )
+    oov = (
+        counts.join(F.broadcast(vocab.select("tok")), "tok", "left_anti")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n"))
+        .select(
+            F.lit("<OOV>").alias("tok"),
+            F.lit(VOCAB_SIZE + 1).cast("long").alias("token_id"),
+            "n",
+        )
+    )
+    out = vocab.unionAll(oov)
+    counts.unpersist()
+    return out
+
+
+register(
+    QuerySpec(
+        "x46_vocab_build",
+        x46_vocab_build,
+        f"""
+        WITH counts AS (
+          SELECT tok, COUNT(*) AS n
+          FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+                FROM documents)
+          WHERE tok != ''
+          GROUP BY tok),
+        ranked AS (
+          SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS token_id
+          FROM counts)
+        SELECT tok, CAST(token_id AS BIGINT) AS token_id, n
+        FROM ranked WHERE token_id <= {VOCAB_SIZE}
+        UNION ALL
+        SELECT '<OOV>', {VOCAB_SIZE + 1}, CAST(COALESCE(SUM(n), 0) AS BIGINT)
+        FROM ranked WHERE token_id > {VOCAB_SIZE}
+        """,
+        "tokenizer vocab build: top-K tokens with dense ids + OOV mass fold",
     )
 )
