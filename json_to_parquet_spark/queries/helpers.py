@@ -24,6 +24,11 @@ package:
    return BIGINT, Spark often INT.
 6. **Top-k is always ordered by a unique tie-breaker suffix** so the
    selected set is well-defined in both engines.
+7. **DuckDB ``SUM`` over BIGINT returns HUGEINT** (int128), which pandas
+   renders as float64/object and breaks the driver's dtype compare even
+   when values match — wrap every integer-sum output in
+   ``CAST(... AS BIGINT)``. The parity mirror asserts pandas dtype
+   equality to catch this class.
 """
 
 from __future__ import annotations

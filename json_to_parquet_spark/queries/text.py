@@ -72,8 +72,8 @@ register(
         x05_lang_profile,
         """
         SELECT lang, COUNT(*) AS n_docs,
-               SUM(n_chars) AS total_chars,
-               SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
                CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE) / COUNT(*)
                    AS avg_tokens,
                COUNT(DISTINCT source) AS n_sources
@@ -523,7 +523,7 @@ register(
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
                       / {PACK_BUDGET}) AS BIGINT) AS bin_id
           FROM t)
-        SELECT bin_id, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens,
+        SELECT bin_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
                MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         FROM a GROUP BY bin_id
         """,

@@ -42,6 +42,18 @@ ORACLE_SPECS = [s for s in registry().values() if s.oracle is not None]
 ROWS_ONLY_SPECS = [s for s in registry().values() if s.oracle is None]
 
 
+def _norm_dtype(dt) -> str:
+    s = str(dt)
+    return {
+        "int32": "int64",
+        "Int64": "int64",
+        "Int32": "int64",
+        "uint64": "int64",
+        "Float64": "float64",
+        "string": "object",
+    }.get(s, s)
+
+
 @pytest.mark.parametrize("spec", ORACLE_SPECS, ids=lambda s: s.name)
 def test_oracle_match(spark, sf_dir, duck, spec):
     sdf = spec.spark(spark, sf_dir)
@@ -54,6 +66,17 @@ def test_oracle_match(spark, sf_dir, duck, spec):
 
     assert sorted(spark_cols) == sorted(duck_cols), "column names differ"
     assert len(spark_rows) == len(duck_rows), "row counts differ"
+
+    # The DRIVER compares through pandas frames, where a type the repr
+    # check can't see (e.g. DuckDB HUGEINT from SUM(BIGINT) → object
+    # dtype) breaks its canonicalization — assert pandas dtype parity
+    # too (the x46 lesson).
+    s_dtypes = {c: _norm_dtype(t) for c, t in sdf.toPandas().dtypes.items()}
+    d_dtypes = {
+        c: _norm_dtype(t) for c, t in duck.execute(spec.oracle).df().dtypes.items()
+    }
+    if len(spark_rows):  # empty frames carry engine-default dtypes
+        assert s_dtypes == d_dtypes, "pandas dtypes differ"
 
     # align column order by name before hashing values
     sidx = [spark_cols.index(c) for c in sorted(spark_cols)]
