@@ -1005,3 +1005,66 @@ register(
         "bag-semantics INTERSECT ALL / EXCEPT ALL over customer multisets",
     )
 )
+
+
+# --- q55: conversion funnel (first click → first purchase after it) ---------
+def q55_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user conversion funnel: first click, then the first purchase
+    AFTER that click, conversion flag and seconds-to-convert — the
+    product-analytics query a sessionized event stream feeds. Two keyed
+    aggregates + one equi-join on user_id; the conditional min avoids any
+    ordered scan (no window over the full event stream)."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("first_click_us"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("p_us")
+    )
+    conv = (
+        clicks.join(purchases, "user_id", "left")
+        .groupBy("user_id", "first_click_us")
+        .agg(
+            F.min(
+                F.when(F.col("p_us") > F.col("first_click_us"), F.col("p_us"))
+            ).alias("conv_us")
+        )
+    )
+    return conv.select(
+        "user_id",
+        "first_click_us",
+        F.col("conv_us").isNotNull().alias("converted"),
+        ((F.col("conv_us") - F.col("first_click_us")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("secs_to_convert"),
+    )
+
+
+register(
+    QuerySpec(
+        "q55_funnel",
+        q55_funnel,
+        """
+        WITH clicks AS (
+          SELECT user_id, MIN(epoch_us(ts)) AS first_click_us
+          FROM events WHERE event_type = 'click' GROUP BY user_id),
+        purchases AS (
+          SELECT user_id, epoch_us(ts) AS p_us
+          FROM events WHERE event_type = 'purchase'),
+        conv AS (
+          SELECT c.user_id, c.first_click_us,
+                 MIN(CASE WHEN p.p_us > c.first_click_us THEN p.p_us END) AS conv_us
+          FROM clicks c LEFT JOIN purchases p USING (user_id)
+          GROUP BY c.user_id, c.first_click_us)
+        SELECT user_id, first_click_us,
+               conv_us IS NOT NULL AS converted,
+               CAST((conv_us - first_click_us) // 1000000 AS BIGINT)
+                   AS secs_to_convert
+        FROM conv
+        """,
+        "conversion funnel: first click → first later purchase, time to convert",
+    )
+)

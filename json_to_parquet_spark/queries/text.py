@@ -655,3 +655,61 @@ register(
         "tokenizer vocab build: top-K tokens with dense ids + OOV mass fold",
     )
 )
+
+
+def x47_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encoding against the x46 vocabulary: every token becomes its
+    dense id, unknowns become the OOV id — the tokenize step that feeds
+    packing (x27). posexplode keeps token order; the vocab joins
+    broadcast (it is VOCAB_SIZE rows by construction), so encoding is one
+    narrow shuffle-free map over the corpus — the shape that matters when
+    the corpus is 100 TB and the vocab is kilobytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = x46_vocab_build(spark, sf_dir).filter(F.col("tok") != "<OOV>")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    return (
+        toks.join(F.broadcast(vocab.select("tok", "token_id")), "tok", "left")
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.coalesce(F.col("token_id"), F.lit(VOCAB_SIZE + 1))
+            .cast("long")
+            .alias("token_id"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "x47_vocab_encode",
+        x47_vocab_encode,
+        f"""
+        WITH counts AS (
+          SELECT tok, COUNT(*) AS n
+          FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+                FROM documents)
+          WHERE tok != ''
+          GROUP BY tok),
+        vocab AS (
+          SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS token_id
+          FROM counts
+          QUALIFY token_id <= {VOCAB_SIZE}),
+        toks AS (
+          SELECT doc_id, pos - 1 AS pos, tok FROM (
+            SELECT doc_id,
+                   unnest(l) AS tok,
+                   generate_subscripts(l, 1) AS pos
+            FROM (SELECT doc_id,
+                         string_split_regex(lower(text), '\\s+') AS l
+                  FROM documents))
+          WHERE tok != '')
+        SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos,
+               CAST(COALESCE(v.token_id, {VOCAB_SIZE + 1}) AS BIGINT) AS token_id
+        FROM toks t LEFT JOIN vocab v USING (tok)
+        """,
+        "dictionary encode: corpus tokens → dense vocab ids with OOV fallback",
+    )
+)
