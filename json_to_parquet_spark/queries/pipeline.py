@@ -720,3 +720,52 @@ register(
         "PageRank over the nation trade graph: fixed-point, bit-exact iteration",
     )
 )
+
+
+def x48_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dataset interleaving: the final mixing step that
+    turns per-source corpora into ONE reproducible training order.
+    Each doc gets a rank within its source (md5-shuffled, doc_id
+    tie-break — the x32 selection order), and the global position is the
+    dense order of (rank, source): round-robin across sources, so
+    consecutive training examples rotate sources instead of clumping.
+
+    Scale shape: one window per source (bounded key space) + one global
+    position. The global ordering here is materialized as row_number for
+    the oracle; the production writer instead range-partitions on
+    (rank, source) — same total order, no single-partition window (same
+    trick as the convert sort, documented trade: the gate needs the
+    explicit position column)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w_src = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(w_src).alias("rk")
+    )
+    w_glob = Window.orderBy(F.col("rk").asc(), F.col("source").asc())
+    return ranked.select(
+        "doc_id",
+        "source",
+        F.col("rk").cast("long").alias("rk"),
+        F.row_number().over(w_glob).cast("long").alias("position"),
+    )
+
+
+register(
+    QuerySpec(
+        "x48_interleave",
+        x48_interleave,
+        """
+        WITH ranked AS (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                     AS rk
+          FROM documents)
+        SELECT doc_id, source, CAST(rk AS BIGINT) AS rk,
+               CAST(ROW_NUMBER() OVER (ORDER BY rk, source) AS BIGINT) AS position
+        FROM ranked
+        """,
+        "deterministic source interleave: round-robin global training order",
+    )
+)
