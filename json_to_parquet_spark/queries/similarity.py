@@ -517,3 +517,130 @@ register(
         "product quantization: per-subspace nearest-centroid codes + quantization error",
     )
 )
+
+
+KM_K = 8  # clusters
+KM_ITERS = 3
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Rounded squared L2 between two double arrays — sequential fold, so
+    the addition order is fixed and identical in both engines (the x21
+    pattern; ROUND is helpers rule 3)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+
+
+def x49_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel Lloyd k-means over the embedding corpus — the clustering
+    pass behind semantic dedup and IVF index builds. Deterministic
+    throughout: centroids init from the first KM_K vectors (the x21
+    trick), assignment distances are rounded sequential folds, and the
+    centroid update is a decimal-exact mean per (cluster, dim) — so
+    KM_ITERS unrolled iterations are bit-identical in the SQL oracle.
+
+    Scale shape per iteration: assignment is corpus × broadcast(K
+    centroids) with a JVM fold per pair — no explode, no shuffle beyond
+    the min-distance window keyed by vector; the update explodes only for
+    the (cluster, dim)-keyed mean (n·d narrow rows, map-side combined)
+    and rebuilds K packed centroid arrays. Empty clusters keep their
+    previous centroid (left-join coalesce)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = emb.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("c_vec")
+    )
+    assign = None
+    for _ in range(KM_ITERS):
+        scored = emb.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "v", "c_id", _sq_dist(F.col("v"), F.col("c_vec")).alias("d")
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("c_id"))
+        assign = (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("vec_id", "v", F.col("c_id").alias("cluster"), "d")
+        )
+        dims = assign.select(
+            "cluster", F.posexplode("v").alias("dim", "val")
+        )
+        means = dims.groupBy("cluster", "dim").agg(
+            (F.sum(F.col("val").cast("decimal(30,10)")).cast("double") / F.count(F.lit(1))).alias("m")
+        )
+        packed = means.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s.m
+            ).alias("new_vec")
+        )
+        cent = (
+            cent.join(
+                F.broadcast(packed), cent.c_id == packed.cluster, "left"
+            )
+            .select(
+                "c_id",
+                F.coalesce(F.col("new_vec"), F.col("c_vec")).alias("c_vec"),
+            )
+        )
+    return assign.select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster"), "d"
+    )
+
+
+def _kmeans_sql(n_iter: int = KM_ITERS) -> str:
+    head = f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent0 AS (
+          SELECT vec_id AS c_id, v AS c_vec FROM e WHERE vec_id < {KM_K})"""
+    steps = []
+    for i in range(n_iter):
+        steps.append(f"""
+        assign{i} AS (
+          SELECT vec_id, v, c_id AS cluster, d FROM (
+            SELECT e.vec_id, e.v, c.c_id,
+                   ROUND(list_sum(list_transform(list_zip(e.v, c.c_vec),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS d
+            FROM e CROSS JOIN cent{i} c)
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c_id) = 1),
+        means{i} AS (
+          SELECT cluster, dim,
+                 CAST(CAST(SUM(CAST(val AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+                     / COUNT(*) AS m
+          FROM (SELECT cluster,
+                       generate_subscripts(v, 1) - 1 AS dim,
+                       unnest(v) AS val
+                FROM assign{i})
+          GROUP BY cluster, dim),
+        packed{i} AS (
+          SELECT cluster, list(m ORDER BY dim) AS new_vec
+          FROM means{i} GROUP BY cluster),
+        cent{i + 1} AS (
+          SELECT c.c_id, COALESCE(p.new_vec, c.c_vec) AS c_vec
+          FROM cent{i} c LEFT JOIN packed{i} p ON c.c_id = p.cluster)""")
+    return (
+        head + "," + ",".join(steps)
+        + f"""
+        SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, d
+        FROM assign{n_iter - 1}"""
+    )
+
+
+register(
+    QuerySpec(
+        "x49_kmeans",
+        x49_kmeans,
+        _kmeans_sql(),
+        "parallel Lloyd k-means: deterministic init, decimal-exact centroid means",
+    )
+)

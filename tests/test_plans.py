@@ -82,13 +82,15 @@ def test_no_python_udf_anywhere(spark, sf_dir, name):
 
 # The only queries allowed a BroadcastNestedLoopJoin — each broadcasts a
 # provably tiny side: a 1-row aggregate (q21, q42), a bounded dim×dim
-# cross (q36), the query-vector set (x11), the centroid table (x21).
+# cross (q36), the query-vector set (x11), the centroid table (x21, x49
+# — K rows by construction).
 _BNLJ_ALLOWED = {
     "q21_above_avg_orders",
     "q36_cross_join",
     "q42_above_own_avg",
     "x11_cosine_topk",
     "x21_ivf_ann",
+    "x49_kmeans",
 }
 
 
