@@ -769,3 +769,91 @@ register(
         "deterministic source interleave: round-robin global training order",
     )
 )
+
+
+FUZZY_MAX_DIST = 3
+
+
+def x50_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: customer-name pairs within an edit distance
+    of FUZZY_MAX_DIST — the record-linkage primitive. NEVER all-pairs:
+    candidates are blocked on (nation, name length bucket) first, so the
+    quadratic term is bounded per block (the standard blocking design;
+    same principle as x09's LSH bands), then exact Levenshtein — a JVM
+    built-in — refines. id_a < id_b keeps each pair once."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        (F.length("c_name") / 4).cast("long").alias("lb"),
+    )
+    a, b = cust.alias("a"), cust.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.nat") == F.col("b.nat"))
+        & (F.col("a.lb") == F.col("b.lb"))
+        & (F.col("a.id") < F.col("b.id")),
+    )
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein(F.col("a.name"), F.col("b.name")).cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+    )
+
+
+register(
+    QuerySpec(
+        "x50_fuzzy_match",
+        x50_fuzzy_match,
+        f"""
+        WITH c AS (
+          SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
+                 CAST(floor(length(c_name) / 4.0) AS BIGINT) AS lb
+          FROM customer)
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        FROM c a JOIN c b
+          ON a.nat = b.nat AND a.lb = b.lb AND a.id < b.id
+        WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
+        """,
+        "fuzzy record linkage: blocked candidate pairs + exact Levenshtein refine",
+    )
+)
+
+
+def x51_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width numeric histogram of order values — the distribution
+    check a profiling pass (x40) drills into. Fixed [0, 600000) domain in
+    20 bins: bin assignment is a stateless floor projection (no
+    two-pass min/max), one hash agg; clamped top bin catches outliers."""
+    orders = load_table(spark, sf_dir, "orders")
+    width = 600_000.0 / 20
+    bin_ = F.least(F.floor(F.col("o_totalprice") / width), F.lit(19)).cast("long")
+    return (
+        orders.select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            F.round(F.col("bin") * width, 1).alias("lo"),
+            "n",
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "x51_histogram",
+        x51_histogram,
+        """
+        SELECT bin, ROUND(bin * CAST(30000.0 AS DOUBLE), 1) AS lo, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT least(CAST(floor(o_totalprice / 30000.0) AS BIGINT), 19) AS bin
+              FROM orders)
+        GROUP BY bin
+        """,
+        "equi-width histogram of order values: stateless binning, one hash agg",
+    )
+)

@@ -1068,3 +1068,47 @@ register(
         "conversion funnel: first click → first later purchase, time to convert",
     )
 )
+
+
+# --- q56: null-safe join (<=> / IS NOT DISTINCT FROM) ----------------------
+def q56_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join: NULL keys match each other under ``eqNullSafe``
+    (SQL ``IS NOT DISTINCT FROM``) instead of dropping out — the semantics
+    a dimension join needs when 'unknown' is itself a category. Nulls are
+    induced deterministically (event_id % 11) on both sides; the join
+    stays a hash join (null-safe equality is still an equi-key)."""
+    ev = _t(spark, sf_dir, "events")
+    typed = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 11 != 0, F.col("event_type")).alias("et"),
+    )
+    dim = (
+        typed.groupBy("et")
+        .agg(F.count(F.lit(1)).alias("n_of_type"))
+        .withColumnRenamed("et", "d_et")
+    )
+    return typed.join(dim, F.col("et").eqNullSafe(F.col("d_et"))).select(
+        "event_id",
+        F.coalesce(F.col("et"), F.lit("<null>")).alias("et"),
+        F.col("n_of_type").cast("long").alias("n_of_type"),
+    )
+
+
+register(
+    QuerySpec(
+        "q56_null_safe_join",
+        q56_null_safe_join,
+        """
+        WITH typed AS (
+          SELECT event_id,
+                 CASE WHEN event_id % 11 != 0 THEN event_type END AS et
+          FROM events),
+        dim AS (
+          SELECT et, CAST(COUNT(*) AS BIGINT) AS n_of_type
+          FROM typed GROUP BY et)
+        SELECT t.event_id, COALESCE(t.et, '<null>') AS et, d.n_of_type
+        FROM typed t JOIN dim d ON t.et IS NOT DISTINCT FROM d.et
+        """,
+        "null-safe equi-join: NULL keys match (IS NOT DISTINCT FROM / eqNullSafe)",
+    )
+)
