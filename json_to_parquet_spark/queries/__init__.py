@@ -40,6 +40,7 @@ def registry() -> dict[str, QuerySpec]:
         dedup,
         multimodal,
         pipeline,
+        quality,
         relational,
         relational2,
         similarity,

@@ -91,6 +91,7 @@ _BNLJ_ALLOWED = {
     "x11_cosine_topk",
     "x21_ivf_ann",
     "x49_kmeans",
+    "x54_bm25",  # 1-row global-stats frame broadcast against the corpus
 }
 
 
