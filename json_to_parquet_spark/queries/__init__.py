@@ -43,6 +43,7 @@ def registry() -> dict[str, QuerySpec]:
         quality,
         relational,
         relational2,
+        relational3,
         similarity,
         streaming_gate,
         text,

@@ -68,3 +68,30 @@ def test_embedding_near_dup_recovers_injected_copies(spark, sf_dir):
     for r in pairs:
         if (r.id_a, r.id_b) in expected:
             assert r.cos_sim == 1.0
+
+def test_approx_percentile_within_rank_error(spark, sf_dir):
+    """q59's sketch values must sit within the Greenwald-Khanna rank
+    error (n / accuracy) of the exact percentiles — the property the
+    sketch guarantees, checked per group against a full exact sort."""
+    from json_to_parquet_spark.queries.relational3 import APPROX_ACC
+
+    approx = {
+        r.o_orderpriority: r
+        for r in registry()["q59_approx_percentile"].spark(spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    for prio, row in approx.items():
+        vals = sorted(
+            r.o_totalprice
+            for r in orders.filter(F.col("o_orderpriority") == prio)
+            .select("o_totalprice")
+            .collect()
+        )
+        n = len(vals)
+        assert n == row.n
+        max_rank_err = max(1, (n + APPROX_ACC - 1) // APPROX_ACC)
+        for q, got in ((0.5, row.p50_approx), (0.9, row.p90_approx)):
+            target = int(q * (n - 1))
+            lo = vals[max(0, target - max_rank_err)]
+            hi = vals[min(n - 1, target + max_rank_err)]
+            assert lo <= got <= hi, (prio, q, got, lo, hi)
