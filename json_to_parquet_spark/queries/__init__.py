@@ -44,6 +44,7 @@ def registry() -> dict[str, QuerySpec]:
         relational,
         relational2,
         relational3,
+        relational4,
         similarity,
         streaming_gate,
         text,

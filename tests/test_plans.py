@@ -92,6 +92,7 @@ _BNLJ_ALLOWED = {
     "x21_ivf_ann",
     "x49_kmeans",
     "x54_bm25",  # 1-row global-stats frame broadcast against the corpus
+    "q64_revenue_share",  # 1-row global-revenue frame broadcast (Q11 HAVING)
 }
 
 
