@@ -45,6 +45,7 @@ def registry() -> dict[str, QuerySpec]:
         relational2,
         relational3,
         relational4,
+        relational5,
         similarity,
         streaming_gate,
         text,

@@ -93,6 +93,7 @@ _BNLJ_ALLOWED = {
     "x49_kmeans",
     "x54_bm25",  # 1-row global-stats frame broadcast against the corpus
     "q64_revenue_share",  # 1-row global-revenue frame broadcast (Q11 HAVING)
+    "q71_idle_rich_customers",  # 1-row global-average frame broadcast (Q22)
 }
 
 
