@@ -37,6 +37,7 @@ def registry() -> dict[str, QuerySpec]:
     # Import side-effect modules once, on first access.
     from . import (  # noqa: F401
         convert_gate,
+        crawl,
         dedup,
         multimodal,
         pipeline,
