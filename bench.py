@@ -3,7 +3,14 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1}
+   "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1,
+   "runs": {"q01_pricing_summary": [r1, r2, r3], ...}}
+
+Each entry is timed N times (SPARK_GRAFT_BENCH_RUNS, default 3) after one
+warm-up, and the reported number is the MINIMUM — the least-noise estimate
+of the plan's true cost on a box with background load (this machine swings
+3-15x run-to-run under load; VERDICT r2).  The per-run raws are emitted
+under "runs" so variance is visible to the reader.
 
 Query execution is measured with the noop sink (full plan executes —
 scan, shuffles, projections — nothing written, no driver collect), which
@@ -56,6 +63,7 @@ CONVERT_RECORDS = 100_000
 CONVERT_CACHE = os.environ.get(
     "SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench"
 )
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 def _sf_from_dir(d: str) -> float:
@@ -84,10 +92,21 @@ def _convert_fixture(n: int = CONVERT_RECORDS) -> str:
     return path
 
 
+def _timed(fn) -> list[float]:
+    """One warm-up + N_RUNS timed executions; returns the raw timings."""
+    fn()  # warm JIT/IO/codegen
+    raws = []
+    for _ in range(N_RUNS):
+        t0 = time.perf_counter()
+        fn()
+        raws.append(round(time.perf_counter() - t0, 3))
+    return raws
+
+
 def main() -> None:
     spark = build_session(app_name="bench")
     reg = registry()
-    timings: dict[str, float] = {}
+    raw_runs: dict[str, list[float]] = {}
 
     # Convert is timed FIRST, on a fresh session: the query phase leaves
     # storage/GC pressure behind (persisted intermediates, checkpoint
@@ -95,33 +114,34 @@ def main() -> None:
     src = _convert_fixture()
     warm_src = _convert_fixture(1_000)
     with tempfile.TemporaryDirectory() as td:
-        # warm-up on a small same-schema file: compiles the (large) nested
-        # rewrite codegen once, so the timed run measures data work, not
-        # one-time Janino compilation
+        # the small warm-up file compiles the (large) nested rewrite
+        # codegen once, so the timed runs measure data work, not one-time
+        # Janino compilation
         convert(spark, warm_src, os.path.join(td, "warm"), mode="cluster")
-        t0 = time.perf_counter()
-        convert(spark, src, os.path.join(td, "out"), mode="cluster")
-        timings["convert_100k_ndjson"] = round(time.perf_counter() - t0, 3)
+        raw_runs["convert_100k_ndjson"] = _timed(
+            lambda: convert(spark, src, os.path.join(td, "out"), mode="cluster")
+        )
 
         # Pinned-schema fast path (production mode, SURVEY §7c): schema
         # known ahead of time skips the single-threaded inference pass over
         # the unsplittable gzip — the number a real deployment sees after
         # the first file of a feed.
         pinned = spark.read.json(src).schema  # untimed: the pin itself
-        # warm the pinned-path plan shape too (distinct codegen from infer)
         convert(spark, warm_src, os.path.join(td, "warm_pinned"), mode="cluster", schema=pinned)
-        t0 = time.perf_counter()
-        convert(spark, src, os.path.join(td, "out_pinned"), mode="cluster", schema=pinned)
-        timings["convert_100k_ndjson_pinned"] = round(time.perf_counter() - t0, 3)
+        raw_runs["convert_100k_ndjson_pinned"] = _timed(
+            lambda: convert(
+                spark, src, os.path.join(td, "out_pinned"), mode="cluster", schema=pinned
+            )
+        )
 
     for name in HEADLINE:
         fn = reg[name].spark
-        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()  # warm JIT/IO
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        raw_runs[name] = _timed(
+            lambda: fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        )
 
-
+    # min-of-N: the least-load-noise estimate of each plan's true cost
+    timings = {name: min(raws) for name, raws in raw_runs.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -131,6 +151,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
+                "runs": raw_runs,
+                "n_runs": N_RUNS,
             }
         )
     )

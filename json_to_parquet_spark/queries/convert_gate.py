@@ -29,7 +29,11 @@ from pyspark.sql import functions as F
 from . import QuerySpec, register
 
 GATE_DIR = os.path.join(tempfile.gettempdir(), "spark_graft_gate")
-FIXTURE_PATH = os.path.join(GATE_DIR, "convert_gate.ndjson.gz")
+# v2: variable-length item lists (incl. empty), list<struct> nested inside
+# a struct, and null _dt values.  The path is versioned because the
+# fixture is generated lazily and cached — an old cached v1 file must
+# never satisfy the v2 reader.
+FIXTURE_PATH = os.path.join(GATE_DIR, "convert_gate_v2.ndjson.gz")
 OUTPUT_PATH = os.path.join(GATE_DIR, "out_q00")
 
 _N_ROWS = 400
@@ -44,16 +48,37 @@ def _iso(epoch_s: int) -> str:
 
 
 def _record(i: int) -> dict:
+    """One fixture row covering every ``_dt`` shape the reference's
+    recursive rewrite handles (/root/reference/pyarrow/main.py:258-279):
+    top-level, struct member, list<struct> element, and list<struct>
+    nested INSIDE a struct — plus the null/ragged cases that break naive
+    rewrites: a null ``_dt`` value every 13th row, a 1-element item list
+    every 7th row, a 3-element list every 11th, and an empty ``events``
+    list every 5th."""
     t = _BASE_EPOCH + i
+    items = [
+        {"uid": f"u{i:04d}a", "created_time_dt": _iso(t - 86400)},
+        {"uid": f"u{i:04d}b", "created_time_dt": _iso(t - 3600)},
+    ]
+    if i % 7 == 0:
+        items = items[:1]
+    elif i % 11 == 0:
+        items.append({"uid": f"u{i:04d}c", "created_time_dt": _iso(t - 60)})
+    events = (
+        []
+        if i % 5 == 0
+        else [{"kind": f"k{i % 3}", "at_dt": _iso(t + 30)}]
+    )
     return {
         "id": i,
         "time": t * 1000,  # epoch millis, like the reference generator
-        "time_dt": _iso(t),
-        "meta": {"name": f"prod{i % 5}", "my_dt": _iso(t + 7)},
-        "items": [
-            {"uid": f"u{i:04d}a", "created_time_dt": _iso(t - 86400)},
-            {"uid": f"u{i:04d}b", "created_time_dt": _iso(t - 3600)},
-        ],
+        "time_dt": None if i % 13 == 0 else _iso(t),
+        "meta": {
+            "name": f"prod{i % 5}",
+            "my_dt": _iso(t + 7),
+            "events": events,
+        },
+        "items": items,
     }
 
 
@@ -82,14 +107,20 @@ def q00_convert_dt(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = ensure_convert_fixture()
     convert(spark, src, OUTPUT_PATH, sort_column="time", mode="global")
     out = spark.read.parquet(OUTPUT_PATH)
+    # F.get is 0-based and null-safe on ragged lists (ANSI mode would
+    # throw on out-of-bounds [] access); DuckDB's 1-based list index is
+    # already null-safe.
     return out.select(
         "id",
         "time",
         F.unix_micros("time_dt").alias("time_dt_us"),
         F.col("meta.name").alias("meta_name"),
         F.unix_micros(F.col("meta.my_dt")).alias("my_dt_us"),
-        F.unix_micros(F.col("items")[0]["created_time_dt"]).alias("item1_dt_us"),
-        F.unix_micros(F.col("items")[1]["created_time_dt"]).alias("item2_dt_us"),
+        F.size("items").alias("n_items"),
+        F.unix_micros(F.get(F.col("items"), 0)["created_time_dt"]).alias("item1_dt_us"),
+        F.unix_micros(F.get(F.col("items"), 1)["created_time_dt"]).alias("item2_dt_us"),
+        F.unix_micros(F.get(F.col("items"), 2)["created_time_dt"]).alias("item3_dt_us"),
+        F.unix_micros(F.get(F.col("meta.events"), 0)["at_dt"]).alias("event1_dt_us"),
     )
 
 
@@ -171,14 +202,20 @@ register(
                epoch_us(strptime(time_dt, '%Y-%m-%dT%H:%M:%SZ')) AS time_dt_us,
                meta.name AS meta_name,
                epoch_us(strptime(meta.my_dt, '%Y-%m-%dT%H:%M:%SZ')) AS my_dt_us,
+               CAST(len(items) AS INTEGER) AS n_items,
                epoch_us(strptime(items[1].created_time_dt,
                                  '%Y-%m-%dT%H:%M:%SZ')) AS item1_dt_us,
                epoch_us(strptime(items[2].created_time_dt,
-                                 '%Y-%m-%dT%H:%M:%SZ')) AS item2_dt_us
+                                 '%Y-%m-%dT%H:%M:%SZ')) AS item2_dt_us,
+               epoch_us(strptime(items[3].created_time_dt,
+                                 '%Y-%m-%dT%H:%M:%SZ')) AS item3_dt_us,
+               epoch_us(strptime(meta.events[1].at_dt,
+                                 '%Y-%m-%dT%H:%M:%SZ')) AS event1_dt_us
         FROM read_json('{FIXTURE_PATH}', format='newline_delimited',
                        columns={{'id': 'BIGINT', 'time': 'BIGINT',
                                  'time_dt': 'VARCHAR',
-                                 'meta': 'STRUCT(name VARCHAR, my_dt VARCHAR)',
+                                 'meta': 'STRUCT(name VARCHAR, my_dt VARCHAR,
+                                          events STRUCT(kind VARCHAR, at_dt VARCHAR)[])',
                                  'items': 'STRUCT(uid VARCHAR, created_time_dt VARCHAR)[]'}})
         """,
         "flagship convert pipeline (scan→infer→_dt rewrite→sort→parquet) vs read_json oracle",

@@ -39,8 +39,12 @@ from ..sources.catalog import load_table
 from . import QuerySpec, register
 from .convert_gate import FIXTURE_PATH, GATE_DIR, ensure_convert_fixture
 
-STREAM_SRC_DIR = os.path.join(GATE_DIR, "stream_src")
-STREAM_FIXTURE = os.path.join(STREAM_SRC_DIR, "convert_gate.ndjson.gz")
+# v2 suffix tracks convert_gate.FIXTURE_PATH: the fixture is cached on
+# disk and the stream source reads the WHOLE directory, so a format
+# change must change the directory — a leftover v1 file in the old dir
+# would be double-counted by the file-source stream.
+STREAM_SRC_DIR = os.path.join(GATE_DIR, "stream_src_v2")
+STREAM_FIXTURE = os.path.join(STREAM_SRC_DIR, "convert_gate_v2.ndjson.gz")
 
 # Pinned fixture schema: streaming file sources don't infer (SURVEY §7c).
 _FIXTURE_SCHEMA = T.StructType(
@@ -54,6 +58,17 @@ _FIXTURE_SCHEMA = T.StructType(
                 [
                     T.StructField("name", T.StringType()),
                     T.StructField("my_dt", T.StringType()),
+                    T.StructField(
+                        "events",
+                        T.ArrayType(
+                            T.StructType(
+                                [
+                                    T.StructField("kind", T.StringType()),
+                                    T.StructField("at_dt", T.StringType()),
+                                ]
+                            )
+                        ),
+                    ),
                 ]
             ),
         ),
@@ -97,14 +112,18 @@ def x28_stream_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     out = spark.read.parquet(dest)
+    # F.get: 0-based, null-safe on the v2 fixture's ragged lists (ANSI []
+    # access would throw out-of-bounds).
     return out.select(
         "id",
         "time",
         F.unix_micros("time_dt").alias("time_dt_us"),
         F.col("meta.name").alias("meta_name"),
         F.unix_micros(F.col("meta.my_dt")).alias("my_dt_us"),
-        F.unix_micros(F.col("items")[0]["created_time_dt"]).alias("item1_dt_us"),
-        F.unix_micros(F.col("items")[1]["created_time_dt"]).alias("item2_dt_us"),
+        F.size("items").alias("n_items"),
+        F.unix_micros(F.get(F.col("items"), 0)["created_time_dt"]).alias("item1_dt_us"),
+        F.unix_micros(F.get(F.col("items"), 1)["created_time_dt"]).alias("item2_dt_us"),
+        F.unix_micros(F.get(F.col("meta.events"), 0)["at_dt"]).alias("event1_dt_us"),
     )
 
 
@@ -117,14 +136,18 @@ register(
                epoch_us(strptime(time_dt, '%Y-%m-%dT%H:%M:%SZ')) AS time_dt_us,
                meta.name AS meta_name,
                epoch_us(strptime(meta.my_dt, '%Y-%m-%dT%H:%M:%SZ')) AS my_dt_us,
+               CAST(len(items) AS INTEGER) AS n_items,
                epoch_us(strptime(items[1].created_time_dt,
                                  '%Y-%m-%dT%H:%M:%SZ')) AS item1_dt_us,
                epoch_us(strptime(items[2].created_time_dt,
-                                 '%Y-%m-%dT%H:%M:%SZ')) AS item2_dt_us
+                                 '%Y-%m-%dT%H:%M:%SZ')) AS item2_dt_us,
+               epoch_us(strptime(meta.events[1].at_dt,
+                                 '%Y-%m-%dT%H:%M:%SZ')) AS event1_dt_us
         FROM read_json('{STREAM_FIXTURE}', format='newline_delimited',
                        columns={{'id': 'BIGINT', 'time': 'BIGINT',
                                  'time_dt': 'VARCHAR',
-                                 'meta': 'STRUCT(name VARCHAR, my_dt VARCHAR)',
+                                 'meta': 'STRUCT(name VARCHAR, my_dt VARCHAR,
+                                          events STRUCT(kind VARCHAR, at_dt VARCHAR)[])',
                                  'items': 'STRUCT(uid VARCHAR, created_time_dt VARCHAR)[]'}})
         """,
         "streaming convert (file source + foreachBatch, availableNow) vs read_json oracle",

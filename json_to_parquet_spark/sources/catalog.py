@@ -47,18 +47,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     _ensure_session_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # events.ts is INT64 TIMESTAMP(NANOS) parquet. Spark has no nanos
-        # timestamp type: with spark.sql.legacy.parquet.nanosAsLong=true it
-        # surfaces as a long, which we floor-divide to a microsecond
-        # timestamp — the same truncation every microsecond engine
-        # (including the DuckDB oracle) applies to nanos.
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # Older testdata generations wrote events.ts as INT64
+        # TIMESTAMP(NANOS); Spark 4 has no nanos type — with
+        # spark.sql.legacy.parquet.nanosAsLong=true it surfaces as a
+        # long, floor-divided here to micros (the same truncation the
+        # DuckDB oracle applies to nanos).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Timestamp columns written without a timezone read back as
+    # TIMESTAMP_NTZ, which instant functions (unix_micros, to_utc_*)
+    # reject. Cast every NTZ column to a UTC-instant TIMESTAMP under the
+    # pinned UTC session TZ — the identical wall-clock→instant reading
+    # DuckDB gives a naive timestamp — so every query sees ONE type
+    # regardless of which testdata generation is on disk.
+    ntz = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -68,6 +68,34 @@ def test_q47_interval_join_is_binned_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_x40_exact_profile_distinct_is_parallel(spark, sf_dir):
+    # exact-mode profiling must NOT plan distinct counts as Spark's
+    # multi-COUNT(DISTINCT) shape (Expand ×k feeding a keyless final
+    # aggregate = every value through ONE partition).  The operator's
+    # own plan: pair explode → hashpartitioning(col_idx, val) dedup →
+    # per-column count.  The only SinglePartition exchange allowed is
+    # the scalar min/max/null rollup, which receives one
+    # partially-aggregated row per upstream partition.
+    import re
+
+    from json_to_parquet_spark.operators.profile import profile
+    from json_to_parquet_spark.sources.catalog import load_table
+
+    prof = profile(
+        load_table(spark, sf_dir, "lineitem"),
+        cols=["l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus"],
+        exact=True,
+    )
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    assert re.search(r"hashpartitioning\(col_idx#\d+, val#\d+", plan), (
+        "distinct dedup must shuffle on the (col_idx, val) pair"
+    )
+    assert plan.count("Exchange SinglePartition") <= 1, (
+        "only the partial-aggregated scalar rollup may be keyless"
+    )
+
+
 def test_q49_salt_spreads_join_key(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q49_salted_join")
     assert "__salt" in plan  # the join key really carries the salt
