@@ -110,6 +110,7 @@ def registry() -> dict[str, QuerySpec]:
         relational3,
         relational4,
         relational5,
+        relational6,
         similarity,
         streaming_gate,
         text,
