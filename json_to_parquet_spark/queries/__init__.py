@@ -100,6 +100,7 @@ def registry() -> dict[str, QuerySpec]:
     # Import side-effect modules once, on first access.
     from . import (  # noqa: F401
         convert_gate,
+        corpus,
         crawl,
         dedup,
         multimodal,

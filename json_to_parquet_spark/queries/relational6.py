@@ -384,6 +384,51 @@ def q81_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q82: revenue forecast (TPC-H Q6 shape) ----------------------------------
+Q6_WINDOW = ("1996-01-01", "1997-01-01")
+Q6_DISCOUNT = (0.04, 0.06)
+Q6_MAX_QTY = 24
+
+
+def q82_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential revenue increase from eliminating a discount band —
+    Q6's pure filter + single aggregate. The entire predicate reaches
+    the parquet scan as PushedFilters (range on three columns, no join,
+    no shuffle beyond the 1-row final agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(Q6_WINDOW[0]))
+            & (F.col("l_shipdate") < F.lit(Q6_WINDOW[1]))
+            & (F.col("l_discount") >= F.lit(Q6_DISCOUNT[0]))
+            & (F.col("l_discount") <= F.lit(Q6_DISCOUNT[1]))
+            & (F.col("l_quantity") < F.lit(Q6_MAX_QTY))
+        )
+        .agg(
+            dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "q82_revenue_forecast",
+        q82_revenue_forecast,
+        f"""
+        SELECT {SQL_DEC_SUM.format(x="l_extendedprice * l_discount")} AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{Q6_WINDOW[0]}'
+          AND l_shipdate <  TIMESTAMP '{Q6_WINDOW[1]}'
+          AND l_discount BETWEEN {Q6_DISCOUNT[0]} AND {Q6_DISCOUNT[1]}
+          AND l_quantity < {Q6_MAX_QTY}
+        """,
+        "TPC-H Q6 shape: discount-band revenue forecast (pure pushdown filter)",
+    )
+)
+
+
 register(
     QuerySpec(
         "q81_small_qty_revenue",

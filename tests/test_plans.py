@@ -122,6 +122,9 @@ _BNLJ_ALLOWED = {
     "x54_bm25",  # 1-row global-stats frame broadcast against the corpus
     "q64_revenue_share",  # 1-row global-revenue frame broadcast (Q11 HAVING)
     "q71_idle_rich_customers",  # 1-row global-average frame broadcast (Q22)
+    "x62_unigram_logprob",  # 1-row corpus-token-total frame broadcast
+    "x65_triangle_count",  # three 1-row census aggregates crossed at the end
+    "x66_time_decay",  # 1-row global max-timestamp frame broadcast
 }
 
 
