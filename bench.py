@@ -57,6 +57,10 @@ HEADLINE = [
     "x41_cdc_merge",
     "q50_lateral_topk",
     "x45_pagerank",
+    # round-3 additions: five-way broadcast star join (Q5 shape),
+    # open-vocabulary token-keyed shuffle + join (perplexity proxy)
+    "q76_local_supplier_volume",
+    "x62_unigram_logprob",
 ]
 
 CONVERT_RECORDS = 100_000

@@ -137,3 +137,48 @@ def test_no_unbounded_join_shapes(spark, sf_dir, name):
     assert "CartesianProduct" not in plan
     if name not in _BNLJ_ALLOWED:
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q82_full_predicate_pushdown(spark, sf_dir):
+    # Q6 shape: the three-column range predicate must reach the parquet
+    # scan (partition/row-group pruning at scale), and the only exchange
+    # is the 1-row final aggregate.
+    plan = _plan(spark, sf_dir, "q82_revenue_forecast")
+    assert "PushedFilters: [" in plan
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in plan.split("PushedFilters:")[1].split("]")[0], frag
+    assert plan.count("Exchange") == 1
+
+
+def test_q76_dims_broadcast(spark, sf_dir):
+    # the Q5-shape five-way join must broadcast the constant-size
+    # nation/region dims — a shuffle of either is a planning regression
+    plan = _plan(spark, sf_dir, "q76_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_x63_heavy_hitters_distributed_topk(spark, sf_dir):
+    # exact top-K must plan TakeOrderedAndProject (per-partition top-K +
+    # driver merge of K rows/partition), never a global sort of the
+    # vocabulary
+    plan = _plan(spark, sf_dir, "x63_heavy_hitters")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [cnt" not in plan
+
+
+def test_x65_edges_blocked_not_all_pairs(spark, sf_dir):
+    # x65 is BNLJ-allowlisted for its 1-row census crosses, so guard the
+    # edge build explicitly: pair generation must hash-join on the sign
+    # block — a regression to all-pairs cosine would surface as a BNLJ
+    # carrying the embedding arrays (vector-typed broadcast input).
+    plan = _plan(spark, sf_dir, "x65_triangle_count")
+    assert "CartesianProduct" not in plan
+    import re
+
+    assert re.search(r"BroadcastHashJoin \[blk#\d+", plan) or re.search(
+        r"hashpartitioning\(blk#\d+", plan
+    ), "edge generation must key on the sign block"
+    for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
+        head = frag.split("\n")[0]
+        assert "array" not in head, "BNLJ side must never carry embeddings"
