@@ -19,11 +19,15 @@ oracle:
 Both wipe their checkpoint/output dirs per invocation so every gate run
 reprocesses from scratch and is deterministic.
 
-The windowed/stateful aggregation operators (streaming/windowed.py,
-streaming/stateful.py) stay pytest-only BY NECESSITY: their append-mode
-emission set depends on micro-batch boundaries (watermark advances per
-batch), which no engine-independent SQL can express. Their batch-exact
-twins are gate-covered (q25 hourly rollup, q08 running window).
+The APPEND-mode emission set of the windowed/stateful aggregation
+operators (streaming/windowed.py, streaming/stateful.py) stays
+pytest-only BY NECESSITY: which windows a drain emits depends on
+micro-batch boundaries (watermark advances per batch), which no
+engine-independent SQL can express. But the COMPLETE-mode final state
+does not — after an availableNow drain it equals the batch aggregation
+exactly, however the input was batched — so ``x67_stream_window`` runs
+the same windowed operator in complete mode against a batch time-bucket
+oracle, closing the gate gap without faking the append semantics.
 """
 
 from __future__ import annotations
@@ -252,5 +256,65 @@ register(
               FROM events GROUP BY user_id) d USING (user_id)
         """,
         "stream-static enrichment join (availableNow) vs batch join oracle",
+    )
+)
+
+
+def x67_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time windowed aggregation (1-day tumbling) over
+    a multi-batch stream, drained with availableNow in COMPLETE mode.
+
+    Complete mode's final table equals the batch aggregation no matter
+    how the files were micro-batched, so a time-bucket GROUP BY is an
+    exact oracle — this is the gate-checkable face of
+    ``streaming/windowed.py`` (the append-mode emission schedule stays
+    pytest-covered; see module docstring). The memory sink is gate
+    harness only — it holds one row per (window, event_type), bounded by
+    the stream's time span, never raw events; the production path writes
+    append-mode to a real sink with the watermark bounding state."""
+    from ..streaming.windowed import windowed_event_counts
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(GATE_DIR, f"events67_{sf_tag}")
+    _fresh(src)
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    ev.repartitionByRange(4, "ts").write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)  # force cross-batch state merge
+        .parquet(src)
+    )
+    agg = windowed_event_counts(stream, window_duration="1 day", watermark="1 hour")
+    name = f"x67_windows_{sf_tag}".replace(".", "_")  # dots invalid in view names
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("win_start_us", "event_type")
+
+
+register(
+    QuerySpec(
+        "x67_stream_window",
+        x67_stream_window,
+        """
+        SELECT epoch_us(time_bucket(INTERVAL '1 day', ts)) AS win_start_us,
+               epoch_us(time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day')
+                   AS win_end_us,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+                   AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
+        ORDER BY win_start_us, event_type
+        """,
+        "complete-mode windowed streaming agg (availableNow) vs time-bucket oracle",
     )
 )
