@@ -519,3 +519,179 @@ register(
         "dedup survivors: the kept corpus, one doc per near-dup cluster",
     )
 )
+
+
+# --- x68: MinHash-LSH with an arithmetic hash — fully oracle-backed ----------
+# x09's xxhash64 has no DuckDB twin, so its gate check is rows-only. This
+# variant swaps in a polynomial-mod-prime hash family: pure BIGINT
+# arithmetic, bit-identical in any engine, so the ENTIRE sketch chain
+# (shingle fingerprint → minhash signature → band buckets → candidate
+# pairs → signature-overlap estimate) is differential-checked — the
+# strongest evidence a sketch operator can have.
+ARITH_P = 1_000_000_007
+_BAND_MIX = 131
+
+
+def _hash_params(n: int) -> list[tuple[int, int]]:
+    """Fixed (a, b) pairs from a splitmix-style recurrence — deterministic,
+    embedded identically in the Spark plan and the oracle SQL."""
+    out, x = [], 0x9E3779B97F4A7C15
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = x % (ARITH_P - 1) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = x % ARITH_P
+        out.append((a, b))
+    return out
+
+
+_ARITH_HASHES = _hash_params(MINHASH_HASHES)
+
+
+def _charfold(col: Column) -> Column:
+    """Polynomial fingerprint over a string's codepoints, folded with
+    DuckDB's list_reduce semantics (init = first element) so both engines
+    run the identical recurrence."""
+    codes = F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(
+        F.slice(codes, 2, F.size(codes) - 1),
+        F.element_at(codes, 1),
+        lambda acc, c: (acc * 31 + c) % F.lit(ARITH_P),
+    )
+
+
+def x68_minhash_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed MinHash-LSH near-dup candidates over the doubled
+    corpus (x09's pipeline, arithmetic hash family). Same scale shape as
+    x09: the band shuffle carries (doc_id, band, bucket) — 3 longs per
+    row — and the 16-long signatures rejoin only for candidate pairs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    corpus = docs.unionAll(shifted)
+
+    posting = corpus.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
+    ).withColumn("fp", _charfold(F.col("sh")))
+    mins = [
+        F.min((F.lit(a) * F.col("fp") + F.lit(b)) % F.lit(ARITH_P)).alias(f"h{j}")
+        for j, (a, b) in enumerate(_ARITH_HASHES)
+    ]
+    sig = posting.groupBy("doc_id").agg(*mins).persist()
+
+    def _bucket(b: int) -> Column:
+        expr = F.col(f"h{b * LSH_ROWS}")
+        for r in range(1, LSH_ROWS):
+            expr = (expr * _BAND_MIX + F.col(f"h{b * LSH_ROWS + r}")) % F.lit(ARITH_P)
+        return expr
+
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("long").alias("band"),
+                        _bucket(b).alias("bucket"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    sa = sig.select(F.col("doc_id").alias("id_a"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(MINHASH_HASHES)])
+    sb = sig.select(F.col("doc_id").alias("id_b"), *[F.col(f"h{j}").alias(f"b{j}") for j in range(MINHASH_HASHES)])
+    n_eq = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("long") for j in range(MINHASH_HASHES)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            n_eq.alias("n_eq"),
+            (n_eq.cast("double") / F.lit(float(MINHASH_HASHES))).alias("est_sim"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _x68_sql() -> str:
+    P, W = ARITH_P, SHINGLE_WIDTH
+    sig_cols = ",\n                 ".join(
+        f"MIN(({a}*fp + {b}) % {P}) AS h{j}"
+        for j, (a, b) in enumerate(_ARITH_HASHES)
+    )
+
+    def bucket_sql(b: int) -> str:
+        expr = f"h{b * LSH_ROWS}"
+        for r in range(1, LSH_ROWS):
+            expr = f"(({expr}) * {_BAND_MIX} + h{b * LSH_ROWS + r}) % {P}"
+        return expr
+
+    band_structs = ", ".join(
+        f"{{'band': CAST({b} AS BIGINT), 'bucket': {bucket_sql(b)}}}"
+        for b in range(LSH_BANDS)
+    )
+    eq_sum = " + ".join(
+        f"CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END"
+        for j in range(MINHASH_HASHES)
+    )
+    return f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
+        tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct([array_to_string(t[i+1:i+{W}], ' ')
+                     FOR i IN generate_series(0, len(t)-{W})])) AS sh
+          FROM tk),
+        fp AS (
+          SELECT doc_id,
+                 list_reduce(list_transform(string_split(sh, ''),
+                                            c -> CAST(ascii(c) AS BIGINT)),
+                             (a, b) -> (a*31 + b) % {P}) AS fp
+          FROM sh),
+        sig AS (
+          SELECT doc_id,
+                 {sig_cols}
+          FROM fp GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, bb.band AS band, bb.bucket AS bucket
+          FROM (SELECT doc_id, unnest([{band_structs}]) AS bb FROM sig)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        SELECT c.id_a, c.id_b,
+               CAST({eq_sum} AS BIGINT) AS n_eq,
+               CAST({eq_sum} AS DOUBLE) / {float(MINHASH_HASHES)} AS est_sim
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b
+        ORDER BY c.id_a, c.id_b
+        """
+
+
+register(
+    QuerySpec(
+        "x68_minhash_arith",
+        x68_minhash_arith,
+        _x68_sql(),
+        "MinHash-LSH with arithmetic hash family — the fully oracle-backed sketch chain",
+    )
+)
