@@ -695,3 +695,84 @@ register(
         "MinHash-LSH with arithmetic hash family — the fully oracle-backed sketch chain",
     )
 )
+
+
+# --- x69: SimHash with the arithmetic hash — fully oracle-backed -------------
+# x18's xxhash64 keeps it rows-only; this twin votes on the bits of the
+# x68 polynomial hash family instead. Values are < ARITH_P (~2^30), so
+# the fingerprint uses the 29 fully-populated bit positions — narrower
+# than x18's 64 bits but every stage is BIGINT arithmetic both engines
+# execute identically. Same shape: one explode + 29 conditional sums,
+# all inside one JVM hash aggregate.
+SIM_ARITH_BITS = 29
+_SIM_A, _SIM_B = _hash_params(MINHASH_HASHES + 1)[-1]
+
+
+def x69_simhash_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed SimHash: distinct tokens vote ±1 per bit of their
+    mixed polynomial hash; vote signs assemble the fingerprint."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    posting = (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+        )
+        .withColumn("fp", _charfold(F.col("token")))
+        .select(
+            "doc_id",
+            ((F.lit(_SIM_A) * F.col("fp") + F.lit(_SIM_B)) % F.lit(ARITH_P)).alias("h"),
+        )
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIM_ARITH_BITS)
+    ]
+    agg = posting.groupBy("doc_id").agg(*votes)
+    fp = None
+    for b in range(SIM_ARITH_BITS):
+        bit = F.shiftleft((F.col(f"v{b}") > 0).cast("long"), b)
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return agg.select(
+        "doc_id", fp.alias("simhash"), F.bit_count(fp).cast("long").alias("n_set_bits")
+    ).orderBy("doc_id")
+
+
+def _x69_sql() -> str:
+    votes = ",\n                 ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIM_ARITH_BITS)
+    )
+    fp = " | ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST(1 AS BIGINT) << {b} ELSE 0 END)"
+        for b in range(SIM_ARITH_BITS)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+                 ({_SIM_A} * list_reduce(list_transform(string_split(token, ''),
+                                                        c -> CAST(ascii(c) AS BIGINT)),
+                                         (a, b) -> (a*31 + b) % {ARITH_P})
+                  + {_SIM_B}) % {ARITH_P} AS h
+          FROM toks),
+        v AS (
+          SELECT doc_id,
+                 {votes}
+          FROM h GROUP BY doc_id)
+        SELECT doc_id, ({fp}) AS simhash,
+               CAST(bit_count({fp}) AS BIGINT) AS n_set_bits
+        FROM v ORDER BY doc_id
+        """
+
+
+register(
+    QuerySpec(
+        "x69_simhash_arith",
+        x69_simhash_arith,
+        _x69_sql(),
+        "SimHash over the arithmetic hash family — fully oracle-backed fingerprints",
+    )
+)

@@ -318,3 +318,67 @@ register(
         "complete-mode windowed streaming agg (availableNow) vs time-bucket oracle",
     )
 )
+
+
+def x70_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (purchases ⋈ preceding
+    same-user clicks), drained with availableNow over a multi-batch
+    source.
+
+    INNER-join emission is batch-boundary independent: each matched pair
+    is emitted exactly once when both rows have arrived, and with the
+    watermark horizon beyond the dataset's span nothing is evicted
+    early — so the drained output equals the batch interval join and a
+    plain SQL join is an exact oracle. (Production tunes the watermark
+    to the lookback so state stays bounded; see streaming/joins.py.)"""
+    from ..streaming.joins import purchases_with_recent_clicks
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(GATE_DIR, f"events70_{sf_tag}")
+    dest = os.path.join(GATE_DIR, f"out_x70_{sf_tag}")
+    ckpt = os.path.join(GATE_DIR, f"ckpt_x70_{sf_tag}")
+    _fresh(src, dest, ckpt)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    ev.repartitionByRange(4, "ts").write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)  # several micro-batches
+        .parquet(src)
+    )
+    joined = purchases_with_recent_clicks(
+        stream, lookback="30 minutes", watermark="3650 days"
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(dest)
+
+
+register(
+    QuerySpec(
+        "x70_stream_interval_join",
+        x70_stream_interval_join,
+        """
+        SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+               epoch_us(p.ts) AS purchase_us, epoch_us(c.ts) AS click_us
+        FROM events p
+        JOIN events c
+          ON c.user_id = p.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL '30 minutes'
+        """,
+        "stream-stream interval join (availableNow drain) vs batch join oracle",
+    )
+)
