@@ -506,3 +506,87 @@ register(
         "per-user exponentially time-decayed activity score",
     )
 )
+
+
+# --- x71: cross-source duplication overlap matrix ----------------------------
+def x71_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise shingle-set Jaccard between sources — the governance view
+    of WHERE duplication comes from (mirror sites, scraped re-posts)
+    before doc-level dedup decides what to drop.
+
+    Scale shape: the corpus collapses to distinct (source, shingle-md5)
+    pairs first (map-side partial dedup), so the self-join shuffles
+    32-char keys, never text; a shingle shared by k sources fans out to
+    C(k,2) ≤ C(n_sources,2) pairs — bounded by the source-count squared,
+    independent of corpus size. Set sizes (one row per source) broadcast
+    back onto the pair counts."""
+    d = _docs(spark, sf_dir)
+    sh = d.select(
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(F.split("text", " ")) - 3),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.split("text", " "), i + 1, 3)
+                    ),
+                )
+            )
+        ).alias("shingle"),
+    ).select("source", F.md5(F.col("shingle").cast("binary")).alias("fp")).distinct()
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("source").alias("src_a"), "fp")
+    b = sh.select(F.col("source").alias("src_b"), "fp")
+    inter = (
+        a.join(b, "fp")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+register(
+    QuerySpec(
+        "x71_source_overlap",
+        x71_source_overlap,
+        """
+        WITH sh AS (
+          SELECT DISTINCT source, md5(s) AS fp
+          FROM (
+            SELECT source,
+                   unnest([array_to_string(t[i+1:i+3], ' ')
+                           FOR i IN generate_series(0, len(t)-3)]) AS s
+            FROM (SELECT source, string_split(text, ' ') AS t FROM documents))),
+        sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+        inter AS (
+          SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+          FROM sh a JOIN sh b ON a.fp = b.fp AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT i.src_a, i.src_b, CAST(i.n_shared AS BIGINT) AS n_shared,
+               ROUND(CAST(i.n_shared AS DOUBLE)
+                     / CAST(na.n + nb.n - i.n_shared AS DOUBLE), 6) AS jaccard
+        FROM inter i
+        JOIN sizes na ON na.source = i.src_a
+        JOIN sizes nb ON nb.source = i.src_b
+        ORDER BY i.src_a, i.src_b
+        """,
+        "pairwise source shingle-Jaccard — where corpus duplication comes from",
+    )
+)
