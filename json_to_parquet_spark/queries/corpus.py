@@ -590,3 +590,51 @@ register(
         "pairwise source shingle-Jaccard — where corpus duplication comes from",
     )
 )
+
+
+# --- x72: deterministic per-source eval sample -------------------------------
+EVAL_SAMPLE_K = 5
+
+
+def x72_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K docs per source, chosen by md5-hash order — the reproducible
+    "random" holdout every eval/inspection pipeline needs: stable across
+    runs, engines and partitionings, no RNG state. One source-keyed
+    window whose per-group limit Catalyst executes as WindowGroupLimit
+    (top-K retained per partition map-side before the shuffle)."""
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat_ws("|", F.col("source"), F.col("doc_id"))), F.col("doc_id")
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            F.row_number().over(w).cast("long").alias("pick"),
+        )
+        .filter(F.col("pick") <= EVAL_SAMPLE_K)
+        .orderBy("source", "pick")
+    )
+
+
+register(
+    QuerySpec(
+        "x72_eval_sample",
+        x72_eval_sample,
+        f"""
+        SELECT doc_id, source, lang, n_chars, pick
+        FROM (
+          SELECT doc_id, source, lang, n_chars,
+                 CAST(ROW_NUMBER() OVER (
+                     PARTITION BY source
+                     ORDER BY md5(source || '|' || CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS BIGINT) AS pick
+          FROM documents)
+        WHERE pick <= {EVAL_SAMPLE_K}
+        ORDER BY source, pick
+        """,
+        "deterministic hash-ordered K-per-source eval sample",
+    )
+)
