@@ -638,3 +638,140 @@ register(
         "deterministic hash-ordered K-per-source eval sample",
     )
 )
+
+
+# --- x73: PSI distribution drift ---------------------------------------------
+PSI_BINS = 10
+PSI_SPLIT = "2024-01-16"  # events span 2024-01-01..30: early vs late half
+
+
+def x73_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift of the event value distribution,
+    early half vs late half, per event type — the monitor that catches a
+    feed silently changing under a training pipeline.
+
+    Equal-width bins over the global [min, max] (computed in one 1-row
+    aggregate, broadcast) — percentile-free, so binning is exact integer
+    arithmetic on both engines. Laplace-smoothed shares keep empty bins
+    finite with integer-exact ratios; the ln terms are ROUND-ed then
+    decimal-summed (helpers rules 1+3). Two key-shuffles total:
+    (event_type, bin, half) counts, then event_type rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    binned = (
+        ev.crossJoin(F.broadcast(rng))
+        .select(
+            "event_type",
+            F.when(F.col("ts") < F.lit(PSI_SPLIT), "early")
+            .otherwise("late")
+            .alias("half"),
+            F.least(
+                F.lit(PSI_BINS - 1),
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    / ((F.col("vmax") - F.col("vmin")) / F.lit(float(PSI_BINS)))
+                ).cast("long"),
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "half", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = binned.groupBy("event_type", "half").agg(
+        F.sum("cnt").alias("n_half")
+    )
+    # Laplace smoothing: (cnt+1)/(n_half+BINS) — exact rational both sides.
+    # Re-densify missing (bin, half) pairs via the full bin spine so empty
+    # bins contribute their smoothed mass.
+    spine = (
+        binned.select("event_type").distinct()
+        .crossJoin(
+            F.broadcast(
+                ev.sparkSession.range(PSI_BINS).select(F.col("id").alias("bin"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                ev.sparkSession.createDataFrame(
+                    [("early",), ("late",)], ["half"]
+                )
+            )
+        )
+    )
+    dense = (
+        spine.join(binned, ["event_type", "half", "bin"], "left")
+        .fillna(0, subset=["cnt"])
+        .join(F.broadcast(totals), ["event_type", "half"])
+        .select(
+            "event_type",
+            "bin",
+            "half",
+            (
+                (F.col("cnt") + 1).cast("double")
+                / (F.col("n_half") + PSI_BINS).cast("double")
+            ).alias("share"),
+        )
+    )
+    e = dense.filter(F.col("half") == "early").select(
+        "event_type", "bin", F.col("share").alias("p")
+    )
+    l = dense.filter(F.col("half") == "late").select(
+        "event_type", "bin", F.col("share").alias("q")
+    )
+    term = F.round((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 6)
+    return (
+        e.join(l, ["event_type", "bin"])
+        .select("event_type", term.alias("t"))
+        .groupBy("event_type")
+        .agg(dec_sum("t", "psi"))
+        .orderBy("event_type")
+    )
+
+
+register(
+    QuerySpec(
+        "x73_psi_drift",
+        x73_psi_drift,
+        f"""
+        WITH rng AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM events),
+        binned AS (
+          SELECT event_type,
+                 CASE WHEN ts < TIMESTAMP '{PSI_SPLIT}' THEN 'early' ELSE 'late' END
+                     AS half,
+                 LEAST({PSI_BINS - 1},
+                       CAST(FLOOR((value - vmin) / ((vmax - vmin) / {float(PSI_BINS)}))
+                            AS BIGINT)) AS bin
+          FROM events, rng),
+        cnts AS (
+          SELECT event_type, half, bin, COUNT(*) AS cnt
+          FROM binned GROUP BY 1, 2, 3),
+        totals AS (
+          SELECT event_type, half, SUM(cnt) AS n_half
+          FROM cnts GROUP BY 1, 2),
+        spine AS (
+          SELECT DISTINCT c.event_type, b.bin, h.half
+          FROM cnts c,
+               generate_series(0, {PSI_BINS - 1}) AS b(bin),
+               (VALUES ('early'), ('late')) AS h(half)),
+        dense AS (
+          SELECT s.event_type, s.bin, s.half,
+                 CAST(COALESCE(c.cnt, 0) + 1 AS DOUBLE)
+                 / CAST(t.n_half + {PSI_BINS} AS DOUBLE) AS share
+          FROM spine s
+          LEFT JOIN cnts c
+            ON c.event_type = s.event_type AND c.half = s.half AND c.bin = s.bin
+          JOIN totals t ON t.event_type = s.event_type AND t.half = s.half),
+        terms AS (
+          SELECT e.event_type,
+                 ROUND((e.share - l.share) * ln(e.share / l.share), 6) AS t
+          FROM dense e JOIN dense l
+            ON e.event_type = l.event_type AND e.bin = l.bin
+           AND e.half = 'early' AND l.half = 'late')
+        SELECT event_type,
+               {SQL_DEC_SUM.format(x="t")} AS psi
+        FROM terms GROUP BY event_type ORDER BY event_type
+        """,
+        "population-stability-index drift per event type, early vs late half",
+    )
+)

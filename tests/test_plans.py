@@ -125,6 +125,7 @@ _BNLJ_ALLOWED = {
     "x62_unigram_logprob",  # 1-row corpus-token-total frame broadcast
     "x65_triangle_count",  # three 1-row census aggregates crossed at the end
     "x66_time_decay",  # 1-row global max-timestamp frame broadcast
+    "x73_psi_drift",  # 1-row min/max frame + constant 10x2 bin spine crosses
 }
 
 
