@@ -103,6 +103,7 @@ def registry() -> dict[str, QuerySpec]:
         corpus,
         crawl,
         dedup,
+        evalsuite,
         multimodal,
         pipeline,
         quality,

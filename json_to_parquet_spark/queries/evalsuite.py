@@ -1,0 +1,447 @@
+"""Evaluation & cross-corpus batch operators, fourth LLM-pipeline batch
+(SURVEY §2.C X1-X3 breadth): incremental batch-vs-base dedup (x74),
+MinHash sketch-accuracy evaluation (x75), ANN recall@k evaluation (x76),
+and a per-source dataset report card (x77). The reference
+(`/root/reference/pyarrow/main.py`) has no corpus surface; these are
+driver-mandated LLM-pipeline operators (repo:BASELINE.json north_star) —
+the measurement half of a production dedup/ANN deployment: every sketch
+or index you ship needs an oracle-checked accuracy eval next to it.
+
+Scale shapes:
+- x74 is the asymmetric ingest shape: the incoming batch key-shuffles on
+  content fingerprint against the (pre-aggregated, fingerprint-keyed)
+  base corpus — the shuffle carries (fp, count) for the base and
+  (doc_id, fp) for the batch, never document payloads. At 100 TB the
+  base side is a bucketed fingerprint table; the batch join is then
+  shuffle-free on the base side.
+- x75 evaluates sketch error on a BOUNDED sample of documents
+  (SKETCH_EVAL_MAX_ID originals + their injected exact-dup twins) — an
+  eval harness is allowed to sample; the posting self-join is quadratic
+  per shared shingle and must never run corpus-wide. The sampled shape
+  is the same inverted-index join as x08 (no cross product).
+- x76 joins two already-k-bounded result sets (exact top-5 per query vs
+  IVF top-5 per query) on (q_id, vec_id) — both sides are
+  n_queries × k rows regardless of corpus size.
+- x77 is two source-keyed aggregations plus a window over the
+  (source, lang) group-count frame — bounded by label cardinality, not
+  corpus size.
+
+Determinism per helpers.py: the arithmetic (polynomial-mod-prime) hash
+family from x68 for every sketch stage (pure BIGINT, identical in both
+engines); ROUND(·,6) on every derived double before output (rule 3);
+computed ints cast to long (rule 5); integer sums wrapped in BIGINT
+(rule 7); top-k ties broken by id (rule 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from . import QuerySpec, register
+from .dedup import (
+    ARITH_P,
+    MINHASH_HASHES,
+    SHINGLE_WIDTH,
+    _ARITH_HASHES,
+    _charfold,
+    shingles,
+)
+from .similarity import N_QUERY_VECS, x11_cosine_topk, x21_ivf_ann
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- x74: incremental batch-vs-base dedup -----------------------------------
+# The nightly-ingest question: which documents of the NEW crawl batch are
+# already in the base corpus?  Batch = the corpus re-offset by 100000 with
+# every third document rewritten (simulating fresh content mixed into a
+# re-crawl); dedup is a fingerprint left-join, not a symmetric self-join.
+BATCH_OFFSET = 100_000
+
+
+def x74_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag each batch document as exact-dup-of-base via md5 content
+    fingerprint. Base pre-aggregates to (fp, n_base) — the join input is
+    fingerprint-sized, never document-sized; the batch side shuffles
+    (doc_id, fp) only."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base_fp = (
+        docs.select(F.md5("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_base"))
+    )
+    batch = docs.select(
+        (F.col("doc_id") + BATCH_OFFSET).alias("doc_id"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.col("text"), F.lit(" fresh "), F.col("doc_id").cast("string")),
+            ).otherwise(F.col("text"))
+        ).alias("fp"),
+    )
+    return (
+        batch.join(base_fp, "fp", "left")
+        .select(
+            "doc_id",
+            F.col("n_base").isNotNull().alias("is_dup"),
+            F.coalesce(F.col("n_base"), F.lit(0).cast("long")).alias("n_base_matches"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    QuerySpec(
+        "x74_incremental_dedup",
+        x74_incremental_dedup,
+        f"""
+        WITH bfp AS (
+          SELECT md5(text) AS fp, CAST(COUNT(*) AS BIGINT) AS n_base
+          FROM documents GROUP BY md5(text)),
+        batch AS (
+          SELECT doc_id + {BATCH_OFFSET} AS doc_id,
+                 md5(CASE WHEN doc_id % 3 = 0
+                          THEN text || ' fresh ' || CAST(doc_id AS VARCHAR)
+                          ELSE text END) AS fp
+          FROM documents)
+        SELECT b.doc_id,
+               bfp.fp IS NOT NULL AS is_dup,
+               COALESCE(bfp.n_base, 0) AS n_base_matches
+        FROM batch b LEFT JOIN bfp ON b.fp = bfp.fp
+        ORDER BY b.doc_id
+        """,
+        "incremental ingest dedup: batch fingerprints left-joined against the base corpus",
+    )
+)
+
+
+# --- x75: MinHash sketch-accuracy evaluation ---------------------------------
+# |MinHash estimate − exact Jaccard| per candidate pair, on a bounded
+# document sample with injected exact-dup twins (so both error tails —
+# jaccard≈0 and jaccard=1 — are exercised).  This is the eval you run
+# before trusting a sketch threshold at 100 TB.
+SKETCH_EVAL_MAX_ID = 40
+
+
+def x75_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set Jaccard vs 16-hash arithmetic MinHash estimate
+    for every sampled pair sharing ≥1 shingle. Inverted-index join on
+    shingle fingerprint (the x08 shape) — never a cross product."""
+    sample = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < SKETCH_EVAL_MAX_ID)
+        .select("doc_id", "text")
+    )
+    corpus = sample.unionAll(
+        sample.select((F.col("doc_id") + BATCH_OFFSET).alias("doc_id"), "text")
+    )
+    fps = (
+        corpus.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
+        .select("doc_id", _charfold(F.col("sh")).alias("fp"))
+        .dropDuplicates(["doc_id", "fp"])
+    )
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = fps.alias("a"), fps.alias("b")
+    inter = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    mins = [
+        F.min((F.lit(h_a) * F.col("fp") + F.lit(h_b)) % F.lit(ARITH_P)).alias(f"h{j}")
+        for j, (h_a, h_b) in enumerate(_ARITH_HASHES)
+    ]
+    sig = fps.groupBy("doc_id").agg(*mins)
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"h{j}").alias(f"a{j}") for j in range(MINHASH_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"h{j}").alias(f"b{j}") for j in range(MINHASH_HASHES)],
+    )
+    n_eq = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("long") for j in range(MINHASH_HASHES)
+    )
+    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = F.round(
+        F.col("n_inter").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+        6,
+    )
+    est = n_eq.cast("double") / F.lit(float(MINHASH_HASHES))
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            jac.alias("jaccard"),
+            est.alias("est_sim"),
+            F.round(F.abs(est - jac), 6).alias("abs_err"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _x75_sql() -> str:
+    P, W = ARITH_P, SHINGLE_WIDTH
+    sig_cols = ",\n                 ".join(
+        f"MIN(({h_a}*fp + {h_b}) % {P}) AS h{j}"
+        for j, (h_a, h_b) in enumerate(_ARITH_HASHES)
+    )
+    eq_sum = " + ".join(
+        f"CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END"
+        for j in range(MINHASH_HASHES)
+    )
+    jac = "ROUND(CAST(i.n_inter AS DOUBLE) / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE), 6)"
+    est = f"(CAST({eq_sum} AS DOUBLE) / {float(MINHASH_HASHES)})"
+    return f"""
+        WITH sample AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < {SKETCH_EVAL_MAX_ID}
+          UNION ALL
+          SELECT doc_id + {BATCH_OFFSET} AS doc_id, text FROM documents
+          WHERE doc_id < {SKETCH_EVAL_MAX_ID}),
+        tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM sample),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct([array_to_string(t[i+1:i+{W}], ' ')
+                     FOR i IN generate_series(0, len(t)-{W})])) AS sh
+          FROM tk),
+        fps AS (
+          SELECT DISTINCT doc_id,
+                 list_reduce(list_transform(string_split(sh, ''),
+                                            c -> CAST(ascii(c) AS BIGINT)),
+                             (a, b) -> (a*31 + b) % {P}) AS fp
+          FROM sh),
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM fps GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        sig AS (
+          SELECT doc_id,
+                 {sig_cols}
+          FROM fps GROUP BY doc_id)
+        SELECT i.id_a, i.id_b, i.n_inter,
+               {jac} AS jaccard,
+               {est} AS est_sim,
+               ROUND(abs({est} - {jac}), 6) AS abs_err
+        FROM inter i
+        JOIN sizes za ON i.id_a = za.doc_id
+        JOIN sizes zb ON i.id_b = zb.doc_id
+        JOIN sig sa ON i.id_a = sa.doc_id
+        JOIN sig sb ON i.id_b = sb.doc_id
+        ORDER BY i.id_a, i.id_b
+        """
+
+
+register(
+    QuerySpec(
+        "x75_sketch_error",
+        x75_sketch_error,
+        _x75_sql(),
+        "MinHash estimate vs exact Jaccard error, per sampled candidate pair",
+    )
+)
+
+
+# --- x76: ANN recall@5 evaluation --------------------------------------------
+RECALL_K = 5
+
+
+def x76_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the IVF index (x21) against exact brute-force top-5
+    (x11): per query, |IVF∩exact| / 5. Both inputs are k-bounded per
+    query before the join — the eval costs n_queries × k rows however
+    large the corpus is."""
+    exact = (
+        x11_cosine_topk(spark, sf_dir)
+        .filter(F.col("rank") <= RECALL_K)
+        .select("q_id", "vec_id")
+    )
+    approx = x21_ivf_ann(spark, sf_dir).select("q_id", "vec_id")
+    hits = (
+        exact.join(approx, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_q = exact.select("q_id").distinct()
+    return (
+        per_q.join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_match"),
+            F.round(
+                F.coalesce(F.col("n"), F.lit(0).cast("long")).cast("double")
+                / F.lit(float(RECALL_K)),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("q_id")
+    )
+
+
+# SQL twin: the x11 exact-top-5 CTEs and the x21 IVF CTEs (similarity.py
+# constants inlined), joined per query.  Constants are imported so a
+# similarity.py retune retunes this oracle too.
+from .similarity import IVF_N_CENTROIDS, IVF_N_PROBE  # noqa: E402
+
+_X76_SQL = f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < {N_QUERY_VECS}),
+        ex_scored AS (
+          SELECT q.q_id, e.vec_id,
+                 ROUND(list_dot_product(q.q_vec, e.v)
+                       / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                          * sqrt(list_dot_product(e.v, e.v))), 6) AS cos_sim
+          FROM e CROSS JOIN q WHERE e.vec_id != q.q_id),
+        exact AS (
+          SELECT q_id, vec_id FROM ex_scored
+          QUALIFY row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos_sim DESC, vec_id ASC) <= {RECALL_K}),
+        cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e WHERE vec_id < {IVF_N_CENTROIDS}),
+        adist AS (
+          SELECT e.vec_id, c.c_id,
+                 ROUND(sqrt(list_sum(list_transform(
+                     list_zip(e.v, c.c_vec),
+                     p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS dist
+          FROM e CROSS JOIN cent c),
+        lists AS (
+          SELECT vec_id, c_id AS list_c FROM adist
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id) = 1),
+        probes AS (
+          SELECT vec_id AS q_id, c_id AS probe_c FROM adist
+          WHERE vec_id < {N_QUERY_VECS}
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id)
+                  <= {IVF_N_PROBE}),
+        cand AS (
+          SELECT p.q_id, e.vec_id
+          FROM e JOIN lists l ON e.vec_id = l.vec_id
+                 JOIN probes p ON l.list_c = p.probe_c
+          WHERE e.vec_id != p.q_id),
+        ap_scored AS (
+          SELECT c.q_id, c.vec_id,
+                 ROUND(list_dot_product(q.v, e.v)
+                       / (sqrt(list_dot_product(q.v, q.v))
+                          * sqrt(list_dot_product(e.v, e.v))), 6) AS cos_sim
+          FROM cand c JOIN e ON c.vec_id = e.vec_id
+                      JOIN e q ON c.q_id = q.vec_id),
+        approx AS (
+          SELECT q_id, vec_id FROM ap_scored
+          QUALIFY row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos_sim DESC, vec_id ASC) <= {RECALL_K}),
+        hits AS (
+          SELECT ex.q_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM exact ex JOIN approx ap
+            ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+          GROUP BY ex.q_id)
+        SELECT qq.q_id,
+               COALESCE(h.n, 0) AS n_match,
+               ROUND(CAST(COALESCE(h.n, 0) AS DOUBLE) / {float(RECALL_K)}, 6) AS recall
+        FROM (SELECT DISTINCT q_id FROM exact) qq
+        LEFT JOIN hits h ON qq.q_id = h.q_id
+        ORDER BY qq.q_id
+        """
+
+register(
+    QuerySpec(
+        "x76_ann_recall",
+        x76_ann_recall,
+        _X76_SQL,
+        "recall@5 of IVF ANN vs exact brute-force top-5, per query",
+    )
+)
+
+
+# --- x77: per-source dataset report card -------------------------------------
+SHORT_DOC_CHARS = 200
+
+
+def x77_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row-per-source corpus report: volume, length, language spread,
+    uniqueness, dominant language. Two source-keyed aggregations; the
+    window runs over the (source, lang) group-count frame (bounded by
+    label cardinality, not corpus size)."""
+    docs = _docs(spark, sf_dir)
+    card = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("avg_chars"),
+        F.round(
+            F.sum((F.col("n_chars") < SHORT_DOC_CHARS).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("short_frac"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct(F.md5("text")).cast("long").alias("n_uniq_texts"),
+    )
+    lang_counts = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("lang"))
+    top_lang = (
+        lang_counts.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("source", F.col("lang").alias("top_lang"), F.col("cnt").alias("top_cnt"))
+    )
+    return (
+        card.join(top_lang, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            "avg_chars",
+            "short_frac",
+            "n_langs",
+            "n_uniq_texts",
+            "top_lang",
+            F.round(
+                F.col("top_cnt").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("top_lang_share"),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    QuerySpec(
+        "x77_dataset_card",
+        x77_dataset_card,
+        f"""
+        WITH card AS (
+          SELECT source,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                 ROUND(CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+                     AS avg_chars,
+                 ROUND(CAST(SUM(CASE WHEN n_chars < {SHORT_DOC_CHARS} THEN 1 ELSE 0 END)
+                            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS short_frac,
+                 CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                 CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_uniq_texts
+          FROM documents GROUP BY source),
+        lc AS (
+          SELECT source, lang, COUNT(*) AS cnt
+          FROM documents GROUP BY source, lang),
+        top AS (
+          SELECT source, lang AS top_lang, cnt AS top_cnt FROM lc
+          QUALIFY row_number() OVER (PARTITION BY source
+                  ORDER BY cnt DESC, lang ASC) = 1)
+        SELECT c.source, c.n_docs, c.total_chars, c.avg_chars, c.short_frac,
+               c.n_langs, c.n_uniq_texts, t.top_lang,
+               ROUND(CAST(t.top_cnt AS DOUBLE) / CAST(c.n_docs AS DOUBLE), 6)
+                   AS top_lang_share
+        FROM card c JOIN top t ON c.source = t.source
+        ORDER BY c.source
+        """,
+        "per-source dataset report card: volume, length, language spread, uniqueness",
+    )
+)

@@ -7,6 +7,8 @@ and no query drops into row-at-a-time Python."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from json_to_parquet_spark.queries import registry
@@ -102,6 +104,17 @@ def test_q49_salt_spreads_join_key(spark, sf_dir):
     assert "Generate explode" in plan  # replication is row-local, not a join
 
 
+def test_x74_fingerprint_keyed_join(spark, sf_dir):
+    # incremental dedup must key every exchange on the content
+    # fingerprint — base pre-aggregation and the batch join co-locate on
+    # fp, so neither side ever shuffles document payloads
+    plan = _plan(spark, sf_dir, "x74_incremental_dedup")
+    assert re.search(r"hashpartitioning\(fp#\d+", plan), (
+        "x74 must shuffle on the content fingerprint"
+    )
+    assert "CartesianProduct" not in plan
+
+
 @pytest.mark.parametrize("name", sorted(registry()))
 def test_no_python_udf_anywhere(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
@@ -126,6 +139,7 @@ _BNLJ_ALLOWED = {
     "x65_triangle_count",  # three 1-row census aggregates crossed at the end
     "x66_time_decay",  # 1-row global max-timestamp frame broadcast
     "x73_psi_drift",  # 1-row min/max frame + constant 10x2 bin spine crosses
+    "x76_ann_recall",  # composes x11 + x21: query-vec and centroid broadcasts
 }
 
 
