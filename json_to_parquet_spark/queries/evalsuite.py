@@ -445,3 +445,300 @@ register(
         "per-source dataset report card: volume, length, language spread, uniqueness",
     )
 )
+
+
+# --- x78: bigram-LM document scoring -----------------------------------------
+def x78_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    bigram MLE model (P(w2|w1) = c(w1 w2) / c(w1·), denominators counted
+    over bigram starts) — one step up from x62's unigram proxy. Bigrams
+    form ROW-LOCALLY (an array transform, no positional self-join or
+    window); the model is two token-keyed aggregations and the scoring
+    joins are keyed on (w1, w2) / w1 — open-vocabulary safe, nothing is
+    broadcast or collected."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    bg = docs.select("doc_id", F.explode(bigrams).alias("b")).select(
+        "doc_id", "b.w1", "b.w2"
+    )
+    num = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    den = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    lp = F.round(F.log(F.col("c2").cast("double") / F.col("c1").cast("double")), 6)
+    scored = bg.join(num, ["w1", "w2"]).join(den, "w1").select("doc_id", lp.alias("lp"))
+    avg_lp = F.round(
+        F.sum(F.col("lp").cast("decimal(30,10)")).cast("double") / F.count(F.lit(1)),
+        6,
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            avg_lp.alias("avg_logprob"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "avg_logprob",
+            F.round(F.exp(-F.col("avg_logprob")), 6).alias("perplexity"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    QuerySpec(
+        "x78_bigram_lm",
+        x78_bigram_lm,
+        """
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        bg AS (
+          SELECT doc_id,
+                 unnest([{'w1': t[i], 'w2': t[i+1]}
+                     FOR i IN generate_series(1, len(t)-1)], recursive := true)
+          FROM tk),
+        num AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+        den AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+        scored AS (
+          SELECT bg.doc_id,
+                 ROUND(ln(CAST(num.c2 AS DOUBLE) / CAST(den.c1 AS DOUBLE)), 6) AS lp
+          FROM bg JOIN num ON bg.w1 = num.w1 AND bg.w2 = num.w2
+                  JOIN den ON bg.w1 = den.w1),
+        agg AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                 ROUND(CAST(CAST(SUM(CAST(lp AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+                       / COUNT(*), 6) AS avg_logprob
+          FROM scored GROUP BY doc_id)
+        SELECT doc_id, n_bigrams, avg_logprob,
+               ROUND(exp(-avg_logprob), 6) AS perplexity
+        FROM agg ORDER BY doc_id
+        """,
+        "per-doc mean bigram log-prob + perplexity under the corpus bigram MLE model",
+    )
+)
+
+
+# --- x79: containment-based near-dup (quote-inclusion detection) -------------
+# Jaccard misses the case where a short doc is wholly quoted inside a long
+# one (|A∩B|/|A∪B| stays small); containment |A∩B|/|A| catches it.  Runs
+# corpus-wide with the x26-style df-cap: shingles appearing in more than
+# CONTAIN_DF_CAP docs are dropped before the self-join (the posting join
+# costs Σ df(shingle)², so one stop-shingle with df=10⁶ makes 10¹² pairs;
+# capped shingles carry no containment signal anyway).  Containment is
+# then computed over the CAPPED sets on both engines.
+CONTAIN_DF_CAP = 32
+CONTAIN_THRESHOLD = 0.8
+
+
+def x79_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment over df-capped shingle-fingerprint sets:
+    pairs where either side's capped shingle set is ≥80% inside the
+    other. Inverted-index equi-join on shingle fp — never all-pairs."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.unionAll(
+        docs.select((F.col("doc_id") + BATCH_OFFSET).alias("doc_id"), "text")
+    )
+    fps = (
+        corpus.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
+        .select("doc_id", _charfold(F.col("sh")).alias("fp"))
+        .dropDuplicates(["doc_id", "fp"])
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= CONTAIN_DF_CAP)
+        .select("fp")
+    )
+    capped = fps.join(rare, "fp").select("doc_id", "fp")
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = capped.alias("a"), capped.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    cont_a = F.round(F.col("n_inter").cast("double") / F.col("na").cast("double"), 6)
+    cont_b = F.round(F.col("n_inter").cast("double") / F.col("nb").cast("double"), 6)
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            cont_a.alias("cont_a"),
+            cont_b.alias("cont_b"),
+        )
+        .filter(
+            (F.col("cont_a") >= CONTAIN_THRESHOLD)
+            | (F.col("cont_b") >= CONTAIN_THRESHOLD)
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _x79_sql() -> str:
+    P, W = ARITH_P, SHINGLE_WIDTH
+    return f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + {BATCH_OFFSET} AS doc_id, text FROM documents),
+        tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct([array_to_string(t[i+1:i+{W}], ' ')
+                     FOR i IN generate_series(0, len(t)-{W})])) AS sh
+          FROM tk),
+        fps AS (
+          SELECT DISTINCT doc_id,
+                 list_reduce(list_transform(string_split(sh, ''),
+                                            c -> CAST(ascii(c) AS BIGINT)),
+                             (a, b) -> (a*31 + b) % {P}) AS fp
+          FROM sh),
+        rare AS (
+          SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {CONTAIN_DF_CAP}),
+        capped AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp),
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+                  FROM capped GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+          FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT i.id_a, i.id_b, i.n_inter,
+               ROUND(CAST(i.n_inter AS DOUBLE) / CAST(za.n_sh AS DOUBLE), 6) AS cont_a,
+               ROUND(CAST(i.n_inter AS DOUBLE) / CAST(zb.n_sh AS DOUBLE), 6) AS cont_b
+        FROM inter i
+        JOIN sizes za ON i.id_a = za.doc_id
+        JOIN sizes zb ON i.id_b = zb.doc_id
+        WHERE ROUND(CAST(i.n_inter AS DOUBLE) / CAST(za.n_sh AS DOUBLE), 6)
+                  >= {CONTAIN_THRESHOLD}
+           OR ROUND(CAST(i.n_inter AS DOUBLE) / CAST(zb.n_sh AS DOUBLE), 6)
+                  >= {CONTAIN_THRESHOLD}
+        ORDER BY i.id_a, i.id_b
+        """
+
+
+register(
+    QuerySpec(
+        "x79_containment_dedup",
+        x79_containment_dedup,
+        _x79_sql(),
+        "directional shingle-containment near-dup (catches quote-inclusion Jaccard misses)",
+    )
+)
+
+
+# --- x80: IVF partition-quality evaluation -----------------------------------
+def x80_ivf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-silhouette eval of the x21 IVF coarse quantizer: per
+    vector, a = distance to its assigned (nearest) centroid, b = distance
+    to the second-nearest; s = (b − a) / max(a, b). Rolled up per
+    centroid: list size, mean silhouette, mean assignment distance — the
+    health check that tells you whether an IVF index's lists are balanced
+    and separated before you ship it. Centroids broadcast (K rows); one
+    vec_id-keyed window over K rows per vector; one centroid-keyed agg."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.col("c_vec"),
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+        6,
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "c_id", dist.alias("dist")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("c_id"))
+    near2 = (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.when(F.col("crank") == 1, F.col("c_id"))).alias("c_id"),
+            F.min(F.when(F.col("crank") == 1, F.col("dist"))).alias("a"),
+            F.min(F.when(F.col("crank") == 2, F.col("dist"))).alias("b"),
+        )
+    )
+    sil = F.round(
+        (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b")), 6
+    )
+    return (
+        near2.select("c_id", F.col("a").alias("dist"), sil.alias("sil"))
+        .groupBy("c_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.round(
+                F.sum(F.col("sil").cast("decimal(30,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_sil"),
+            F.round(
+                F.sum(F.col("dist").cast("decimal(30,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_dist"),
+        )
+        .orderBy("c_id")
+    )
+
+
+register(
+    QuerySpec(
+        "x80_ivf_quality",
+        x80_ivf_quality,
+        f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e WHERE vec_id < {IVF_N_CENTROIDS}),
+        adist AS (
+          SELECT e.vec_id, c.c_id,
+                 ROUND(sqrt(list_sum(list_transform(
+                     list_zip(e.v, c.c_vec),
+                     p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS dist
+          FROM e CROSS JOIN cent c),
+        ranked AS (
+          SELECT vec_id, c_id, dist,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS crank
+          FROM adist QUALIFY crank <= 2),
+        near2 AS (
+          SELECT vec_id,
+                 MIN(CASE WHEN crank = 1 THEN c_id END) AS c_id,
+                 MIN(CASE WHEN crank = 1 THEN dist END) AS a,
+                 MIN(CASE WHEN crank = 2 THEN dist END) AS b
+          FROM ranked GROUP BY vec_id),
+        pervec AS (
+          SELECT c_id, a AS dist,
+                 ROUND((b - a) / greatest(a, b), 6) AS sil
+          FROM near2)
+        SELECT c_id, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+               ROUND(CAST(CAST(SUM(CAST(sil AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_sil,
+               ROUND(CAST(CAST(SUM(CAST(dist AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_dist
+        FROM pervec GROUP BY c_id ORDER BY c_id
+        """,
+        "IVF coarse-quantizer health: per-centroid list size, centroid silhouette, mean distance",
+    )
+)

@@ -140,6 +140,7 @@ _BNLJ_ALLOWED = {
     "x66_time_decay",  # 1-row global max-timestamp frame broadcast
     "x73_psi_drift",  # 1-row min/max frame + constant 10x2 bin spine crosses
     "x76_ann_recall",  # composes x11 + x21: query-vec and centroid broadcasts
+    "x80_ivf_quality",  # K-row centroid table broadcast (the x21 quantizer)
 }
 
 
