@@ -742,3 +742,217 @@ register(
         "IVF coarse-quantizer health: per-centroid list size, centroid silhouette, mean distance",
     )
 )
+
+
+# --- x82: PMI token co-occurrence --------------------------------------------
+# Pointwise mutual information of token pairs co-occurring in documents,
+# restricted to the top-PMI_VOCAB tokens by document frequency.  The
+# vocab restriction is the scale bound: the per-doc pair fan-out is
+# ≤ V²/2 for a CONSTANT V, so the self-join never explodes however long
+# documents get; the vocab itself is a broadcast-sized frame.
+PMI_VOCAB = 50
+PMI_MIN_CO = 3
+
+
+def x82_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI(t1,t2) = ln(n12·N / (n1·n2)) over doc-level co-occurrence of
+    top-vocab tokens. One doc_id-keyed self-join with constant-bounded
+    fan-out, then a (t1,t2)-keyed aggregation."""
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    dtok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    vocab = (
+        dtok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("tok"))
+        .limit(PMI_VOCAB)
+    )
+    vt = dtok.join(F.broadcast(vocab), "tok").select("doc_id", "tok", "df")
+    a = vt.select("doc_id", F.col("tok").alias("t1"), F.col("df").alias("n1"))
+    b = vt.select("doc_id", F.col("tok").alias("t2"), F.col("df").alias("n2"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(
+            F.count(F.lit(1)).alias("n12"),
+            F.min("n1").alias("n1"),
+            F.min("n2").alias("n2"),
+        )
+        .filter(F.col("n12") >= PMI_MIN_CO)
+    )
+    pmi = F.round(
+        F.log(
+            F.col("n12").cast("double")
+            * F.col("n_total").cast("double")
+            / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+        ),
+        6,
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_docs))
+        .select("t1", "t2", "n12", "n1", "n2", pmi.alias("pmi"))
+        .orderBy("t1", "t2")
+    )
+
+
+register(
+    QuerySpec(
+        "x82_pmi_cooccur",
+        x82_pmi_cooccur,
+        f"""
+        WITH dtok AS (
+          SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        vocab AS (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dtok GROUP BY tok
+          ORDER BY df DESC, tok ASC LIMIT {PMI_VOCAB}),
+        vt AS (
+          SELECT d.doc_id, d.tok, v.df FROM dtok d JOIN vocab v ON d.tok = v.tok),
+        pairs AS (
+          SELECT a.t1, b.t2, CAST(COUNT(*) AS BIGINT) AS n12,
+                 MIN(a.n1) AS n1, MIN(b.n2) AS n2
+          FROM (SELECT doc_id, tok AS t1, df AS n1 FROM vt) a
+          JOIN (SELECT doc_id, tok AS t2, df AS n2 FROM vt) b
+            ON a.doc_id = b.doc_id AND a.t1 < b.t2
+          GROUP BY a.t1, b.t2
+          HAVING COUNT(*) >= {PMI_MIN_CO}),
+        tot AS (SELECT COUNT(*) AS n_total FROM documents)
+        SELECT p.t1, p.t2, p.n12, p.n1, p.n2,
+               ROUND(ln(CAST(p.n12 AS DOUBLE) * CAST(t.n_total AS DOUBLE)
+                        / (CAST(p.n1 AS DOUBLE) * CAST(p.n2 AS DOUBLE))), 6) AS pmi
+        FROM pairs p, tot t
+        ORDER BY p.t1, p.t2
+        """,
+        "PMI token co-occurrence over the top-V vocabulary (bounded pair fan-out)",
+    )
+)
+
+
+# --- x83: deterministic weighted sampling without replacement ----------------
+# Efraimidis–Spirakis A-ES: key(i) = u_i^(1/w_i) with u_i uniform(0,1);
+# the top-K keys are a weighted sample without replacement.  u_i derives
+# from the arithmetic hash of doc_id (pure BIGINT — reproducible in both
+# engines), so the "random" sample is a pure function of the data: the
+# property a training pipeline needs for re-runnable mixture draws.
+SAMPLE_K = 100
+_ES_A, _ES_B = 48_271, 11_213  # hash params for the uniform draw
+
+
+def x83_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement (A-ES, weight = n_chars):
+    per-row key = ln(u)/w maximized, top-K via orderBy().limit() —
+    TakeOrderedAndProject, per-partition heaps, no global sort."""
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    h = (F.col("doc_id") * F.lit(_ES_A) + F.lit(_ES_B)) % F.lit(ARITH_P)
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(ARITH_P + 1))
+    key = F.round(F.log(u) / F.col("n_chars").cast("double"), 6)
+    ranked = (
+        docs.select("doc_id", F.col("n_chars").alias("weight"), key.alias("es_key"))
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(SAMPLE_K)
+    )
+    w = Window.orderBy(F.desc("es_key"), F.asc("doc_id"))
+    return ranked.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        "weight",
+        "es_key",
+    )
+
+
+register(
+    QuerySpec(
+        "x83_weighted_sample",
+        x83_weighted_sample,
+        f"""
+        WITH keyed AS (
+          SELECT doc_id, n_chars AS weight,
+                 ROUND(ln((CAST((doc_id * {_ES_A} + {_ES_B}) % {ARITH_P} AS DOUBLE) + 1.0)
+                          / {float(ARITH_P + 1)})
+                       / CAST(n_chars AS DOUBLE), 6) AS es_key
+          FROM documents)
+        SELECT CAST(row_number() OVER (ORDER BY es_key DESC, doc_id ASC) AS BIGINT)
+                   AS rank,
+               doc_id, weight, es_key
+        FROM keyed
+        ORDER BY es_key DESC, doc_id ASC
+        LIMIT {SAMPLE_K}
+        """,
+        "deterministic Efraimidis-Spirakis weighted sample without replacement",
+    )
+)
+
+
+# --- x84: per-language embedding centroids (grouped dense-vector mean) -------
+def x84_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped dense-vector aggregation: join documents to their
+    embeddings (doc_id = vec_id), posexplode dimensions, aggregate an
+    exact-decimal mean per (lang, dim), and reassemble the centroid as an
+    ordered CSV. The shuffle carries (lang, dim, decimal-partial) — the
+    scalable layout for vector means (collect_list of whole vectors would
+    buffer groups). Components serialize via DECIMAL(18,6) so both
+    engines render identical fixed-point strings."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    j = docs.join(emb, "doc_id")
+    ex = j.select("lang", F.posexplode("embedding").alias("dim", "val"))
+    per_dim = ex.groupBy("lang", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("val").cast("double").cast("decimal(30,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean"),
+    )
+    comp = F.col("mean").cast("decimal(18,6)").cast("string")
+    return (
+        per_dim.groupBy("lang")
+        .agg(
+            F.max("n").cast("long").alias("n_vecs"),
+            F.count(F.lit(1)).alias("n_dims"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("dim", comp.alias("c")))),
+                    lambda s: s["c"],
+                ),
+            ).alias("centroid_csv"),
+        )
+        .orderBy("lang")
+    )
+
+
+register(
+    QuerySpec(
+        "x84_lang_centroids",
+        x84_lang_centroids,
+        """
+        WITH j AS (
+          SELECT d.lang, CAST(e.embedding AS DOUBLE[]) AS v
+          FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        ex AS (
+          SELECT lang,
+                 unnest([{'dim': i, 'val': v[i+1]}
+                     FOR i IN generate_series(0, len(v)-1)], recursive := true)
+          FROM j),
+        per_dim AS (
+          SELECT lang, dim, CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(CAST(CAST(SUM(CAST(val AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+                       / COUNT(*), 6) AS mean
+          FROM ex GROUP BY lang, dim)
+        SELECT lang,
+               MAX(n) AS n_vecs,
+               CAST(COUNT(*) AS BIGINT) AS n_dims,
+               array_to_string(
+                   list(CAST(CAST(mean AS DECIMAL(18,6)) AS VARCHAR) ORDER BY dim),
+                   ',') AS centroid_csv
+        FROM per_dim GROUP BY lang ORDER BY lang
+        """,
+        "per-language embedding centroids: grouped dense-vector mean, dim-keyed shuffle",
+    )
+)

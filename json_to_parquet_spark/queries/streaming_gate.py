@@ -382,3 +382,92 @@ register(
         "stream-stream interval join (availableNow drain) vs batch join oracle",
     )
 )
+
+
+def x81_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-based sessionization: ``session_window`` as a
+    STREAMING aggregation over a multi-batch file source, drained with
+    availableNow in COMPLETE mode.
+
+    Micro-batching (maxFilesPerTrigger=1 over a range-partitioned source)
+    forces partial sessions to merge across batches inside the session
+    state store — the cross-batch merge is exactly what batch q48 cannot
+    exercise. Complete mode's final table equals the batch session
+    aggregation regardless of batch boundaries, so q48's lag-gap-islands
+    SQL is an exact oracle. Production uses append mode + watermark so
+    closed sessions emit and state stays bounded (one open session per
+    active user); the complete-mode drain is gate harness only."""
+    from .pipeline import SESSION_WINDOW_GAP_US  # noqa: F401 (oracle twin)
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(GATE_DIR, f"events81_{sf_tag}")
+    _fresh(src)
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    ev.repartitionByRange(4, "ts").write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)  # force cross-batch session merges
+        .parquet(src)
+    )
+    sess = stream.groupBy(
+        "user_id", F.session_window("ts", "10 minutes").alias("sw")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    name = f"x81_sessions_{sf_tag}".replace(".", "_")
+    q = (
+        sess.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+def _x81_sql() -> str:
+    # q48's lag-gap-islands reconstruction, ordered for the gate: a new
+    # session starts when the gap >= the window (Spark merges only on
+    # strict overlap); session end = last event + gap.
+    from .pipeline import SESSION_WINDOW_GAP_US
+
+    return f"""
+        WITH g AS (
+          SELECT user_id, ts,
+                 epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts) AS gap
+          FROM events),
+        s AS (
+          SELECT user_id, ts,
+                 SUM(CASE WHEN gap IS NULL OR gap >= {SESSION_WINDOW_GAP_US}
+                          THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM g)
+        SELECT user_id,
+               MIN(epoch_us(ts)) AS session_start_us,
+               MAX(epoch_us(ts)) + {SESSION_WINDOW_GAP_US} AS session_end_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, sid
+        ORDER BY user_id, session_start_us
+        """
+
+
+register(
+    QuerySpec(
+        "x81_stream_session",
+        x81_stream_session,
+        _x81_sql(),
+        "streaming session_window aggregation (availableNow drain) vs lag-gap islands oracle",
+    )
+)

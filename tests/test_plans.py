@@ -141,6 +141,7 @@ _BNLJ_ALLOWED = {
     "x73_psi_drift",  # 1-row min/max frame + constant 10x2 bin spine crosses
     "x76_ann_recall",  # composes x11 + x21: query-vec and centroid broadcasts
     "x80_ivf_quality",  # K-row centroid table broadcast (the x21 quantizer)
+    "x82_pmi_cooccur",  # 1-row corpus-doc-count frame broadcast
 }
 
 
