@@ -465,8 +465,14 @@ def x78_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(toks, i + 1).alias("w2"),
         ),
     )
-    bg = docs.select("doc_id", F.explode(bigrams).alias("b")).select(
-        "doc_id", "b.w1", "b.w2"
+    # bg feeds the model numerator, denominator, AND the scoring join —
+    # DataFrames don't share subplans, so persist the exploded frame once
+    # instead of re-tokenizing the corpus three times (the x68 lesson;
+    # ContextCleaner reclaims it when the frame goes unreachable).
+    bg = (
+        docs.select("doc_id", F.explode(bigrams).alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
+        .persist()
     )
     num = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     den = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
@@ -544,10 +550,15 @@ def x79_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.unionAll(
         docs.select((F.col("doc_id") + BATCH_OFFSET).alias("doc_id"), "text")
     )
+    # The shingle+charfold explode is the expensive projection and feeds
+    # the df count AND the capped postings; the capped frame then feeds
+    # sizes plus both sides of the self-join — persist both so the corpus
+    # is tokenized once, not five times (the x68 lesson).
     fps = (
         corpus.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
         .select("doc_id", _charfold(F.col("sh")).alias("fp"))
         .dropDuplicates(["doc_id", "fp"])
+        .persist()
     )
     rare = (
         fps.groupBy("fp")
@@ -555,7 +566,7 @@ def x79_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= CONTAIN_DF_CAP)
         .select("fp")
     )
-    capped = fps.join(rare, "fp").select("doc_id", "fp")
+    capped = fps.join(rare, "fp").select("doc_id", "fp").persist()
     sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = capped.alias("a"), capped.alias("b")
     inter = (
