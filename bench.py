@@ -61,6 +61,12 @@ HEADLINE = [
     # open-vocabulary token-keyed shuffle + join (perplexity proxy)
     "q76_local_supplier_volume",
     "x62_unigram_logprob",
+    # round-3 second batch: fingerprint-keyed incremental ingest dedup,
+    # bigram-LM scoring (token-keyed model joins), grouped dense-vector
+    # centroid aggregation
+    "x74_incremental_dedup",
+    "x78_bigram_lm",
+    "x84_lang_centroids",
 ]
 
 CONVERT_RECORDS = 100_000

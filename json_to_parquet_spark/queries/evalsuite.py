@@ -967,3 +967,85 @@ register(
         "per-language embedding centroids: grouped dense-vector mean, dim-keyed shuffle",
     )
 )
+
+
+# --- x85: deterministic shard manifest ---------------------------------------
+# The last step of a training-data pipeline: assign every document to one
+# of N_SHARDS output shards by a reproducible hash and emit the per-shard
+# manifest (row counts, token totals, id ranges) that the trainer reads.
+# Hash-mod assignment balances shards regardless of key skew; the
+# manifest is one shard-keyed aggregation, output bounded at N_SHARDS.
+N_SHARDS = 16
+_SHARD_A, _SHARD_B = 69_621, 40_507
+
+
+def x85_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard id = arithmetic hash of doc_id mod N_SHARDS (reproducible in
+    both engines — the re-runnable assignment a resumable pipeline
+    needs); manifest = per-shard docs, tokens, chars, id range, and the
+    shard's share of the corpus."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "n_chars")
+    shard = ((F.col("doc_id") * F.lit(_SHARD_A) + F.lit(_SHARD_B)) % F.lit(ARITH_P)) % F.lit(
+        N_SHARDS
+    )
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    assigned = docs.select(
+        shard.cast("long").alias("shard_id"),
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        "n_chars",
+    )
+    total = assigned.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        assigned.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "shard_id",
+            "n_docs",
+            "total_tokens",
+            "total_chars",
+            "min_doc_id",
+            "max_doc_id",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("n_total").cast("double"), 6
+            ).alias("corpus_share"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+register(
+    QuerySpec(
+        "x85_shard_manifest",
+        x85_shard_manifest,
+        f"""
+        WITH assigned AS (
+          SELECT ((doc_id * {_SHARD_A} + {_SHARD_B}) % {ARITH_P}) % {N_SHARDS}
+                     AS shard_id,
+                 doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 n_chars
+          FROM documents),
+        tot AS (SELECT COUNT(*) AS n_total FROM assigned)
+        SELECT shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               MIN(doc_id) AS min_doc_id,
+               MAX(doc_id) AS max_doc_id,
+               ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(t.n_total AS DOUBLE), 6)
+                   AS corpus_share
+        FROM assigned, tot t
+        GROUP BY shard_id, t.n_total
+        ORDER BY shard_id
+        """,
+        "deterministic hash-mod shard assignment with per-shard training manifest",
+    )
+)

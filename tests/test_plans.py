@@ -142,6 +142,7 @@ _BNLJ_ALLOWED = {
     "x76_ann_recall",  # composes x11 + x21: query-vec and centroid broadcasts
     "x80_ivf_quality",  # K-row centroid table broadcast (the x21 quantizer)
     "x82_pmi_cooccur",  # 1-row corpus-doc-count frame broadcast
+    "x85_shard_manifest",  # 1-row corpus-total frame broadcast
 }
 
 
