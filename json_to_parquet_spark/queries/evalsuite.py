@@ -1049,3 +1049,47 @@ register(
         "deterministic hash-mod shard assignment with per-shard training manifest",
     )
 )
+
+
+# --- x86: contiguous global ordinals without a global sort -------------------
+def x86_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign contiguous global ordinals (1..N ordered by (source,
+    doc_id)) — the stable-ID step before writing training shards — with
+    NO global window: per-source row_numbers run in parallel partitions,
+    and each source's offset is a running sum over the source-count
+    frame (bounded by label cardinality, broadcast back). A naive
+    ``row_number() OVER (ORDER BY ...)`` would serialize the corpus
+    through one partition; this is the standard two-phase fix."""
+    docs = _docs(spark, sf_dir).select("source", "doc_id")
+    w_src = Window.partitionBy("source").orderBy("doc_id")
+    ranked = docs.select(
+        "source", "doc_id", F.row_number().over(w_src).cast("long").alias("rn")
+    )
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    # offset window runs over n_sources rows — bounded, not corpus-sized
+    w_off = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "source",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).cast("long").alias("off"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "source")
+        .select((F.col("off") + F.col("rn")).alias("ordinal"), "source", "doc_id")
+        .orderBy("ordinal")
+    )
+
+
+register(
+    QuerySpec(
+        "x86_global_ordinals",
+        x86_global_ordinals,
+        """
+        SELECT CAST(row_number() OVER (ORDER BY source, doc_id) AS BIGINT)
+                   AS ordinal,
+               source, doc_id
+        FROM documents
+        ORDER BY ordinal
+        """,
+        "contiguous global ordinals via per-source ranks + bounded offset join (no global window)",
+    )
+)

@@ -115,6 +115,19 @@ def test_x74_fingerprint_keyed_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_x86_no_global_corpus_window(spark, sf_dir):
+    # the corpus-sized row_number must partition by source; the only
+    # single-partition exchange allowed is the bounded source-count
+    # offsets frame
+    plan = _plan(spark, sf_dir, "x86_global_ordinals")
+    assert re.search(r"hashpartitioning\(source#\d+", plan), (
+        "per-source ranks must shuffle on source, not serialize globally"
+    )
+    assert plan.count("Exchange SinglePartition") <= 1, (
+        "only the source-count offsets frame may be keyless"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(registry()))
 def test_no_python_udf_anywhere(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
