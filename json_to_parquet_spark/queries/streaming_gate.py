@@ -471,3 +471,99 @@ register(
         "streaming session_window aggregation (availableNow drain) vs lag-gap islands oracle",
     )
 )
+
+
+def x87_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply (streaming/cdc_stream.py): a multi-file
+    changelog tailed with maxFilesPerTrigger=1, each micro-batch merged
+    into the parquet snapshot via the batch ``apply_changes`` operator
+    and atomically swapped — the foreachBatch upsert sink, gate-checked.
+
+    Every key carries exactly ONE change row (update keys %10==3, delete
+    keys %10==7, insert keys %10==5 re-keyed +10M), so batch order can't
+    change the converged snapshot and a closed-form SQL merge is an
+    exact oracle; within-key version sequencing stays covered by batch
+    x41 (same operator, versioned changelog). Prices remain
+    decimal(18,2) end-to-end and are emitted as strings (bit-stable
+    cross-engine)."""
+    from ..streaming.cdc_stream import stream_apply_changes
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    base_dir = os.path.join(GATE_DIR, f"cdc_base_{sf_tag}")
+    chg_dir = os.path.join(GATE_DIR, f"cdc_chg_{sf_tag}")
+    ckpt = os.path.join(GATE_DIR, f"cdc_ckpt_{sf_tag}")
+    _fresh(base_dir, chg_dir, ckpt)
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("cust"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    base.write.parquet(base_dir)
+
+    def change(src, key, new_price, op: str):
+        return src.select(
+            key.alias("k"),
+            F.col("cust"),
+            new_price.cast("decimal(18,2)").alias("price"),
+            F.lit(op).alias("op"),
+            F.lit(1).alias("version"),
+        )
+
+    changes = (
+        change(base.filter(F.col("k") % 10 == 3), F.col("k"), F.col("price") + 2, "U")
+        .unionAll(
+            change(base.filter(F.col("k") % 10 == 7), F.col("k"), F.col("price"), "D")
+        )
+        .unionAll(
+            change(
+                base.filter(F.col("k") % 10 == 5),
+                F.col("k") + 10_000_000,
+                F.col("price"),
+                "I",
+            )
+        )
+    )
+    changes.repartition(4).write.parquet(chg_dir)  # multi-batch changelog
+
+    q = stream_apply_changes(
+        spark,
+        changes_dir=chg_dir,
+        snapshot_dir=base_dir,
+        checkpoint=ckpt,
+        schema="k bigint, cust bigint, price decimal(18,2), op string, version int",
+        keys=["k"],
+        available_now=True,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(base_dir)
+        .select("k", "cust", F.col("price").cast("string").alias("price_str"))
+        .orderBy("k")
+    )
+
+
+register(
+    QuerySpec(
+        "x87_stream_cdc",
+        x87_stream_cdc,
+        """
+        WITH base AS (
+          SELECT o_orderkey AS k, o_custkey AS cust,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS price
+          FROM orders),
+        kept AS (
+          SELECT k, cust,
+                 CAST(CASE WHEN k % 10 = 3 THEN price + 2 ELSE price END
+                      AS DECIMAL(18,2)) AS price
+          FROM base WHERE k % 10 != 7),
+        ins AS (
+          SELECT k + 10000000 AS k, cust, price FROM base WHERE k % 10 = 5)
+        SELECT k, cust, CAST(price AS VARCHAR) AS price_str
+        FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        ORDER BY k
+        """,
+        "streaming CDC upsert sink (foreachBatch merge + atomic snapshot swap) vs closed-form merge oracle",
+    )
+)
