@@ -1093,3 +1093,252 @@ register(
         "contiguous global ordinals via per-source ranks + bounded offset join (no global window)",
     )
 )
+
+
+# --- x88: per-user behavioral feature table ----------------------------------
+def x88_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store build over the event log: per user, volume,
+    time-span, inter-event gap, purchase share, and dominant event type.
+    One user-keyed window (for gaps) + one user-keyed aggregation + a
+    (user, type)-keyed agg for the mode — every shuffle keyed by
+    user_id, the natural partitioning of a behavioral feature job."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    gaps = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "value",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    )
+    feats = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("span_us"),
+        F.round(
+            F.sum(F.col("gap_us").cast("decimal(30,10)")).cast("double")
+            / F.count("gap_us"),
+            2,
+        ).alias("avg_gap_us"),
+        F.round(
+            F.sum((F.col("event_type") == "purchase").cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("purchase_share"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,10)")).cast("double"), 6
+        ).alias("total_value"),
+    )
+    tc = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    wt = Window.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("event_type"))
+    top = (
+        tc.withColumn("r", F.row_number().over(wt))
+        .filter(F.col("r") == 1)
+        .select("user_id", F.col("event_type").alias("top_type"))
+    )
+    return (
+        feats.join(top, "user_id")
+        .select(
+            "user_id",
+            "n_events",
+            "span_us",
+            "avg_gap_us",
+            "purchase_share",
+            "total_value",
+            "top_type",
+        )
+        .orderBy("user_id")
+    )
+
+
+register(
+    QuerySpec(
+        "x88_user_features",
+        x88_user_features,
+        """
+        WITH g AS (
+          SELECT user_id, event_type, ts, value,
+                 epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_type) AS gap_us
+          FROM events),
+        feats AS (
+          SELECT user_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS span_us,
+                 ROUND(CAST(CAST(SUM(CAST(gap_us AS DECIMAL(30,10))) AS VARCHAR)
+                            AS DOUBLE) / COUNT(gap_us), 2) AS avg_gap_us,
+                 ROUND(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+                     AS purchase_share,
+                 ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR)
+                            AS DOUBLE), 6) AS total_value
+          FROM g GROUP BY user_id),
+        tc AS (
+          SELECT user_id, event_type, COUNT(*) AS cnt
+          FROM events GROUP BY user_id, event_type),
+        top AS (
+          SELECT user_id, event_type AS top_type FROM tc
+          QUALIFY row_number() OVER (PARTITION BY user_id
+                  ORDER BY cnt DESC, event_type ASC) = 1)
+        SELECT f.user_id, f.n_events, f.span_us, f.avg_gap_us,
+               f.purchase_share, f.total_value, t.top_type
+        FROM feats f JOIN top t ON f.user_id = t.user_id
+        ORDER BY f.user_id
+        """,
+        "per-user behavioral feature table: volume, span, gaps, purchase share, mode type",
+    )
+)
+
+
+# --- x89: dedup-key strictness ladder ----------------------------------------
+# Before committing to a normalization for exact dedup at corpus scale,
+# measure how each strictness level collapses the keyspace: exact text,
+# casefold, casefold+punctuation-strip, casefold+digit/punct-strip+
+# whitespace-collapse.  One aggregation per level over the same scan.
+def x89_normalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n_distinct and dup_rate per normalization level — four map-side
+    projections feeding four count-distincts in ONE grouped aggregate
+    (single scan, single shuffle of md5-sized keys)."""
+    docs = _docs(spark, sf_dir).select("text")
+    lvl1 = F.lower(F.col("text"))
+    lvl2 = F.regexp_replace(lvl1, "[^a-z0-9 ]", "")
+    lvl3 = F.trim(F.regexp_replace(F.regexp_replace(lvl1, "[^a-z ]", ""), " +", " "))
+    keyed = docs.select(
+        F.md5("text").alias("k0"),
+        F.md5(lvl1).alias("k1"),
+        F.md5(lvl2).alias("k2"),
+        F.md5(lvl3).alias("k3"),
+    )
+    agg = keyed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.countDistinct(f"k{i}").cast("long").alias(f"d{i}") for i in range(4)],
+    )
+    levels = ["exact", "casefold", "alnum", "alpha_ws"]
+    per_level = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("long").alias("level"),
+                    F.lit(levels[i]).alias("name"),
+                    F.col(f"d{i}").alias("n_distinct"),
+                )
+                for i in range(4)
+            ]
+        )
+    )
+    return (
+        agg.select("n_docs", per_level.alias("l"))
+        .select(
+            "l.level",
+            "l.name",
+            "n_docs",
+            "l.n_distinct",
+            F.round(
+                F.lit(1.0)
+                - F.col("l.n_distinct").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("level")
+    )
+
+
+register(
+    QuerySpec(
+        "x89_normalization_ladder",
+        x89_normalization_ladder,
+        """
+        WITH keyed AS (
+          SELECT md5(text) AS k0,
+                 md5(lower(text)) AS k1,
+                 md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS k2,
+                 md5(trim(regexp_replace(
+                     regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+                     ' +', ' ', 'g'))) AS k3
+          FROM documents),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(COUNT(DISTINCT k0) AS BIGINT) AS d0,
+                 CAST(COUNT(DISTINCT k1) AS BIGINT) AS d1,
+                 CAST(COUNT(DISTINCT k2) AS BIGINT) AS d2,
+                 CAST(COUNT(DISTINCT k3) AS BIGINT) AS d3
+          FROM keyed),
+        lv AS (
+          SELECT * FROM (VALUES
+            (CAST(0 AS BIGINT), 'exact'), (1, 'casefold'),
+            (2, 'alnum'), (3, 'alpha_ws')) AS t(level, name))
+        SELECT lv.level, lv.name, a.n_docs,
+               CASE lv.level WHEN 0 THEN a.d0 WHEN 1 THEN a.d1
+                             WHEN 2 THEN a.d2 ELSE a.d3 END AS n_distinct,
+               ROUND(1.0 - CAST(CASE lv.level WHEN 0 THEN a.d0 WHEN 1 THEN a.d1
+                                              WHEN 2 THEN a.d2 ELSE a.d3 END
+                               AS DOUBLE) / CAST(a.n_docs AS DOUBLE), 6) AS dup_rate
+        FROM agg a, lv
+        ORDER BY lv.level
+        """,
+        "dedup-key strictness ladder: distinct counts + dup rate per normalization level",
+    )
+)
+
+
+# --- x90: event-type transition matrix (first-order Markov) ------------------
+def x90_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event sequences:
+    P(next type | current type) with per-user lead() pairing. One
+    user-keyed window, then a (from, to)-keyed aggregation; the
+    row-normalizing denominator joins back on the from-type (bounded by
+    type cardinality)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").cast("long").alias("n_from"))
+    return (
+        pairs.join(totals, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_from").cast("double"), 6).alias(
+                "p"
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+register(
+    QuerySpec(
+        "x90_event_transitions",
+        x90_event_transitions,
+        """
+        WITH seq AS (
+          SELECT event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_type) AS to_type
+          FROM events),
+        pairs AS (
+          SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM seq WHERE to_type IS NOT NULL
+          GROUP BY from_type, to_type),
+        totals AS (
+          SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+          FROM pairs GROUP BY from_type)
+        SELECT p.from_type, p.to_type, p.n,
+               ROUND(CAST(p.n AS DOUBLE) / CAST(t.n_from AS DOUBLE), 6) AS p
+        FROM pairs p JOIN totals t ON p.from_type = t.from_type
+        ORDER BY p.from_type, p.to_type
+        """,
+        "first-order Markov transition matrix over per-user event sequences",
+    )
+)
