@@ -1342,3 +1342,258 @@ register(
         "first-order Markov transition matrix over per-user event sequences",
     )
 )
+
+
+# --- x91: Count-Min sketch accuracy ------------------------------------------
+# The streaming-friendly frequency sketch: d rows × w counters, token t
+# increments counter (i, h_i(t) mod w) per row; the estimate is the MIN
+# across rows and can only overestimate.  Built with the x68 arithmetic
+# hash family so the whole sketch is BIGINT arithmetic both engines run
+# identically — estimated-vs-exact error is oracle-checked for the top
+# exact tokens.  Completes the sketch shelf next to MinHash (x68),
+# SimHash (x69), and HLL (q20).
+CM_DEPTH = 4
+CM_WIDTH = 256
+CM_TOPK = 20
+
+
+def x91_countmin_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min estimates vs exact counts for the CM_TOPK most frequent
+    tokens. The sketch build is one (row, bucket)-keyed aggregation over
+    a d-way row-local explode — counters are d×w rows total (constant),
+    broadcast back against the K probe tokens."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).select(
+        "tok", _charfold(F.col("tok")).alias("fp")
+    )
+    hashes = _ARITH_HASHES[:CM_DEPTH]
+
+    def bucket(d: int, fp) -> F.Column:
+        h_a, h_b = hashes[d]
+        return ((F.lit(h_a) * fp + F.lit(h_b)) % F.lit(ARITH_P)) % F.lit(CM_WIDTH)
+
+    rows = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("long").alias("d"),
+                        bucket(d, F.col("fp")).alias("b"),
+                    )
+                    for d in range(CM_DEPTH)
+                ]
+            )
+        ).alias("rb")
+    )
+    counters = rows.groupBy("rb.d", "rb.b").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = (
+        toks.groupBy("tok", "fp")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("tok"))
+        .limit(CM_TOPK)
+    )
+    probes = exact.select(
+        "tok",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("long").alias("d"),
+                        bucket(d, F.col("fp")).alias("b"),
+                    )
+                    for d in range(CM_DEPTH)
+                ]
+            )
+        ).alias("rb"),
+    ).select("tok", "exact_cnt", "rb.d", "rb.b")
+    est = (
+        probes.join(F.broadcast(counters), ["d", "b"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    return est.select(
+        "tok",
+        "exact_cnt",
+        "est_cnt",
+        F.round(
+            (F.col("est_cnt") - F.col("exact_cnt")).cast("double")
+            / F.col("exact_cnt").cast("double"),
+            6,
+        ).alias("rel_overcount"),
+    ).orderBy(F.desc("exact_cnt"), F.asc("tok"))
+
+
+def _x91_sql() -> str:
+    P, W, D = ARITH_P, CM_WIDTH, CM_DEPTH
+    hashes = _ARITH_HASHES[:D]
+    fp = (
+        "list_reduce(list_transform(string_split(tok, ''), "
+        "c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a*31 + b) % {p})"
+    ).format(p=P)
+    bucket_structs = ", ".join(
+        f"{{'d': CAST({d} AS BIGINT), 'b': (({a}*fp + {b}) % {P}) % {W}}}"
+        for d, (a, b) in enumerate(hashes)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT tok, {fp} AS fp
+          FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+        rows_ AS (
+          SELECT unnest([{bucket_structs}], recursive := true) FROM toks),
+        counters AS (
+          SELECT d, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM rows_ GROUP BY d, b),
+        exact AS (
+          SELECT tok, fp, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+          FROM toks GROUP BY tok, fp
+          ORDER BY exact_cnt DESC, tok ASC LIMIT {CM_TOPK}),
+        probes AS (
+          SELECT tok, exact_cnt,
+                 unnest([{bucket_structs}], recursive := true)
+          FROM exact),
+        est AS (
+          SELECT p.tok, p.exact_cnt, MIN(c.cnt) AS est_cnt
+          FROM probes p JOIN counters c ON p.d = c.d AND p.b = c.b
+          GROUP BY p.tok, p.exact_cnt)
+        SELECT tok, exact_cnt, est_cnt,
+               ROUND(CAST(est_cnt - exact_cnt AS DOUBLE)
+                     / CAST(exact_cnt AS DOUBLE), 6) AS rel_overcount
+        FROM est ORDER BY exact_cnt DESC, tok ASC
+        """
+
+
+register(
+    QuerySpec(
+        "x91_countmin_error",
+        x91_countmin_error,
+        _x91_sql(),
+        "Count-Min sketch frequency estimates vs exact counts (overcount per top token)",
+    )
+)
+
+
+# --- x92: Bloom-filter membership with measured FP rate ----------------------
+# The pre-join pruning structure: a BLOOM_BITS-bit filter over the base
+# vocabulary (BLOOM_K arithmetic hashes), probed by the batch vocabulary
+# — the cheap "definitely not in base" test that shrinks a 100 TB
+# decontamination join before it shuffles.  Deterministic hashes → the
+# filter, every membership verdict, and the measured false-positive rate
+# are all oracle-checked.
+BLOOM_BITS = 4096
+BLOOM_K = 3
+
+
+def x92_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the base-half vocabulary bloom (set-bit positions as a
+    distinct frame, ≤ BLOOM_BITS rows — broadcastable at any corpus
+    size), probe every batch-half token, and report the confusion
+    summary: hits, true members, false positives, measured FP rate."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    tok = lambda df: df.select(  # noqa: E731
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).distinct()
+    base_v = tok(docs.filter(F.col("doc_id") % 2 == 0))
+    batch_v = tok(docs.filter(F.col("doc_id") % 2 == 1))
+    hashes = _ARITH_HASHES[:BLOOM_K]
+
+    def positions(df):
+        fp = _charfold(F.col("tok"))
+        return df.select(
+            "tok",
+            F.explode(
+                F.array(
+                    *[
+                        (((F.lit(a) * fp + F.lit(b)) % F.lit(ARITH_P)) % F.lit(BLOOM_BITS)).alias(
+                            f"p{i}"
+                        )
+                        for i, (a, b) in enumerate(hashes)
+                    ]
+                )
+            ).alias("pos"),
+        )
+    bits = positions(base_v).select("pos").distinct()
+    probe_hits = (
+        positions(batch_v)
+        .join(F.broadcast(bits), "pos", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .filter(F.col("n_set") == BLOOM_K)
+        .select("tok")
+    )
+    truth = batch_v.join(base_v, "tok", "left_semi")
+    n_probe = batch_v.agg(F.count(F.lit(1)).alias("n_probes"))
+    n_hit = probe_hits.agg(F.count(F.lit(1)).alias("n_bloom_hits"))
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_members"))
+    n_fp = probe_hits.join(truth, "tok", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_false_pos")
+    )
+    return (
+        n_probe.crossJoin(n_hit)
+        .crossJoin(n_true)
+        .crossJoin(n_fp)
+        .select(
+            "n_probes",
+            "n_bloom_hits",
+            "n_true_members",
+            "n_false_pos",
+            F.round(
+                F.col("n_false_pos").cast("double")
+                / F.greatest(
+                    (F.col("n_probes") - F.col("n_true_members")).cast("double"),
+                    F.lit(1.0),
+                ),
+                6,
+            ).alias("fp_rate"),
+        )
+    )
+
+
+def _x92_sql() -> str:
+    P, M = ARITH_P, BLOOM_BITS
+    hashes = _ARITH_HASHES[:BLOOM_K]
+    fp = (
+        "list_reduce(list_transform(string_split(tok, ''), "
+        "c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a*31 + b) % {p})"
+    ).format(p=P)
+    pos_list = ", ".join(f"(({a}*fp + {b}) % {P}) % {M}" for a, b in hashes)
+    return f"""
+        WITH base_v AS (
+          SELECT DISTINCT unnest(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents WHERE doc_id % 2 = 0),
+        batch_v AS (
+          SELECT DISTINCT unnest(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents WHERE doc_id % 2 = 1),
+        bits AS (
+          SELECT DISTINCT unnest([{pos_list}]) AS pos
+          FROM (SELECT tok, {fp} AS fp FROM base_v)),
+        probe_pos AS (
+          SELECT tok, unnest([{pos_list}]) AS pos
+          FROM (SELECT tok, {fp} AS fp FROM batch_v)),
+        hits AS (
+          SELECT tok FROM probe_pos p
+          WHERE EXISTS (SELECT 1 FROM bits b WHERE b.pos = p.pos)
+          GROUP BY tok HAVING COUNT(*) = {BLOOM_K}),
+        truth AS (
+          SELECT tok FROM batch_v WHERE tok IN (SELECT tok FROM base_v)),
+        s AS (
+          SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM batch_v) AS n_probes,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_bloom_hits,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true_members,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM hits
+                  WHERE tok NOT IN (SELECT tok FROM truth)) AS n_false_pos)
+        SELECT n_probes, n_bloom_hits, n_true_members, n_false_pos,
+               ROUND(CAST(n_false_pos AS DOUBLE)
+                     / greatest(CAST(n_probes - n_true_members AS DOUBLE), 1.0),
+                     6) AS fp_rate
+        FROM s
+        """
+
+
+register(
+    QuerySpec(
+        "x92_bloom_membership",
+        x92_bloom_membership,
+        _x92_sql(),
+        "bloom-filter vocabulary membership with measured false-positive rate",
+    )
+)

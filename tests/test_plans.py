@@ -156,6 +156,7 @@ _BNLJ_ALLOWED = {
     "x80_ivf_quality",  # K-row centroid table broadcast (the x21 quantizer)
     "x82_pmi_cooccur",  # 1-row corpus-doc-count frame broadcast
     "x85_shard_manifest",  # 1-row corpus-total frame broadcast
+    "x92_bloom_membership",  # four 1-row confusion-summary aggregates crossed
 }
 
 
