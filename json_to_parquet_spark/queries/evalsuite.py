@@ -1478,22 +1478,35 @@ register(
 # — the cheap "definitely not in base" test that shrinks a 100 TB
 # decontamination join before it shuffles.  Deterministic hashes → the
 # filter, every membership verdict, and the measured false-positive rate
-# are all oracle-checked.
-BLOOM_BITS = 4096
-BLOOM_K = 3
+# are all oracle-checked.  The filter is deliberately UNDERSIZED for the
+# probe load (256 bits, 2 hashes) and the probe set is padded with one
+# guaranteed-unseen token per batch document, so the false-positive path
+# actually fires and the measured rate is a real number, not 0.0.
+BLOOM_BITS = 256
+BLOOM_K = 2
 
 
 def x92_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the base-half vocabulary bloom (set-bit positions as a
     distinct frame, ≤ BLOOM_BITS rows — broadcastable at any corpus
-    size), probe every batch-half token, and report the confusion
-    summary: hits, true members, false positives, measured FP rate."""
+    size), probe the batch-half vocabulary plus per-doc unseen probes,
+    and report the confusion summary: hits, true members, false
+    positives, measured FP rate."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     tok = lambda df: df.select(  # noqa: E731
         F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     ).distinct()
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
     base_v = tok(docs.filter(F.col("doc_id") % 2 == 0))
-    batch_v = tok(docs.filter(F.col("doc_id") % 2 == 1))
+    batch_v = (
+        tok(odd)
+        .unionAll(
+            odd.select(
+                F.concat(F.lit("unseen-"), F.col("doc_id").cast("string")).alias("tok")
+            )
+        )
+        .distinct()
+    )
     hashes = _ARITH_HASHES[:BLOOM_K]
 
     def positions(df):
@@ -1561,8 +1574,12 @@ def _x92_sql() -> str:
           SELECT DISTINCT unnest(list_distinct(string_split(text, ' '))) AS tok
           FROM documents WHERE doc_id % 2 = 0),
         batch_v AS (
-          SELECT DISTINCT unnest(list_distinct(string_split(text, ' '))) AS tok
-          FROM documents WHERE doc_id % 2 = 1),
+          SELECT DISTINCT tok FROM (
+            SELECT unnest(list_distinct(string_split(text, ' '))) AS tok
+            FROM documents WHERE doc_id % 2 = 1
+            UNION ALL
+            SELECT 'unseen-' || CAST(doc_id AS VARCHAR) AS tok
+            FROM documents WHERE doc_id % 2 = 1)),
         bits AS (
           SELECT DISTINCT unnest([{pos_list}]) AS pos
           FROM (SELECT tok, {fp} AS fp FROM base_v)),
