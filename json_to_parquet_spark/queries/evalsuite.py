@@ -1614,3 +1614,74 @@ register(
         "bloom-filter vocabulary membership with measured false-positive rate",
     )
 )
+
+
+# --- x93: corpus snapshot diff -----------------------------------------------
+# Dataset versioning: classify every document across two corpus
+# snapshots as added / removed / changed / unchanged.  Snapshot B is
+# derived deterministically from A (every 3rd text rewritten, every 5th
+# doc dropped, one new doc per 7th re-keyed +100000), so the expected
+# diff is closed-form and the whole classifier is oracle-checked.
+def x93_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer fingerprint join on doc_id — ONE id-keyed shuffle per
+    side carrying (doc_id, md5) only; the classification is a codegen
+    CASE. The summary rolls up to 4 rows."""
+    a = _docs(spark, sf_dir).select("doc_id", F.md5("text").alias("fp_a"))
+    docs = _docs(spark, sf_dir)
+    b_kept = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.concat(F.col("text"), F.lit(" edited")),
+                ).otherwise(F.col("text"))
+            ).alias("fp_b"),
+        )
+    )
+    b_new = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + BATCH_OFFSET).alias("doc_id"), F.md5("text").alias("fp_b")
+    )
+    b = b_kept.unionAll(b_new)
+    j = a.join(b, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("fp_a").isNull(), "added")
+        .when(F.col("fp_b").isNull(), "removed")
+        .when(F.col("fp_a") == F.col("fp_b"), "unchanged")
+        .otherwise("changed")
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("status")
+    )
+
+
+register(
+    QuerySpec(
+        "x93_snapshot_diff",
+        x93_snapshot_diff,
+        f"""
+        WITH a AS (SELECT doc_id, md5(text) AS fp_a FROM documents),
+        b AS (
+          SELECT doc_id,
+                 md5(CASE WHEN doc_id % 3 = 0 THEN text || ' edited'
+                          ELSE text END) AS fp_b
+          FROM documents WHERE doc_id % 5 != 0
+          UNION ALL
+          SELECT doc_id + {BATCH_OFFSET} AS doc_id, md5(text) AS fp_b
+          FROM documents WHERE doc_id % 7 = 0),
+        j AS (
+          SELECT CASE WHEN a.fp_a IS NULL THEN 'added'
+                      WHEN b.fp_b IS NULL THEN 'removed'
+                      WHEN a.fp_a = b.fp_b THEN 'unchanged'
+                      ELSE 'changed' END AS status
+          FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM j GROUP BY status ORDER BY status
+        """,
+        "corpus snapshot diff: added/removed/changed/unchanged via full-outer fp join",
+    )
+)
