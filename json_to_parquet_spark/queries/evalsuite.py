@@ -1685,3 +1685,82 @@ register(
         "corpus snapshot diff: added/removed/changed/unchanged via full-outer fp join",
     )
 )
+
+
+# --- x94: join-key skew diagnosis --------------------------------------------
+# The pre-flight audit before picking a join strategy at 100 TB: per
+# candidate join key, the frequency distribution's shape — top-key
+# share, median/max frequency, and the max/median skew factor that
+# decides between a plain hash join, AQE skew splitting, or explicit
+# salting (q49).  One key-keyed count per audited key; the percentile
+# runs over the (distinct-key)-sized count frame, never raw rows.
+def x94_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-shape report for three join keys (orders.o_custkey,
+    lineitem.l_suppkey, events.user_id). Exact percentiles over the
+    per-key count frames; output is 3 rows."""
+    def audit(df: DataFrame, col: str, label: str) -> DataFrame:
+        counts = df.groupBy(F.col(col).alias("k")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        return counts.agg(
+            F.lit(label).alias("key"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.max("cnt").alias("max_freq"),
+            F.expr("percentile(cnt, 0.5)").alias("p50_freq"),
+            F.expr("percentile(cnt, 0.99)").alias("p99_freq"),
+        ).select(
+            "key",
+            "n_keys",
+            "n_rows",
+            "max_freq",
+            F.round(F.col("p50_freq"), 6).alias("p50_freq"),
+            F.round(F.col("p99_freq"), 6).alias("p99_freq"),
+            F.round(F.col("max_freq") / F.col("p50_freq"), 6).alias("skew_factor"),
+            F.round(
+                F.col("max_freq").cast("double") / F.col("n_rows").cast("double"), 6
+            ).alias("top_share"),
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        audit(orders, "o_custkey", "orders.o_custkey")
+        .unionAll(audit(li, "l_suppkey", "lineitem.l_suppkey"))
+        .unionAll(audit(ev, "user_id", "events.user_id"))
+        .orderBy("key")
+    )
+
+
+def _x94_audit_sql(table: str, col: str, label: str) -> str:
+    return f"""
+          SELECT '{label}' AS key,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                 CAST(MAX(cnt) AS BIGINT) AS max_freq,
+                 ROUND(quantile_cont(cnt, 0.5), 6) AS p50_freq,
+                 ROUND(quantile_cont(cnt, 0.99), 6) AS p99_freq,
+                 ROUND(CAST(MAX(cnt) AS DOUBLE) / quantile_cont(cnt, 0.5), 6)
+                     AS skew_factor,
+                 ROUND(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6)
+                     AS top_share
+          FROM (SELECT {col} AS k, COUNT(*) AS cnt FROM {table} GROUP BY {col})"""
+
+
+register(
+    QuerySpec(
+        "x94_skew_report",
+        x94_skew_report,
+        f"""
+        SELECT * FROM (
+        {_x94_audit_sql('orders', 'o_custkey', 'orders.o_custkey')}
+          UNION ALL
+        {_x94_audit_sql('lineitem', 'l_suppkey', 'lineitem.l_suppkey')}
+          UNION ALL
+        {_x94_audit_sql('events', 'user_id', 'events.user_id')})
+        ORDER BY key
+        """,
+        "join-key skew audit: frequency shape + skew factor per candidate key",
+    )
+)
