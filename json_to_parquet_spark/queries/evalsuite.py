@@ -1,13 +1,20 @@
 """Evaluation & cross-corpus batch operators, fourth LLM-pipeline batch
-(SURVEY §2.C X1-X3 breadth): incremental batch-vs-base dedup (x74),
+(SURVEY §2.C X1-X4 breadth): incremental batch-vs-base dedup (x74),
 MinHash sketch-accuracy evaluation (x75), ANN recall@k evaluation (x76),
-and a per-source dataset report card (x77). The reference
-(`/root/reference/pyarrow/main.py`) has no corpus surface; these are
-driver-mandated LLM-pipeline operators (repo:BASELINE.json north_star) —
-the measurement half of a production dedup/ANN deployment: every sketch
-or index you ship needs an oracle-checked accuracy eval next to it.
+per-source dataset report card (x77), bigram-LM scoring (x78),
+containment dedup (x79), IVF quantizer health (x80), PMI co-occurrence
+(x82), deterministic weighted sampling (x83), grouped vector centroids
+(x84), shard manifests (x85), global ordinals (x86), user behavioral
+features (x88), dedup-key normalization ladder (x89), event transition
+matrix (x90), Count-Min accuracy (x91), bloom membership + FP rate
+(x92), corpus snapshot diff (x93), and join-key skew audit (x94).
+The reference (`/root/reference/pyarrow/main.py`) has no corpus surface;
+these are driver-mandated LLM-pipeline operators
+(repo:BASELINE.json north_star) — with the measurement half of a
+production dedup/ANN deployment built in: every sketch or index shipped
+here has an oracle-checked accuracy eval next to it.
 
-Scale shapes:
+Scale shapes (first four here; the rest in ARCHITECTURE.md §3 rows):
 - x74 is the asymmetric ingest shape: the incoming batch key-shuffles on
   content fingerprint against the (pre-aggregated, fingerprint-keyed)
   base corpus — the shuffle carries (fp, count) for the base and
