@@ -623,7 +623,10 @@ def x45_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins reduced immediately to a nation×nation weight matrix (≤625
     rows). The loop then iterates on frames bounded by |V| and |E| with a
     ``localCheckpoint`` every 3 rounds to truncate lineage (the x26
-    lesson); no dangling nodes here — every nation both buys and sells."""
+    lesson); no dangling nodes here — every nation both buys and sells.
+    The every-3 cadence is measured optimal at sf0.1 (warm min-of-3:
+    every-2 ≈ 4.4-5.0 s, every-3 ≈ 3.9-4.6 s, every-5 ≈ 4.6-5.7 s —
+    fewer checkpoints lose more to plan depth than they save in jobs)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
