@@ -53,7 +53,9 @@ from .dedup import (
     SHINGLE_WIDTH,
     _ARITH_HASHES,
     _charfold,
+    _x68_sql,
     shingles,
+    x68_minhash_arith,
 )
 from .similarity import N_QUERY_VECS, x11_cosine_topk, x21_ivf_ann
 
@@ -1769,5 +1771,59 @@ register(
         ORDER BY key
         """,
         "join-key skew audit: frequency shape + skew factor per candidate key",
+    )
+)
+
+
+# --- x95: near-dup candidate-graph degree distribution -----------------------
+def x95_dedup_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the MinHash-LSH candidate graph (x68's
+    oracle-backed pipeline over the doubled corpus) — the observability
+    readout that tells you whether LSH bucketing is healthy (degrees
+    near the true dup multiplicity) or degenerating toward stop-shingle
+    blowup (a heavy tail). Composes x68's candidate pairs; degrees and
+    the histogram are two id/degree-keyed aggregations, zero-degree docs
+    recovered with a left join against the corpus id list."""
+    pairs = x68_minhash_arith(spark, sf_dir).select("id_a", "id_b")
+    docs = _docs(spark, sf_dir).select("doc_id")
+    corpus_ids = docs.unionAll(
+        docs.select((F.col("doc_id") + BATCH_OFFSET).alias("doc_id"))
+    )
+    ends = pairs.select(F.col("id_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    alldeg = corpus_ids.join(deg, "doc_id", "left").select(
+        F.coalesce(F.col("degree"), F.lit(0).cast("long")).alias("degree")
+    )
+    return (
+        alldeg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("degree")
+    )
+
+
+register(
+    QuerySpec(
+        "x95_dedup_graph_degrees",
+        x95_dedup_graph_degrees,
+        f"""
+        WITH pairs AS ({_x68_sql()}),
+        corpus_ids AS (
+          SELECT doc_id FROM documents
+          UNION ALL SELECT doc_id + {BATCH_OFFSET} AS doc_id FROM documents),
+        ends AS (
+          SELECT id_a AS doc_id FROM pairs
+          UNION ALL SELECT id_b AS doc_id FROM pairs),
+        deg AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+          FROM ends GROUP BY doc_id),
+        alldeg AS (
+          SELECT COALESCE(d.degree, 0) AS degree
+          FROM corpus_ids c LEFT JOIN deg d ON c.doc_id = d.doc_id)
+        SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM alldeg GROUP BY degree ORDER BY degree
+        """,
+        "degree histogram of the LSH near-dup candidate graph (bucketing health readout)",
     )
 )
