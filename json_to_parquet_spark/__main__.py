@@ -51,6 +51,14 @@ def main(argv: list[str] | None = None) -> int:
         "(requires --mode cluster|none)",
     )
     p.add_argument(
+        "--infer-sampling-ratio",
+        type=float,
+        default=None,
+        help="parse only ~this fraction of lines during schema inference "
+        "(opt-in; changes union-inference semantics — safe only on "
+        "structurally homogeneous feeds)",
+    )
+    p.add_argument(
         "--schema-file",
         default=None,
         help="schema-registry path: if the file exists, pin the scan to it "
@@ -94,6 +102,7 @@ def main(argv: list[str] | None = None) -> int:
             schema=pinned,
             sorting_metadata=args.sorting_metadata,
             partition_by=args.partition_by.split(",") if args.partition_by else None,
+            sampling_ratio=args.infer_sampling_ratio,
         )
         if args.schema_file and pinned is None and res.input_schema is not None:
             from .sources.schema_registry import save_schema

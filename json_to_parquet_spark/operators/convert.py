@@ -77,12 +77,16 @@ def convert(
     schema=None,
     sorting_metadata: bool = False,
     partition_by: list[str] | None = None,
+    sampling_ratio: float | None = None,
 ) -> ConvertResult:
     """Run the full convert pipeline and write Parquet to ``dest``.
 
     mode='cluster' (default, scale path): repartitionByRange + per-partition
     sort. mode='global': exact total order coalesced to one file (reference
     parity for single-object conversion). mode='none': no sort.
+
+    ``sampling_ratio`` (opt-in) passes through to inference — see
+    ``read_ndjson.sampling_ratio`` for the semantics caveat.
 
     ``partition_by`` writes a hive-layout sink (``dest/col=value/...``) —
     the at-scale output shape the single-file reference can't express:
@@ -104,7 +108,7 @@ def convert(
         if isinstance(source, DataFrame)
         # parallel path: decompress single-threaded, parse/rewrite/sort on
         # all cores — see read_ndjson_parallel (2-4× on single-gz objects)
-        else read_ndjson_parallel(spark, source, schema)
+        else read_ndjson_parallel(spark, source, schema, sampling_ratio=sampling_ratio)
     )
     schema_before = df.schema.simpleString()
     out = rewrite_dt_fields(df, mode=dt_mode)

@@ -7,7 +7,8 @@ containment dedup (x79), IVF quantizer health (x80), PMI co-occurrence
 (x84), shard manifests (x85), global ordinals (x86), user behavioral
 features (x88), dedup-key normalization ladder (x89), event transition
 matrix (x90), Count-Min accuracy (x91), bloom membership + FP rate
-(x92), corpus snapshot diff (x93), and join-key skew audit (x94).
+(x92), corpus snapshot diff (x93), join-key skew audit (x94), and LSH
+candidate-graph degree histogram (x95).
 The reference (`/root/reference/pyarrow/main.py`) has no corpus surface;
 these are driver-mandated LLM-pipeline operators
 (repo:BASELINE.json north_star) — with the measurement half of a
@@ -277,7 +278,15 @@ def x76_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= RECALL_K)
         .select("q_id", "vec_id")
     )
-    approx = x21_ivf_ann(spark, sf_dir).select("q_id", "vec_id")
+    # Explicit rank cap, mirroring the exact side: x21 happens to emit
+    # rank <= 5 today, but the oracle caps at RECALL_K independently —
+    # without this filter, retuning either constant would silently
+    # desynchronize engine and oracle.
+    approx = (
+        x21_ivf_ann(spark, sf_dir)
+        .filter(F.col("rank") <= RECALL_K)
+        .select("q_id", "vec_id")
+    )
     hits = (
         exact.join(approx, ["q_id", "vec_id"])
         .groupBy("q_id")
@@ -479,7 +488,14 @@ def x78_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of re-tokenizing the corpus three times (the x68 lesson;
     # ContextCleaner reclaims it when the frame goes unreachable).
     bg = (
-        docs.select("doc_id", F.explode(bigrams).alias("b"))
+        # ANSI guard: for a 1-token doc, sequence(1, 0) defaults to step
+        # -1 and yields [1, 0], whose element_at(toks, 0) throws under
+        # ANSI mode — while DuckDB's generate_series(1, 0) is empty.
+        # Filtering short docs out BEFORE the project gives both engines
+        # the same "no bigram rows" result.  Not live on current
+        # testdata (min token count 10), but latent.
+        docs.filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("b"))
         .select("doc_id", "b.w1", "b.w2")
         .persist()
     )

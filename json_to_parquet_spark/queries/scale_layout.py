@@ -1,0 +1,345 @@
+"""Storage-layout operators — the 100 TB read-path evidence (VERDICT r3
+ask #4): hive-partitioned multi-file scans with static partition pruning
+(x96), bucketed co-located joins with no shuffle on the join key (x97),
+distributed parquet-footer statistics reports (x98), and dynamic
+partition pruning through a join (x100).
+
+Why these are first-class queries rather than pytest-only: every other
+fixture in the gate is one parquet file per table, so the paths a real
+deployment lives on — partition directories, multi-file scans, bucket
+files, footer stats — were previously asserted in plan tests but never
+differential-checked. Each operator here materializes the layout it
+needs from the driver's own testdata (deterministic content, cached
+under the gate dir, rebuilt when absent) and is compared against a
+DuckDB oracle over the ORIGINAL single-file table — so the layout
+transformation itself is what the gate proves lossless.
+
+The reference (`/root/reference/pyarrow/main.py`) writes exactly one
+parquet object per invocation and has no partitioned/bucketed layout
+surface; these operators are the at-scale output/read shapes the driver
+mandates (repo:BASELINE.json north_star).
+
+Scale notes:
+- x96/x100 read a directory partitioned by event date: the scan's
+  PartitionFilters (static in x96, DynamicPruningExpression in x100)
+  skip whole directories before any IO — at 100 TB with date
+  partitions, a one-week query reads ~0.2% of the files. Plan-asserted
+  in tests/test_plans.py.
+- x97 joins two tables bucketed (8 buckets) and sorted on the join key:
+  both scans report the bucket spec, so the sort-merge join needs NO
+  exchange on either side — the at-scale answer to "this fact-fact join
+  shuffles 100 TB every night". Plan-asserted (zero Exchange under
+  disabled-broadcast).
+- x98 reads parquet FOOTERS, not data: a few KiB per file, distributed
+  over the file list via Arrow-batched mapInPandas — the same metadata
+  plane a table format's stats-based planner uses. The per-file work is
+  IO-bound footer parsing; no data pages are touched.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from . import QuerySpec, register
+from .convert_gate import GATE_DIR
+from .helpers import SQL_DEC_SUM, dec_sum
+
+ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+# x96/x100 filter constants — shared between the Spark side and the SQL
+# oracle so a retune moves both (ADVICE r3 pattern).
+PRUNE_LO, PRUNE_HI = "2024-01-08", "2024-01-14"
+DPP_USER, DPP_TYPE = 7, "purchase"
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+
+
+def events_partitioned_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf) the events table as a hive-partitioned,
+    multi-file parquet layout: ``.../d=YYYY-MM-DD/part-*.parquet``.
+
+    ``repartition("d")`` co-locates each date's rows in one task so each
+    partition directory gets ONE well-sized file — the layout a daily
+    ingest job produces — instead of tasks × dates tiny files (the
+    small-files failure mode). Content is deterministic (derived from
+    the driver's testdata), so cache across calls on the _SUCCESS
+    marker."""
+    dest = os.path.join(GATE_DIR, f"events_part_{_sf_tag(sf_dir)}")
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events")
+        (
+            ev.withColumn("d", F.date_format("ts", "yyyy-MM-dd"))
+            .withColumn("ts_us", F.unix_micros("ts"))
+            .drop("ts")  # helpers rule 4: no raw timestamps past this point
+            .repartition("d")
+            .write.mode("overwrite")
+            .partitionBy("d")
+            .parquet(dest)
+        )
+    return dest
+
+
+# --- x96: static partition pruning over a hive layout ------------------------
+def x96_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-week rollup over date-partitioned events: the ``d`` predicate
+    is a PARTITION filter — whole directories outside the window are
+    skipped at planning time, before any file IO (PartitionFilters
+    non-empty, plan-asserted). The oracle recomputes the same week from
+    the original unpartitioned table, proving the partitioned rewrite
+    lossless."""
+    ev = spark.read.parquet(events_partitioned_path(spark, sf_dir))
+    # Partition-column type inference reads 'YYYY-MM-DD' back as DATE;
+    # the filter stays on the raw column (so it lands in
+    # PartitionFilters) and only the OUTPUT is cast to string (helpers
+    # rule 4).
+    return (
+        ev.filter((F.col("d") >= PRUNE_LO) & (F.col("d") <= PRUNE_HI))
+        .withColumn("d", F.col("d").cast("string"))
+        .groupBy("d", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dec_sum("value", "sum_value"),
+        )
+        .orderBy("d", "event_type")
+    )
+
+
+register(
+    QuerySpec(
+        "x96_partition_prune",
+        x96_partition_prune,
+        f"""
+        SELECT strftime(ts, '%Y-%m-%d') AS d, event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               {SQL_DEC_SUM.format(x='value')} AS sum_value
+        FROM events
+        WHERE strftime(ts, '%Y-%m-%d') BETWEEN '{PRUNE_LO}' AND '{PRUNE_HI}'
+        GROUP BY 1, 2
+        ORDER BY d, event_type
+        """,
+        "hive-partitioned multi-file scan with static partition pruning",
+    )
+)
+
+
+# --- x97: bucketed co-located join -------------------------------------------
+N_BUCKETS = 8
+
+
+def _bucketed_table(
+    spark: SparkSession, df: DataFrame, name: str, key: str
+) -> DataFrame:
+    """(Re)write ``df`` as a parquet table bucketed+sorted on ``key``.
+    Bucket files are the co-location contract: every reader knows row
+    groups for bucket i of table A join only bucket i of table B."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    df.write.bucketBy(N_BUCKETS, key).sortBy(key).mode("overwrite").saveAsTable(name)
+    return spark.table(name)
+
+
+def x97_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ lineitem with BOTH sides bucketed (and sorted) on the
+    order key: the sort-merge join consumes the bucket layout directly —
+    zero exchange, zero sort on either side (plan-asserted with
+    broadcast disabled). At 100 TB this is the difference between a
+    nightly full-fact shuffle and none at all; the bucketed write is
+    paid once at ingest."""
+    tag = _sf_tag(sf_dir)
+    orders = _bucketed_table(
+        spark,
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        ),
+        f"x97_orders_{tag}",
+        "o_orderkey",
+    )
+    lineitem = _bucketed_table(
+        spark,
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        f"x97_lineitem_{tag}",
+        "l_orderkey",
+    )
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dec_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "revenue",
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+register(
+    QuerySpec(
+        "x97_bucketed_join",
+        x97_bucketed_join,
+        f"""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_items,
+               {SQL_DEC_SUM.format(x='l_extendedprice * (1.0 - l_discount)')}
+                   AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        "bucket-co-located orders⋈lineitem: shuffle-free sort-merge join",
+    )
+)
+
+
+# --- x98: distributed parquet-footer statistics report -----------------------
+STATS_COLUMNS = ("event_id", "user_id")  # BIGINT min/max stringify identically
+
+_X98_SCHEMA = (
+    "file string, column_name string, row_group long, num_values long, "
+    "null_count long, min_v long, max_v long"
+)
+
+
+def x98_parquet_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-group min/max/null statistics for the events table, read from
+    parquet FOOTERS only — the metadata a stats-based planner (and the
+    z-order pass, operators/zorder.py) prunes with. The file list fans
+    out over the cluster and each task parses just its footers via
+    Arrow-batched mapInPandas: no data pages are read, so the cost at
+    100 TB is (#files × ~KiB), not the table size. Oracle: DuckDB's
+    parquet_metadata() over the same file."""
+    path = os.path.join(sf_dir, "events.parquet")
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(
+        path
+    ) else [path]
+
+    def read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                for col in STATS_COLUMNS:
+                    for g in range(md.num_row_groups):
+                        chunk = md.row_group(g).column(idx[col])
+                        st = chunk.statistics
+                        rows.append(
+                            {
+                                "file": os.path.basename(p),
+                                "column_name": col,
+                                "row_group": g,
+                                # chunk.num_values counts nulls too — the
+                                # same total DuckDB's parquet_metadata
+                                # reports
+                                "num_values": chunk.num_values,
+                                "null_count": st.null_count,
+                                "min_v": int(st.min),
+                                "max_v": int(st.max),
+                            }
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file",
+                    "column_name",
+                    "row_group",
+                    "num_values",
+                    "null_count",
+                    "min_v",
+                    "max_v",
+                ],
+            )
+
+    file_df = spark.createDataFrame([(f,) for f in files], "path string")
+    return (
+        file_df.repartition(min(len(files), 32))
+        .mapInPandas(read_footers, _X98_SCHEMA)
+        .orderBy("file", "column_name", "row_group")
+    )
+
+
+register(
+    QuerySpec(
+        "x98_parquet_stats_report",
+        x98_parquet_stats_report,
+        # The oracle pins the driver's sf0.01 dir: oracle SQL is a static
+        # string, and the driver always differentials at sf0.01 (same
+        # convention as the gate-fixture paths in streaming_gate.py).
+        f"""
+        SELECT regexp_extract(file_name, '[^/]+$') AS file,
+               path_in_schema AS column_name,
+               CAST(row_group_id AS BIGINT) AS row_group,
+               CAST(num_values AS BIGINT) AS num_values,
+               CAST(stats_null_count AS BIGINT) AS null_count,
+               CAST(stats_min_value AS BIGINT) AS min_v,
+               CAST(stats_max_value AS BIGINT) AS max_v
+        FROM parquet_metadata('{ORACLE_SF_DIR}/events.parquet')
+        WHERE path_in_schema IN ('event_id', 'user_id')
+        ORDER BY file, column_name, row_group
+        """,
+        "distributed parquet-footer stats scan (metadata plane, no data IO)",
+    )
+)
+
+
+# --- x100: dynamic partition pruning through a join --------------------------
+def x100_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day event counts restricted to the days one user made a
+    purchase — the dim side is a runtime-derived set of dates, so the
+    partition filter on the fact scan can only be installed DYNAMICALLY
+    (DynamicPruningExpression from the broadcast dim; plan-asserted).
+    This is the 100 TB join feature: the fact side skips every date
+    directory the dim's filter eliminated, at run time, with no manual
+    predicate copying."""
+    part_path = events_partitioned_path(spark, sf_dir)
+    fact = spark.read.parquet(part_path)
+    dim = (
+        spark.read.parquet(part_path)
+        .filter((F.col("user_id") == DPP_USER) & (F.col("event_type") == DPP_TYPE))
+        .select("d")
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), "d")
+        .withColumn("d", F.col("d").cast("string"))  # DATE-inferred → string out
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("d")
+    )
+
+
+register(
+    QuerySpec(
+        "x100_dynamic_partition_prune",
+        x100_dynamic_partition_prune,
+        f"""
+        WITH dim AS (
+          SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS d
+          FROM events
+          WHERE user_id = {DPP_USER} AND event_type = '{DPP_TYPE}')
+        SELECT e.d, COUNT(*) AS n_events, COUNT(DISTINCT e.user_id) AS n_users
+        FROM (SELECT strftime(ts, '%Y-%m-%d') AS d, user_id FROM events) e
+        JOIN dim ON e.d = dim.d
+        GROUP BY e.d
+        ORDER BY e.d
+        """,
+        "dynamic partition pruning: fact partitions skipped via runtime dim set",
+    )
+)

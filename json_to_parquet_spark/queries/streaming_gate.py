@@ -397,7 +397,7 @@ def x81_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL is an exact oracle. Production uses append mode + watermark so
     closed sessions emit and state stays bounded (one open session per
     active user); the complete-mode drain is gate harness only."""
-    from .pipeline import SESSION_WINDOW_GAP_US  # noqa: F401 (oracle twin)
+    from .pipeline import SESSION_WINDOW_GAP_US
 
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     src = os.path.join(GATE_DIR, f"events81_{sf_tag}")
@@ -411,8 +411,12 @@ def x81_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)  # force cross-batch session merges
         .parquet(src)
     )
+    # Gap derived from the same constant the oracle uses, so one retune
+    # moves both sides (ADVICE r3: a hardcoded "10 minutes" here would
+    # silently desynchronize from the SQL twin).
+    gap = f"{SESSION_WINDOW_GAP_US // 1_000_000} seconds"
     sess = stream.groupBy(
-        "user_id", F.session_window("ts", "10 minutes").alias("sw")
+        "user_id", F.session_window("ts", gap).alias("sw")
     ).agg(F.count(F.lit(1)).alias("n_events"))
     name = f"x81_sessions_{sf_tag}".replace(".", "_")
     q = (
@@ -510,6 +514,13 @@ def x87_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).alias("version"),
         )
 
+    # Insert keys re-key above the observed max so they can never collide
+    # with real base keys at ANY scale factor (ADVICE r3: a fixed +10M
+    # offset would collide at SF >= ~1.7 where o_orderkey tops 10M and
+    # break the one-change-row-per-key convergence argument).  Tiny
+    # 1-row agg collect — gate harness only; the oracle computes the
+    # same MAX(o_orderkey)+1 so both sides stay tied.
+    insert_offset = base.agg(F.max("k")).first()[0] + 1
     changes = (
         change(base.filter(F.col("k") % 10 == 3), F.col("k"), F.col("price") + 2, "U")
         .unionAll(
@@ -518,7 +529,7 @@ def x87_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(
             change(
                 base.filter(F.col("k") % 10 == 5),
-                F.col("k") + 10_000_000,
+                F.col("k") + F.lit(insert_offset),
                 F.col("price"),
                 "I",
             )
@@ -559,7 +570,9 @@ register(
                       AS DECIMAL(18,2)) AS price
           FROM base WHERE k % 10 != 7),
         ins AS (
-          SELECT k + 10000000 AS k, cust, price FROM base WHERE k % 10 = 5)
+          SELECT k + (SELECT MAX(o_orderkey) + 1 FROM orders) AS k,
+                 cust, price
+          FROM base WHERE k % 10 = 5)
         SELECT k, cust, CAST(price AS VARCHAR) AS price_str
         FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
         ORDER BY k

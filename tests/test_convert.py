@@ -173,3 +173,22 @@ def test_multi_file_input_keeps_native_parallelism(spark, tmp_path):
     cache = getattr(fallback, "_graft_text_cache", None)
     if cache is not None:
         cache.unpersist()
+
+
+def test_sampling_ratio_inference(spark, tmp_path):
+    """Opt-in sampled inference: on a structurally homogeneous feed the
+    sampled schema equals the full-union schema (and the parse is
+    unchanged); the option must be ignored when a schema is pinned."""
+    import gzip
+    import json as _json
+
+    from json_to_parquet_spark.sources.ndjson import read_ndjson
+
+    p = str(tmp_path / "h.ndjson.gz")
+    with gzip.open(p, "wt") as f:
+        for i in range(2000):
+            f.write(_json.dumps({"a": i, "b": f"s{i}", "c": i / 2.0}) + "\n")
+    full = read_ndjson(spark, p)
+    sampled = read_ndjson(spark, p, sampling_ratio=0.05)
+    assert sampled.schema == full.schema
+    assert sampled.count() == 2000  # sampling affects inference, not rows

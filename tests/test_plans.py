@@ -214,3 +214,45 @@ def test_x65_edges_blocked_not_all_pairs(spark, sf_dir):
     for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
         head = frag.split("\n")[0]
         assert "array" not in head, "BNLJ side must never carry embeddings"
+
+
+def test_x96_partition_pruning(spark, sf_dir):
+    """The date predicate must land in PartitionFilters (directory-level
+    skip before IO), not just as a data filter — the 100 TB read path
+    (VERDICT r3 ask #4)."""
+    plan = _plan(spark, sf_dir, "x96_partition_prune")
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters")[1][:300]
+    assert "d#" in pf and ("isnotnull" in pf or ">=" in pf)
+    # and the filter is not empty brackets
+    assert not re.search(r"PartitionFilters: \[\s*\]", plan)
+
+
+def test_x97_bucketed_join_no_shuffle(spark, sf_dir):
+    """With broadcast disabled, the bucketed orders⋈lineitem must be a
+    sort-merge join with ZERO exchanges — both scans expose the bucket
+    spec, so neither side shuffles (nor re-sorts) on the join key."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, sf_dir, "x97_bucketed_join")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert "SortMergeJoin" in plan
+    join_part = plan.split("SortMergeJoin")[1]
+    # the only exchange allowed is AFTER the join (the groupBy/orderBy);
+    # nothing between the scans and the join itself
+    pre_join = plan.split("SortMergeJoin")[0]
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, pre_join[:500]
+    del join_part
+
+
+def test_x100_dynamic_partition_pruning(spark, sf_dir):
+    """The fact scan's partition filter must be installed at RUNTIME from
+    the joined dim (DynamicPruningExpression) — static planning cannot
+    know which dates survive the dim's filter."""
+    plan = _plan(spark, sf_dir, "x100_dynamic_partition_prune")
+    assert "dynamicpruning" in plan.lower(), plan[:2000]

@@ -77,3 +77,59 @@ def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
     assert avg(z_ucov) < 0.8 and avg(z_hcov) < 0.6  # both dims prune
     assert avg(s_ucov) > 0.95  # hour-sorted baseline can't prune user
     assert avg(z_ucov) < avg(s_ucov) - 0.2  # z-order strictly better
+
+
+def test_zorder_injected_ranges_single_scan(spark, sf_dir, tmp_path):
+    """Stats-injected ranges must (a) skip the min/max aggregation
+    entirely — the input is scanned exactly once, by the write — and
+    (b) produce the identical clustered layout as the scan fallback."""
+    from json_to_parquet_spark.operators.zorder import (
+        normalized_morton_key,
+        ranges_from_parquet_stats,
+    )
+    from json_to_parquet_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.unix_micros("ts") / 3_600_000_000).alias("hour"),
+    )
+    lo_u, hi_u, lo_h, hi_h = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("hour"), F.max("hour")
+    ).collect()[0]
+    ranges = {"user_id": (lo_u, hi_u), "hour": (lo_h, hi_h)}
+
+    # (a) same key values either way
+    scan_keys = ev.select(
+        "event_id", normalized_morton_key(ev, "user_id", "hour").alias("z")
+    )
+    inj_keys = ev.select(
+        "event_id",
+        normalized_morton_key(ev, "user_id", "hour", ranges=ranges).alias("z"),
+    )
+    assert scan_keys.exceptAll(inj_keys).isEmpty()
+
+    # (b) with ranges injected, the min/max agg is never invoked
+    def _boom(*a, **k):
+        raise AssertionError("agg() called despite injected ranges")
+
+    ev_guarded = ev.select("*")
+    ev_guarded.agg = _boom  # instance-level guard
+    write_zordered(
+        ev_guarded, str(tmp_path / "zi"), "user_id", "hour", n_files=4, ranges=ranges
+    )
+    got = spark.read.parquet(str(tmp_path / "zi"))
+    assert got.count() == ev.count()
+
+
+def test_ranges_from_parquet_stats(spark, tmp_path):
+    """Footer-stats ranges equal the true min/max — no data scan needed."""
+    from json_to_parquet_spark.operators.zorder import ranges_from_parquet_stats
+
+    df = spark.range(1000).select(
+        (F.col("id") + 7).alias("a"), (F.col("id") * 3 - 50).alias("b")
+    )
+    p = str(tmp_path / "t")
+    df.repartition(3).write.parquet(p)
+    r = ranges_from_parquet_stats(p, "a", "b")
+    assert r == {"a": (7, 1006), "b": (-50, 2947)}
