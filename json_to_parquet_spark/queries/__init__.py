@@ -133,6 +133,7 @@ def registry() -> dict[str, QuerySpec]:
         relational4,
         relational5,
         relational6,
+        relational7,
         scale_layout,
         similarity,
         streaming_gate,

@@ -2,8 +2,9 @@
 X3/X4 breadth): matryoshka truncation (x59), int8 embedding quantization
 (x60), sliding-window chunking (x61), unigram-LM log-probability scoring
 (x62), exact heavy-hitter tokens (x63), robust MAD outlier flagging
-(x64), similarity-graph triangle counting (x65), and time-decayed user
-activity (x66). The reference (`/root/reference/pyarrow/main.py`) has no
+(x64), similarity-graph triangle counting (x65), time-decayed user
+activity (x66), and the end-to-end corpus cleaning pipeline (x99:
+dedup → quality gates → shard manifest as one declarative plan). The reference (`/root/reference/pyarrow/main.py`) has no
 text/embedding surface; these are driver-mandated LLM-pipeline operators
 (repo:BASELINE.json north_star).
 
@@ -773,5 +774,73 @@ register(
         FROM terms GROUP BY event_type ORDER BY event_type
         """,
         "population-stability-index drift per event type, early vs late half",
+    )
+)
+
+
+# --- x99: end-to-end corpus cleaning pipeline --------------------------------
+# The composition story: a user of this engine chains dedup → quality
+# filter → shard assignment as ONE declarative plan (no materialization
+# between stages), and Catalyst pipelines the filters into the dedup
+# window's shuffle. Constants shared with the SQL twin below.
+CLEAN_MIN_CHARS, CLEAN_MAX_CHARS = 100, 20_000
+CLEAN_MIN_TOKENS = 20
+CLEAN_SHARDS = 16
+_SHARD_MIX = 2654435761  # Knuth multiplicative constant; doc_id·mix < 2^63
+
+
+def x99_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus cleanup as one plan: exact dedup (survivor =
+    lowest doc_id per identical text), length/token-count quality gates,
+    deterministic shard assignment, then per-(lang, shard) manifest
+    counts. One shuffle for the dedup window (keyed on text — at 100 TB
+    you key on a fingerprint; x01/x74 are that shape), one for the final
+    small aggregation; the filters are row-local and run inside the same
+    stage as the window."""
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("text")
+    toks = F.split("text", " ")
+    shard = ((F.col("doc_id") * F.lit(_SHARD_MIX)) % CLEAN_SHARDS).cast("long")
+    return (
+        docs.withColumn("min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("min_id"))
+        .filter(
+            (F.col("n_chars") >= CLEAN_MIN_CHARS)
+            & (F.col("n_chars") <= CLEAN_MAX_CHARS)
+            & (F.size(toks) >= CLEAN_MIN_TOKENS)
+        )
+        .select("lang", shard.alias("shard"), "n_chars")
+        .groupBy("lang", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang", "shard")
+    )
+
+
+register(
+    QuerySpec(
+        "x99_corpus_clean_pipeline",
+        x99_corpus_clean_pipeline,
+        f"""
+        WITH surv AS (
+          SELECT doc_id, lang, n_chars, text
+          FROM documents
+          QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY text)),
+        clean AS (
+          SELECT lang,
+                 CAST((doc_id * {_SHARD_MIX}) % {CLEAN_SHARDS} AS BIGINT) AS shard,
+                 n_chars
+          FROM surv
+          WHERE n_chars BETWEEN {CLEAN_MIN_CHARS} AND {CLEAN_MAX_CHARS}
+            AND len(string_split(text, ' ')) >= {CLEAN_MIN_TOKENS})
+        SELECT lang, shard, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM clean
+        GROUP BY lang, shard
+        ORDER BY lang, shard
+        """,
+        "dedup → quality gates → shard manifest as one declarative plan",
     )
 )

@@ -1,0 +1,207 @@
+"""Relational core, seventh batch (SURVEY §2.C X6 breadth): the
+multi-correlated EXISTS / NOT EXISTS shape (q83, TPC-H Q21 adapted to
+this star schema's columns) and a full-outer-join data-reconciliation
+report (q84) — the audit query every warehouse runs between a header
+table and its recomputed line-level rollup. The reference
+(`/root/reference/pyarrow/main.py`) has no relational surface; these
+exist because the driver's gate scores the declared X6 inventory.
+
+Scale notes:
+- q83's three self-references to lineitem all key on l_orderkey, so the
+  semi and anti joins reuse one hash partitioning of the fact (AQE
+  exchange reuse); supplier/nation are dim-sized (broadcast / AQE).
+  Nothing is quadratic: each join is equi on the order key with a
+  residual suppkey inequality evaluated post-probe.
+- q84 is one shuffle on l_orderkey for the rollup, then a key-co-located
+  full outer join against orders — both sides partitioned on the same
+  key. The classification is row-local.
+
+Determinism per helpers.py: the Q21 count is a plain BIGINT; q84's money
+diff is computed as (decimal-exact recomputed sum, VARCHAR-round-tripped
+to double on the DuckDB side) subtracted from the raw double
+o_totalprice — row-level IEEE subtraction (rule 2) — then
+ROUND(abs, 6) → decimal-summed (rules 1+3). The match threshold (0.01)
+compares a deterministic double against a constant, so classification is
+engine-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from . import QuerySpec, register
+from .helpers import SQL_DEC_SUM, dec_sum
+
+ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- q83: suppliers who kept orders waiting (TPC-H Q21 shape) ----------------
+# The schema has no l_commitdate/l_receiptdate, so "late" is adapted to
+# the available columns: shipped more than LATE_DAYS after the order
+# date. The SHAPE is the point: one fact predicate plus a correlated
+# EXISTS (another supplier contributed to the same order) and a
+# correlated NOT EXISTS (no OTHER supplier was also late) — the classic
+# multi-self-join decision-support query.
+LATE_DAYS = 90
+Q21_NATION = "NATION_9"  # testdata nations are NATION_0..24; _9 has the most suppliers
+Q21_TOPK = 50
+
+
+def q83_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+
+    # One orderkey-keyed frame with the lateness flag; all three roles
+    # (l1 culprit, l2 co-supplier, l3 other-late) read from it, so AQE
+    # reuses a single hash partitioning of the fact.
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        # timestamp + interval (not date_add, which truncates to DATE) so
+        # both engines compare at full timestamp precision
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
+        ).alias("late"),
+    )
+    l1 = lo.filter(F.col("late")).select("l_orderkey", "l_suppkey")
+    l2 = lo.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = lo.filter(F.col("late")).select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = (
+        l1.join(
+            l2, (l1.l_orderkey == l2.k2) & (l1.l_suppkey != l2.s2), "left_semi"
+        )
+        .join(l3, (l1.l_orderkey == l3.k3) & (l1.l_suppkey != l3.s3), "left_anti")
+    )
+    return (
+        waiting.join(supplier, waiting.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .filter(F.col("n_name") == Q21_NATION)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(Q21_TOPK)
+    )
+
+
+register(
+    QuerySpec(
+        "q83_suppliers_kept_waiting",
+        q83_suppliers_kept_waiting,
+        f"""
+        WITH lo AS (
+          SELECT l_orderkey, l_suppkey,
+                 l_shipdate > o_orderdate + INTERVAL {LATE_DAYS} DAY AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        SELECT s_name, COUNT(*) AS numwait
+        FROM lo l1
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE l1.late
+          AND n_name = '{Q21_NATION}'
+          AND EXISTS (SELECT 1 FROM lo l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lo l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.late)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT {Q21_TOPK}
+        """,
+        "TPC-H Q21 shape: correlated EXISTS + NOT EXISTS over the fact",
+    )
+)
+
+
+# --- q84: order/lineitem reconciliation --------------------------------------
+MATCH_EPS = 0.01
+
+
+def q84_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer reconciliation of the orders header total against the
+    line-level recomputed charge sum(extprice·(1-disc)·(1+tax)): per
+    status (match / mismatch / order_only / lineitem_only), how many
+    orders and how much absolute money gap. The recomputed sum is
+    decimal-exact per order; the header comparison is a row-local double
+    subtraction, so the classification is deterministic cross-engine."""
+    charge = (
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+    )
+    lag = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(charge.cast("decimal(30,10)")).cast("double").alias("recomputed"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    j = orders.join(lag, orders.o_orderkey == lag.l_orderkey, "full_outer")
+    diff = F.round(F.abs(F.col("o_totalprice") - F.col("recomputed")), 6)
+    status = (
+        F.when(F.col("o_orderkey").isNull(), F.lit("lineitem_only"))
+        .when(F.col("l_orderkey").isNull(), F.lit("order_only"))
+        .when(diff < MATCH_EPS, F.lit("match"))
+        .otherwise(F.lit("mismatch"))
+    )
+    return (
+        j.select(
+            status.alias("status"),
+            F.coalesce(diff, F.lit(0.0)).alias("abs_diff"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("abs_diff", "sum_abs_diff"),
+        )
+        .orderBy("status")
+    )
+
+
+register(
+    QuerySpec(
+        "q84_order_reconciliation",
+        q84_order_reconciliation,
+        f"""
+        WITH lag AS (
+          SELECT l_orderkey,
+                 CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                       * (1.0 + l_tax) AS DECIMAL(30,10))) AS VARCHAR)
+                      AS DOUBLE) AS recomputed,
+                 COUNT(*) AS n_items
+          FROM lineitem GROUP BY l_orderkey),
+        j AS (
+          SELECT o_orderkey, l_orderkey,
+                 ROUND(ABS(o_totalprice - recomputed), 6) AS diff
+          FROM orders FULL OUTER JOIN lag ON o_orderkey = l_orderkey)
+        SELECT CASE WHEN o_orderkey IS NULL THEN 'lineitem_only'
+                    WHEN l_orderkey IS NULL THEN 'order_only'
+                    WHEN diff < {MATCH_EPS} THEN 'match'
+                    ELSE 'mismatch' END AS status,
+               COUNT(*) AS n_orders,
+               {SQL_DEC_SUM.format(x='COALESCE(diff, 0.0)')} AS sum_abs_diff
+        FROM j
+        GROUP BY 1
+        ORDER BY status
+        """,
+        "full-outer header-vs-recomputed-lines reconciliation report",
+    )
+)

@@ -49,7 +49,14 @@ from . import QuerySpec, register
 from .convert_gate import GATE_DIR
 from .helpers import SQL_DEC_SUM, dec_sum
 
-ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+# x98's oracle references a parquet file by literal path (DuckDB's
+# parquet_metadata takes a filename, not a view), so the registered SQL
+# must point at the SAME sf dir the harness runs Spark at. The driver
+# gate runs at sf0.01 with no env; the repo's parity mirror exports the
+# dir it uses (tests/conftest.py) before first registry import.
+ORACLE_FILE_DIR = os.environ.get(
+    "SPARK_GRAFT_ORACLE_FILE_DIR", "/root/testdata/sf0.01"
+)
 
 # x96/x100 filter constants — shared between the Spark side and the SQL
 # oracle so a retune moves both (ADVICE r3 pattern).
@@ -138,11 +145,14 @@ N_BUCKETS = 8
 def _bucketed_table(
     spark: SparkSession, df: DataFrame, name: str, key: str
 ) -> DataFrame:
-    """(Re)write ``df`` as a parquet table bucketed+sorted on ``key``.
-    Bucket files are the co-location contract: every reader knows row
-    groups for bucket i of table A join only bucket i of table B."""
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
-    df.write.bucketBy(N_BUCKETS, key).sortBy(key).mode("overwrite").saveAsTable(name)
+    """(Re)write ``df`` as a parquet table bucketed+sorted on ``key`` via
+    ``operators.bucketing.write_bucketed`` (which also clears a stale
+    warehouse location a previous session may have left). Bucket files
+    are the co-location contract: bucket i of table A joins only bucket
+    i of table B."""
+    from ..operators.bucketing import write_bucketed
+
+    write_bucketed(df, name, [key], n_buckets=N_BUCKETS, sort_cols=[key])
     return spark.table(name)
 
 
@@ -287,7 +297,7 @@ register(
                CAST(stats_null_count AS BIGINT) AS null_count,
                CAST(stats_min_value AS BIGINT) AS min_v,
                CAST(stats_max_value AS BIGINT) AS max_v
-        FROM parquet_metadata('{ORACLE_SF_DIR}/events.parquet')
+        FROM parquet_metadata('{ORACLE_FILE_DIR}/events.parquet')
         WHERE path_in_schema IN ('event_id', 'user_id')
         ORDER BY file, column_name, row_group
         """,

@@ -12,6 +12,11 @@ from json_to_parquet_spark.session import build_session  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
+# Oracles that reference parquet FILES by literal path (x98) are f-strings
+# resolved at first registry import — pin them to the dir this test run
+# uses BEFORE any test module imports the registry.
+os.environ.setdefault("SPARK_GRAFT_ORACLE_FILE_DIR", SF_DIR)
+
 
 @pytest.fixture(scope="session")
 def spark():
