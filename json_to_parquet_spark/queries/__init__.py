@@ -137,6 +137,7 @@ def registry() -> dict[str, QuerySpec]:
         crawl,
         dedup,
         evalsuite,
+        evalsuite2,
         multimodal,
         pipeline,
         quality,

@@ -1,0 +1,584 @@
+"""Evaluation suite, part 2 — ranking-quality metrics for the ANN index
+(x102 NDCG@5 / MRR), a distributed PCA of the embedding corpus via
+covariance + unrolled power iteration (x103), and the MinHash-LSH
+band/row parameter sweep (x104): measured precision/recall per
+configuration instead of formula-trusted guesses.
+
+The reference (`/root/reference/`) has no vector or evaluation surface;
+these extend the driver-mandated similarity-search pillar (SURVEY §2.C
+X3) with the *measurement* half a production pipeline runs before
+trusting an index or a dedup threshold.
+
+Cross-engine determinism (helpers.py rules): rank discounts and IDCG are
+Python-computed double literals injected into BOTH plans (no cross-engine
+log2 calls on the hot path); every sum is a ROUND-then-DECIMAL sum;
+every ratio divides identical integers or identical rounded doubles.
+
+Scale notes (100 TB posture):
+- x102 joins two k-bounded-per-query frames — cost is n_queries × k
+  regardless of corpus size (the x76 shape, plus rank arithmetic).
+- x103's corpus-sized work is ONE pass: each row expands to d² (i, j,
+  x_i·x_j) terms that partial-aggregate map-side, so the shuffle carries
+  d² = 4096 keys, not rows. The 8 power-iteration rounds then run
+  entirely on d²/d-sized frames (the x45 pagerank economics: scheduler
+  rounds, not data). At d in the thousands you would switch the gram
+  accumulation to a blocked Pandas-UDF matmul; at d = 64 the declarative
+  expansion wins by staying in whole-stage codegen.
+- x104 reuses x75's bounded eval sample (SKETCH_EVAL_MAX_ID originals +
+  exact-dup twins): the truth set comes from the inverted-index shingle
+  join (never all-pairs), and each LSH config adds one band-keyed
+  self-join over bucket-blocked rows.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from . import QuerySpec, register
+from .dedup import (
+    ARITH_P,
+    MINHASH_HASHES,
+    _ARITH_HASHES,
+    _BAND_MIX,
+    _charfold,
+    shingles,
+)
+from .evalsuite import BATCH_OFFSET, RECALL_K, SKETCH_EVAL_MAX_ID
+from .helpers import SQL_DEC_SUM, dec_sum
+from .similarity import (
+    IVF_N_CENTROIDS,
+    IVF_N_PROBE,
+    N_QUERY_VECS,
+    x11_cosine_topk,
+    x21_ivf_ann,
+)
+
+# --- x102: ANN ranking quality — NDCG@5 and MRR ------------------------------
+# Graded relevance: the exact top-K neighbor at rank r earns rel = K-r+1;
+# anything outside the exact top-K earns 0.  Discounts 1/log2(rank+1) are
+# Python literals so neither engine evaluates log2 (identical parsed
+# doubles by construction).
+_DISCOUNTS = {r: 1.0 / math.log2(r + 1) for r in range(1, RECALL_K + 1)}
+_IDCG = round(sum((RECALL_K - r + 1) * _DISCOUNTS[r] for r in range(1, RECALL_K + 1)), 6)
+
+
+def _disc_col(rank_col) -> F.Column:
+    expr = F.lit(0.0)
+    for r, d in _DISCOUNTS.items():
+        expr = F.when(rank_col == r, F.lit(d)).otherwise(expr)
+    return expr
+
+
+def x102_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-aware quality of the IVF index (x21) against exact
+    brute-force order (x11): per query, NDCG@5 with graded relevance and
+    the reciprocal rank of the TRUE nearest neighbor. recall@k (x76)
+    says how many right answers came back; this says whether they came
+    back in the right ORDER — the metric that actually moves retrieval
+    quality."""
+    exact = (
+        x11_cosine_topk(spark, sf_dir)
+        .filter(F.col("rank") <= RECALL_K)
+        .select("q_id", "vec_id", F.col("rank").alias("rk_e"))
+    )
+    approx = (
+        x21_ivf_ann(spark, sf_dir)
+        .filter(F.col("rank") <= RECALL_K)
+        .select("q_id", "vec_id", F.col("rank").alias("rk_a"))
+    )
+    rel = F.coalesce(F.lit(RECALL_K + 1) - F.col("rk_e"), F.lit(0)).cast("double")
+    gains = approx.join(exact, ["q_id", "vec_id"], "left").select(
+        "q_id",
+        F.round(rel * _disc_col(F.col("rk_a")), 6).alias("gain"),
+        F.when(F.col("rk_e") == 1, F.round(F.lit(1.0) / F.col("rk_a"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("rr_cand"),
+    )
+    per_q = gains.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_ret"),
+        dec_sum("gain", "dcg"),
+        F.max("rr_cand").alias("mrr"),
+    )
+    qs = exact.select("q_id").distinct()
+    return (
+        qs.join(per_q, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_ret"), F.lit(0).cast("long")).alias("n_ret"),
+            F.coalesce(F.col("dcg"), F.lit(0.0)).alias("dcg"),
+            F.round(F.coalesce(F.col("dcg"), F.lit(0.0)) / F.lit(_IDCG), 6).alias(
+                "ndcg"
+            ),
+            F.coalesce(F.col("mrr"), F.lit(0.0)).alias("mrr"),
+        )
+        .orderBy("q_id")
+    )
+
+
+def _x102_sql() -> str:
+    disc_case = " ".join(
+        f"WHEN {r} THEN {d!r}" for r, d in _DISCOUNTS.items()
+    )
+    # Exact + IVF ranked CTEs mirror similarity.py's x11/x21 oracles
+    # (constants imported so a similarity retune retunes this too).
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < {N_QUERY_VECS}),
+        ex_scored AS (
+          SELECT q.q_id, e.vec_id,
+                 ROUND(list_dot_product(q.q_vec, e.v)
+                       / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                          * sqrt(list_dot_product(e.v, e.v))), 6) AS cos_sim
+          FROM e CROSS JOIN q WHERE e.vec_id != q.q_id),
+        exact AS (
+          SELECT q_id, vec_id,
+                 CAST(row_number() OVER (PARTITION BY q_id
+                      ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rk_e
+          FROM ex_scored
+          QUALIFY rk_e <= {RECALL_K}),
+        cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e WHERE vec_id < {IVF_N_CENTROIDS}),
+        adist AS (
+          SELECT e.vec_id, c.c_id,
+                 ROUND(sqrt(list_sum(list_transform(
+                     list_zip(e.v, c.c_vec),
+                     p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS dist
+          FROM e CROSS JOIN cent c),
+        lists AS (
+          SELECT vec_id, c_id AS list_c FROM adist
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id) = 1),
+        probes AS (
+          SELECT vec_id AS q_id, c_id AS probe_c FROM adist
+          WHERE vec_id < {N_QUERY_VECS}
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id)
+                  <= {IVF_N_PROBE}),
+        cand AS (
+          SELECT p.q_id, e.vec_id
+          FROM e JOIN lists l ON e.vec_id = l.vec_id
+                 JOIN probes p ON l.list_c = p.probe_c
+          WHERE e.vec_id != p.q_id),
+        ap_scored AS (
+          SELECT c.q_id, c.vec_id,
+                 ROUND(list_dot_product(q.v, e.v)
+                       / (sqrt(list_dot_product(q.v, q.v))
+                          * sqrt(list_dot_product(e.v, e.v))), 6) AS cos_sim
+          FROM cand c JOIN e ON c.vec_id = e.vec_id
+                      JOIN e q ON c.q_id = q.vec_id),
+        approx AS (
+          SELECT q_id, vec_id,
+                 CAST(row_number() OVER (PARTITION BY q_id
+                      ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rk_a
+          FROM ap_scored
+          QUALIFY rk_a <= {RECALL_K}),
+        gains AS (
+          SELECT a.q_id,
+                 ROUND(CAST(COALESCE({RECALL_K + 1} - x.rk_e, 0) AS DOUBLE)
+                       * (CASE a.rk_a {disc_case} ELSE 0.0 END), 6) AS gain,
+                 CASE WHEN x.rk_e = 1 THEN ROUND(1.0 / a.rk_a, 6)
+                      ELSE 0.0 END AS rr_cand
+          FROM approx a LEFT JOIN exact x
+            ON a.q_id = x.q_id AND a.vec_id = x.vec_id),
+        per_q AS (
+          SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_ret,
+                 {SQL_DEC_SUM.format(x="gain")} AS dcg,
+                 MAX(rr_cand) AS mrr
+          FROM gains GROUP BY q_id)
+        SELECT qs.q_id,
+               COALESCE(p.n_ret, 0) AS n_ret,
+               COALESCE(p.dcg, 0.0) AS dcg,
+               ROUND(COALESCE(p.dcg, 0.0) / {_IDCG!r}, 6) AS ndcg,
+               COALESCE(p.mrr, 0.0) AS mrr
+        FROM (SELECT DISTINCT q_id FROM exact) qs
+        LEFT JOIN per_q p ON qs.q_id = p.q_id
+        ORDER BY qs.q_id
+        """
+
+
+register(
+    QuerySpec(
+        "x102_ann_ndcg",
+        x102_ann_ndcg,
+        _x102_sql(),
+        "NDCG@5 + MRR of the IVF ANN index vs exact cosine ranking, per query",
+    )
+)
+
+
+# --- x103: embedding-corpus PCA (covariance + power iteration) ---------------
+POWER_ITERS = 8
+
+
+def x103_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the embedding corpus: per-dim
+    means, d×d covariance from one corpus pass (row-local (i, j, x_i·x_j)
+    expansion, map-side partial agg → d² = 4096 shuffle keys), then
+    POWER_ITERS max-norm power-iteration rounds over the tiny matrix
+    frame. Output: one row per dimension with its mean, PC1 loading, and
+    the shared eigenvalue estimate (the final iteration's max-norm)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xi = emb.select(
+        "vec_id", "embedding", F.posexplode("embedding").alias("i", "x_i")
+    )
+    pairs = xi.select(
+        "i",
+        F.col("x_i").cast("double").alias("xi"),
+        F.posexplode("embedding").alias("j", "x_j"),
+    ).select("i", "j", "xi", F.col("x_j").cast("double").alias("xj"))
+    # Raw second moments, decimal-exact; products are row-level IEEE
+    # (deterministic), rounded before the decimal cast per helpers.
+    moments = pairs.groupBy("i", "j").agg(
+        dec_sum(F.round(F.col("xi") * F.col("xj"), 6), "s_ij")
+    )
+    # n rides along in the per-dim aggregate (count per dim = corpus
+    # rows) — no separate count() scan of the input.
+    means = (
+        xi.groupBy("i")
+        .agg(
+            dec_sum(F.col("x_i").cast("double"), "s_i"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("i", F.round(F.col("s_i") / F.col("n"), 6).alias("mu"), "n")
+    )
+    mu_j = means.select(F.col("i").alias("j"), F.col("mu").alias("mu_j"))
+    cov = (
+        moments.join(means, "i")
+        .join(mu_j, "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("s_ij") / F.col("n") - F.col("mu") * F.col("mu_j"), 6
+            ).alias("c"),
+        )
+    )
+    # localCheckpoint (not persist): each unrolled round would otherwise
+    # re-embed cov's full subplan, and the analyzer/optimizer cost grows
+    # superlinearly with rounds (the x45 pagerank lesson — measured here
+    # as 205 s → ~15 s at sf0.001). cov is 4096 rows; v is 64.
+    cov = cov.localCheckpoint()
+    v = means.select("i", F.when(F.col("i") == 0, 1.0).otherwise(0.0).alias("v"))
+    for it in range(POWER_ITERS):
+        w = (
+            cov.join(v.select(F.col("i").alias("j"), "v"), "j")
+            .groupBy("i")
+            .agg(dec_sum(F.round(F.col("c") * F.col("v"), 6), "w"))
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = w.crossJoin(F.broadcast(m)).select(
+            "i", F.round(F.col("w") / F.col("m"), 6).alias("v"), "m"
+        )
+        if it % 3 == 2:
+            v = v.localCheckpoint()
+    return (
+        means.join(v, "i")
+        .select(
+            F.col("i").cast("long").alias("dim"),
+            "mu",
+            F.col("v").alias("loading"),
+            F.round("m", 6).alias("eigval"),
+        )
+        .orderBy("dim")
+    )
+
+
+def _x103_sql() -> str:
+    dec_sum_round = SQL_DEC_SUM.format(x="ROUND({y}, 6)")
+    ctes = [f"""
+        xv AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        xi AS (
+          SELECT unnest([{{'i': i - 1, 'x_i': v[i]}}
+                     FOR i IN generate_series(1, len(v))],
+                     recursive := true),
+                 v AS vec
+          FROM xv),
+        pairs AS (
+          SELECT i, x_i AS a,
+                 unnest([{{'j': j - 1, 'b': vec[j]}}
+                     FOR j IN generate_series(1, len(vec))],
+                     recursive := true)
+          FROM xi),
+        moments AS (
+          SELECT i, j, {dec_sum_round.format(y="a * b")} AS s_ij
+          FROM pairs GROUP BY i, j),
+        means AS (
+          SELECT i,
+                 ROUND({SQL_DEC_SUM.format(x="x_i")} / COUNT(*), 6) AS mu,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM xi GROUP BY i),
+        cov AS MATERIALIZED (
+          SELECT m.i, m.j,
+                 ROUND(m.s_ij / mi.n - mi.mu * mj.mu, 6) AS c
+          FROM moments m
+          JOIN means mi ON m.i = mi.i
+          JOIN means mj ON m.j = mj.i),
+        v0 AS (SELECT i, CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END AS v FROM means)"""]
+    for k in range(1, POWER_ITERS + 1):
+        ctes.append(f"""
+        w{k} AS (
+          SELECT cov.i, {dec_sum_round.format(y="cov.c * v.v")} AS w
+          FROM cov JOIN v{k - 1} v ON cov.j = v.i
+          GROUP BY cov.i),
+        m{k} AS (SELECT MAX(abs(w)) AS m FROM w{k}),
+        v{k} AS (
+          SELECT i, ROUND(w / m, 6) AS v, m FROM w{k} CROSS JOIN m{k})""")
+    K = POWER_ITERS
+    return f"""
+        WITH {",".join(ctes)}
+        SELECT CAST(means.i AS BIGINT) AS dim, means.mu,
+               v{K}.v AS loading, ROUND(v{K}.m, 6) AS eigval
+        FROM means JOIN v{K} ON means.i = v{K}.i
+        ORDER BY dim
+        """
+
+
+register(
+    QuerySpec(
+        "x103_embedding_pca",
+        x103_embedding_pca,
+        _x103_sql(),
+        "dominant principal component of the embedding corpus (covariance + power iteration)",
+    )
+)
+
+
+# --- x104: MinHash-LSH band/row parameter sweep ------------------------------
+# All configs factor MINHASH_HASHES = 16: (bands, rows_per_band).
+LSH_CONFIGS = [(2, 8), (4, 4), (8, 2)]
+SWEEP_JACCARD_T = 0.5
+SWEEP_DROP_FRAC = 5  # suffix variants drop the first 1/5 of each doc's words
+
+
+def x104_lsh_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured precision/recall of each LSH banding config against the
+    exact-Jaccard truth set (pairs ≥ SWEEP_JACCARD_T, from the
+    inverted-index shingle join over x75's bounded eval sample). One row
+    per config — the table you read before picking (bands, rows) for a
+    corpus-wide dedup, instead of trusting the S-curve formula."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < SKETCH_EVAL_MAX_ID)
+        .select("doc_id", "text")
+    )
+    # Without partial dups every config scores identically on the
+    # exact-twin pairs (the x92 degeneracy lesson): add a suffix variant
+    # per doc (first ~20% of words dropped, Jaccard ≈ 0.6-0.9 vs its
+    # original) so band configs actually trade precision for recall.
+    words = F.split(F.col("text"), " ")
+    drop_n = F.floor(F.size(words) / F.lit(SWEEP_DROP_FRAC)).cast("int")
+    suffix = F.array_join(
+        F.slice(words, drop_n + F.lit(1), F.size(words) - drop_n), " "
+    )
+    corpus = docs.unionAll(
+        docs.select((F.col("doc_id") + BATCH_OFFSET).alias("doc_id"), "text")
+    ).unionAll(
+        docs.select(
+            (F.col("doc_id") + 2 * BATCH_OFFSET).alias("doc_id"),
+            suffix.alias("text"),
+        )
+    )
+    fps = (
+        corpus.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
+        .select("doc_id", _charfold(F.col("sh")).alias("fp"))
+        .dropDuplicates(["doc_id", "fp"])
+        .persist()
+    )
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = fps.alias("a"), fps.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    truth = (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .filter(
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double")
+            >= SWEEP_JACCARD_T
+        )
+        .select("id_a", "id_b")
+        .persist()
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+
+    mins = [
+        F.min((F.lit(h_a) * F.col("fp") + F.lit(h_b)) % F.lit(ARITH_P)).alias(f"h{j}")
+        for j, (h_a, h_b) in enumerate(_ARITH_HASHES)
+    ]
+    sig = fps.groupBy("doc_id").agg(*mins).persist()
+
+    rows_out = []
+    for n_bands, n_rows in LSH_CONFIGS:
+
+        def _bucket(band: int) -> F.Column:
+            expr = F.col(f"h{band * n_rows}")
+            for r in range(1, n_rows):
+                expr = (expr * _BAND_MIX + F.col(f"h{band * n_rows + r}")) % F.lit(
+                    ARITH_P
+                )
+            return expr
+
+        bands = sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(band).cast("long").alias("band"),
+                            _bucket(band).alias("bucket"),
+                        )
+                        for band in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc_id", "bb.band", "bb.bucket")
+        ba, bb = bands.alias("a"), bands.alias("b")
+        cand = (
+            ba.join(
+                bb,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        stats = cand.join(truth.withColumn("hit", F.lit(1)), ["id_a", "id_b"], "left").agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("tp"),
+        )
+        rows_out.append(
+            stats.crossJoin(n_truth).select(
+                F.lit(n_bands).cast("long").alias("bands"),
+                F.lit(n_rows).cast("long").alias("rows_per_band"),
+                F.col("n_cand").cast("long"),
+                F.col("n_truth").cast("long"),
+                "tp",
+                F.round(F.col("tp").cast("double") / F.col("n_cand"), 6).alias(
+                    "precision"
+                ),
+                F.round(F.col("tp").cast("double") / F.col("n_truth"), 6).alias(
+                    "recall"
+                ),
+            )
+        )
+    out = rows_out[0]
+    for fr in rows_out[1:]:
+        out = out.unionAll(fr)
+    return out.orderBy("bands")
+
+
+def _x104_sql() -> str:
+    P = ARITH_P
+    from .dedup import SHINGLE_WIDTH as W
+
+    sig_cols = ",\n                 ".join(
+        f"MIN(({h_a}*fp + {h_b}) % {P}) AS h{j}"
+        for j, (h_a, h_b) in enumerate(_ARITH_HASHES)
+    )
+    cfg_ctes, cfg_selects = [], []
+    for n_bands, n_rows in LSH_CONFIGS:
+
+        def bucket_sql(band: int) -> str:
+            expr = f"h{band * n_rows}"
+            for r in range(1, n_rows):
+                expr = f"(({expr}) * {_BAND_MIX} + h{band * n_rows + r}) % {P}"
+            return expr
+
+        tag = f"{n_bands}x{n_rows}"
+        band_structs = ", ".join(
+            f"{{'band': CAST({band} AS BIGINT), 'bucket': {bucket_sql(band)}}}"
+            for band in range(n_bands)
+        )
+        cfg_ctes.append(f"""
+        bands_{tag} AS (
+          SELECT doc_id, bb.band AS band, bb.bucket AS bucket
+          FROM (SELECT doc_id, unnest([{band_structs}]) AS bb FROM sig)),
+        cand_{tag} AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands_{tag} a JOIN bands_{tag} b
+            ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id),
+        stats_{tag} AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_cand,
+                 CAST(SUM(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS tp
+          FROM cand_{tag} c LEFT JOIN truth t
+            ON c.id_a = t.id_a AND c.id_b = t.id_b)""")
+        cfg_selects.append(
+            f"SELECT CAST({n_bands} AS BIGINT) AS bands, "
+            f"CAST({n_rows} AS BIGINT) AS rows_per_band, "
+            f"n_cand, (SELECT n_truth FROM n_truth) AS n_truth, tp, "
+            f"ROUND(CAST(tp AS DOUBLE) / n_cand, 6) AS precision, "
+            f"ROUND(CAST(tp AS DOUBLE) / (SELECT n_truth FROM n_truth), 6) "
+            f"AS recall FROM stats_{tag}"
+        )
+    union = "\n        UNION ALL ".join(cfg_selects)
+    return f"""
+        WITH sample AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < {SKETCH_EVAL_MAX_ID}
+          UNION ALL
+          SELECT doc_id + {BATCH_OFFSET} AS doc_id, text FROM documents
+          WHERE doc_id < {SKETCH_EVAL_MAX_ID}
+          UNION ALL
+          SELECT doc_id + {2 * BATCH_OFFSET} AS doc_id,
+                 array_to_string(
+                     string_split(text, ' ')[(len(string_split(text, ' '))
+                         // {SWEEP_DROP_FRAC}) + 1:], ' ') AS text
+          FROM documents WHERE doc_id < {SKETCH_EVAL_MAX_ID}),
+        tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM sample),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct([array_to_string(t[i+1:i+{W}], ' ')
+                     FOR i IN generate_series(0, len(t)-{W})])) AS sh
+          FROM tk),
+        fps AS MATERIALIZED (
+          SELECT DISTINCT doc_id,
+                 list_reduce(list_transform(string_split(sh, ''),
+                                            c -> CAST(ascii(c) AS BIGINT)),
+                             (a, b) -> (a*31 + b) % {P}) AS fp
+          FROM sh),
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+                  FROM fps GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_inter
+          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        truth AS MATERIALIZED (
+          SELECT i.id_a, i.id_b
+          FROM inter i
+          JOIN sizes za ON i.id_a = za.doc_id
+          JOIN sizes zb ON i.id_b = zb.doc_id
+          WHERE CAST(i.n_inter AS DOUBLE)
+                / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE)
+                >= {SWEEP_JACCARD_T}),
+        n_truth AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+        sig AS MATERIALIZED (
+          SELECT doc_id,
+                 {sig_cols}
+          FROM fps GROUP BY doc_id),{",".join(cfg_ctes)}
+        SELECT * FROM ({union})
+        ORDER BY bands
+        """
+
+
+register(
+    QuerySpec(
+        "x104_lsh_tradeoff",
+        x104_lsh_tradeoff,
+        _x104_sql(),
+        "measured precision/recall of MinHash-LSH band/row configs vs exact Jaccard truth",
+    )
+)
