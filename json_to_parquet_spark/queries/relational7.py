@@ -205,3 +205,62 @@ register(
         "full-outer header-vs-recomputed-lines reconciliation report",
     )
 )
+
+
+# --- q85: order-priority checking (TPC-H Q4 shape) ---------------------------
+# One quarter of orders, counted per priority, keeping only orders where
+# at least one line item shipped more than Q4_LATE_DAYS after the order
+# date — a correlated EXISTS with a cross-table date inequality. Spark
+# expresses it as LEFT SEMI join with the residual predicate evaluated
+# at probe time; the semi join keys on the order key, so at scale it is
+# one co-partitioned shuffle (AQE-reusable with q83's fact hashing) and
+# the quarter filter pushes into the orders scan.
+Q4_DATE_LO = "1996-01-01"
+Q4_DATE_HI = "1996-04-01"  # exclusive
+Q4_LATE_DAYS = 60
+
+
+def q85_priority_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    quarter = orders.filter(
+        (F.col("o_orderdate") >= F.lit(Q4_DATE_LO))
+        & (F.col("o_orderdate") < F.lit(Q4_DATE_HI))
+    )
+    late_exists = quarter.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q4_LATE_DAYS} DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late_exists.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+register(
+    QuerySpec(
+        "q85_priority_waiting",
+        q85_priority_waiting,
+        f"""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '{Q4_DATE_LO} 00:00:00'
+          AND o_orderdate < TIMESTAMP '{Q4_DATE_HI} 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        "order-priority checking: correlated EXISTS with cross-table date inequality (Q4 shape)",
+    )
+)

@@ -353,3 +353,89 @@ register(
         "dynamic partition pruning: fact partitions skipped via runtime dim set",
     )
 )
+
+
+# --- x105: schema-evolution scan (mergeSchema across file generations) -------
+# A long-lived ingest adds columns over time; the table's files then have
+# HETEROGENEOUS footers. Spark's mergeSchema read unions them (missing
+# columns become null per file) — the read path every production lake
+# needs and none of the single-schema fixtures exercise. Generation
+# split: even order keys were written before `o_orderpriority` existed.
+EVOLVE_SPLIT_MOD = 2
+
+
+def orders_evolved_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf) orders as a two-generation parquet dir:
+    gen=1 files lack the later-added ``o_orderpriority`` column, gen=2
+    files carry it. Timestamp columns are excluded so the fixture is
+    byte-stable across writer sessions (helpers rule 4)."""
+    dest = os.path.join(GATE_DIR, f"orders_evolved_{_sf_tag(sf_dir)}")
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        od = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority",
+        )
+        gen1 = od.filter(F.col("o_orderkey") % EVOLVE_SPLIT_MOD == 0).drop(
+            "o_orderpriority"
+        )
+        gen2 = od.filter(F.col("o_orderkey") % EVOLVE_SPLIT_MOD != 0)
+        gen1.coalesce(1).write.mode("overwrite").parquet(os.path.join(dest, "gen=1"))
+        gen2.coalesce(1).write.mode("overwrite").parquet(os.path.join(dest, "gen=2"))
+        # directory-level marker after both generations landed
+        with open(os.path.join(dest, "_SUCCESS"), "w"):
+            pass
+    return dest
+
+
+def x105_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over the two-generation layout via mergeSchema: the scan
+    unions the per-file schemas, so gen-1 rows surface a NULL
+    o_orderpriority while gen-2 rows keep theirs — proving old and new
+    files stay queryable as one table with no rewrite. The oracle
+    recomputes from the ORIGINAL single-schema table with the split rule
+    applied as a CASE, so the layout transformation is what's checked.
+
+    At 100 TB, footer-schema merging is a planning-time cost over file
+    METADATA (and is skipped entirely when a catalog pins the merged
+    schema); no data pages are read twice."""
+    od = spark.read.option("mergeSchema", "true").parquet(
+        orders_evolved_path(spark, sf_dir)
+    )
+    return (
+        od.groupBy(F.col("gen").cast("long").alias("gen"), "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_orderpriority").alias("n_priority"),
+            F.countDistinct("o_orderpriority").alias("n_distinct_priority"),
+            dec_sum("o_totalprice", "sum_price"),
+        )
+        .orderBy("gen", "o_orderstatus")
+    )
+
+
+register(
+    QuerySpec(
+        "x105_schema_evolution",
+        x105_schema_evolution,
+        f"""
+        WITH evolved AS (
+          SELECT CASE WHEN o_orderkey % {EVOLVE_SPLIT_MOD} = 0
+                      THEN 1 ELSE 2 END AS gen,
+                 o_orderstatus,
+                 CASE WHEN o_orderkey % {EVOLVE_SPLIT_MOD} = 0
+                      THEN NULL ELSE o_orderpriority END AS o_orderpriority,
+                 o_totalprice
+          FROM orders)
+        SELECT CAST(gen AS BIGINT) AS gen, o_orderstatus,
+               COUNT(*) AS n_rows,
+               COUNT(o_orderpriority) AS n_priority,
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+                   AS n_distinct_priority,
+               {SQL_DEC_SUM.format(x='o_totalprice')} AS sum_price
+        FROM evolved
+        GROUP BY gen, o_orderstatus
+        ORDER BY gen, o_orderstatus
+        """,
+        "mergeSchema scan across file generations: evolved column null-filled for old files",
+    )
+)

@@ -256,3 +256,20 @@ def test_x100_dynamic_partition_pruning(spark, sf_dir):
     know which dates survive the dim's filter."""
     plan = _plan(spark, sf_dir, "x100_dynamic_partition_prune")
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_x105_schema_evolution_merge(spark, sf_dir):
+    """The two generations really are schema-heterogeneous on disk (gen-1
+    files lack o_orderpriority) and the mergeSchema scan unions them —
+    the evolved column must appear in the merged ReadSchema while being
+    absent from the old generation's own footer."""
+    from json_to_parquet_spark.queries.scale_layout import orders_evolved_path
+
+    path = orders_evolved_path(spark, sf_dir)
+    gen1_cols = spark.read.parquet(path + "/gen=1").columns
+    assert "o_orderpriority" not in gen1_cols
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert "o_orderpriority" in merged.columns
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    # plan strings truncate long schemas — match the stable prefix
+    assert "o_orderpriorit" in plan.split("ReadSchema")[1][:400]
