@@ -362,3 +362,88 @@ register(
         "semantic dedup survivors: keep-min-id within sign-LSH blocks",
     )
 )
+
+
+# --- x107: per-doc duplicated-ngram coverage ----------------------------------
+# The Gopher-style quality signal built on x53's corpus-wide span counts:
+# for each document, what fraction of its 8-word span POSITIONS are
+# covered by a span that also appears in some OTHER document. High
+# coverage = boilerplate/memorized text; the filter threshold is applied
+# downstream. Three bounded key shuffles: span-keyed dup-set aggregation,
+# span-keyed membership join, doc-keyed rollup — never all-pairs.
+
+
+def x107_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = docs.select(
+        "doc_id",
+        F.explode(_shingles(F.col("text"), SPAN_W, distinct=False)).alias("span"),
+    )
+    dup = (
+        spans.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("span", F.lit(1).alias("is_dup"))
+    )
+    counts = (
+        spans.join(dup, "span", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("long").alias("n_dup"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_spans"), F.lit(0).cast("long")).alias("n_spans"),
+            F.coalesce(F.col("n_dup"), F.lit(0).cast("long")).alias("n_dup"),
+            # guard: docs shorter than the span width have zero spans
+            F.when(
+                F.coalesce(F.col("n_spans"), F.lit(0).cast("long")) > 0,
+                F.round(
+                    F.col("n_dup").cast("double") / F.col("n_spans").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    QuerySpec(
+        "x107_dup_ngram_coverage",
+        x107_dup_ngram_coverage,
+        f"""
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        spans AS (
+          SELECT doc_id, unnest({_sql_shingles(SPAN_W, False)}) AS span
+          FROM tk),
+        dup AS (
+          SELECT span FROM spans
+          GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2),
+        counts AS (
+          SELECT s.doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_spans,
+                 CAST(SUM(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_dup
+          FROM spans s LEFT JOIN dup d ON s.span = d.span
+          GROUP BY s.doc_id)
+        SELECT dd.doc_id,
+               COALESCE(c.n_spans, 0) AS n_spans,
+               COALESCE(c.n_dup, 0) AS n_dup,
+               CASE WHEN COALESCE(c.n_spans, 0) > 0
+                    THEN ROUND(CAST(c.n_dup AS DOUBLE)
+                               / CAST(c.n_spans AS DOUBLE), 6)
+                    ELSE 0.0 END AS dup_frac
+        FROM documents dd LEFT JOIN counts c ON dd.doc_id = c.doc_id
+        ORDER BY dd.doc_id
+        """,
+        "per-doc fraction of span positions duplicated across documents (Gopher signal)",
+    )
+)

@@ -439,3 +439,66 @@ register(
         "mergeSchema scan across file generations: evolved column null-filled for old files",
     )
 )
+
+
+# --- x108: ORC source round-trip ---------------------------------------------
+# Spark reads/writes ORC natively (the other big columnar lake format);
+# DuckDB does not, so the oracle recomputes from the ORIGINAL parquet
+# table — the round-trip through the ORC writer+reader is what the gate
+# proves lossless (same pattern as x96's layout check). Timestamps are
+# converted to epoch-micros before the write so the fixture is
+# byte-stable and engine-neutral (helpers rule 4).
+
+
+def events_orc_path(spark: SparkSession, sf_dir: str) -> str:
+    dest = os.path.join(GATE_DIR, f"events_orc_{_sf_tag(sf_dir)}")
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events")
+        (
+            ev.withColumn("ts_us", F.unix_micros("ts"))
+            .drop("ts")
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .orc(dest)
+        )
+    return dest
+
+
+def x108_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate the events table from its ORC copy: per event type,
+    count, distinct users, value sum, and the min/max event timestamp in
+    epoch-micros. Any loss or type drift introduced by the ORC
+    round-trip (encoding, compression, predicate types) diffs against
+    the parquet-derived oracle."""
+    ev = spark.read.orc(events_orc_path(spark, sf_dir))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dec_sum("value", "sum_value"),
+            F.min("ts_us").alias("min_ts_us"),
+            F.max("ts_us").alias("max_ts_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    QuerySpec(
+        "x108_orc_roundtrip",
+        x108_orc_roundtrip,
+        f"""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               {SQL_DEC_SUM.format(x='value')} AS sum_value,
+               MIN(epoch_us(ts)) AS min_ts_us,
+               MAX(epoch_us(ts)) AS max_ts_us
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+        """,
+        "ORC write+read round-trip of the events table, diffed against parquet",
+    )
+)
