@@ -580,3 +580,74 @@ register(
         "streaming CDC upsert sink (foreachBatch merge + atomic snapshot swap) vs closed-form merge oracle",
     )
 )
+
+
+# --- x109: streaming heavy hitters (complete-mode top-K) ---------------------
+# x63's streaming twin: the corpus arrives as a multi-batch file stream,
+# tokens explode STATELESSLY inside the stream, counts accumulate in the
+# state store across batches, and the complete-mode sink re-emits the
+# top-K (sort + limit ARE supported on a streaming aggregate in complete
+# mode) after every trigger. After an availableNow drain the final table
+# equals the batch top-K exactly, so x63's oracle shape transfers.
+# State is vocab-sized here (gate harness); the production unbounded-
+# vocabulary path is the x91 Count-Min sketch + periodic candidate
+# re-scoring.
+STREAM_HH_TOPK = 50
+
+
+def x109_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(GATE_DIR, f"docs109_{sf_tag}")
+    ck = os.path.join(GATE_DIR, f"ck_x109_{sf_tag}")
+    _fresh(src, ck)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)  # force cross-batch count merging
+        .parquet(src)
+    )
+    topk = (
+        stream.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(STREAM_HH_TOPK)
+    )
+    name = f"x109_hh_{sf_tag}".replace(".", "_")
+    q = (
+        topk.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("cnt"), F.asc("tok"))
+    return spark.table(name).select(
+        F.row_number().over(w).cast("long").alias("rank"), "tok", "cnt"
+    )
+
+
+register(
+    QuerySpec(
+        "x109_stream_heavy_hitters",
+        x109_stream_heavy_hitters,
+        f"""
+        WITH c AS (
+          SELECT tok, COUNT(*) AS cnt
+          FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+          GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT {STREAM_HH_TOPK})
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS BIGINT)
+                   AS rank,
+               tok, cnt
+        FROM c
+        """,
+        "streaming top-K tokens: complete-mode sort+limit over cross-batch counts",
+    )
+)
