@@ -860,3 +860,50 @@ register(
         "equi-width histogram of order values: stateless binning, one hash agg",
     )
 )
+
+
+# --- x110: leakage-safe group-aware split ------------------------------------
+# x25 splits by per-doc hash; that LEAKS near-identical documents from
+# one origin across train/val/test. The group-aware split assigns the
+# whole GROUP (here: source; in a crawl pipeline: registered domain) to
+# one split via a hash of the group key, so no origin straddles the
+# boundary. Stateless row-local projection after a broadcast of the
+# group→split map (group-cardinality-sized) — zero corpus shuffles; the
+# summary rollup is one (split, source)-keyed aggregation.
+GROUP_SPLIT_VAL_PCT = 20  # md5-bucket percent routed to validation
+
+
+def x110_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    # bucket in [0, 100) from the first 8 md5 hex chars of the GROUP key
+    bucket = F.conv(F.substring(F.md5(F.col("source")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    split = F.when(bucket < GROUP_SPLIT_VAL_PCT, F.lit("val")).otherwise(
+        F.lit("train")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "source")
+    )
+
+
+register(
+    QuerySpec(
+        "x110_group_split",
+        x110_group_split,
+        f"""
+        SELECT CASE WHEN CAST(('0x' || substring(md5(source), 1, 8)) AS BIGINT)
+                         % 100 < {GROUP_SPLIT_VAL_PCT}
+                    THEN 'val' ELSE 'train' END AS split,
+               source,
+               COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY 1, 2
+        ORDER BY split, source
+        """,
+        "leakage-safe group-aware train/val split: whole sources routed by group hash",
+    )
+)

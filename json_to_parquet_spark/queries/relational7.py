@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
@@ -262,5 +262,106 @@ register(
         ORDER BY o_orderpriority
         """,
         "order-priority checking: correlated EXISTS with cross-table date inequality (Q4 shape)",
+    )
+)
+
+
+# --- q86: minimum-cost supplier (TPC-H Q2 shape) -----------------------------
+# The schema has no partsupp table, so the supply-cost relation is
+# DERIVED: per (part, supplier), the average realized unit price over
+# lineitem. The Q2 shape is the point — a two-level correlated subquery
+# (cost = min cost for that part among suppliers of one region)
+# decorrelated into a per-part window minimum, plus the dim-join chain
+# supplier→nation→region. At scale: one (part,supp)-keyed fact
+# aggregation, the window runs per part (bounded fan-in), and
+# nation/region broadcast; the final TOP-K is TakeOrderedAndProject.
+Q2_REGION = "EUROPE"
+Q2_SIZE_MAX = 10
+Q2_TYPE = "STANDARD"
+Q2_TOPK = 100
+
+
+def q86_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    unit = F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(
+            F.sum(unit.cast("decimal(30,10)")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("supplycost")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == Q2_REGION)
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= Q2_SIZE_MAX) & (F.col("p_type") == Q2_TYPE))
+        .select("p_partkey", "p_type", "p_size")
+    )
+    offers = (
+        ps.join(part, ps.l_partkey == part.p_partkey)
+        .join(supp, ps.l_suppkey == supp.s_suppkey)
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.asc("supplycost"), F.asc("s_suppkey")
+    )
+    best = offers.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        best.select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "supplycost"
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(Q2_TOPK)
+    )
+
+
+register(
+    QuerySpec(
+        "q86_min_cost_supplier",
+        q86_min_cost_supplier,
+        f"""
+        WITH ps AS (
+          SELECT l_partkey, l_suppkey,
+                 ROUND({SQL_DEC_SUM.format(x="ROUND(l_extendedprice / l_quantity, 6)")}
+                       / COUNT(*), 6) AS supplycost
+          FROM lineitem GROUP BY l_partkey, l_suppkey),
+        supp AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = '{Q2_REGION}'),
+        part_f AS (
+          SELECT p_partkey, p_type, p_size FROM part
+          WHERE p_size <= {Q2_SIZE_MAX} AND p_type = '{Q2_TYPE}'),
+        offers AS (
+          SELECT p.p_partkey, p.p_type, s.s_suppkey, s.s_name, s.s_acctbal,
+                 s.n_name, ps.supplycost
+          FROM ps
+          JOIN part_f p ON ps.l_partkey = p.p_partkey
+          JOIN supp s ON ps.l_suppkey = s.s_suppkey),
+        best AS (
+          SELECT * FROM offers
+          QUALIFY row_number() OVER (PARTITION BY p_partkey
+                  ORDER BY supplycost ASC, s_suppkey ASC) = 1)
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_type, supplycost
+        FROM best
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT {Q2_TOPK}
+        """,
+        "minimum-cost supplier per part in one region (Q2 shape, derived partsupp)",
     )
 )
