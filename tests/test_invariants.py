@@ -95,3 +95,87 @@ def test_approx_percentile_within_rank_error(spark, sf_dir):
             lo = vals[max(0, target - max_rank_err)]
             hi = vals[min(n - 1, target + max_rank_err)]
             assert lo <= got <= hi, (prio, q, got, lo, hi)
+
+
+# --- round-4 operators -------------------------------------------------------
+
+
+def test_bpe_merge_counts_monotone(spark, sf_dir):
+    """Merging pair (a,b) can only create pairs involving the new symbol
+    'ab' — whose adjacency count is bounded by the merged pair's own —
+    and only decrease existing pair counts, so the learned pair_cnt
+    sequence must be non-increasing; rules must be distinct and the
+    merged symbol the concatenation of its parts."""
+    rows = registry()["x101_bpe_train"].spark(spark, sf_dir).collect()
+    assert len(rows) == 3
+    cnts = [r.pair_cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    assert len({(r.w1, r.w2) for r in rows}) == 3
+    for r in rows:
+        assert r.merged == r.w1 + r.w2
+
+
+def test_pca_loading_normalized(spark, sf_dir):
+    """Max-norm power iteration: the dominant-PC loading vector must have
+    max |component| exactly 1, a positive shared eigenvalue estimate,
+    and one row per embedding dimension."""
+    rows = registry()["x103_embedding_pca"].spark(spark, sf_dir).collect()
+    assert len(rows) == 64
+    assert max(abs(r.loading) for r in rows) == 1.0
+    assert all(abs(r.loading) <= 1.0 for r in rows)
+    eigvals = {r.eigval for r in rows}
+    assert len(eigvals) == 1 and eigvals.pop() > 0
+
+
+def test_lsh_sweep_leniency_ordering(spark, sf_dir):
+    """With total hashes fixed, more bands of fewer rows is strictly more
+    lenient: candidate sets grow (supersets in expectation) and recall
+    must be non-decreasing as bands go 2 → 4 → 8; tp is bounded by both
+    its candidate and truth sets."""
+    rows = sorted(
+        registry()["x104_lsh_tradeoff"].spark(spark, sf_dir).collect(),
+        key=lambda r: r.bands,
+    )
+    recalls = [r.recall for r in rows]
+    assert recalls == sorted(recalls)
+    cands = [r.n_cand for r in rows]
+    assert cands == sorted(cands)
+    for r in rows:
+        assert r.tp <= r.n_cand and r.tp <= r.n_truth
+
+
+def test_temperature_mix_respects_quota_and_flattens(spark, sf_dir):
+    """Selection never exceeds a language's quota, and alpha=0.5 must
+    upweight the rarest language: its selected share is >= its raw
+    corpus share."""
+    sel = registry()["x106_temperature_mix"].spark(spark, sf_dir).collect()
+    by_lang = {}
+    for r in sel:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in by_lang.items():
+        quota = rows[0].quota
+        assert len(rows) <= quota
+        assert {r.pick for r in rows} == set(range(1, len(rows) + 1))
+    docs = load_table(spark, sf_dir, "documents").groupBy("lang").count().collect()
+    raw = {r.lang: r["count"] for r in docs}
+    n_raw, n_sel = sum(raw.values()), len(sel)
+    rare = min(raw, key=lambda k: (raw[k], k))
+    if rare in by_lang:
+        assert len(by_lang[rare]) / n_sel >= raw[rare] / n_raw
+
+
+def test_group_split_no_source_straddles(spark, sf_dir):
+    """The leakage-safety property itself: no source may appear in more
+    than one split."""
+    rows = registry()["x110_group_split"].spark(spark, sf_dir).collect()
+    seen = {}
+    for r in rows:
+        assert seen.setdefault(r.source, r.split) == r.split
+
+
+def test_q86_one_supplier_per_part(spark, sf_dir):
+    """The Q2 decorrelated minimum must keep exactly one supplier row per
+    part."""
+    rows = registry()["q86_min_cost_supplier"].spark(spark, sf_dir).collect()
+    parts = [r.p_partkey for r in rows]
+    assert len(parts) == len(set(parts))
