@@ -776,3 +776,176 @@ register(
         "SimHash over the arithmetic hash family — fully oracle-backed fingerprints",
     )
 )
+
+
+# --- x111: incremental near-dup against an indexed base ----------------------
+# x74 is the EXACT-hash incremental ingest shape; this is its near-dup
+# sibling — the continuous-crawl production path: the base corpus's LSH
+# band buckets are PRE-MATERIALIZED (at 100 TB: a table bucketed by
+# (band, bucket), written once, appended per ingest), and each new batch
+# computes only its own 3-longs band rows and joins them against the
+# index. The base's text never re-shuffles; batch-side cost is
+# independent of base size given bounded bucket occupancy (monitored by
+# x95). Arithmetic hash family → the whole chain is oracle-backed.
+INC_BATCH_OFFSET = 100_000
+INC_DROP_FRAC = 5  # batch docs are suffix re-crawls: first 1/5 of words gone
+
+
+def x111_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    drop_n = F.floor(F.size(words) / F.lit(INC_DROP_FRAC)).cast("int")
+    suffix = F.array_join(
+        F.slice(words, drop_n + F.lit(1), F.size(words) - drop_n), " "
+    )
+    batch = docs.select(
+        (F.col("doc_id") + INC_BATCH_OFFSET).alias("doc_id"),
+        suffix.alias("text"),
+    )
+
+    def sig_of(corpus: DataFrame) -> DataFrame:
+        posting = corpus.select(
+            "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
+        ).withColumn("fp", _charfold(F.col("sh")))
+        mins = [
+            F.min((F.lit(a) * F.col("fp") + F.lit(b)) % F.lit(ARITH_P)).alias(f"h{j}")
+            for j, (a, b) in enumerate(_ARITH_HASHES)
+        ]
+        return posting.groupBy("doc_id").agg(*mins)
+
+    def buckets_of(sig: DataFrame) -> DataFrame:
+        def _bucket(b: int) -> Column:
+            expr = F.col(f"h{b * LSH_ROWS}")
+            for r in range(1, LSH_ROWS):
+                expr = (expr * _BAND_MIX + F.col(f"h{b * LSH_ROWS + r}")) % F.lit(
+                    ARITH_P
+                )
+            return expr
+
+        return sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).cast("long").alias("band"),
+                            _bucket(b).alias("bucket"),
+                        )
+                        for b in range(LSH_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc_id", "bb.band", "bb.bucket")
+
+    base_sig = sig_of(docs).persist()
+    batch_sig = sig_of(batch).persist()
+    base_b = buckets_of(base_sig).alias("base")  # the pre-built index
+    batch_b = buckets_of(batch_sig).alias("new")
+    cand = (
+        batch_b.join(
+            base_b,
+            (F.col("new.band") == F.col("base.band"))
+            & (F.col("new.bucket") == F.col("base.bucket")),
+        )
+        .select(
+            F.col("new.doc_id").alias("batch_id"),
+            F.col("base.doc_id").alias("base_id"),
+        )
+        .dropDuplicates(["batch_id", "base_id"])
+    )
+    sa = batch_sig.select(
+        F.col("doc_id").alias("batch_id"),
+        *[F.col(f"h{j}").alias(f"a{j}") for j in range(MINHASH_HASHES)],
+    )
+    sb = base_sig.select(
+        F.col("doc_id").alias("base_id"),
+        *[F.col(f"h{j}").alias(f"b{j}") for j in range(MINHASH_HASHES)],
+    )
+    n_eq = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("long") for j in range(MINHASH_HASHES)
+    )
+    return (
+        cand.join(sa, "batch_id")
+        .join(sb, "base_id")
+        .select(
+            "batch_id",
+            "base_id",
+            n_eq.alias("n_eq"),
+            (n_eq.cast("double") / F.lit(float(MINHASH_HASHES))).alias("est_sim"),
+        )
+        .orderBy("batch_id", "base_id")
+    )
+
+
+def _x111_sql() -> str:
+    P, W = ARITH_P, SHINGLE_WIDTH
+    sig_cols = ",\n                 ".join(
+        f"MIN(({a}*fp + {b}) % {P}) AS h{j}"
+        for j, (a, b) in enumerate(_ARITH_HASHES)
+    )
+
+    def bucket_sql(b: int) -> str:
+        expr = f"h{b * LSH_ROWS}"
+        for r in range(1, LSH_ROWS):
+            expr = f"(({expr}) * {_BAND_MIX} + h{b * LSH_ROWS + r}) % {P}"
+        return expr
+
+    band_structs = ", ".join(
+        f"{{'band': CAST({b} AS BIGINT), 'bucket': {bucket_sql(b)}}}"
+        for b in range(LSH_BANDS)
+    )
+    eq_sum = " + ".join(
+        f"CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END"
+        for j in range(MINHASH_HASHES)
+    )
+    return f"""
+        WITH base AS (SELECT doc_id, text FROM documents),
+        batch AS (
+          SELECT doc_id + {INC_BATCH_OFFSET} AS doc_id,
+                 array_to_string(
+                     string_split(text, ' ')[(len(string_split(text, ' '))
+                         // {INC_DROP_FRAC}) + 1:], ' ') AS text
+          FROM documents),
+        corpus AS (SELECT * FROM base UNION ALL SELECT * FROM batch),
+        tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct([array_to_string(t[i+1:i+{W}], ' ')
+                     FOR i IN generate_series(0, len(t)-{W})])) AS sh
+          FROM tk),
+        fp AS (
+          SELECT doc_id,
+                 list_reduce(list_transform(string_split(sh, ''),
+                                            c -> CAST(ascii(c) AS BIGINT)),
+                             (a, b) -> (a*31 + b) % {P}) AS fp
+          FROM sh),
+        sig AS MATERIALIZED (
+          SELECT doc_id,
+                 {sig_cols}
+          FROM fp GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, bb.band AS band, bb.bucket AS bucket
+          FROM (SELECT doc_id, unnest([{band_structs}]) AS bb FROM sig)),
+        cand AS (
+          SELECT DISTINCT n.doc_id AS batch_id, b.doc_id AS base_id
+          FROM bands n JOIN bands b
+            ON n.band = b.band AND n.bucket = b.bucket
+          WHERE n.doc_id >= {INC_BATCH_OFFSET} AND b.doc_id < {INC_BATCH_OFFSET})
+        SELECT c.batch_id, c.base_id,
+               CAST({eq_sum} AS BIGINT) AS n_eq,
+               CAST({eq_sum} AS DOUBLE) / {float(MINHASH_HASHES)} AS est_sim
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.batch_id
+        JOIN sig sb ON sb.doc_id = c.base_id
+        ORDER BY c.batch_id, c.base_id
+        """
+
+
+register(
+    QuerySpec(
+        "x111_incremental_neardup",
+        x111_incremental_neardup,
+        _x111_sql(),
+        "incremental MinHash-LSH: new batch joined against the pre-built base band index",
+    )
+)

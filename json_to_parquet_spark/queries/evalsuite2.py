@@ -582,3 +582,62 @@ register(
         "measured precision/recall of MinHash-LSH band/row configs vs exact Jaccard truth",
     )
 )
+
+
+# --- x112: language-ID confusion matrix --------------------------------------
+# The eval half of x07: prediction vs stored label as a confusion matrix
+# with per-actual-class shares. The Spark side composes x07's DataFrame;
+# the oracle composes x07's REGISTERED SQL as a subquery, so a retune of
+# the marker list or threshold moves both sides automatically (the
+# ADVICE-r3 anti-drift pattern). Label-cardinality-bounded output; one
+# (actual, predicted)-keyed aggregation plus a per-actual total join.
+from . import _REGISTRY as _REG  # noqa: E402  (x07 registered via .text import)
+from .text import x07_langid  # noqa: E402
+
+
+def x112_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = x07_langid(spark, sf_dir).select(
+        F.when(F.col("lang") == "en", "en").otherwise("other").alias("actual"),
+        "predicted",
+    )
+    cells = pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = cells.groupBy("actual").agg(F.sum("n").cast("long").alias("n_actual"))
+    return (
+        cells.join(totals, "actual")
+        .select(
+            "actual",
+            "predicted",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_actual"), 6).alias("share"),
+            (F.col("actual") == F.col("predicted")).alias("is_correct"),
+        )
+        .orderBy("actual", "predicted")
+    )
+
+
+_X112_SQL = f"""
+        WITH p AS ({_REG["x07_langid"].oracle}),
+        cells AS (
+          SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS actual,
+                 predicted, CAST(COUNT(*) AS BIGINT) AS n
+          FROM p GROUP BY 1, 2),
+        totals AS (
+          SELECT actual, CAST(SUM(n) AS BIGINT) AS n_actual
+          FROM cells GROUP BY actual)
+        SELECT c.actual, c.predicted, c.n,
+               ROUND(CAST(c.n AS DOUBLE) / t.n_actual, 6) AS share,
+               c.actual = c.predicted AS is_correct
+        FROM cells c JOIN totals t ON c.actual = t.actual
+        ORDER BY c.actual, c.predicted
+        """
+
+register(
+    QuerySpec(
+        "x112_langid_confusion",
+        x112_langid_confusion,
+        _X112_SQL,
+        "confusion matrix + per-class shares of the x07 language-ID heuristic",
+    )
+)

@@ -907,3 +907,86 @@ register(
         "leakage-safe group-aware train/val split: whole sources routed by group hash",
     )
 )
+
+
+# --- x115: sessionized next-event training examples --------------------------
+# The supervised-dataset assembly step: turn the raw event log into
+# (features → label) rows for a next-event-prediction model. Sessions
+# use the same gap constant as x26/x81 (one retune moves all three);
+# features are the previous event type, the intra-session gap, and the
+# session position; the label is the current event's type. Every window
+# is per-user (then per-user-session) — bounded partitions, no global
+# window; all outputs are integers/strings so the oracle diff is exact.
+
+
+def x115_next_event_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+    )
+    w_user = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w_user)
+    new_sess = (
+        F.when(gap.isNull() | (gap >= SESSION_WINDOW_GAP_US), 1).otherwise(0)
+    )
+    sess = (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess")
+            .over(w_user.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+    )
+    w_sess = Window.partitionBy("user_id", "sess_id").orderBy("ts_us", "event_id")
+    return (
+        sess.select(
+            "user_id",
+            "sess_id",
+            "event_id",
+            F.row_number().over(w_sess).cast("long").alias("pos"),
+            F.coalesce(F.lag("event_type").over(w_sess), F.lit("<start>")).alias(
+                "prev_type"
+            ),
+            F.coalesce(
+                F.col("ts_us") - F.lag("ts_us").over(w_sess), F.lit(0)
+            ).alias("gap_us"),
+            F.col("event_type").alias("label"),
+        )
+        .orderBy("user_id", "sess_id", "pos")
+    )
+
+
+register(
+    QuerySpec(
+        "x115_next_event_examples",
+        x115_next_event_examples,
+        f"""
+        WITH ev AS (
+          SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+          FROM events),
+        marked AS (
+          SELECT *,
+                 CASE WHEN lag(ts_us) OVER w IS NULL
+                           OR ts_us - lag(ts_us) OVER w
+                              >= {SESSION_WINDOW_GAP_US}
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        sess AS (
+          SELECT *,
+                 CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                      ORDER BY ts_us, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+          FROM marked)
+        SELECT user_id, sess_id, event_id,
+               CAST(row_number() OVER ws AS BIGINT) AS pos,
+               COALESCE(lag(event_type) OVER ws, '<start>') AS prev_type,
+               COALESCE(ts_us - lag(ts_us) OVER ws, 0) AS gap_us,
+               event_type AS label
+        FROM sess
+        WINDOW ws AS (PARTITION BY user_id, sess_id ORDER BY ts_us, event_id)
+        ORDER BY user_id, sess_id, pos
+        """,
+        "sessionized next-event-prediction examples: features + label from the event log",
+    )
+)
