@@ -713,3 +713,108 @@ register(
         "dictionary encode: corpus tokens → dense vocab ids with OOV fallback",
     )
 )
+
+
+# --- x113: tokenize → encode → pack, end to end ------------------------------
+# The x99-style composition query for the tokenization pipeline: x46's
+# vocab encodes the corpus (x47), per-doc token-id streams are digested
+# order-sensitively, docs pack into fixed-budget bins (x27's two-phase
+# prefix sum — no global window), and each bin's manifest row carries an
+# md5 over its docs' digests in doc order. The digest chain makes the
+# gate prove BIT-EQUALITY of the entire packed content across engines,
+# not just counts. One declarative plan, no materialization between
+# stages.
+
+
+def x113_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    enc = x47_vocab_encode(spark, sf_dir)
+    docs = enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        # order-sensitive id-stream digest: sort (pos, id) structs, join
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
+                    lambda s: s.token_id.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("digest"),
+    )
+    parts = docs.repartitionByRange(F.col("doc_id")).select(
+        "doc_id", "n_tokens", "digest", F.spark_partition_id().alias("pid")
+    )
+    wp = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parts.withColumn("local_cum", F.sum("n_tokens").over(wp))
+    totals = local.groupBy("pid").agg(F.sum("n_tokens").alias("tot"))
+    wo = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "pid", F.coalesce(F.sum("tot").over(wo), F.lit(0)).alias("offset")
+    )
+    assigned = local.join(F.broadcast(offsets), "pid").select(
+        "doc_id",
+        "n_tokens",
+        "digest",
+        F.floor((F.col("local_cum") + F.col("offset") - 1) / PACK_BUDGET)
+        .cast("long")
+        .alias("bin_id"),
+    )
+    return (
+        assigned.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "digest"))),
+                        lambda s: s.digest,
+                    ),
+                    "",
+                )
+            ).alias("content_md5"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+# Oracle composes x47's REGISTERED SQL (anti-drift: a vocab retune moves
+# both engines); the global-window prefix sum is the oracle-side
+# equivalent of the two-phase sum (identical values by construction).
+from . import _REGISTRY as _TEXT_REG  # noqa: E402
+
+_X113_SQL = f"""
+        WITH enc AS ({_TEXT_REG["x47_vocab_encode"].oracle}),
+        docs AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 md5(string_agg(CAST(token_id AS VARCHAR), ','
+                     ORDER BY pos)) AS digest
+          FROM enc GROUP BY doc_id),
+        a AS (
+          SELECT doc_id, n_tokens, digest,
+                 CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+                      / {PACK_BUDGET}) AS BIGINT) AS bin_id
+          FROM docs)
+        SELECT bin_id, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+               md5(string_agg(digest, '' ORDER BY doc_id)) AS content_md5
+        FROM a GROUP BY bin_id
+        ORDER BY bin_id
+        """
+
+register(
+    QuerySpec(
+        "x113_tokenize_pack",
+        x113_tokenize_pack,
+        _X113_SQL,
+        "end-to-end tokenize/encode/pack with per-bin content digests",
+    )
+)
