@@ -78,6 +78,14 @@ HEADLINE = [
     "x33_dedup_survivors",
     "x49_kmeans",
     "x65_triangle_count",
+    # round-4 second wave: distributed BPE merge training (corpus scan +
+    # vocab-sized iterations), one-pass d²-keyed covariance + power
+    # iteration, incremental LSH near-dup against the base band index,
+    # and the end-to-end tokenize/encode/pack digest chain
+    "x101_bpe_train",
+    "x103_embedding_pca",
+    "x111_incremental_neardup",
+    "x113_tokenize_pack",
 ]
 
 CONVERT_RECORDS = 100_000
