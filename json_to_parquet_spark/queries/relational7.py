@@ -365,3 +365,68 @@ register(
         "minimum-cost supplier per part in one region (Q2 shape, derived partsupp)",
     )
 )
+
+
+# --- x114: referential-integrity audit ---------------------------------------
+# The warehouse pre-flight q84 generalizes: every declared fact→dim edge
+# is checked for orphaned foreign keys in one report. Each edge is a
+# LEFT ANTI join on its key — dim-sided edges broadcast, the fact-fact
+# edge (lineitem→orders) co-partitions on the order key. Counting
+# orphans (not listing them) keeps every edge's output one row at any
+# scale; a non-zero row is the signal to materialize the offenders.
+_FK_EDGES = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def x114_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for edge, fact, fk, dim, pk in _FK_EDGES:
+        f = _t(spark, sf_dir, fact).select(F.col(fk).alias("k"))
+        d = _t(spark, sf_dir, dim).select(F.col(pk).alias("k")).distinct()
+        orphans = f.join(d, "k", "left_anti")
+        row = f.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
+            orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+        ).select(
+            F.lit(edge).alias("edge"),
+            "n_rows",
+            "n_orphans",
+            F.round(
+                F.col("n_orphans").cast("double") / F.col("n_rows").cast("double"),
+                6,
+            ).alias("orphan_rate"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("edge")
+
+
+def _x114_sql() -> str:
+    selects = []
+    for edge, fact, fk, dim, pk in _FK_EDGES:
+        selects.append(f"""
+        SELECT '{edge}' AS edge,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {fact}) AS n_rows,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {fact}
+                WHERE {fk} NOT IN (SELECT {pk} FROM {dim})) AS n_orphans,
+               ROUND(CAST((SELECT COUNT(*) FROM {fact}
+                           WHERE {fk} NOT IN (SELECT {pk} FROM {dim}))
+                          AS DOUBLE)
+                     / (SELECT COUNT(*) FROM {fact}), 6) AS orphan_rate""")
+    union = "\n        UNION ALL ".join(selects)
+    return f"SELECT * FROM ({union}) ORDER BY edge"
+
+
+register(
+    QuerySpec(
+        "x114_referential_audit",
+        x114_referential_audit,
+        _x114_sql(),
+        "orphaned-FK audit over every fact->dim edge of the star schema",
+    )
+)
