@@ -227,20 +227,32 @@ def x103_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x_i").cast("double").alias("xi"),
         F.posexplode("embedding").alias("j", "x_j"),
     ).select("i", "j", "xi", F.col("x_j").cast("double").alias("xj"))
-    # Raw second moments, decimal-exact; products are row-level IEEE
-    # (deterministic), rounded before the decimal cast per helpers.
+    # Raw second moments in FIXED POINT: each product rounds to 1e-6 as
+    # an integer micro-unit, so the aggregation is a plain BIGINT sum —
+    # exact, order-independent, and ~5× faster than a DECIMAL(30,10) sum
+    # over the d²-expanded rows (measured 14.8 s → 3.2 s at sf0.1; both
+    # engines round half-away-from-zero, so the longs are identical).
+    # Magnitude: |x·y|·1e6 ≤ ~1e8 per row → overflow needs ~1e10 rows
+    # per (i, j) pair — not reachable at the 100 TB target.
+    fx = lambda c: F.round(c * F.lit(1e6), 0).cast("long")  # noqa: E731
     moments = pairs.groupBy("i", "j").agg(
-        dec_sum(F.round(F.col("xi") * F.col("xj"), 6), "s_ij")
+        F.sum(fx(F.col("xi") * F.col("xj"))).alias("k_ij")
     )
     # n rides along in the per-dim aggregate (count per dim = corpus
     # rows) — no separate count() scan of the input.
     means = (
         xi.groupBy("i")
         .agg(
-            dec_sum(F.col("x_i").cast("double"), "s_i"),
+            F.sum(fx(F.col("x_i").cast("double"))).alias("k_i"),
             F.count(F.lit(1)).alias("n"),
         )
-        .select("i", F.round(F.col("s_i") / F.col("n"), 6).alias("mu"), "n")
+        .select(
+            "i",
+            F.round(
+                F.col("k_i").cast("double") / F.lit(1e6) / F.col("n"), 6
+            ).alias("mu"),
+            "n",
+        )
     )
     mu_j = means.select(F.col("i").alias("j"), F.col("mu").alias("mu_j"))
     cov = (
@@ -250,21 +262,29 @@ def x103_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i",
             "j",
             F.round(
-                F.col("s_ij") / F.col("n") - F.col("mu") * F.col("mu_j"), 6
+                F.col("k_ij").cast("double") / F.lit(1e6) / F.col("n")
+                - F.col("mu") * F.col("mu_j"),
+                6,
             ).alias("c"),
         )
     )
     # localCheckpoint (not persist): each unrolled round would otherwise
     # re-embed cov's full subplan, and the analyzer/optimizer cost grows
     # superlinearly with rounds (the x45 pagerank lesson — measured here
-    # as 205 s → ~15 s at sf0.001). cov is 4096 rows; v is 64.
-    cov = cov.localCheckpoint()
-    v = means.select("i", F.when(F.col("i") == 0, 1.0).otherwise(0.0).alias("v"))
+    # as 205 s → ~15 s at sf0.001). cov is 4096 rows AT ANY CORPUS SIZE,
+    # so the loop frames coalesce to one partition — 1 task per round
+    # instead of shuffle_partitions tasks (the x45 coalesce(1) economics;
+    # measured 11.9 s → 3.5 s cold at sf0.1).
+    cov = cov.localCheckpoint().coalesce(1)
+    v = means.select(
+        "i", F.when(F.col("i") == 0, 1.0).otherwise(0.0).alias("v")
+    ).coalesce(1)
     for it in range(POWER_ITERS):
         w = (
             cov.join(v.select(F.col("i").alias("j"), "v"), "j")
             .groupBy("i")
             .agg(dec_sum(F.round(F.col("c") * F.col("v"), 6), "w"))
+            .coalesce(1)
         )
         m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
         v = w.crossJoin(F.broadcast(m)).select(
@@ -302,16 +322,20 @@ def _x103_sql() -> str:
                      recursive := true)
           FROM xi),
         moments AS (
-          SELECT i, j, {dec_sum_round.format(y="a * b")} AS s_ij
+          SELECT i, j,
+                 CAST(SUM(CAST(ROUND(a * b * 1000000.0) AS BIGINT))
+                      AS BIGINT) AS k_ij
           FROM pairs GROUP BY i, j),
         means AS (
           SELECT i,
-                 ROUND({SQL_DEC_SUM.format(x="x_i")} / COUNT(*), 6) AS mu,
+                 ROUND(CAST(SUM(CAST(ROUND(x_i * 1000000.0) AS BIGINT))
+                            AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS mu,
                  CAST(COUNT(*) AS BIGINT) AS n
           FROM xi GROUP BY i),
         cov AS MATERIALIZED (
           SELECT m.i, m.j,
-                 ROUND(m.s_ij / mi.n - mi.mu * mj.mu, 6) AS c
+                 ROUND(CAST(m.k_ij AS DOUBLE) / 1000000.0 / mi.n
+                       - mi.mu * mj.mu, 6) AS c
           FROM moments m
           JOIN means mi ON m.i = mi.i
           JOIN means mj ON m.j = mj.i),
@@ -639,5 +663,222 @@ register(
         x112_langid_confusion,
         _X112_SQL,
         "confusion matrix + per-class shares of the x07 language-ID heuristic",
+    )
+)
+
+
+# --- x116: split-leakage audit (per-doc vs group-aware) ----------------------
+# The measured argument for x110: augment the corpus with suffix
+# re-crawls (realistic near-dups), find candidate pairs via the
+# oracle-backed LSH chain, then count how many pairs STRADDLE the
+# train/val boundary under (a) a per-doc hash split (x25's scheme) and
+# (b) the group-aware source split (x110's scheme). Per-doc splits leak
+# ≈ 2·p·(1-p) of dup pairs across the boundary; group splits leak zero
+# by construction (a doc and its re-crawl share a source). Output is
+# two audit rows; everything reuses x111's bounded chain shapes.
+from .dedup import LSH_BANDS, LSH_ROWS  # noqa: E402
+
+LEAK_TRAIN_PCT = 80
+
+
+def x116_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    words = F.split(F.col("text"), " ")
+    drop_n = F.floor(F.size(words) / F.lit(5)).cast("int")
+    suffix = F.array_join(
+        F.slice(words, drop_n + F.lit(1), F.size(words) - drop_n), " "
+    )
+    corpus = docs.unionAll(
+        docs.select(
+            (F.col("doc_id") + BATCH_OFFSET).alias("doc_id"),
+            "source",
+            suffix.alias("text"),
+        )
+    )
+    posting = corpus.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
+    ).withColumn("fp", _charfold(F.col("sh")))
+    mins = [
+        F.min((F.lit(a) * F.col("fp") + F.lit(b)) % F.lit(ARITH_P)).alias(f"h{j}")
+        for j, (a, b) in enumerate(_ARITH_HASHES)
+    ]
+    sig = posting.groupBy("doc_id").agg(*mins)
+
+    def _bucket(b: int):
+        expr = F.col(f"h{b * LSH_ROWS}")
+        for r in range(1, LSH_ROWS):
+            expr = (expr * _BAND_MIX + F.col(f"h{b * LSH_ROWS + r}")) % F.lit(
+                ARITH_P
+            )
+        return expr
+
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("long").alias("band"),
+                        _bucket(b).alias("bucket"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    ba, bb = bands.alias("a"), bands.alias("b")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    def bucket100(col):
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % 100
+
+    asg = corpus.select(
+        "doc_id",
+        F.when(bucket100(F.col("doc_id").cast("string")) < LEAK_TRAIN_PCT, "train")
+        .otherwise("val")
+        .alias("per_doc"),
+        F.when(bucket100(F.col("source")) < LEAK_TRAIN_PCT, "train")
+        .otherwise("val")
+        .alias("by_source"),
+    )
+    a = asg.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("per_doc").alias("pd_a"),
+        F.col("by_source").alias("bs_a"),
+    )
+    b = asg.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("per_doc").alias("pd_b"),
+        F.col("by_source").alias("bs_b"),
+    )
+    j = cand.join(a, "id_a").join(b, "id_b")
+    stats = j.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("pd_a") != F.col("pd_b")).cast("long")).alias("pd_cross"),
+        F.sum((F.col("bs_a") != F.col("bs_b")).cast("long")).alias("bs_cross"),
+    )
+    pd_row = stats.select(
+        F.lit("per_doc").alias("method"),
+        "n_pairs",
+        F.col("pd_cross").cast("long").alias("n_cross_split"),
+        F.round(F.col("pd_cross").cast("double") / F.col("n_pairs"), 6).alias(
+            "leak_rate"
+        ),
+    )
+    bs_row = stats.select(
+        F.lit("by_source").alias("method"),
+        "n_pairs",
+        F.col("bs_cross").cast("long").alias("n_cross_split"),
+        F.round(F.col("bs_cross").cast("double") / F.col("n_pairs"), 6).alias(
+            "leak_rate"
+        ),
+    )
+    return pd_row.unionAll(bs_row).orderBy("method")
+
+
+def _x116_sql() -> str:
+    from .dedup import SHINGLE_WIDTH as W
+
+    P = ARITH_P
+    sig_cols = ",\n                 ".join(
+        f"MIN(({a}*fp + {b}) % {P}) AS h{j}"
+        for j, (a, b) in enumerate(_ARITH_HASHES)
+    )
+
+    def bucket_sql(b: int) -> str:
+        expr = f"h{b * LSH_ROWS}"
+        for r in range(1, LSH_ROWS):
+            expr = f"(({expr}) * {_BAND_MIX} + h{b * LSH_ROWS + r}) % {P}"
+        return expr
+
+    band_structs = ", ".join(
+        f"{{'band': CAST({b} AS BIGINT), 'bucket': {bucket_sql(b)}}}"
+        for b in range(LSH_BANDS)
+    )
+    b100 = "CAST(('0x' || substring(md5({x}), 1, 8)) AS BIGINT) % 100"
+    return f"""
+        WITH corpus AS (
+          SELECT doc_id, source, text FROM documents
+          UNION ALL
+          SELECT doc_id + {BATCH_OFFSET} AS doc_id, source,
+                 array_to_string(
+                     string_split(text, ' ')[(len(string_split(text, ' '))
+                         // 5) + 1:], ' ') AS text
+          FROM documents),
+        tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct([array_to_string(t[i+1:i+{W}], ' ')
+                     FOR i IN generate_series(0, len(t)-{W})])) AS sh
+          FROM tk),
+        fp AS (
+          SELECT doc_id,
+                 list_reduce(list_transform(string_split(sh, ''),
+                                            c -> CAST(ascii(c) AS BIGINT)),
+                             (a, b) -> (a*31 + b) % {P}) AS fp
+          FROM sh),
+        sig AS (
+          SELECT doc_id,
+                 {sig_cols}
+          FROM fp GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, bb.band AS band, bb.bucket AS bucket
+          FROM (SELECT doc_id, unnest([{band_structs}]) AS bb FROM sig)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        asg AS (
+          SELECT doc_id,
+                 CASE WHEN {b100.format(x="CAST(doc_id AS VARCHAR)")}
+                           < {LEAK_TRAIN_PCT}
+                      THEN 'train' ELSE 'val' END AS per_doc,
+                 CASE WHEN {b100.format(x="source")} < {LEAK_TRAIN_PCT}
+                      THEN 'train' ELSE 'val' END AS by_source
+          FROM corpus),
+        j AS (
+          SELECT c.id_a, c.id_b,
+                 a.per_doc AS pd_a, a.by_source AS bs_a,
+                 b.per_doc AS pd_b, b.by_source AS bs_b
+          FROM cand c
+          JOIN asg a ON c.id_a = a.doc_id
+          JOIN asg b ON c.id_b = b.doc_id),
+        stats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(SUM(CASE WHEN pd_a <> pd_b THEN 1 ELSE 0 END)
+                      AS BIGINT) AS pd_cross,
+                 CAST(SUM(CASE WHEN bs_a <> bs_b THEN 1 ELSE 0 END)
+                      AS BIGINT) AS bs_cross
+          FROM j)
+        SELECT * FROM (
+          SELECT 'per_doc' AS method, n_pairs,
+                 pd_cross AS n_cross_split,
+                 ROUND(CAST(pd_cross AS DOUBLE) / n_pairs, 6) AS leak_rate
+          FROM stats
+          UNION ALL
+          SELECT 'by_source', n_pairs, bs_cross,
+                 ROUND(CAST(bs_cross AS DOUBLE) / n_pairs, 6)
+          FROM stats)
+        ORDER BY method
+        """
+
+
+register(
+    QuerySpec(
+        "x116_split_leakage",
+        x116_split_leakage,
+        _x116_sql(),
+        "measured near-dup leakage across the split boundary: per-doc vs group-aware",
     )
 )

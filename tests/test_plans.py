@@ -278,3 +278,39 @@ def test_x105_schema_evolution_merge(spark, sf_dir):
     plan = merged._jdf.queryExecution().executedPlan().toString()
     # plan strings truncate long schemas — match the stable prefix
     assert "o_orderpriorit" in plan.split("ReadSchema")[1][:400]
+
+
+def test_x113_no_global_corpus_window(spark, sf_dir):
+    """The pack stage must keep x27's two-phase prefix-sum shape when
+    composed end-to-end: doc cumulative sums partition by pid, and the
+    only keyless exchanges are the tiny offsets frame and the final
+    bin-count-sized manifest sort."""
+    plan = _plan(spark, sf_dir, "x113_tokenize_pack")
+    assert re.search(r"hashpartitioning\(pid#\d+", plan), (
+        "prefix sums must run per range-partition, not in one task"
+    )
+    assert plan.count("Exchange SinglePartition") <= 2
+
+
+def test_x111_batch_joins_on_band_index(spark, sf_dir):
+    """The incremental near-dup join must key on (band, bucket) — a
+    regression to an un-keyed pair comparison would show up as a
+    cartesian/BNLJ carrying signatures."""
+    plan = _plan(spark, sf_dir, "x111_incremental_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"\[band#\d+", plan) or re.search(
+        r"hashpartitioning\(band#\d+", plan
+    ), "candidate join must key on the band"
+
+
+def test_x109_streaming_plan_is_stateful(spark, sf_dir):
+    """The drained run must have executed a real streaming aggregate:
+    the memory-sink table exists and carries the top-K schema (rank
+    bounded by the configured K)."""
+    from json_to_parquet_spark.queries.streaming_gate import STREAM_HH_TOPK
+
+    df = registry()["x109_stream_heavy_hitters"].spark(spark, sf_dir)
+    rows = df.collect()
+    assert 0 < len(rows) <= STREAM_HH_TOPK
+    assert [f.name for f in df.schema.fields] == ["rank", "tok", "cnt"]
