@@ -156,3 +156,95 @@ register(
         "content-addressed binary dedup via sha256",
     )
 )
+
+
+# --- x117: byte-budget media shard packing -----------------------------------
+# The WebDataset/tar-shard layout step for multimodal training data:
+# blobs pack into fixed-byte-budget shards in deterministic doc order,
+# via x27's two-phase prefix sum (range partition → partition-local
+# running byte sums → tiny offsets frame broadcast back) — never a
+# global single-partition window. Each shard's manifest row carries an
+# md5 over its members' content hashes in doc order, so the gate proves
+# the exact shard membership, not just counts. At 100 TB the shard
+# writer consumes exactly this frame, one task per shard directory.
+MEDIA_SHARD_BYTES = 16_384
+
+
+def x117_media_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = x14_multimodal_catalog(spark, sf_dir).select(
+        "doc_id", "n_bytes", "content_sha256"
+    )
+    parts = cat.repartitionByRange(F.col("doc_id")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    wp = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parts.withColumn("local_cum", F.sum("n_bytes").over(wp))
+    totals = local.groupBy("pid").agg(F.sum("n_bytes").alias("tot"))
+    wo = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "pid", F.coalesce(F.sum("tot").over(wo), F.lit(0)).alias("offset")
+    )
+    assigned = local.join(F.broadcast(offsets), "pid").select(
+        "doc_id",
+        "n_bytes",
+        "content_sha256",
+        F.floor((F.col("local_cum") + F.col("offset") - 1) / MEDIA_SHARD_BYTES)
+        .cast("long")
+        .alias("shard_id"),
+    )
+    return (
+        assigned.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blobs"),
+            F.sum("n_bytes").cast("long").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id", "content_sha256"))
+                        ),
+                        lambda s: s.content_sha256,
+                    ),
+                    "",
+                )
+            ).alias("members_md5"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+register(
+    QuerySpec(
+        "x117_media_shard_pack",
+        x117_media_shard_pack,
+        f"""
+        WITH cat AS (
+          SELECT doc_id,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                 sha256(text) AS content_sha256
+          FROM documents),
+        a AS (
+          SELECT doc_id, n_bytes, content_sha256,
+                 CAST(floor((SUM(n_bytes) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+                      / {MEDIA_SHARD_BYTES}) AS BIGINT) AS shard_id
+          FROM cat)
+        SELECT shard_id, COUNT(*) AS n_blobs,
+               CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+               md5(string_agg(content_sha256, '' ORDER BY doc_id))
+                   AS members_md5
+        FROM a GROUP BY shard_id
+        ORDER BY shard_id
+        """,
+        "byte-budget media shard packing with per-shard membership digests",
+    )
+)
