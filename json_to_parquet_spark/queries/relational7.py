@@ -430,3 +430,92 @@ register(
         "orphaned-FK audit over every fact->dim edge of the star schema",
     )
 )
+
+
+# --- q87: excess-share suppliers (TPC-H Q20 shape) ---------------------------
+# The last classic decision-support shape not yet in the registry: a
+# nested IN whose inner query filters on a CORRELATED aggregate
+# threshold. No partsupp/availqty in this schema, so "excess" is
+# adapted: a supplier is flagged if, for some PROMO part, their shipped
+# quantity exceeds EXCESS_FRAC of that part's total shipped quantity.
+# Decorrelated Spark-side into two fact aggregations joined on the part
+# key (both keyed shuffles reusable under AQE), a row-local ratio
+# filter, and a dim-chain semi-join — never a correlated re-scan per
+# outer row.
+Q20_TYPE = "PROMO"
+Q20_NATION = "NATION_9"
+EXCESS_FRAC = 0.5
+
+
+def q87_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    promo = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == Q20_TYPE)
+        .select("p_partkey")
+    )
+    shipped = li.join(promo, li.l_partkey == promo.p_partkey).select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    per_ps = shipped.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(30,10)"))
+        .cast("double")
+        .alias("q_ps")
+    )
+    per_p = shipped.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(30,10)")).cast("double").alias("q_p")
+    )
+    excess = (
+        per_ps.join(per_p, "l_partkey")
+        .filter(F.col("q_ps") > F.lit(EXCESS_FRAC) * F.col("q_p"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_excess_parts"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(F.col("n_name") == Q20_NATION)
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        supp.join(excess, supp.s_suppkey == excess.l_suppkey)
+        .select("s_suppkey", "s_name", F.col("n_excess_parts").cast("long"))
+        .orderBy("s_suppkey")
+    )
+
+
+register(
+    QuerySpec(
+        "q87_excess_share_suppliers",
+        q87_excess_share_suppliers,
+        f"""
+        WITH shipped AS (
+          SELECT l_partkey, l_suppkey, l_quantity
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_type = '{Q20_TYPE}'),
+        per_ps AS (
+          SELECT l_partkey, l_suppkey,
+                 {SQL_DEC_SUM.format(x="l_quantity")} AS q_ps
+          FROM shipped GROUP BY l_partkey, l_suppkey),
+        per_p AS (
+          SELECT l_partkey, {SQL_DEC_SUM.format(x="l_quantity")} AS q_p
+          FROM shipped GROUP BY l_partkey),
+        excess AS (
+          SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_excess_parts
+          FROM per_ps JOIN per_p USING (l_partkey)
+          WHERE q_ps > {EXCESS_FRAC} * q_p
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, n_excess_parts
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN excess ON s_suppkey = l_suppkey
+        WHERE n_name = '{Q20_NATION}'
+        ORDER BY s_suppkey
+        """,
+        "TPC-H Q20 shape: suppliers with excess part share via correlated-threshold IN",
+    )
+)
