@@ -437,14 +437,17 @@ register(
 # nested IN whose inner query filters on a CORRELATED aggregate
 # threshold. No partsupp/availqty in this schema, so "excess" is
 # adapted: a supplier is flagged if, for some PROMO part, their shipped
-# quantity exceeds EXCESS_FRAC of that part's total shipped quantity.
+# quantity exceeds EXCESS_MULT times their FAIR SHARE of that part's
+# total (total / number of suppliers of the part) — a scale-invariant
+# threshold, so the flagged tail exists at every SF (an absolute
+# fraction degenerates to zero rows as supplier counts grow).
 # Decorrelated Spark-side into two fact aggregations joined on the part
 # key (both keyed shuffles reusable under AQE), a row-local ratio
 # filter, and a dim-chain semi-join — never a correlated re-scan per
 # outer row.
 Q20_TYPE = "PROMO"
-Q20_NATION = "NATION_9"
-EXCESS_FRAC = 0.5
+Q20_NATION = "NATION_18"  # non-empty at sf0.001 (1 row) and sf0.01 (5)
+EXCESS_MULT = 2.0
 
 
 def q87_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -463,11 +466,14 @@ def q87_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("q_ps")
     )
     per_p = shipped.groupBy("l_partkey").agg(
-        F.sum(F.col("l_quantity").cast("decimal(30,10)")).cast("double").alias("q_p")
+        F.sum(F.col("l_quantity").cast("decimal(30,10)")).cast("double").alias("q_p"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
     )
     excess = (
         per_ps.join(per_p, "l_partkey")
-        .filter(F.col("q_ps") > F.lit(EXCESS_FRAC) * F.col("q_p"))
+        .filter(
+            F.col("q_ps") * F.col("n_supp") > F.lit(EXCESS_MULT) * F.col("q_p")
+        )
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("n_excess_parts"))
     )
@@ -502,12 +508,13 @@ register(
                  {SQL_DEC_SUM.format(x="l_quantity")} AS q_ps
           FROM shipped GROUP BY l_partkey, l_suppkey),
         per_p AS (
-          SELECT l_partkey, {SQL_DEC_SUM.format(x="l_quantity")} AS q_p
+          SELECT l_partkey, {SQL_DEC_SUM.format(x="l_quantity")} AS q_p,
+                 CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp
           FROM shipped GROUP BY l_partkey),
         excess AS (
           SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_excess_parts
           FROM per_ps JOIN per_p USING (l_partkey)
-          WHERE q_ps > {EXCESS_FRAC} * q_p
+          WHERE q_ps * n_supp > {EXCESS_MULT} * q_p
           GROUP BY l_suppkey)
         SELECT s_suppkey, s_name, n_excess_parts
         FROM supplier
