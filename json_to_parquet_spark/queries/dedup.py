@@ -949,3 +949,93 @@ register(
         "incremental MinHash-LSH: new batch joined against the pre-built base band index",
     )
 )
+
+
+# --- x118: dedup ROI report --------------------------------------------------
+# The "what did dedup buy us" readout a pipeline owner reads before
+# scheduling the expensive near-dup stages: per source, how many docs
+# are exact-content copies of an earlier doc and what token volume they
+# carry. Copies are counted against the corpus-wide canonical (min
+# doc_id per md5), so cross-source copies attribute to the source
+# holding the duplicate, not the original. One md5-keyed aggregation
+# broadcast back over the corpus + one source-keyed rollup. The raw
+# synthetic corpus is dup-free, so every fifth doc is re-ingested (new
+# id, same source/content) — the crawler-re-fetch event the report
+# exists to quantify; savings then read ~1/6 per source. Selection
+# hashes the doc id (a plain modulo would correlate with the synthetic
+# source assignment and re-ingest whole sources or none).
+ROI_REINGEST_MOD = 5
+
+
+def x118_dedup_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    pick = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % ROI_REINGEST_MOD
+        == 0
+    )
+    docs = base.unionAll(
+        base.filter(pick).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "source", "text"
+        )
+    )
+    toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    d = docs.select("doc_id", "source", F.md5("text").alias("h"), toks.alias("n_tok"))
+    canon = d.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    flagged = d.join(canon, "h").withColumn(
+        "is_dup", (F.col("doc_id") != F.col("keep_id")).cast("long")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_dup").cast("long").alias("n_dup_docs"),
+            F.sum("n_tok").cast("long").alias("tokens_total"),
+            F.sum(F.col("is_dup") * F.col("n_tok")).cast("long").alias("tokens_dup"),
+            F.round(
+                F.sum(F.col("is_dup") * F.col("n_tok")).cast("double")
+                / F.sum("n_tok").cast("double"),
+                6,
+            ).alias("savings_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    QuerySpec(
+        "x118_dedup_roi",
+        x118_dedup_roi,
+        """
+        WITH corpus AS (
+          SELECT doc_id, source, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, source, text FROM documents
+          WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 5 = 0),
+        d AS (
+          SELECT doc_id, source, md5(text) AS h,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM corpus),
+        canon AS (SELECT h, MIN(doc_id) AS keep_id FROM d GROUP BY h),
+        flagged AS (
+          SELECT d.source, d.n_tok,
+                 CASE WHEN d.doc_id <> c.keep_id THEN 1 ELSE 0 END AS is_dup
+          FROM d JOIN canon c ON d.h = c.h)
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+               CAST(SUM(is_dup * n_tok) AS BIGINT) AS tokens_dup,
+               ROUND(CAST(SUM(is_dup * n_tok) AS DOUBLE)
+                     / CAST(SUM(n_tok) AS DOUBLE), 6) AS savings_rate
+        FROM flagged
+        GROUP BY source
+        ORDER BY source
+        """,
+        "per-source exact-dup volume and token savings — the dedup ROI readout",
+    )
+)
