@@ -162,6 +162,7 @@ _BNLJ_ALLOWED = {
     "x103_embedding_pca",  # 1-row max-norm frame crossed per power iteration
     "x104_lsh_tradeoff",  # 1-row truth-count frame crossed per config row
     "x106_temperature_mix",  # 1-row weight-sum/budget frame broadcast
+    "x114_referential_audit",  # two 1-row count aggregates crossed per edge
 }
 
 
