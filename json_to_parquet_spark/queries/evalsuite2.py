@@ -209,6 +209,7 @@ register(
 
 # --- x103: embedding-corpus PCA (covariance + power iteration) ---------------
 POWER_ITERS = 8
+FIXED_POINT = 1_000_000  # micro-unit scale shared by both engines' sums
 
 
 def x103_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,7 +235,7 @@ def x103_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engines round half-away-from-zero, so the longs are identical).
     # Magnitude: |x·y|·1e6 ≤ ~1e8 per row → overflow needs ~1e10 rows
     # per (i, j) pair — not reachable at the 100 TB target.
-    fx = lambda c: F.round(c * F.lit(1e6), 0).cast("long")  # noqa: E731
+    fx = lambda c: F.round(c * F.lit(float(FIXED_POINT)), 0).cast("long")  # noqa: E731
     moments = pairs.groupBy("i", "j").agg(
         F.sum(fx(F.col("xi") * F.col("xj"))).alias("k_ij")
     )
@@ -249,7 +250,8 @@ def x103_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "i",
             F.round(
-                F.col("k_i").cast("double") / F.lit(1e6) / F.col("n"), 6
+                F.col("k_i").cast("double") / F.lit(float(FIXED_POINT)) / F.col("n"),
+                6,
             ).alias("mu"),
             "n",
         )
@@ -262,7 +264,9 @@ def x103_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i",
             "j",
             F.round(
-                F.col("k_ij").cast("double") / F.lit(1e6) / F.col("n")
+                F.col("k_ij").cast("double")
+                / F.lit(float(FIXED_POINT))
+                / F.col("n")
                 - F.col("mu") * F.col("mu_j"),
                 6,
             ).alias("c"),
@@ -323,18 +327,18 @@ def _x103_sql() -> str:
           FROM xi),
         moments AS (
           SELECT i, j,
-                 CAST(SUM(CAST(ROUND(a * b * 1000000.0) AS BIGINT))
+                 CAST(SUM(CAST(ROUND(a * b * {FIXED_POINT}.0) AS BIGINT))
                       AS BIGINT) AS k_ij
           FROM pairs GROUP BY i, j),
         means AS (
           SELECT i,
-                 ROUND(CAST(SUM(CAST(ROUND(x_i * 1000000.0) AS BIGINT))
-                            AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS mu,
+                 ROUND(CAST(SUM(CAST(ROUND(x_i * {FIXED_POINT}.0) AS BIGINT))
+                            AS DOUBLE) / {FIXED_POINT}.0 / COUNT(*), 6) AS mu,
                  CAST(COUNT(*) AS BIGINT) AS n
           FROM xi GROUP BY i),
         cov AS MATERIALIZED (
           SELECT m.i, m.j,
-                 ROUND(CAST(m.k_ij AS DOUBLE) / 1000000.0 / mi.n
+                 ROUND(CAST(m.k_ij AS DOUBLE) / {FIXED_POINT}.0 / mi.n
                        - mi.mu * mj.mu, 6) AS c
           FROM moments m
           JOIN means mi ON m.i = mi.i
