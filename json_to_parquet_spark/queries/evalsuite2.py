@@ -886,3 +886,98 @@ register(
         "measured near-dup leakage across the split boundary: per-doc vs group-aware",
     )
 )
+
+
+# --- x119: cross-encoder rerank stage ----------------------------------------
+# The second stage of a production retrieval stack: the IVF retriever's
+# k-bounded candidates per query are re-scored by a cross-encoder and
+# re-ranked. The model call runs as Arrow-batched mapInPandas (the x30
+# media pattern — whole batches across the JVM↔Python boundary, schema
+# declared, no shuffle introduced); the kernel here is a deterministic
+# stand-in (md5-derived perturbation of the retriever score, the same
+# contract a real model batch-scorer has) whose arithmetic is
+# SQL-expressible, so the ENTIRE Python-stage pipeline is value-checked
+# against the oracle, not just row-counted. Rounding happens JVM-side
+# after the Python stage (Python's round() is banker's — never round in
+# the kernel).
+import hashlib as _hashlib  # noqa: E402
+
+_CE_MOD = 1000
+_CE_SCALE = 10_000.0
+
+
+def _ce_kernel(batches):
+    """Deterministic stand-in cross-encoder: score = cos_sim + a
+    [0, 0.1) perturbation from md5(q|v). A real deployment swaps this
+    for a batched model forward pass; signature and batch shape are
+    production-real."""
+    import pandas as pd
+
+    for pdf in batches:
+        pert = [
+            (int(_hashlib.md5(f"{q}|{v}".encode()).hexdigest()[:8], 16) % _CE_MOD)
+            / _CE_SCALE
+            for q, v in zip(pdf["q_id"], pdf["vec_id"])
+        ]
+        yield pd.DataFrame(
+            {
+                "q_id": pdf["q_id"].astype("int64"),
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "cos_sim": pdf["cos_sim"],
+                "ce_raw": pdf["cos_sim"] + pd.Series(pert, dtype="float64"),
+            }
+        )
+
+
+def x119_rerank_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = x21_ivf_ann(spark, sf_dir).select("q_id", "vec_id", "cos_sim", "rank")
+    scored = cand.select("q_id", "vec_id", "cos_sim").mapInPandas(
+        _ce_kernel,
+        "q_id long, vec_id long, cos_sim double, ce_raw double",
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("ce_score"), F.asc("vec_id")
+    )
+    reranked = (
+        scored.withColumn("ce_score", F.round(F.col("ce_raw"), 6))
+        .withColumn("new_rank", F.row_number().over(w).cast("long"))
+        .select("q_id", "vec_id", "cos_sim", "ce_score", "new_rank")
+    )
+    old = cand.select("q_id", "vec_id", F.col("rank").alias("retriever_rank"))
+    return (
+        reranked.join(old, ["q_id", "vec_id"])
+        .select(
+            "q_id", "vec_id", "retriever_rank", "new_rank", "cos_sim", "ce_score"
+        )
+        .orderBy("q_id", "new_rank")
+    )
+
+
+# Oracle: compose x21's registered SQL (anti-drift), then the same
+# md5 perturbation + rerank window in DuckDB.
+_X119_SQL = f"""
+        WITH cand AS ({_REG["x21_ivf_ann"].oracle}),
+        scored AS (
+          SELECT q_id, vec_id, cos_sim, rank AS retriever_rank,
+                 ROUND(cos_sim
+                       + (CAST(('0x' || substring(md5(
+                              CAST(q_id AS VARCHAR) || '|'
+                              || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                          % {_CE_MOD}) / {_CE_SCALE!r}, 6) AS ce_score
+          FROM cand)
+        SELECT q_id, vec_id, retriever_rank,
+               CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY ce_score DESC, vec_id ASC) AS BIGINT) AS new_rank,
+               cos_sim, ce_score
+        FROM scored
+        ORDER BY q_id, new_rank
+        """
+
+register(
+    QuerySpec(
+        "x119_rerank_stage",
+        x119_rerank_stage,
+        _X119_SQL,
+        "retrieval rerank stage: mapInPandas cross-encoder stub over IVF candidates",
+    )
+)
