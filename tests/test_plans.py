@@ -163,6 +163,7 @@ _BNLJ_ALLOWED = {
     "x104_lsh_tradeoff",  # 1-row truth-count frame crossed per config row
     "x106_temperature_mix",  # 1-row weight-sum/budget frame broadcast
     "x114_referential_audit",  # two 1-row count aggregates crossed per edge
+    "x119_rerank_stage",  # composes x21: query-vec and centroid broadcasts
 }
 
 
