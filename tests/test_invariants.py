@@ -179,3 +179,85 @@ def test_q86_one_supplier_per_part(spark, sf_dir):
     rows = registry()["q86_min_cost_supplier"].spark(spark, sf_dir).collect()
     parts = [r.p_partkey for r in rows]
     assert len(parts) == len(set(parts))
+
+
+def test_incremental_neardup_finds_suffix_twins(spark, sf_dir):
+    """Each batch doc is a suffix re-crawl of its base twin (Jaccard
+    ~0.6-0.9), so the 4x4 banding should surface most twin pairs (x104
+    measured ~0.87 recall at this similarity band) and every surfaced
+    pair must carry a plausible signature overlap."""
+    rows = registry()["x111_incremental_neardup"].spark(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    twins = {(b, b - 100000) for (b, _) in ((r.batch_id, r.base_id) for r in rows)}
+    found_twins = sum(
+        1 for r in rows if r.base_id == r.batch_id - 100000
+    )
+    assert found_twins >= 0.5 * n_docs, (found_twins, n_docs)
+    for r in rows:
+        assert 0 < r.n_eq <= 16 and abs(r.est_sim - r.n_eq / 16.0) < 1e-9
+    del twins
+
+
+def test_tokenize_pack_bins_respect_budget(spark, sf_dir):
+    """No bin may exceed the token budget by more than one document's
+    length (the greedy running-sum contract), digests must be distinct,
+    and doc ranges must tile without overlap."""
+    from json_to_parquet_spark.queries.text import PACK_BUDGET
+
+    rows = sorted(
+        registry()["x113_tokenize_pack"].spark(spark, sf_dir).collect(),
+        key=lambda r: r.bin_id,
+    )
+    assert len({r.content_md5 for r in rows}) == len(rows)
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.last_doc < cur.first_doc
+    # every bin except possibly the last must have reached the budget
+    # neighborhood; none may be wildly above it
+    for r in rows[:-1]:
+        assert r.bin_tokens >= PACK_BUDGET - 500
+    for r in rows:
+        assert r.bin_tokens <= PACK_BUDGET + 500
+
+
+def test_media_shards_tile_and_bound(spark, sf_dir):
+    from json_to_parquet_spark.queries.multimodal import MEDIA_SHARD_BYTES
+
+    rows = sorted(
+        registry()["x117_media_shard_pack"].spark(spark, sf_dir).collect(),
+        key=lambda r: r.shard_id,
+    )
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.last_doc < cur.first_doc
+    for r in rows:
+        assert r.shard_bytes <= MEDIA_SHARD_BYTES + 5000  # + one blob's slack
+
+
+def test_next_event_examples_session_contract(spark, sf_dir):
+    """Within a session: positions are 1..n, the first example has the
+    <start> token and zero gap, and every later gap is below the session
+    threshold (otherwise it would have opened a new session)."""
+    from json_to_parquet_spark.queries.pipeline import SESSION_WINDOW_GAP_US
+
+    rows = registry()["x115_next_event_examples"].spark(spark, sf_dir).collect()
+    by_sess = {}
+    for r in rows:
+        by_sess.setdefault((r.user_id, r.sess_id), []).append(r)
+    for key, rs in by_sess.items():
+        rs.sort(key=lambda r: r.pos)
+        assert [r.pos for r in rs] == list(range(1, len(rs) + 1))
+        assert rs[0].prev_type == "<start>" and rs[0].gap_us == 0
+        for r in rs[1:]:
+            assert 0 <= r.gap_us < SESSION_WINDOW_GAP_US
+
+
+def test_rerank_is_per_query_permutation(spark, sf_dir):
+    rows = registry()["x119_rerank_stage"].spark(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q, rs in by_q.items():
+        n = len(rs)
+        assert sorted(r.new_rank for r in rs) == list(range(1, n + 1))
+        assert sorted(r.retriever_rank for r in rs) == list(range(1, n + 1))
+        for r in rs:
+            assert r.ce_score >= r.cos_sim  # perturbation is non-negative
