@@ -651,3 +651,84 @@ register(
         "streaming top-K tokens: complete-mode sort+limit over cross-batch counts",
     )
 )
+
+
+# --- x120: streaming partitioned sink (exactly-once hive layout) -------------
+# The streaming half of the x96 storage story: events arrive as a
+# multi-batch file stream and land in a date-partitioned parquet layout
+# through the native file sink (exactly-once via the checkpointed sink
+# log), so downstream readers get partition pruning over data that was
+# written CONTINUOUSLY. The gate reads the layout back WITH a partition
+# filter and diffs against the batch oracle over the original table —
+# proving both the streamed write's completeness and the pruned read's
+# correctness. Timestamps leave as epoch-micros before the sink
+# (helpers rule 4).
+SINK_PRUNE_LO, SINK_PRUNE_HI = "2024-01-08", "2024-01-14"
+
+
+def x120_stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(GATE_DIR, f"events120_{sf_tag}")
+    dest = os.path.join(GATE_DIR, f"out_x120_{sf_tag}")
+    ck = os.path.join(GATE_DIR, f"ck_x120_{sf_tag}")
+    _fresh(src, dest, ck)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.withColumn("d", F.date_format("ts", "yyyy-MM-dd"))
+        .withColumn("ts_us", F.unix_micros("ts"))
+        .drop("ts")
+        .writeStream.format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", ck)
+        .partitionBy("d")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    out = spark.read.parquet(dest)
+    return (
+        out.filter((F.col("d") >= SINK_PRUNE_LO) & (F.col("d") <= SINK_PRUNE_HI))
+        .withColumn("d", F.col("d").cast("string"))
+        .groupBy("d", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("ts_us").alias("min_ts_us"),
+            F.max("ts_us").alias("max_ts_us"),
+        )
+        .orderBy("d", "event_type")
+    )
+
+
+register(
+    QuerySpec(
+        "x120_stream_partitioned_sink",
+        x120_stream_partitioned_sink,
+        f"""
+        SELECT strftime(ts, '%Y-%m-%d') AS d, event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               MIN(epoch_us(ts)) AS min_ts_us,
+               MAX(epoch_us(ts)) AS max_ts_us
+        FROM events
+        WHERE strftime(ts, '%Y-%m-%d')
+              BETWEEN '{SINK_PRUNE_LO}' AND '{SINK_PRUNE_HI}'
+        GROUP BY 1, 2
+        ORDER BY d, event_type
+        """,
+        "streaming hive-partitioned parquet sink: exactly-once layout + pruned read-back",
+    )
+)

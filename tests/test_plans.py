@@ -316,3 +316,13 @@ def test_x109_streaming_plan_is_stateful(spark, sf_dir):
     rows = df.collect()
     assert 0 < len(rows) <= STREAM_HH_TOPK
     assert [f.name for f in df.schema.fields] == ["rank", "tok", "cnt"]
+
+
+def test_x120_streamed_layout_prunes(spark, sf_dir):
+    """The streamed hive layout must serve partition pruning on read-back
+    exactly like the batch-written one (x96): the date predicate lands
+    in PartitionFilters."""
+    plan = _plan(spark, sf_dir, "x120_stream_partitioned_sink")
+    assert "PartitionFilters: [" in plan
+    assert not re.search(r"PartitionFilters: \[\s*\]", plan)
+    assert "d#" in plan.split("PartitionFilters")[1][:300]
