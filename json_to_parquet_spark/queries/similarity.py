@@ -644,3 +644,124 @@ register(
         "parallel Lloyd k-means: deterministic init, decimal-exact centroid means",
     )
 )
+
+
+# --- x121: IVF index as a partitioned table (probe = partition pruning) ------
+# x21's docstring promises "at scale the inverted lists are
+# pre-materialized/partitioned by centroid id"; this operator DOES it:
+# the assignment writes once as a hive layout partitioned by list id,
+# and probing becomes a broadcast join against the query's probe set —
+# Spark installs a DynamicPruningExpression on the index scan (the x100
+# mechanism), so a query physically opens only its probes' directories:
+# corpus/centroids × probes vectors read, the rest never leaves disk.
+# Same rows as x21 by construction, so x21's registered oracle is
+# reused verbatim (zero drift).
+
+
+def ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from .convert_gate import GATE_DIR
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    dest = os.path.join(GATE_DIR, f"ivf_index_{tag}")
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        emb = load_table(spark, sf_dir, "embeddings")
+        cent = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+            F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+        )
+        scored = emb.crossJoin(F.broadcast(cent)).select(
+            "vec_id",
+            "embedding",
+            "c_id",
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("embedding"),
+                            F.col("c_vec"),
+                            lambda x, y: (x.cast("double") - y.cast("double"))
+                            * (x.cast("double") - y.cast("double")),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                ),
+                6,
+            ).alias("dist"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("c_id"))
+        lists = (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") == 1)
+            .select("vec_id", "embedding", F.col("c_id").alias("list_c"))
+        )
+        lists.repartition("list_c").write.mode("overwrite").partitionBy(
+            "list_c"
+        ).parquet(dest)
+    return dest
+
+
+def x121_ivf_partitioned_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    qdist = queries.crossJoin(F.broadcast(cent)).select(
+        "q_id",
+        "q_vec",
+        "c_id",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("q_vec"),
+                        F.col("c_vec"),
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ),
+            6,
+        ).alias("dist"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("c_id"))
+    probes = (
+        qdist.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= IVF_N_PROBE)
+        .select("q_id", "q_vec", F.col("c_id").alias("probe_c"))
+    )
+    index = spark.read.parquet(ivf_index_path(spark, sf_dir))
+    cand = index.join(
+        F.broadcast(probes), index.list_c == probes.probe_c
+    ).filter(F.col("vec_id") != F.col("q_id"))
+    scored = cand.select(
+        "q_id", "vec_id", cosine(F.col("q_vec"), F.col("embedding")).alias("cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _register_x121() -> None:
+    from . import _REGISTRY as _SIM_REG
+
+    register(
+        QuerySpec(
+            "x121_ivf_partitioned_index",
+            x121_ivf_partitioned_index,
+            _SIM_REG["x21_ivf_ann"].oracle,  # same rows by construction
+            "IVF inverted lists as a hive-partitioned table; probing = partition pruning",
+        )
+    )
+
+
+_register_x121()

@@ -164,6 +164,7 @@ _BNLJ_ALLOWED = {
     "x106_temperature_mix",  # 1-row weight-sum/budget frame broadcast
     "x114_referential_audit",  # two 1-row count aggregates crossed per edge
     "x119_rerank_stage",  # composes x21: query-vec and centroid broadcasts
+    "x121_ivf_partitioned_index",  # centroid/probe-set broadcasts (x21 shapes)
 }
 
 
@@ -326,3 +327,13 @@ def test_x120_streamed_layout_prunes(spark, sf_dir):
     assert "PartitionFilters: [" in plan
     assert not re.search(r"PartitionFilters: \[\s*\]", plan)
     assert "d#" in plan.split("PartitionFilters")[1][:300]
+
+
+def test_x121_probe_is_partition_pruning(spark, sf_dir):
+    """The IVF probe must execute as runtime partition pruning on the
+    index scan (DynamicPruningExpression from the broadcast probe set) —
+    the physical realization of "a query touches only its probes'
+    inverted lists"."""
+    plan = _plan(spark, sf_dir, "x121_ivf_partitioned_index")
+    assert "dynamicpruning" in plan.lower()
+    assert "PartitionFilters: [" in plan
