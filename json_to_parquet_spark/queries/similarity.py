@@ -765,3 +765,138 @@ def _register_x121() -> None:
 
 
 _register_x121()
+
+
+# --- x122: PQ asymmetric-distance search (ADC) -------------------------------
+# The search half of x42's compression: queries stay full-precision, the
+# corpus is its PQ codes, and per-query distance tables (M × K rounded
+# squared sub-distances — a 32-row broadcast per query set) turn
+# distance evaluation into M table lookups + a sum. This is the IVF-PQ
+# scan shape every large ANN deployment runs: the corpus-side join
+# carries only (vec_id, m, code), never vectors. Approximate top-5 per
+# query is flagged against the exact cosine top-5 so the compression's
+# retrieval cost is visible in the output, not assumed.
+PQ_TOPK = 5
+
+
+def x122_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = x42_pq_codes(spark, sf_dir).select("vec_id", "m", "code")
+    slices = F.array(
+        *[F.slice("embedding", m * PQ_SUBDIM + 1, PQ_SUBDIM) for m in range(PQ_M)]
+    )
+    sub = emb.select("vec_id", F.posexplode(slices).alias("m", "subvec"))
+    cent = sub.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("c_id"), "m", F.col("subvec").alias("c_vec")
+    )
+    qsub = sub.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), "m", F.col("subvec").alias("q_vec")
+    )
+    dtab = qsub.join(F.broadcast(cent), "m").select(
+        "q_id",
+        F.col("m").cast("long").alias("m"),
+        "c_id",
+        _sq_dist(F.col("q_vec"), F.col("c_vec")).alias("d2"),
+    )
+    partial = codes.join(
+        F.broadcast(dtab),
+        (codes.m == dtab.m) & (codes.code == dtab.c_id),
+    ).select(codes.vec_id, "q_id", "d2")
+    adc = (
+        partial.filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(
+            F.round(
+                F.sum(F.col("d2").cast("decimal(30,10)")).cast("double"), 6
+            ).alias("adc_dist")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    ranked = (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("q_id", "vec_id", "adc_dist", F.col("rank").cast("long").alias("rank"))
+    )
+    exact = (
+        x11_cosine_topk(spark, sf_dir)
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("q_id", "vec_id", F.lit(1).alias("hit"))
+    )
+    return (
+        ranked.join(exact, ["q_id", "vec_id"], "left")
+        .select(
+            "q_id",
+            "vec_id",
+            "adc_dist",
+            "rank",
+            F.col("hit").isNotNull().alias("in_exact_top5"),
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
+def _x122_sql() -> str:
+    from . import _REGISTRY as _SIM_REG
+
+    x42_sql = _SIM_REG["x42_pq_codes"].oracle
+    return f"""
+        WITH codes AS ({x42_sql}),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sub AS (
+          SELECT vec_id, m, v[m * {PQ_SUBDIM} + 1 : (m + 1) * {PQ_SUBDIM}] AS sv
+          FROM e CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) t),
+        cent AS (
+          SELECT vec_id AS c_id, m, sv AS c_vec FROM sub WHERE vec_id < {PQ_K}),
+        qsub AS (
+          SELECT vec_id AS q_id, m, sv AS q_vec FROM sub
+          WHERE vec_id < {N_QUERY_VECS}),
+        dtab AS (
+          SELECT q.q_id, CAST(q.m AS BIGINT) AS m, c.c_id,
+                 ROUND(list_sum(list_transform(
+                     list_zip(q.q_vec, c.c_vec),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS d2
+          FROM qsub q JOIN cent c USING (m)),
+        adc AS (
+          SELECT d.q_id, k.vec_id,
+                 ROUND(CAST(CAST(SUM(CAST(d.d2 AS DECIMAL(30,10))) AS VARCHAR)
+                            AS DOUBLE), 6) AS adc_dist
+          FROM codes k JOIN dtab d ON k.m = d.m AND k.code = d.c_id
+          WHERE k.vec_id != d.q_id
+          GROUP BY d.q_id, k.vec_id),
+        ranked AS (
+          SELECT q_id, vec_id, adc_dist,
+                 CAST(row_number() OVER (PARTITION BY q_id
+                      ORDER BY adc_dist ASC, vec_id ASC) AS BIGINT) AS rank
+          FROM adc
+          QUALIFY rank <= {PQ_TOPK}),
+        ex_scored AS (
+          SELECT q.vec_id AS q_id, e.vec_id,
+                 ROUND(list_dot_product(q.v, e.v)
+                       / (sqrt(list_dot_product(q.v, q.v))
+                          * sqrt(list_dot_product(e.v, e.v))), 6) AS cos_sim
+          FROM e CROSS JOIN e q
+          WHERE q.vec_id < {N_QUERY_VECS} AND e.vec_id != q.vec_id),
+        exact AS (
+          SELECT q_id, vec_id FROM ex_scored
+          QUALIFY row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos_sim DESC, vec_id ASC) <= {PQ_TOPK})
+        SELECT r.q_id, r.vec_id, r.adc_dist, r.rank,
+               x.vec_id IS NOT NULL AS in_exact_top5
+        FROM ranked r LEFT JOIN exact x
+          ON r.q_id = x.q_id AND r.vec_id = x.vec_id
+        ORDER BY r.q_id, r.rank
+        """
+
+
+def _register_x122() -> None:
+    register(
+        QuerySpec(
+            "x122_pq_adc_search",
+            x122_pq_adc_search,
+            _x122_sql(),
+            "PQ asymmetric-distance search: per-query distance tables over the code table",
+        )
+    )
+
+
+_register_x122()

@@ -165,6 +165,7 @@ _BNLJ_ALLOWED = {
     "x114_referential_audit",  # two 1-row count aggregates crossed per edge
     "x119_rerank_stage",  # composes x21: query-vec and centroid broadcasts
     "x121_ivf_partitioned_index",  # centroid/probe-set broadcasts (x21 shapes)
+    "x122_pq_adc_search",  # composes x11's exact flags: query-vec broadcast
 }
 
 
