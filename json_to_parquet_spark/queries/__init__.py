@@ -132,6 +132,7 @@ def register(spec: QuerySpec) -> QuerySpec:
 def registry() -> dict[str, QuerySpec]:
     # Import side-effect modules once, on first access.
     from . import (  # noqa: F401
+        assembly,
         convert_gate,
         corpus,
         crawl,

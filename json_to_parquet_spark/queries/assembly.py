@@ -1,0 +1,482 @@
+"""Dataset-assembly and governance operators, round-4 fifth batch
+(SURVEY §2.C X4 breadth): the multi-epoch mixture plan (x123), the
+shard-rebalance migration audit (x124), tf-idf-weighted shingle cosine
+pairs (x125), quality-ordered token-budget selection (x126), and the
+deletion-request forget cascade (x127).  The reference
+(`/root/reference/pyarrow/main.py`) has no dataset-assembly surface;
+these are driver-mandated LLM-pipeline operators (repo:BASELINE.json
+north_star) — the planning/governance half that sits AROUND the
+cleaning ops: deciding what each epoch reads, how shards migrate when
+the trainer fleet resizes, which near-dup pairs a weighted scorer
+keeps, what fits a token budget, and what a deletion request cascades
+into.
+
+Scale shapes:
+- x123 is one map-side hash + a 3-way epoch explode + a single
+  (epoch, source)-keyed aggregation — linear in corpus size, output
+  bounded at epochs x sources.  Nothing is sampled by shuffling: epoch
+  membership is a pure function of (doc_id, epoch), so a 1000-executor
+  run plans epochs without materializing them.
+- x124 is a single scan with a 2-way strategy explode and a
+  strategy-keyed 2-row aggregate — the cheapest possible answer to
+  "what fraction of 100 TB moves if we grow the shard fleet 8 -> 10".
+- x125 bounds its posting self-join by document frequency
+  (DF_MIN..DF_MAX): pair fan-out per shingle is df^2 <= DF_MAX^2
+  regardless of corpus size — the x08/x19 no-all-pairs pattern, but
+  idf-weighted so boilerplate shingles that survive the cap still
+  contribute ~nothing to the score.
+- x126 is one lang-partitioned window (cumulative token sum in quality
+  order) + a lang-keyed aggregate.  At 100 TB the per-lang sort is the
+  cost; the scale path replaces it with an approx-quantile score
+  threshold (two scans, no sort) — the window form here is the exact
+  gate oracle for that replacement.
+- x127 is a pure per-row projection (forget flag, chunk count, shard
+  id are all row-local arithmetic) + one source-keyed aggregate with a
+  distinct shard count — no joins, because every derived artifact
+  (chunks x61, shards x85) is hash-addressed, which is precisely what
+  makes deletion tractable at scale.
+
+Determinism per helpers.py: md5-bucket sampling (the x25 pattern —
+stable across runs, engines, partitionings); ROUND-then-decimal-sum
+for every ln/product aggregate (rules 1+3); computed ints cast to long
+(rule 5); integer sums wrapped in BIGINT (rule 7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from . import QuerySpec, register
+from .corpus import CHUNK_STRIDE
+from .evalsuite import ARITH_P, N_SHARDS, _SHARD_A, _SHARD_B
+from .helpers import SQL_DEC_SUM
+
+# md5-bucket in [0, 100): the deterministic cross-engine "coin flip"
+# (same construction x25_dataset_split gate-proved in round 1).
+def _bucket100(expr: Column) -> Column:
+    return (
+        F.conv(F.substring(F.md5(expr), 1, 4), 16, 10).cast("long") % 100
+    )
+
+
+def _sql_bucket100(expr: str) -> str:
+    return (
+        f"CAST(from_hex(substring(md5({expr}), 1, 4))::BIT::INT AS BIGINT) % 100"
+    )
+
+
+# --- x123: multi-epoch mixture plan ------------------------------------------
+N_EPOCHS = 3
+
+
+def x123_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch, per-source sampling plan: each source gets a sampling
+    rate from its own hash bucket (20/40/60/80/100%), and a document
+    participates in epoch e iff md5(doc_id # e) lands under the rate —
+    independent draws per epoch, so oversampled sources repeat across
+    epochs while undersampled ones rotate.  This is the mixture schedule
+    a trainer's data loader executes; computing it as a query means the
+    plan (docs + tokens per epoch per source) is known before any epoch
+    is materialized."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate_bucket = _bucket100(F.col("source")) % 5  # 0..4
+    sample_pct = ((rate_bucket + 1) * 20).cast("long")  # 20..100
+    n_toks = F.size(F.split("text", " ")).cast("long")
+    base = docs.select(
+        "doc_id",
+        "source",
+        sample_pct.alias("sample_pct"),
+        n_toks.alias("n_toks"),
+    )
+    per_epoch = base.select(
+        "*", F.explode(F.sequence(F.lit(1), F.lit(N_EPOCHS))).alias("epoch")
+    )
+    draw = _bucket100(
+        F.concat_ws("#", F.col("doc_id").cast("string"), F.col("epoch").cast("string"))
+    )
+    return (
+        per_epoch.filter(draw < F.col("sample_pct"))
+        .groupBy(F.col("epoch").cast("long").alias("epoch"), "source", "sample_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+        .orderBy("epoch", "source")
+    )
+
+
+register(
+    QuerySpec(
+        "x123_epoch_mixture",
+        x123_epoch_mixture,
+        f"""
+        WITH d AS (
+          SELECT doc_id, source,
+                 ({_sql_bucket100("source")} % 5 + 1) * 20 AS sample_pct,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+          FROM documents),
+        e AS (SELECT UNNEST(generate_series(1, {N_EPOCHS})) AS epoch)
+        SELECT e.epoch AS epoch, d.source AS source,
+               CAST(d.sample_pct AS BIGINT) AS sample_pct,
+               COUNT(*) AS n_docs,
+               CAST(SUM(d.n_toks) AS BIGINT) AS n_tokens
+        FROM d, e
+        WHERE {_sql_bucket100("CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR)")}
+              < d.sample_pct
+        GROUP BY 1, 2, 3
+        ORDER BY epoch, source
+        """,
+        "per-epoch per-source hash-sampled mixture plan (docs + tokens)",
+    )
+)
+
+
+# --- x124: shard-rebalance migration audit -----------------------------------
+OLD_SHARDS, NEW_SHARDS = 8, 10
+_HASH_SPACE = 65_536  # md5 first 4 hex chars
+
+
+def x124_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much data moves when the shard fleet grows 8 -> 10, under two
+    assignment disciplines: hash-mod (old = h%8, new = h%10 — nearly
+    everything moves) vs contiguous hash-range (old = floor(h*8/S),
+    new = floor(h*10/S) — only boundary slices move).  The measured
+    version of the consistent-hashing argument, as a 2-row audit a
+    platform team runs before resizing."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    strategies = F.array(
+        F.struct(
+            F.lit("mod").alias("strategy"),
+            (h % OLD_SHARDS).alias("old_shard"),
+            (h % NEW_SHARDS).alias("new_shard"),
+        ),
+        F.struct(
+            F.lit("range").alias("strategy"),
+            F.floor(h * OLD_SHARDS / _HASH_SPACE).alias("old_shard"),
+            F.floor(h * NEW_SHARDS / _HASH_SPACE).alias("new_shard"),
+        ),
+    )
+    return (
+        docs.select(F.explode(strategies).alias("s"))
+        .select("s.strategy", "s.old_shard", "s.new_shard")
+        .groupBy("strategy")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("old_shard") != F.col("new_shard")).cast("long"))
+            .cast("long")
+            .alias("n_moved"),
+        )
+        .select(
+            "strategy",
+            "n_docs",
+            "n_moved",
+            F.round(F.col("n_moved").cast("double") / F.col("n_docs").cast("double"), 6)
+            .alias("moved_frac"),
+        )
+        .orderBy("strategy")
+    )
+
+
+register(
+    QuerySpec(
+        "x124_shard_rebalance",
+        x124_shard_rebalance,
+        f"""
+        WITH h AS (
+          SELECT CAST(from_hex(substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIT::INT
+                      AS BIGINT) AS h
+          FROM documents),
+        s AS (
+          SELECT 'mod' AS strategy, h % {OLD_SHARDS} AS old_shard,
+                 h % {NEW_SHARDS} AS new_shard FROM h
+          UNION ALL
+          SELECT 'range', CAST(FLOOR(h * {OLD_SHARDS} / {_HASH_SPACE}.0) AS BIGINT),
+                 CAST(FLOOR(h * {NEW_SHARDS} / {_HASH_SPACE}.0) AS BIGINT) FROM h)
+        SELECT strategy, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN old_shard <> new_shard THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_moved,
+               ROUND(CAST(SUM(CASE WHEN old_shard <> new_shard THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS moved_frac
+        FROM s GROUP BY 1 ORDER BY strategy
+        """,
+        "mod vs range shard-resize migration fractions (8 -> 10 shards)",
+    )
+)
+
+
+# --- x125: tf-idf-weighted shingle cosine pairs ------------------------------
+X125_W = 3  # shingle width (words)
+X125_DF_MIN, X125_DF_MAX = 2, 50  # posting df cap — bounds the self-join
+X125_COS_MIN = 0.30
+
+
+def x125_shingle_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs whose tf-idf-weighted 3-word-shingle vectors have
+    cosine >= 0.30 — the weighted companion to x08's unweighted shingle
+    jaccard: idf discounts boilerplate shingles, so two documents
+    sharing a rare passage outrank two sharing a common template.
+
+    Scale: the only pair-producing step is a posting self-join on
+    shingles with DF_MIN <= df <= DF_MAX, so fan-out per shingle is
+    bounded by DF_MAX^2 independent of corpus size (never all-pairs —
+    plan-guarded by the registry-wide BNLJ sweep).  Weights are
+    ROUND(tf*ln(N/df), 6) then decimal-summed (helpers rules 1+3) so
+    dot products and norms are bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # tiny scalar; at 100 TB read from table stats
+    from .quality import _shingles
+
+    posting = docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"), X125_W, False)).alias("sh")
+    )
+    tf = posting.groupBy("doc_id", "sh").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        tf.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(X125_DF_MIN, X125_DF_MAX))
+    )
+    w = tf.join(df_, "sh").select(
+        "doc_id",
+        "sh",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("w"),
+    )
+    norm = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum(F.round(F.col("w") * F.col("w"), 6).cast("decimal(30,10)")).cast(
+                "double"
+            )
+        ).alias("nrm")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(F.col("a.w") * F.col("b.w"), 6).alias("p"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("p").cast("decimal(30,10)")).cast("double").alias("dot"),
+            F.count(F.lit(1)).alias("n_shared"),
+        )
+    )
+    na = norm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("nrm_a"))
+    nb = norm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nrm_b"))
+    cos = F.round(F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")), 6)
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", "n_shared", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= X125_COS_MIN)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _x125_sql() -> str:
+    from .quality import _sql_shingles
+
+    dec_p = SQL_DEC_SUM.format(x="p")
+    return f"""
+        WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        tl AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        s AS (SELECT doc_id, unnest({_sql_shingles(X125_W, False)}) AS sh FROM tl),
+        tf AS (SELECT doc_id, sh, COUNT(*) AS tf FROM s GROUP BY 1, 2),
+        dft AS (SELECT sh, COUNT(*) AS df FROM tf GROUP BY 1
+                HAVING COUNT(*) BETWEEN {X125_DF_MIN} AND {X125_DF_MAX}),
+        w AS (SELECT tf.doc_id, tf.sh,
+                     ROUND(tf.tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / dft.df),
+                           6) AS w
+              FROM tf JOIN dft USING (sh)),
+        nm AS (SELECT doc_id,
+                      sqrt(CAST(CAST(SUM(CAST(ROUND(w*w, 6) AS DECIMAL(30,10)))
+                                AS VARCHAR) AS DOUBLE)) AS nrm
+               FROM w GROUP BY 1),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     ROUND(a.w * b.w, 6) AS p
+              FROM w a JOIN w b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+        d AS (SELECT doc_a, doc_b, {dec_p} AS dot,
+                     CAST(COUNT(*) AS BIGINT) AS n_shared
+              FROM p GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_shared,
+               ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cos_sim
+        FROM d
+        JOIN nm na ON na.doc_id = d.doc_a
+        JOIN nm nb ON nb.doc_id = d.doc_b
+        WHERE ROUND(d.dot / (na.nrm * nb.nrm), 6) >= {X125_COS_MIN}
+        ORDER BY doc_a, doc_b
+    """
+
+
+register(
+    QuerySpec(
+        "x125_shingle_cosine_pairs",
+        x125_shingle_cosine_pairs,
+        _x125_sql(),
+        "tf-idf-weighted shingle cosine near-dup pairs (df-capped posting join)",
+    )
+)
+
+
+# --- x126: quality-ordered token-budget selection ----------------------------
+TOKEN_BUDGET = 3_000  # tokens per language
+
+
+def x126_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill a per-language token budget with the highest-quality
+    documents: order each language by lexical-diversity score
+    (distinct/total token ratio) descending and keep documents while the
+    running token total stays within budget.  Output is the per-language
+    selection manifest: how many documents made the cut, the tokens
+    actually spent, and the score threshold the cut implies.
+
+    The window form here is the exact oracle; at 100 TB the per-lang
+    sort is replaced by a two-scan approx-quantile score threshold
+    (find s* with sum(tokens | score >= s*) ~= budget, then filter) —
+    same manifest, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_toks"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double"),
+            6,
+        ).alias("score"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = F.col("cum_toks") <= TOKEN_BUDGET
+    return (
+        scored.withColumn("cum_toks", F.sum("n_toks").over(w))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(kept.cast("long")).cast("long").alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_toks"))).cast("long").alias("tokens_kept"),
+            F.min(F.when(kept, F.col("score"))).alias("min_kept_score"),
+        )
+        .orderBy("lang")
+    )
+
+
+register(
+    QuerySpec(
+        "x126_token_budget_select",
+        x126_token_budget_select,
+        f"""
+        WITH scored AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+                 ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / len(string_split(text, ' ')), 6) AS score
+          FROM documents),
+        c AS (
+          SELECT *, SUM(n_toks) OVER (
+                   PARTITION BY lang ORDER BY score DESC, doc_id ASC
+                   ROWS UNBOUNDED PRECEDING) AS cum_toks
+          FROM scored)
+        SELECT lang, COUNT(*) AS n_candidates,
+               CAST(SUM(CASE WHEN cum_toks <= {TOKEN_BUDGET} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN cum_toks <= {TOKEN_BUDGET} THEN n_toks END)
+                    AS BIGINT) AS tokens_kept,
+               MIN(CASE WHEN cum_toks <= {TOKEN_BUDGET} THEN score END)
+                   AS min_kept_score
+        FROM c GROUP BY 1 ORDER BY lang
+        """,
+        "per-language token-budget greedy selection by quality score",
+    )
+)
+
+
+# --- x127: deletion-request forget cascade -----------------------------------
+FORGET_PCT = 5  # md5 bucket < 5 => ~5% deterministic pseudo-request set
+
+
+def x127_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What a right-to-be-forgotten batch cascades into: for a
+    deterministic ~5% request set, count per source the documents,
+    tokens, and derived sliding-window chunks (x61's chunk math) that
+    must be purged, and how many output shards (x85's hash assignment)
+    need rewriting.  Every derived artifact is hash-addressed, so the
+    cascade is a pure projection + one aggregate — no joins against the
+    derived tables themselves, which is the property that keeps deletion
+    tractable at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    forgotten = _bucket100(F.col("doc_id").cast("string")) < FORGET_PCT
+    shard = (
+        (F.col("doc_id") * F.lit(_SHARD_A) + F.lit(_SHARD_B)) % F.lit(ARITH_P)
+    ) % F.lit(N_SHARDS)
+    base = docs.select(
+        "source",
+        forgotten.alias("forgotten"),
+        F.size(toks).cast("long").alias("n_toks"),
+        F.ceil(F.size(toks) / F.lit(CHUNK_STRIDE)).cast("long").alias("n_chunks"),
+        shard.cast("long").alias("shard_id"),
+    )
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_total"),
+            F.sum(F.col("forgotten").cast("long")).cast("long").alias("docs_forgotten"),
+            F.sum(F.when(F.col("forgotten"), F.col("n_toks")))
+            .cast("long")
+            .alias("tokens_forgotten"),
+            F.sum(F.when(F.col("forgotten"), F.col("n_chunks")))
+            .cast("long")
+            .alias("chunks_forgotten"),
+            F.count_distinct(F.when(F.col("forgotten"), F.col("shard_id")))
+            .cast("long")
+            .alias("shards_touched"),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    QuerySpec(
+        "x127_forget_cascade",
+        x127_forget_cascade,
+        f"""
+        WITH b AS (
+          SELECT source,
+                 {_sql_bucket100("CAST(doc_id AS VARCHAR)")} < {FORGET_PCT}
+                     AS forgotten,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+                 CAST(CEIL(len(string_split(text, ' ')) / {CHUNK_STRIDE}.0) AS BIGINT)
+                     AS n_chunks,
+                 ((doc_id * {_SHARD_A} + {_SHARD_B}) % {ARITH_P}) % {N_SHARDS}
+                     AS shard_id
+          FROM documents)
+        SELECT source, COUNT(*) AS docs_total,
+               CAST(SUM(CASE WHEN forgotten THEN 1 ELSE 0 END) AS BIGINT)
+                   AS docs_forgotten,
+               CAST(SUM(CASE WHEN forgotten THEN n_toks END) AS BIGINT)
+                   AS tokens_forgotten,
+               CAST(SUM(CASE WHEN forgotten THEN n_chunks END) AS BIGINT)
+                   AS chunks_forgotten,
+               CAST(COUNT(DISTINCT CASE WHEN forgotten THEN shard_id END) AS BIGINT)
+                   AS shards_touched
+        FROM b GROUP BY 1 ORDER BY source
+        """,
+        "deletion-request cascade: docs/tokens/chunks/shards to purge per source",
+    )
+)

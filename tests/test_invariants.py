@@ -261,3 +261,73 @@ def test_rerank_is_per_query_permutation(spark, sf_dir):
         assert sorted(r.retriever_rank for r in rs) == list(range(1, n + 1))
         for r in rs:
             assert r.ce_score >= r.cos_sim  # perturbation is non-negative
+
+
+def test_shard_rebalance_range_beats_mod(spark, sf_dir):
+    """The point of the x124 audit: contiguous hash-range assignment
+    must move a strictly smaller fraction than hash-mod when the shard
+    fleet resizes 8 -> 10, and every fraction must be a valid ratio."""
+    rows = {r.strategy: r for r in registry()["x124_shard_rebalance"].spark(spark, sf_dir).collect()}
+    assert set(rows) == {"mod", "range"}
+    for r in rows.values():
+        assert 0 <= r.n_moved <= r.n_docs
+        assert abs(r.moved_frac - r.n_moved / r.n_docs) < 1e-6
+    assert rows["range"].moved_frac < rows["mod"].moved_frac
+
+
+def test_token_budget_never_exceeded_and_greedy(spark, sf_dir):
+    """x126: every language's kept-token total must respect the budget,
+    keep at least one document, and n_kept <= n_candidates."""
+    from json_to_parquet_spark.queries.assembly import TOKEN_BUDGET
+
+    rows = registry()["x126_token_budget_select"].spark(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 < r.n_kept <= r.n_candidates
+        assert 0 < r.tokens_kept <= TOKEN_BUDGET
+        assert 0.0 < r.min_kept_score <= 1.0
+
+
+def test_forget_cascade_bounds(spark, sf_dir):
+    """x127: forgotten counts are bounded by totals, chunk counts are at
+    least one per forgotten doc, and shards_touched never exceeds the
+    shard fleet size or the forgotten-doc count."""
+    from json_to_parquet_spark.queries.evalsuite import N_SHARDS
+
+    rows = registry()["x127_forget_cascade"].spark(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r.docs_forgotten <= r.docs_total
+        if r.docs_forgotten:
+            assert r.chunks_forgotten >= r.docs_forgotten
+            assert r.tokens_forgotten > 0
+            assert 1 <= r.shards_touched <= min(N_SHARDS, r.docs_forgotten)
+        else:
+            assert r.tokens_forgotten is None and r.chunks_forgotten is None
+
+
+def test_epoch_mixture_rates_drive_counts(spark, sf_dir):
+    """x123: a 100%-rate source must contribute every document to every
+    epoch; lower-rate sources contribute at most their source size; and
+    epoch draws differ across epochs (independence)."""
+    from json_to_parquet_spark.sources.catalog import load_table
+
+    plan = registry()["x123_epoch_mixture"].spark(spark, sf_dir).collect()
+    totals = {
+        r.source: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    per_epoch_counts = {}
+    for r in plan:
+        assert r.n_docs <= totals[r.source]
+        if r.sample_pct == 100:
+            assert r.n_docs == totals[r.source]
+        per_epoch_counts.setdefault(r.source, {})[r.epoch] = r.n_docs
+    # at least one sub-100% source must differ between two epochs
+    assert any(
+        len(set(by_epoch.values())) > 1
+        for src, by_epoch in per_epoch_counts.items()
+    )
