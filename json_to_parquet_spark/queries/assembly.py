@@ -1,8 +1,11 @@
 """Dataset-assembly and governance operators, round-4 fifth batch
 (SURVEY §2.C X4 breadth): the multi-epoch mixture plan (x123), the
 shard-rebalance migration audit (x124), tf-idf-weighted shingle cosine
-pairs (x125), quality-ordered token-budget selection (x126), and the
-deletion-request forget cascade (x127).  The reference
+pairs (x125), quality-ordered token-budget selection (x126), the
+deletion-request forget cascade (x127), the sort-free budget threshold
+sweep (x128 — x126's scale path, made checkable), the vocabulary-size
+coverage curve (x129), and the mergeable-statistics cross-check
+(x130).  The reference
 (`/root/reference/pyarrow/main.py`) has no dataset-assembly surface;
 these are driver-mandated LLM-pipeline operators (repo:BASELINE.json
 north_star) — the planning/governance half that sits AROUND the
@@ -35,6 +38,14 @@ Scale shapes:
   distinct shard count — no joins, because every derived artifact
   (chunks x61, shards x85) is hash-addressed, which is precisely what
   makes deletion tractable at scale.
+- x128 replaces x126's per-lang sort with one (lang, decile)-keyed
+  aggregation + a window over the ≤ langs x 11-row histogram — the
+  histogram-then-choose pattern for thresholding without sorting.
+- x129's corpus-sized work is one token-keyed count; its ranking
+  window runs over the aggregated vocabulary frame only.
+- x130 proves the merge algebra (integer partial sums fold exactly)
+  that lets an incremental pipeline maintain running corpus moments
+  without rescanning history.
 
 Determinism per helpers.py: md5-bucket sampling (the x25 pattern —
 stable across runs, engines, partitionings); ROUND-then-decimal-sum
@@ -478,5 +489,250 @@ register(
         FROM b GROUP BY 1 ORDER BY source
         """,
         "deletion-request cascade: docs/tokens/chunks/shards to purge per source",
+    )
+)
+
+
+# --- x128: budget threshold sweep (x126's scale path) ------------------------
+def x128_budget_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalable replacement x126's docstring promises: instead of a
+    per-language sort, bin documents by score decile and emit, per
+    (lang, decile), the token mass at-or-above that threshold.  Choosing
+    the selection threshold is then a lookup in this ≤ langs x 11-row
+    table — the histogram-then-choose pattern that turns a 100 TB sort
+    into one aggregation plus a window over an already-tiny frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    score = F.round(
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double"), 6
+    )
+    binned = docs.select(
+        "lang",
+        F.floor(score * 10).cast("long").alias("score_decile"),
+        F.size(toks).cast("long").alias("n_toks"),
+    )
+    per_bin = binned.groupBy("lang", "score_decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("bin_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("score_decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_bin.withColumn("cum_tokens", F.sum("bin_tokens").over(w).cast("long"))
+        .withColumn("fits_budget", F.col("cum_tokens") <= TOKEN_BUDGET)
+        .orderBy("lang", F.desc("score_decile"))
+    )
+
+
+register(
+    QuerySpec(
+        "x128_budget_threshold_sweep",
+        x128_budget_threshold_sweep,
+        f"""
+        WITH b AS (
+          SELECT lang,
+                 CAST(FLOOR(ROUND(CAST(len(list_distinct(string_split(text, ' ')))
+                                       AS DOUBLE)
+                                  / len(string_split(text, ' ')), 6) * 10) AS BIGINT)
+                     AS score_decile,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+          FROM documents),
+        p AS (
+          SELECT lang, score_decile, COUNT(*) AS n_docs,
+                 CAST(SUM(n_toks) AS BIGINT) AS bin_tokens
+          FROM b GROUP BY 1, 2)
+        SELECT lang, score_decile, n_docs, bin_tokens,
+               CAST(SUM(bin_tokens) OVER (
+                   PARTITION BY lang ORDER BY score_decile DESC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+               CAST(SUM(bin_tokens) OVER (
+                   PARTITION BY lang ORDER BY score_decile DESC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) <= {TOKEN_BUDGET}
+                   AS fits_budget
+        FROM p ORDER BY lang, score_decile DESC
+        """,
+        "per-language score-decile token-mass sweep (sort-free budget thresholding)",
+    )
+)
+
+
+# --- x129: vocabulary-size coverage curve ------------------------------------
+VOCAB_SIZES = (1, 2, 4, 8, 16, 32)
+
+
+def x129_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token coverage as a function of vocabulary size: rank
+    tokens by frequency and report, for each candidate vocab size V,
+    the fraction of all corpus tokens a top-V vocabulary covers — the
+    curve a tokenizer team reads before fixing V.  The corpus-sized
+    work is one token-keyed count; the ranking window runs over the
+    aggregated VOCAB frame (vocabulary-sized, millions of rows at web
+    scale, never the corpus), which is the standard cost of a global
+    frequency ranking."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = freq.agg(F.sum("freq").cast("long").alias("total"))
+    w = (
+        Window.orderBy(F.desc("freq"), F.asc("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = freq.select(
+        F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("token")))
+        .cast("long")
+        .alias("vocab_size"),
+        F.sum("freq").over(w).cast("long").alias("n_tokens_covered"),
+    )
+    return (
+        ranked.filter(F.col("vocab_size").isin(*VOCAB_SIZES))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "vocab_size",
+            "n_tokens_covered",
+            F.round(
+                F.col("n_tokens_covered").cast("double")
+                / F.col("total").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("vocab_size")
+    )
+
+
+register(
+    QuerySpec(
+        "x129_vocab_coverage_curve",
+        x129_vocab_coverage_curve,
+        f"""
+        WITH f AS (
+          SELECT token, COUNT(*) AS freq
+          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+          GROUP BY 1),
+        t AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM f),
+        r AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS BIGINT)
+                     AS vocab_size,
+                 CAST(SUM(freq) OVER (ORDER BY freq DESC, token ASC
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_tokens_covered
+          FROM f)
+        SELECT vocab_size, n_tokens_covered,
+               ROUND(CAST(n_tokens_covered AS DOUBLE)
+                     / (SELECT total FROM t), 6) AS coverage
+        FROM r WHERE vocab_size IN {VOCAB_SIZES}
+        ORDER BY vocab_size
+        """,
+        "token coverage vs vocabulary size (tokenizer sizing curve)",
+    )
+)
+
+
+# --- x130: mergeable-statistics cross-check ----------------------------------
+def x130_mergeable_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-count mean/variance computed two ways: directly
+    over all documents, and by merging per-half partial aggregates
+    (docs split by doc_id parity, standing in for two ingest days).
+    Integer sums (n, sum, sum-of-squares) are exactly mergeable, so the
+    merged moments must equal the direct ones bit-for-bit — the
+    algebraic property an incremental 100 TB pipeline relies on when it
+    folds each day's partials into running corpus statistics instead of
+    rescanning history.  The equality is part of the output (and
+    invariant-tested), not assumed."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        (F.col("doc_id") % 2).alias("half"),
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+    )
+    direct = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("s1"),
+        F.sum(F.col("n_toks") * F.col("n_toks")).cast("long").alias("s2"),
+    )
+    partial = base.groupBy("source", "half").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("n_toks").cast("long").alias("ps1"),
+        F.sum(F.col("n_toks") * F.col("n_toks")).cast("long").alias("ps2"),
+    )
+    merged = partial.groupBy("source").agg(
+        F.sum("pn").cast("long").alias("mn"),
+        F.sum("ps1").cast("long").alias("ms1"),
+        F.sum("ps2").cast("long").alias("ms2"),
+    )
+
+    def mean_var(n, s1, s2):
+        nd = F.col(n).cast("double")
+        mean = F.round(F.col(s1).cast("double") / nd, 6)
+        var = F.round(
+            F.col(s2).cast("double") / nd
+            - (F.col(s1).cast("double") / nd) * (F.col(s1).cast("double") / nd),
+            6,
+        )
+        return mean, var
+
+    dm, dv = mean_var("n_docs", "s1", "s2")
+    mm, mv = mean_var("mn", "ms1", "ms2")
+    return (
+        direct.join(merged, "source")
+        .select(
+            "source",
+            "n_docs",
+            dm.alias("mean_direct"),
+            mm.alias("mean_merged"),
+            dv.alias("var_direct"),
+            mv.alias("var_merged"),
+            (
+                (F.col("n_docs") == F.col("mn"))
+                & (F.col("s1") == F.col("ms1"))
+                & (F.col("s2") == F.col("ms2"))
+            ).alias("partials_equal"),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    QuerySpec(
+        "x130_mergeable_stats",
+        x130_mergeable_stats,
+        """
+        WITH b AS (
+          SELECT source, doc_id % 2 AS half,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+          FROM documents),
+        direct AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(n_toks) AS BIGINT) AS s1,
+                 CAST(SUM(n_toks * n_toks) AS BIGINT) AS s2
+          FROM b GROUP BY 1),
+        partial AS (
+          SELECT source, half, COUNT(*) AS pn,
+                 CAST(SUM(n_toks) AS BIGINT) AS ps1,
+                 CAST(SUM(n_toks * n_toks) AS BIGINT) AS ps2
+          FROM b GROUP BY 1, 2),
+        merged AS (
+          SELECT source, CAST(SUM(pn) AS BIGINT) AS mn,
+                 CAST(SUM(ps1) AS BIGINT) AS ms1,
+                 CAST(SUM(ps2) AS BIGINT) AS ms2
+          FROM partial GROUP BY 1)
+        SELECT d.source AS source, d.n_docs AS n_docs,
+               ROUND(CAST(s1 AS DOUBLE) / d.n_docs, 6) AS mean_direct,
+               ROUND(CAST(ms1 AS DOUBLE) / mn, 6) AS mean_merged,
+               ROUND(CAST(s2 AS DOUBLE) / d.n_docs
+                     - (CAST(s1 AS DOUBLE) / d.n_docs)
+                       * (CAST(s1 AS DOUBLE) / d.n_docs), 6) AS var_direct,
+               ROUND(CAST(ms2 AS DOUBLE) / mn
+                     - (CAST(ms1 AS DOUBLE) / mn)
+                       * (CAST(ms1 AS DOUBLE) / mn), 6) AS var_merged,
+               (d.n_docs = mn AND s1 = ms1 AND s2 = ms2) AS partials_equal
+        FROM direct d JOIN merged m ON d.source = m.source
+        ORDER BY source
+        """,
+        "direct vs merged-partial per-source moments (incremental-stats contract)",
     )
 )

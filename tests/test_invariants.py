@@ -331,3 +331,30 @@ def test_epoch_mixture_rates_drive_counts(spark, sf_dir):
         len(set(by_epoch.values())) > 1
         for src, by_epoch in per_epoch_counts.items()
     )
+
+
+def test_vocab_coverage_monotone(spark, sf_dir):
+    """x129: coverage must be strictly positive, non-decreasing in vocab
+    size, and bounded by 1; token counts likewise."""
+    rows = sorted(
+        registry()["x129_vocab_coverage_curve"].spark(spark, sf_dir).collect(),
+        key=lambda r: r.vocab_size,
+    )
+    assert rows
+    prev_cov, prev_n = 0.0, 0
+    for r in rows:
+        assert 0.0 < r.coverage <= 1.0
+        assert r.coverage >= prev_cov and r.n_tokens_covered >= prev_n
+        prev_cov, prev_n = r.coverage, r.n_tokens_covered
+
+
+def test_mergeable_stats_exact(spark, sf_dir):
+    """x130: merged partials must equal the direct aggregates exactly —
+    the algebraic contract incremental statistics depend on."""
+    rows = registry()["x130_mergeable_stats"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.partials_equal
+        assert r.mean_direct == r.mean_merged
+        assert r.var_direct == r.var_merged
+        assert r.var_direct >= 0.0
