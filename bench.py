@@ -86,6 +86,9 @@ HEADLINE = [
     "x103_embedding_pca",
     "x111_incremental_neardup",
     "x113_tokenize_pack",
+    # round-4 fifth wave: the heaviest assembly-batch shape — df-capped
+    # posting self-join producing weighted shingle-cosine pairs
+    "x125_shingle_cosine_pairs",
 ]
 
 CONVERT_RECORDS = 100_000

@@ -2,7 +2,11 @@
 multi-correlated EXISTS / NOT EXISTS shape (q83, TPC-H Q21 adapted to
 this star schema's columns) and a full-outer-join data-reconciliation
 report (q84) — the audit query every warehouse runs between a header
-table and its recomputed line-level rollup. The reference
+table and its recomputed line-level rollup; later additions: the
+order-priority checking shape (q85, Q4), min-cost supplier (q86, Q2),
+excess-share suppliers (q87, Q20), the referential-integrity audit
+(x114), the native hopping-window aggregate (x131), and the
+gaps-and-islands longest-activity-streak summary (x132). The reference
 (`/root/reference/pyarrow/main.py`) has no relational surface; these
 exist because the driver's gate scores the declared X6 inventory.
 
@@ -524,5 +528,116 @@ register(
         ORDER BY s_suppkey
         """,
         "TPC-H Q20 shape: suppliers with excess part share via correlated-threshold IN",
+    )
+)
+
+
+# --- x131: hopping-window aggregate ------------------------------------------
+HOP_SLIDE_US = 300_000_000  # 5 minutes
+HOP_WIDTH_US = 600_000_000  # 10 minutes (= 2 slides: each event in 2 windows)
+
+
+def x131_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (hopping) time-window aggregate over the event log:
+    10-minute windows sliding every 5 — Spark's native ``F.window``
+    sliding form, the smoothing shape dashboards and rate monitors use.
+    Each event lands in exactly width/slide = 2 windows, so the explode
+    factor is a small constant; the aggregate shuffles on
+    (window, event_type) like any keyed agg.  The oracle reproduces
+    Spark's epoch-aligned window assignment with integer micro
+    arithmetic: starts = {t - t%slide, t - t%slide - slide}."""
+    ev = _t(spark, sf_dir, "events")
+    win = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", "sum_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start_us", "event_type")
+    )
+
+
+register(
+    QuerySpec(
+        "x131_hopping_window",
+        x131_hopping_window,
+        f"""
+        WITH e AS (
+          SELECT epoch_us(ts) AS t, event_type, value FROM events),
+        h AS (
+          SELECT (t - t % {HOP_SLIDE_US}) - off * {HOP_SLIDE_US} AS window_start_us,
+                 event_type, value
+          FROM e, (SELECT UNNEST([0, 1]) AS off))
+        SELECT window_start_us, event_type, COUNT(*) AS n_events,
+               {SQL_DEC_SUM.format(x="value")} AS sum_value
+        FROM h GROUP BY 1, 2 ORDER BY window_start_us, event_type
+        """,
+        "10-min/5-min hopping-window event aggregate (native sliding window)",
+    )
+)
+
+
+# --- x132: longest activity streak (gaps and islands) ------------------------
+STREAK_EPOCH = "2024-01-01"  # fixed day-index origin inside the event span
+
+
+def x132_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity-day summary: distinct active days and the
+    longest run of consecutive active days — the gaps-and-islands
+    pattern (island id = day_index − row_number, constant within each
+    consecutive run).  Two user-keyed shuffles (distinct days, then the
+    windowed island id); per-user partitions are bounded by the
+    calendar, never by event volume."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit(STREAK_EPOCH).cast("date")).alias("day_ix"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_ix")
+    grouped = days.withColumn(
+        "island", F.col("day_ix") - F.row_number().over(w)
+    )
+    streaks = grouped.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("streak_len").cast("long").alias("n_active_days"),
+            F.max("streak_len").cast("long").alias("longest_streak"),
+        )
+        .orderBy("user_id")
+    )
+
+
+register(
+    QuerySpec(
+        "x132_activity_streaks",
+        x132_activity_streaks,
+        f"""
+        WITH days AS (
+          SELECT DISTINCT user_id,
+                 date_diff('day', DATE '{STREAK_EPOCH}', CAST(ts AS DATE)) AS day_ix
+          FROM events),
+        g AS (
+          SELECT user_id, day_ix,
+                 day_ix - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day_ix)
+                     AS island
+          FROM days),
+        s AS (
+          SELECT user_id, island, COUNT(*) AS streak_len
+          FROM g GROUP BY 1, 2)
+        SELECT user_id, CAST(SUM(streak_len) AS BIGINT) AS n_active_days,
+               CAST(MAX(streak_len) AS BIGINT) AS longest_streak
+        FROM s GROUP BY 1 ORDER BY user_id
+        """,
+        "per-user longest consecutive-active-day streak (gaps and islands)",
     )
 )
