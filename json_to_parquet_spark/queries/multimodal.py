@@ -248,3 +248,61 @@ register(
         "byte-budget media shard packing with per-shard membership digests",
     )
 )
+
+
+def x133_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize through the real mapInPandas plumbing
+    (operators/media.py resize_media) with the deterministic stand-in
+    kernel: source dims come from the sha256-header fake decode (the x30
+    contract) and the fit-into-64 output dims are pure integer
+    arithmetic, so the branching Python stage — including which payloads
+    get resized at all — is oracle-checked value-for-value.  Same scale
+    posture as x30/x38: embarrassingly parallel, no shuffle."""
+    from ..operators.media import documents_as_media, fake_decode, resize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = resize_media(documents_as_media(docs), decode=fake_decode)
+    return out.select(
+        "doc_id",
+        F.col("src_width").cast("long").alias("src_width"),
+        F.col("src_height").cast("long").alias("src_height"),
+        F.col("out_width").cast("long").alias("out_width"),
+        F.col("out_height").cast("long").alias("out_height"),
+        "resized",
+        "out_bytes",
+        "resized_md5",
+    )
+
+
+register(
+    QuerySpec(
+        "x133_media_resize",
+        x133_media_resize,
+        """
+        WITH d AS (
+          SELECT doc_id, text,
+                 CAST(concat('0x', substr(sha256(text), 1, 2)) AS INTEGER) + 1 AS sw,
+                 CAST(concat('0x', substr(sha256(text), 3, 2)) AS INTEGER) + 1 AS sh
+          FROM documents),
+        r AS (
+          SELECT doc_id, text, sw, sh,
+                 CASE WHEN greatest(sw, sh) > 64
+                      THEN greatest(1, (sw * 64) // greatest(sw, sh))
+                      ELSE sw END AS ow,
+                 CASE WHEN greatest(sw, sh) > 64
+                      THEN greatest(1, (sh * 64) // greatest(sw, sh))
+                      ELSE sh END AS oh
+          FROM d)
+        SELECT doc_id,
+               CAST(sw AS BIGINT) AS src_width,
+               CAST(sh AS BIGINT) AS src_height,
+               CAST(ow AS BIGINT) AS out_width,
+               CAST(oh AS BIGINT) AS out_height,
+               greatest(sw, sh) > 64 AS resized,
+               CAST(least(strlen(text), ow * oh) AS BIGINT) AS out_bytes,
+               md5(substr(text, 1, CAST(ow * oh AS BIGINT))) AS resized_md5
+        FROM r
+        """,
+        "aspect-preserving media resize through mapInPandas (oracle-checked)",
+    )
+)
