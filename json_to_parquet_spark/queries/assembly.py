@@ -4,8 +4,9 @@ shard-rebalance migration audit (x124), tf-idf-weighted shingle cosine
 pairs (x125), quality-ordered token-budget selection (x126), the
 deletion-request forget cascade (x127), the sort-free budget threshold
 sweep (x128 — x126's scale path, made checkable), the vocabulary-size
-coverage curve (x129), and the mergeable-statistics cross-check
-(x130).  The reference
+coverage curve (x129), the mergeable-statistics cross-check (x130),
+and the snapshot-over-snapshot token-drift monitor (x134).  The
+reference
 (`/root/reference/pyarrow/main.py`) has no dataset-assembly surface;
 these are driver-mandated LLM-pipeline operators (repo:BASELINE.json
 north_star) — the planning/governance half that sits AROUND the
@@ -46,6 +47,9 @@ Scale shapes:
 - x130 proves the merge algebra (integer partial sums fold exactly)
   that lets an incremental pipeline maintain running corpus moments
   without rescanning history.
+- x134 is one token-keyed conditional-sum pass + a 1-row totals
+  broadcast + TakeOrderedAndProject — trending detection without a
+  global sort or a second corpus scan.
 
 Determinism per helpers.py: md5-bucket sampling (the x25 pattern —
 stable across runs, engines, partitionings); ROUND-then-decimal-sum
@@ -734,5 +738,83 @@ register(
         ORDER BY source
         """,
         "direct vs merged-partial per-source moments (incremental-stats contract)",
+    )
+)
+
+
+# --- x134: token drift top-k (snapshot-over-snapshot trending) ---------------
+DRIFT_TOP_K = 10
+
+
+def x134_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which tokens' corpus share grew most between two snapshots (docs
+    split by doc_id parity as stand-ins for consecutive ingest
+    versions): Laplace-smoothed log-ratio of per-snapshot token shares,
+    top-K risers — the token-level companion to x73's value-distribution
+    PSI, the monitor that catches a source starting to flood the corpus
+    with new boilerplate.  One token-keyed count per snapshot (same
+    shuffle, conditional sums), two 1-row total frames broadcast, and a
+    TakeOrderedAndProject top-K — never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 2 == 1).alias("is_new"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.sum((~F.col("is_new")).cast("long")).cast("long").alias("n_old"),
+        F.sum(F.col("is_new").cast("long")).cast("long").alias("n_new"),
+    )
+    totals = counts.agg(
+        F.sum("n_old").cast("long").alias("tot_old"),
+        F.sum("n_new").cast("long").alias("tot_new"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    share_old = (F.col("n_old") + 1).cast("double") / (
+        F.col("tot_old") + F.col("vocab")
+    ).cast("double")
+    share_new = (F.col("n_new") + 1).cast("double") / (
+        F.col("tot_new") + F.col("vocab")
+    ).cast("double")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "token",
+            "n_old",
+            "n_new",
+            F.round(F.log(share_new / share_old), 6).alias("drift_logratio"),
+        )
+        .orderBy(F.desc("drift_logratio"), F.asc("token"))
+        .limit(DRIFT_TOP_K)
+    )
+
+
+register(
+    QuerySpec(
+        "x134_token_drift",
+        x134_token_drift,
+        f"""
+        WITH tk AS (
+          SELECT doc_id % 2 = 1 AS is_new,
+                 unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        c AS (
+          SELECT token,
+                 CAST(SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+                 CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+          FROM tk GROUP BY 1),
+        t AS (
+          SELECT CAST(SUM(n_old) AS BIGINT) AS tot_old,
+                 CAST(SUM(n_new) AS BIGINT) AS tot_new,
+                 CAST(COUNT(*) AS BIGINT) AS vocab
+          FROM c)
+        SELECT token, n_old, n_new,
+               ROUND(ln((CAST(n_new + 1 AS DOUBLE) / (tot_new + vocab))
+                        / (CAST(n_old + 1 AS DOUBLE) / (tot_old + vocab))), 6)
+                   AS drift_logratio
+        FROM c, t
+        ORDER BY drift_logratio DESC, token ASC
+        LIMIT {DRIFT_TOP_K}
+        """,
+        "top-K rising tokens between corpus snapshots (smoothed log-ratio drift)",
     )
 )

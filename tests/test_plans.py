@@ -167,6 +167,7 @@ _BNLJ_ALLOWED = {
     "x121_ivf_partitioned_index",  # centroid/probe-set broadcasts (x21 shapes)
     "x122_pq_adc_search",  # composes x11's exact flags: query-vec broadcast
     "x129_vocab_coverage_curve",  # 1-row corpus-token-total frame broadcast
+    "x134_token_drift",  # 1-row snapshot-totals frame broadcast
 }
 
 
