@@ -5,8 +5,9 @@ report (q84) — the audit query every warehouse runs between a header
 table and its recomputed line-level rollup; later additions: the
 order-priority checking shape (q85, Q4), min-cost supplier (q86, Q2),
 excess-share suppliers (q87, Q20), the referential-integrity audit
-(x114), the native hopping-window aggregate (x131), and the
-gaps-and-islands longest-activity-streak summary (x132). The reference
+(x114), the native hopping-window aggregate (x131), the
+gaps-and-islands longest-activity-streak summary (x132), and the
+trimmed/winsorized robust aggregates (x135). The reference
 (`/root/reference/pyarrow/main.py`) has no relational surface; these
 exist because the driver's gate scores the declared X6 inventory.
 
@@ -639,5 +640,105 @@ register(
         FROM s GROUP BY 1 ORDER BY user_id
         """,
         "per-user longest consecutive-active-day streak (gaps and islands)",
+    )
+)
+
+
+# --- x135: robust aggregates (trimmed + winsorized means) --------------------
+TRIM_LO, TRIM_HI = 0.05, 0.95
+
+
+def x135_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust value statistics: 5/95% trimmed mean (drop
+    the tails) and winsorized mean (clamp the tails) alongside the raw
+    mean — the outlier-resistant aggregates a telemetry pipeline
+    publishes when a feed can emit garbage spikes.  The cut points are
+    DISCRETE quantiles selected by integer rank (row ceil(q·n) in
+    (value, event_id) order), not interpolated — selection is exact
+    integer arithmetic, so both engines pick the identical data value
+    and no 1-ulp interpolation divergence can flip a row's
+    classification.  One window shuffle on event_type (rank), one
+    groups-sized cut-point frame joined back, one final aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select("event_type", "event_id", "value").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    n = ranked.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    cuts = (
+        ranked.join(F.broadcast(n), "event_type")
+        .filter(
+            (F.col("rn") == F.ceil(F.col("n") * TRIM_LO))
+            | (F.col("rn") == F.ceil(F.col("n") * TRIM_HI))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min("value").alias("lo_cut"),
+            F.max("value").alias("hi_cut"),
+        )
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo_cut")), F.col("hi_cut"))
+    inside = F.col("value").between(F.col("lo_cut"), F.col("hi_cut"))
+    return (
+        ranked.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec_sum("value", "sum_all"),
+            F.sum(F.when(inside, F.col("value")).cast("decimal(30,10)"))
+            .cast("double")
+            .alias("sum_inside"),
+            F.sum(inside.cast("long")).cast("long").alias("n_inside"),
+            dec_sum(clamped, "sum_winsor"),
+            F.min("lo_cut").alias("lo_cut"),
+            F.min("hi_cut").alias("hi_cut"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("sum_all") / F.col("n"), 6).alias("mean"),
+            F.round(F.col("sum_inside") / F.col("n_inside"), 6).alias("trimmed_mean"),
+            F.round(F.col("sum_winsor") / F.col("n"), 6).alias("winsorized_mean"),
+            "lo_cut",
+            "hi_cut",
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    QuerySpec(
+        "x135_robust_stats",
+        x135_robust_stats,
+        f"""
+        WITH r AS (
+          SELECT event_type, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM events),
+        cuts AS (
+          SELECT event_type, MIN(value) AS lo_cut, MAX(value) AS hi_cut
+          FROM r
+          WHERE rn = CEIL(n * {TRIM_LO}) OR rn = CEIL(n * {TRIM_HI})
+          GROUP BY 1),
+        j AS (
+          SELECT r.event_type, r.value, r.n, c.lo_cut, c.hi_cut,
+                 r.value BETWEEN c.lo_cut AND c.hi_cut AS inside,
+                 least(greatest(r.value, c.lo_cut), c.hi_cut) AS clamped
+          FROM r JOIN cuts c USING (event_type))
+        SELECT event_type, CAST(MIN(n) AS BIGINT) AS n,
+               ROUND({SQL_DEC_SUM.format(x="value")} / MIN(n), 6) AS mean,
+               ROUND(CAST(CAST(SUM(CASE WHEN inside
+                                        THEN CAST(value AS DECIMAL(30,10)) END)
+                          AS VARCHAR) AS DOUBLE)
+                     / SUM(CASE WHEN inside THEN 1 ELSE 0 END), 6)
+                   AS trimmed_mean,
+               ROUND({SQL_DEC_SUM.format(x="clamped")} / MIN(n), 6)
+                   AS winsorized_mean,
+               MIN(lo_cut) AS lo_cut, MIN(hi_cut) AS hi_cut
+        FROM j GROUP BY 1 ORDER BY event_type
+        """,
+        "trimmed + winsorized means with rank-selected discrete quantile cuts",
     )
 )
