@@ -262,6 +262,12 @@ def x125_shingle_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
         ).alias("w"),
     )
+    # The weights frame feeds four consumers (both self-join sides + two
+    # norm lookups); without persistence the explode→tf→df→join chain
+    # re-executes for each.  The frame is df-capped (≪ corpus), so at
+    # 100 TB this is a disk-spillable cache of the pruned posting list,
+    # not of the corpus.
+    w = w.persist()
     norm = w.groupBy("doc_id").agg(
         F.sqrt(
             F.sum(F.round(F.col("w") * F.col("w"), 6).cast("decimal(30,10)")).cast(
