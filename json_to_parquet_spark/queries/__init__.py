@@ -31,7 +31,9 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # registry entries each round (verified: the r2 and r3 samples are each
 # exactly registry positions 0-49), so ``registry()`` orders
 # never-gate-checked queries first to rotate the sample toward unproven
-# entries.  Update this set each round from the new CORRECTNESS_r{N}.json.
+# entries.  This static list is a pinned-history baseline; new rounds'
+# gate files are absorbed automatically by ``_driver_evidenced`` below,
+# so the rotation no longer needs a hand edit per round.
 _GATE_EVIDENCED: frozenset[str] = frozenset({
     # round 1 (CORRECTNESS_r01.json, all green or rows-only; q37 err → omitted)
     "x01_dedup_distinct", "x02_dedup_keyed", "x08_ngram_jaccard",
@@ -122,6 +124,33 @@ _PENDING_R4_WINDOW: tuple[str, ...] = (
 )
 
 
+def _driver_evidenced(root: "str | None" = None) -> frozenset[str]:
+    """Names with a green (or rows-only-by-design) row in any driver
+    CORRECTNESS_r*.json at the repo root.  Merged with the static
+    ``_GATE_EVIDENCED`` set so the sample rotation can never go stale:
+    when a new round's gate file lands, its queries automatically stop
+    occupying the next round's 50-slot sample window (the failure mode
+    rounds 2 and 3 each hit once with a hand-maintained list).  Rows
+    with a real error (not the declared ``no_oracle``) or a hash
+    mismatch stay unproven so the driver re-samples them."""
+    import json
+    from pathlib import Path
+
+    names: set[str] = set()
+    base = Path(root) if root else Path(__file__).resolve().parents[2]
+    for p in sorted(base.glob("CORRECTNESS_r*.json")):
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True or row.get("err") == "no_oracle":
+                names.add(name)
+    return frozenset(names)
+
+
 def register(spec: QuerySpec) -> QuerySpec:
     if spec.name in _REGISTRY:
         raise ValueError(f"duplicate query name {spec.name!r}")
@@ -161,7 +190,8 @@ def registry() -> dict[str, QuerySpec]:
     # the pending group, queries that existed in round 2 but were never
     # sampled outrank queries newly added this round — the 49 carried
     # entries must all land inside the 50-slot sample window.
-    pending = {n: s for n, s in _REGISTRY.items() if n not in _GATE_EVIDENCED}
+    evidenced = _GATE_EVIDENCED | _driver_evidenced()
+    pending = {n: s for n, s in _REGISTRY.items() if n not in evidenced}
     carried = {n: s for n, s in pending.items() if n in _PENDING_CARRIED}
     window = {n: pending[n] for n in _PENDING_R4_WINDOW if n in pending}
     fresh = {
@@ -169,5 +199,5 @@ def registry() -> dict[str, QuerySpec]:
         for n, s in pending.items()
         if n not in _PENDING_CARRIED and n not in window
     }
-    proven = {n: s for n, s in _REGISTRY.items() if n in _GATE_EVIDENCED}
+    proven = {n: s for n, s in _REGISTRY.items() if n in evidenced}
     return {**carried, **window, **fresh, **proven}
