@@ -358,3 +358,37 @@ def test_mergeable_stats_exact(spark, sf_dir):
         assert r.mean_direct == r.mean_merged
         assert r.var_direct == r.var_merged
         assert r.var_direct >= 0.0
+
+
+def test_hopping_window_counts_events_twice(spark, sf_dir):
+    """x131: width = 2x slide, so every event lands in exactly two
+    windows — total windowed count must be exactly 2x the event count."""
+    from json_to_parquet_spark.sources.catalog import load_table
+
+    rows = registry()["x131_hopping_window"].spark(spark, sf_dir).collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == 2 * n_events
+
+
+def test_budget_sweep_consistent_with_exact_selection(spark, sf_dir):
+    """x128 vs x126: doc-granular greedy selection must spend at least
+    as many tokens as the coarsest-fitting decile threshold (histogram
+    selection stops at a bin boundary <= budget), and both respect the
+    budget."""
+    from json_to_parquet_spark.queries.assembly import TOKEN_BUDGET
+
+    exact = {
+        r.lang: r for r in registry()["x126_token_budget_select"].spark(spark, sf_dir).collect()
+    }
+    sweep = registry()["x128_budget_threshold_sweep"].spark(spark, sf_dir).collect()
+    best_fitting = {}
+    for r in sweep:
+        if r.fits_budget:
+            cur = best_fitting.get(r.lang)
+            if cur is None or r.cum_tokens > cur:
+                best_fitting[r.lang] = r.cum_tokens
+    assert set(exact) == {r.lang for r in sweep}
+    for lang, ex in exact.items():
+        assert ex.tokens_kept <= TOKEN_BUDGET
+        if lang in best_fitting:
+            assert ex.tokens_kept >= best_fitting[lang]
