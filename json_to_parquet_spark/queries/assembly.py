@@ -5,8 +5,8 @@ pairs (x125), quality-ordered token-budget selection (x126), the
 deletion-request forget cascade (x127), the sort-free budget threshold
 sweep (x128 — x126's scale path, made checkable), the vocabulary-size
 coverage curve (x129), the mergeable-statistics cross-check (x130),
-and the snapshot-over-snapshot token-drift monitor (x134).  The
-reference
+the snapshot-over-snapshot token-drift monitor (x134), and the
+k-anonymity release audit (x136).  The reference
 (`/root/reference/pyarrow/main.py`) has no dataset-assembly surface;
 these are driver-mandated LLM-pipeline operators (repo:BASELINE.json
 north_star) — the planning/governance half that sits AROUND the
@@ -50,6 +50,9 @@ Scale shapes:
 - x134 is one token-keyed conditional-sum pass + a 1-row totals
   broadcast + TakeOrderedAndProject — trending detection without a
   global sort or a second corpus scan.
+- x136 is two bounded-key aggregations (quasi-identifier group sizes,
+  then the per-language risk rollup); the release decision consumes
+  group sizes only, so nothing row-granular leaves the executors.
 
 Determinism per helpers.py: md5-bucket sampling (the x25 pattern —
 stable across runs, engines, partitionings); ROUND-then-decimal-sum
@@ -822,5 +825,80 @@ register(
         LIMIT {DRIFT_TOP_K}
         """,
         "top-K rising tokens between corpus snapshots (smoothed log-ratio drift)",
+    )
+)
+
+
+# --- x136: k-anonymity audit --------------------------------------------------
+K_ANON = 3
+QI_CHAR_BUCKET = 100  # n_chars equal-width bucket in the quasi-identifier
+
+
+def x136_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk audit before releasing a dataset: treat
+    (lang, source, n_chars bucket) as the quasi-identifier and report,
+    per language, how many QI groups fall below k=3 members and how many
+    documents sit in those small groups (the rows a release would have
+    to suppress or generalize).  Two aggregations — QI group sizes, then
+    the per-language risk rollup — both key-shuffled on bounded-
+    cardinality keys; nothing row-granular ever leaves the executors."""
+    docs = load_table(spark, sf_dir, "documents")
+    qi = docs.select(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / QI_CHAR_BUCKET).cast("long").alias("size_bucket"),
+    )
+    groups = qi.groupBy("lang", "source", "size_bucket").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    below = F.col("group_size") < K_ANON
+    return (
+        groups.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(below.cast("long")).cast("long").alias("groups_below_k"),
+            F.sum(F.when(below, F.col("group_size")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("docs_at_risk"),
+            F.sum("group_size").cast("long").alias("n_docs"),
+        )
+        .select(
+            "lang",
+            "n_groups",
+            "groups_below_k",
+            "docs_at_risk",
+            "n_docs",
+            F.round(
+                F.col("docs_at_risk").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("risk_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+register(
+    QuerySpec(
+        "x136_kanon_audit",
+        x136_kanon_audit,
+        f"""
+        WITH g AS (
+          SELECT lang, source,
+                 CAST(FLOOR(n_chars / {QI_CHAR_BUCKET}.0) AS BIGINT) AS size_bucket,
+                 COUNT(*) AS group_size
+          FROM documents GROUP BY 1, 2, 3)
+        SELECT lang,
+               COUNT(*) AS n_groups,
+               CAST(SUM(CASE WHEN group_size < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS groups_below_k,
+               CAST(SUM(CASE WHEN group_size < {K_ANON} THEN group_size ELSE 0 END)
+                    AS BIGINT) AS docs_at_risk,
+               CAST(SUM(group_size) AS BIGINT) AS n_docs,
+               ROUND(CAST(SUM(CASE WHEN group_size < {K_ANON} THEN group_size
+                                   ELSE 0 END) AS DOUBLE)
+                     / SUM(group_size), 6) AS risk_frac
+        FROM g GROUP BY 1 ORDER BY lang
+        """,
+        "k-anonymity release audit over (lang, source, size-bucket) quasi-identifiers",
     )
 )
