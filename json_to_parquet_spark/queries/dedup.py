@@ -1039,3 +1039,144 @@ register(
         "per-source exact-dup volume and token savings — the dedup ROI readout",
     )
 )
+
+
+# --- x137: prefix-filtered set-similarity join (PPJoin-style) ----------------
+# Jaccard threshold as an exact rational (3/5 = 0.6) so prefix lengths
+# and the final acceptance test are integer arithmetic — identical in
+# both engines, and immune to the 0.6*m IEEE noise that could otherwise
+# shrink a prefix and break the filter's no-false-negative guarantee.
+PPJ_NUM, PPJ_DEN = 3, 5
+
+
+def x137_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join with prefix filtering [Chaudhuri et al.,
+    ICDE'06 / Xiao et al. "PPJoin", WWW'08]: order every document's
+    distinct shingles by global rarity and index only the first
+    m − ceil(t·m) + 1 of them — any pair with Jaccard ≥ t must collide
+    in that prefix, so the candidate join touches the rarest slice of
+    each posting list instead of all of it.  The scalable exact
+    alternative to x08's full posting join and the deterministic
+    companion to x09's probabilistic MinHash-LSH.
+
+    Shapes: one shingle-keyed df count; one ranking window over the
+    VOCAB frame (vocabulary-sized, the x129 cost, never the corpus);
+    one doc-keyed position window; the candidate join runs on prefix
+    postings only; verification joins candidates back to full postings
+    on (doc, shingle) composite keys — |candidates| × set-size work,
+    never all-pairs.  Acceptance is the integer cross-multiplication
+    DEN·|∩| ≥ NUM·(|A|+|B|−|∩|)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    posting = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
+    )
+    df_ = posting.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    rank = df_.select(
+        "sh",
+        F.row_number()
+        .over(Window.orderBy(F.asc("df"), F.asc("sh")))
+        .alias("rarity"),
+    )
+    wd = Window.partitionBy("doc_id")
+    ranked = (
+        posting.join(rank, "sh")
+        .withColumn("pos", F.row_number().over(wd.orderBy("rarity")))
+        .withColumn("m", F.count(F.lit(1)).over(wd))
+    )
+    # prefix_len = m - ceil(NUM*m/DEN) + 1, ceil as exact integer math
+    prefix_len = (
+        F.col("m")
+        - F.floor((F.lit(PPJ_NUM) * F.col("m") + F.lit(PPJ_DEN - 1)) / F.lit(PPJ_DEN))
+        + 1
+    )
+    prefix = ranked.filter(F.col("pos") <= prefix_len).select("doc_id", "sh")
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.sh") == F.col("pb.sh"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("id_a"), F.col("pb.doc_id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    fa = posting.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    fb = posting.select(F.col("doc_id").alias("fb_id"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(fa, "id_a")
+        .join(fb, (F.col("id_b") == F.col("fb_id")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("m"))
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("m").alias("ma"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("m").alias("mb"))
+    union_sz = F.col("ma") + F.col("mb") - F.col("n_inter")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.lit(PPJ_DEN) * F.col("n_inter") >= F.lit(PPJ_NUM) * union_sz)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.round(F.col("n_inter").cast("double") / union_sz.cast("double"), 6).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _x137_sql() -> str:
+    from .quality import _sql_shingles
+
+    sh_expr = _sql_shingles(SHINGLE_WIDTH, True)
+    return f"""
+        WITH tl AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        posting AS (SELECT doc_id, unnest({sh_expr}) AS sh FROM tl),
+        dft AS (SELECT sh, COUNT(*) AS df FROM posting GROUP BY 1),
+        rk AS (SELECT sh, ROW_NUMBER() OVER (ORDER BY df ASC, sh ASC) AS rarity
+               FROM dft),
+        ranked AS (
+          SELECT p.doc_id, p.sh,
+                 ROW_NUMBER() OVER (PARTITION BY p.doc_id ORDER BY rk.rarity)
+                     AS pos,
+                 COUNT(*) OVER (PARTITION BY p.doc_id) AS m
+          FROM posting p JOIN rk USING (sh)),
+        prefix AS (
+          SELECT doc_id, sh FROM ranked
+          WHERE pos <= m - ({PPJ_NUM} * m + {PPJ_DEN - 1}) // {PPJ_DEN} + 1),
+        cand AS (
+          SELECT DISTINCT pa.doc_id AS id_a, pb.doc_id AS id_b
+          FROM prefix pa JOIN prefix pb
+            ON pa.sh = pb.sh AND pa.doc_id < pb.doc_id),
+        inter AS (
+          SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+          FROM cand c
+          JOIN posting fa ON fa.doc_id = c.id_a
+          JOIN posting fb ON fb.doc_id = c.id_b AND fb.sh = fa.sh
+          GROUP BY 1, 2),
+        sizes AS (SELECT doc_id, COUNT(*) AS m FROM posting GROUP BY 1)
+        SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+               ROUND(CAST(n_inter AS DOUBLE) / (sa.m + sb.m - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE {PPJ_DEN} * n_inter >= {PPJ_NUM} * (sa.m + sb.m - n_inter)
+        ORDER BY id_a, id_b
+    """
+
+
+register(
+    QuerySpec(
+        "x137_prefix_filter_join",
+        x137_prefix_filter_join,
+        _x137_sql(),
+        "PPJoin-style prefix-filtered exact Jaccard self-join over shingle sets",
+    )
+)

@@ -392,3 +392,35 @@ def test_budget_sweep_consistent_with_exact_selection(spark, sf_dir):
         assert ex.tokens_kept <= TOKEN_BUDGET
         if lang in best_fitting:
             assert ex.tokens_kept >= best_fitting[lang]
+
+
+def test_prefix_filter_join_loses_no_pairs(spark, sf_dir):
+    """x137's whole point: prefix filtering must find EXACTLY the pairs
+    a brute-force full posting join finds at the same threshold — the
+    no-false-negative guarantee of the m - ceil(t*m) + 1 prefix bound."""
+    from json_to_parquet_spark.queries.dedup import PPJ_DEN, PPJ_NUM, shingles
+    from json_to_parquet_spark.sources.catalog import load_table
+
+    got = {
+        (r.id_a, r.id_b): r.n_inter
+        for r in registry()["x137_prefix_filter_join"].spark(spark, sf_dir).collect()
+    }
+    posting = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
+    )
+    a = posting.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("s1"))
+    b = posting.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("s2"))
+    inter = (
+        a.join(b, (F.col("s1") == F.col("s2")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("m"))
+    brute = {}
+    mm = {r.doc_id: r.m for r in sizes.collect()}
+    for r in inter.collect():
+        union = mm[r.id_a] + mm[r.id_b] - r.n_inter
+        if PPJ_DEN * r.n_inter >= PPJ_NUM * union:
+            brute[(r.id_a, r.id_b)] = r.n_inter
+    assert got == brute and len(brute) > 0
