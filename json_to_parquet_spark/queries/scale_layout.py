@@ -41,7 +41,7 @@ from __future__ import annotations
 import glob as _glob
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
@@ -500,5 +500,75 @@ register(
         ORDER BY event_type
         """,
         "ORC write+read round-trip of the events table, diffed against parquet",
+    )
+)
+
+
+# --- x138: equi-depth histogram statistics (the ANALYZE primitive) -----------
+HIST_BUCKETS = 8
+
+
+def x138_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-statistics collection, the ANALYZE primitive: an
+    equi-depth histogram of lineitem.l_quantity.  Built the scalable
+    way — ONE value-keyed count over the fact (distinct-value-sized
+    output), then bucket boundaries assigned on the aggregated frame by
+    cumulative-count arithmetic: bucket(v) = floor(rows_before(v)·B/n).
+    The corpus-sized work is a single aggregation; the planning window
+    runs over ≤ |distinct values| rows — the same aggregate-then-plan
+    shape as the x128 budget sweep, and exactly how a warehouse ANALYZE
+    builds stats without sorting the table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = (
+        li.select(F.col("l_quantity").cast("long").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    total = hist.agg(F.sum("cnt").cast("long").alias("n"))
+    bucketed = (
+        hist.withColumn("cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.floor(F.col("cum_before") * HIST_BUCKETS / F.col("n"))
+            .cast("long")
+            .alias("bucket"),
+            "v",
+            "cnt",
+        )
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        )
+        .orderBy("bucket")
+    )
+
+
+register(
+    QuerySpec(
+        "x138_equidepth_histogram",
+        x138_equidepth_histogram,
+        f"""
+        WITH h AS (
+          SELECT CAST(l_quantity AS BIGINT) AS v, COUNT(*) AS cnt
+          FROM lineitem GROUP BY 1),
+        t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM h),
+        b AS (
+          SELECT CAST(FLOOR(COALESCE(SUM(cnt) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      * {HIST_BUCKETS} / (SELECT n FROM t)) AS BIGINT) AS bucket,
+                 v, cnt
+          FROM h)
+        SELECT bucket, MIN(v) AS lo, MAX(v) AS hi,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct
+        FROM b GROUP BY 1 ORDER BY bucket
+        """,
+        "equi-depth histogram stats via aggregate-then-plan (no table sort)",
     )
 )

@@ -168,6 +168,7 @@ _BNLJ_ALLOWED = {
     "x122_pq_adc_search",  # composes x11's exact flags: query-vec broadcast
     "x129_vocab_coverage_curve",  # 1-row corpus-token-total frame broadcast
     "x134_token_drift",  # 1-row snapshot-totals frame broadcast
+    "x138_equidepth_histogram",  # 1-row row-count frame broadcast
 }
 
 
