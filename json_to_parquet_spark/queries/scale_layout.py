@@ -572,3 +572,109 @@ register(
         "equi-depth histogram stats via aggregate-then-plan (no table sort)",
     )
 )
+
+
+# --- x139: histogram join-cardinality estimate vs truth ----------------------
+def x139_join_cardinality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How good are x138's histogram statistics for join planning: for
+    an equi-join on l_quantity between two halves of lineitem (orderkey
+    parity, standing in for two tables), compare the optimizer-style
+    per-bucket estimate n_a·n_b / max(d_a, d_b) (uniformity assumption)
+    against the TRUE join cardinality Σ_v cnt_a(v)·cnt_b(v) — computed
+    from the value histograms directly, so the truth costs one
+    aggregation, not an actual join.  The selectivity-estimation
+    evaluation an optimizer team runs before trusting stats; everything
+    beyond the first value-keyed count runs on the ≤ distinct-value
+    frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = (
+        li.select(
+            (F.col("l_orderkey") % 2 == 0).alias("is_a"),
+            F.col("l_quantity").cast("long").alias("v"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(F.col("is_a").cast("long")).cast("long").alias("ca"),
+            F.sum((~F.col("is_a")).cast("long")).cast("long").alias("cb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    total = hist.agg(F.sum(F.col("ca") + F.col("cb")).cast("long").alias("n"))
+    bucketed = (
+        hist.withColumn(
+            "cum_before", F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0))
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.floor(F.col("cum_before") * HIST_BUCKETS / F.col("n"))
+            .cast("long")
+            .alias("bucket"),
+            "v",
+            "ca",
+            "cb",
+        )
+    )
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.sum((F.col("ca") > 0).cast("long")).cast("long").alias("da"),
+        F.sum((F.col("cb") > 0).cast("long")).cast("long").alias("db"),
+        F.sum(F.col("ca") * F.col("cb")).cast("long").alias("actual_rows"),
+    )
+    est = F.floor(
+        F.col("na") * F.col("nb") / F.greatest(F.col("da"), F.col("db"))
+    ).cast("long")
+    return (
+        per_bucket.select(
+            "bucket",
+            "na",
+            "nb",
+            est.alias("est_rows"),
+            "actual_rows",
+            F.round(
+                (est - F.col("actual_rows")).cast("double")
+                / F.col("actual_rows").cast("double"),
+                6,
+            ).alias("rel_error"),
+        )
+        .orderBy("bucket")
+    )
+
+
+register(
+    QuerySpec(
+        "x139_join_cardinality_eval",
+        x139_join_cardinality_eval,
+        f"""
+        WITH h AS (
+          SELECT CAST(l_quantity AS BIGINT) AS v,
+                 CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS ca,
+                 CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+                     AS cb
+          FROM lineitem GROUP BY 1),
+        t AS (SELECT CAST(SUM(ca + cb) AS BIGINT) AS n FROM h),
+        b AS (
+          SELECT CAST(FLOOR(COALESCE(SUM(ca + cb) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      * {HIST_BUCKETS} / (SELECT n FROM t)) AS BIGINT) AS bucket,
+                 v, ca, cb
+          FROM h),
+        p AS (
+          SELECT bucket,
+                 CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+                 CAST(SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT) AS da,
+                 CAST(SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS db,
+                 CAST(SUM(ca * cb) AS BIGINT) AS actual_rows
+          FROM b GROUP BY 1)
+        SELECT bucket, na, nb,
+               CAST(FLOOR(na * nb / CAST(greatest(da, db) AS DOUBLE)) AS BIGINT)
+                   AS est_rows,
+               actual_rows,
+               ROUND((CAST(FLOOR(na * nb / CAST(greatest(da, db) AS DOUBLE)) AS BIGINT)
+                      - actual_rows) / CAST(actual_rows AS DOUBLE), 6) AS rel_error
+        FROM p ORDER BY bucket
+        """,
+        "histogram-based join cardinality estimate vs exact (selectivity eval)",
+    )
+)

@@ -169,6 +169,7 @@ _BNLJ_ALLOWED = {
     "x129_vocab_coverage_curve",  # 1-row corpus-token-total frame broadcast
     "x134_token_drift",  # 1-row snapshot-totals frame broadcast
     "x138_equidepth_histogram",  # 1-row row-count frame broadcast
+    "x139_join_cardinality_eval",  # 1-row row-count frame broadcast
 }
 
 
