@@ -1180,3 +1180,100 @@ register(
         "PPJoin-style prefix-filtered exact Jaccard self-join over shingle sets",
     )
 )
+
+
+# --- x141: simhash hamming-distance pair join --------------------------------
+# 4 bands over the 29-bit fingerprint (8+8+8+5). With HAM_MAX = 3 bit
+# flips, the pigeonhole principle guarantees at least one band is
+# untouched, so band-bucket candidate generation finds EVERY pair within
+# the hamming radius — completeness is structural, not probabilistic
+# (invariant-tested against a brute-force scan).
+SIM_BANDS = ((0, 8), (8, 8), (16, 8), (24, 5))  # (bit offset, width)
+HAM_MAX = 3
+
+
+def x141_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The missing end of the SimHash chain (x18/x69 stop at
+    fingerprints): find document pairs within hamming distance 3 by
+    banding the fingerprint into 4 bit-slices, bucketing on each slice,
+    and verifying candidates with bit_count(xor) — the bit-domain twin
+    of x09's MinHash band join.  Candidates form only inside shared
+    band buckets; the verify is a row-local popcount.
+
+    Scale caveat, stated honestly: band occupancy is bounded below by
+    corpus/2^width, so the 5-bit tail band of this 29-bit
+    oracle-compatible fingerprint becomes the hot bucket at large
+    corpus sizes.  The production path is the same plan over x18's
+    64-bit xxhash fingerprints (16-bit bands → corpus/65536 buckets);
+    this arithmetic-hash variant exists so the ENTIRE chain —
+    fingerprints AND pairing — is differential-checkable in DuckDB."""
+    sim = x69_simhash_arith(spark, sf_dir).select("doc_id", "simhash")
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("simhash"), off)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("val"),
+            )
+            for i, (off, w) in enumerate(SIM_BANDS)
+        ]
+    )
+    bands = sim.select(
+        "doc_id", "simhash", F.explode(band_structs).alias("b")
+    ).select("doc_id", "simhash", "b.band", "b.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("fp_a"),
+            F.col("b.simhash").alias("fp_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("long")
+    return (
+        pairs.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= HAM_MAX)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _x141_sql() -> str:
+    bands_sql = ", ".join(
+        f"{{'band': {i}, 'val': (simhash >> {off}) & {(1 << w) - 1}}}"
+        for i, (off, w) in enumerate(SIM_BANDS)
+    )
+    return f"""
+        WITH sim AS ({_x69_sql()}),
+        bands AS (
+          SELECT doc_id, simhash, unnest([{bands_sql}], recursive := true)
+          FROM sim),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                          a.simhash AS fp_a, b.simhash AS fp_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(fp_a, fp_b)) <= {HAM_MAX}
+        ORDER BY id_a, id_b
+    """
+
+
+register(
+    QuerySpec(
+        "x141_simhash_hamming_pairs",
+        x141_simhash_hamming_pairs,
+        _x141_sql(),
+        "SimHash hamming-radius pair join via bit-band bucketing (pigeonhole-complete)",
+    )
+)

@@ -424,3 +424,30 @@ def test_prefix_filter_join_loses_no_pairs(spark, sf_dir):
         if PPJ_DEN * r.n_inter >= PPJ_NUM * union:
             brute[(r.id_a, r.id_b)] = r.n_inter
     assert got == brute and len(brute) > 0
+
+
+def test_simhash_hamming_pairs_complete(spark, sf_dir):
+    """x141's structural guarantee: with 4 bands and HAM_MAX=3 flips,
+    at least one band is untouched, so band bucketing must find EXACTLY
+    the pairs a brute-force all-pairs hamming scan finds."""
+    from itertools import combinations
+
+    from json_to_parquet_spark.queries.dedup import (
+        HAM_MAX,
+        x69_simhash_arith,
+    )
+
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in registry()["x141_simhash_hamming_pairs"].spark(spark, sf_dir).collect()
+    }
+    fps = {
+        r.doc_id: r.simhash
+        for r in x69_simhash_arith(spark, sf_dir).collect()
+    }
+    brute = {}
+    for a, b in combinations(sorted(fps), 2):
+        h = bin(fps[a] ^ fps[b]).count("1")
+        if h <= HAM_MAX:
+            brute[(a, b)] = h
+    assert got == brute
