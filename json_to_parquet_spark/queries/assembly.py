@@ -1005,3 +1005,92 @@ register(
         "late-data loss per candidate watermark delay (streaming-config budget)",
     )
 )
+
+
+# --- x142: event-volume anomaly flags (median/MAD on hourly counts) ----------
+ANOM_K = 3  # flag hours beyond K MADs from the median
+
+
+def x142_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-health monitor on VOLUME rather than values (x64's MAD
+    flags outlier values; this flags outlier hours): bucket the event
+    log into per-(type, hour) counts, take the per-type median and MAD
+    of those counts by discrete rank selection (the x135 technique —
+    integer selection, no interpolation, cross-engine exact), and count
+    hours beyond K MADs — the alert that catches a feed silently
+    doubling or going dark.  The corpus-sized work is one keyed count;
+    both robust statistics run on the hours-x-types frame."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wt = Window.partitionBy("event_type")
+    r1 = hourly.withColumn(
+        "rn", F.row_number().over(wt.orderBy("cnt", "h"))
+    ).withColumn("n", F.count(F.lit(1)).over(wt))
+    med = (
+        r1.filter(F.col("rn") == F.ceil(F.col("n") / 2))
+        .select("event_type", F.col("cnt").alias("med"))
+    )
+    dev = r1.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cnt") - F.col("med"))
+    )
+    r2 = dev.withColumn("rn2", F.row_number().over(wt.orderBy("adev", "h")))
+    mad = (
+        r2.filter(F.col("rn2") == F.ceil(F.col("n") / 2))
+        .select("event_type", F.col("adev").alias("mad"))
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type").withColumn(
+        "anom", F.col("adev") > ANOM_K * F.greatest(F.col("mad"), F.lit(1))
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.min("med").cast("long").alias("median_cnt"),
+            F.min("mad").cast("long").alias("mad_cnt"),
+            F.sum(F.col("anom").cast("long")).cast("long").alias("n_anomalous"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    QuerySpec(
+        "x142_volume_anomaly",
+        x142_volume_anomaly,
+        f"""
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        r1 AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY cnt, h) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM hourly),
+        med AS (
+          SELECT event_type, cnt AS med FROM r1 WHERE rn = CEIL(n / 2.0)),
+        dev AS (
+          SELECT r1.event_type, r1.h, r1.cnt, r1.n, ABS(r1.cnt - med.med) AS adev,
+                 med.med
+          FROM r1 JOIN med USING (event_type)),
+        r2 AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY adev, h) AS rn2
+          FROM dev),
+        mad AS (
+          SELECT event_type, adev AS mad FROM r2 WHERE rn2 = CEIL(n / 2.0))
+        SELECT d.event_type AS event_type,
+               COUNT(*) AS n_hours,
+               CAST(MIN(d.med) AS BIGINT) AS median_cnt,
+               CAST(MIN(m.mad) AS BIGINT) AS mad_cnt,
+               CAST(SUM(CASE WHEN d.adev > {ANOM_K} * greatest(m.mad, 1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous
+        FROM dev d JOIN mad m USING (event_type)
+        GROUP BY 1 ORDER BY event_type
+        """,
+        "hourly event-volume anomaly flags via rank-selected median/MAD",
+    )
+)
