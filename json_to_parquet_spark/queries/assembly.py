@@ -1094,3 +1094,80 @@ register(
         "hourly event-volume anomaly flags via rank-selected median/MAD",
     )
 )
+
+
+# --- x143: effective dataset size under duplicate weighting ------------------
+def x143_effective_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"How big is my dataset really": weight every document by the
+    reciprocal of its exact-duplicate multiplicity (the doubled corpus
+    guarantees multiplicity 2+) and report, per source, raw vs
+    effective document and token counts — the honest denominator for
+    epoch math and mixture weights after x01/x02-style dedup decides
+    what survives.  One content-keyed count (the dedup shuffle), one
+    multiplicity join back, one source rollup; weights are
+    ROUND(1/n, 6) then decimal-summed (helpers rules 1+3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    doubled = docs.unionAll(
+        docs.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            *[c for c in docs.columns if c != "doc_id"],
+        )
+    )
+    base = doubled.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text")).alias("content_key"),
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+    )
+    mult = base.groupBy("content_key").agg(F.count(F.lit(1)).alias("n_copies"))
+    weighted = base.join(mult, "content_key").select(
+        "source",
+        "n_toks",
+        F.round(F.lit(1.0) / F.col("n_copies"), 6).alias("w"),
+    )
+    return (
+        weighted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("raw_docs"),
+            F.sum(F.col("w").cast("decimal(30,10)")).cast("double").alias(
+                "effective_docs"
+            ),
+            F.sum("n_toks").cast("long").alias("raw_tokens"),
+            F.sum((F.col("w") * F.col("n_toks")).cast("decimal(30,10)"))
+            .cast("double")
+            .alias("effective_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    QuerySpec(
+        "x143_effective_size",
+        x143_effective_size,
+        """
+        WITH doubled AS (
+          SELECT doc_id, text, source FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text, source FROM documents),
+        base AS (
+          SELECT doc_id, source, md5(text) AS content_key,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+          FROM doubled),
+        mult AS (
+          SELECT content_key, COUNT(*) AS n_copies FROM base GROUP BY 1),
+        weighted AS (
+          SELECT b.source, b.n_toks,
+                 ROUND(CAST(1.0 AS DOUBLE) / m.n_copies, 6) AS w
+          FROM base b JOIN mult m USING (content_key))
+        SELECT source, COUNT(*) AS raw_docs,
+               CAST(CAST(SUM(CAST(w AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+                   AS effective_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS raw_tokens,
+               CAST(CAST(SUM(CAST(w * n_toks AS DECIMAL(30,10))) AS VARCHAR)
+                    AS DOUBLE) AS effective_tokens
+        FROM weighted GROUP BY 1 ORDER BY source
+        """,
+        "raw vs duplicate-weighted effective dataset size per source",
+    )
+)
