@@ -1171,3 +1171,88 @@ register(
         "raw vs duplicate-weighted effective dataset size per source",
     )
 )
+
+
+# --- x144: contrastive training-pair construction ----------------------------
+def x144_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive-learning triplets: for every anchor
+    document, a POSITIVE built by augmentation (the first-half token
+    crop — the standard "two views of one doc" trick) and a NEGATIVE
+    drawn from a different hash bucket of the same language (semantically
+    unrelated, topic-matched).  No RNG anywhere: the crop is a pure
+    projection and the negative assignment routes through a
+    (lang, bucket) lookup frame of at most langs x 100 rows, broadcast —
+    so the same triplets regenerate on any cluster, which is what makes
+    a contrastive dataset reproducible and resumable.  Output carries
+    digests, not text, so the gate compares content identity exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    crop = F.concat_ws(
+        " ", F.slice(toks, 1, F.ceil(F.size(toks) / 2).cast("int"))
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        _bucket100(F.col("doc_id").cast("string")).alias("bkt"),
+        F.md5(F.col("text")).alias("anchor_md5"),
+        F.md5(crop).alias("pos_md5"),
+    )
+    reps = (
+        base.groupBy("lang", "bkt")
+        .agg(F.min("doc_id").alias("neg_id"))
+        .select(
+            F.col("lang").alias("neg_lang"),
+            F.col("bkt").alias("neg_bkt"),
+            "neg_id",
+        )
+    )
+    neg_key = (F.col("bkt") + 50) % 100
+    paired = base.join(
+        F.broadcast(reps),
+        (F.col("lang") == F.col("neg_lang")) & (neg_key == F.col("neg_bkt")),
+    ).select(
+        "lang",
+        F.col("doc_id").alias("anchor_id"),
+        "anchor_md5",
+        "pos_md5",
+        "neg_id",
+    )
+    negs = base.select(
+        F.col("doc_id").alias("neg_id"), F.col("anchor_md5").alias("neg_md5")
+    )
+    return (
+        paired.join(F.broadcast(negs), "neg_id")
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+        .select("anchor_id", "lang", "anchor_md5", "pos_md5", "neg_id", "neg_md5")
+        .orderBy("anchor_id")
+    )
+
+
+register(
+    QuerySpec(
+        "x144_contrastive_pairs",
+        x144_contrastive_pairs,
+        f"""
+        WITH base AS (
+          SELECT doc_id, lang,
+                 {_sql_bucket100("CAST(doc_id AS VARCHAR)")} AS bkt,
+                 md5(text) AS anchor_md5,
+                 md5(array_to_string(
+                     string_split(text, ' ')[1:CAST(CEIL(len(string_split(text, ' '))
+                                                         / 2.0) AS BIGINT)],
+                     ' ')) AS pos_md5
+          FROM documents),
+        reps AS (
+          SELECT lang, bkt AS neg_bkt, MIN(doc_id) AS neg_id
+          FROM base GROUP BY 1, 2)
+        SELECT b.doc_id AS anchor_id, b.lang AS lang, b.anchor_md5, b.pos_md5,
+               r.neg_id, n.anchor_md5 AS neg_md5
+        FROM base b
+        JOIN reps r ON b.lang = r.lang AND (b.bkt + 50) % 100 = r.neg_bkt
+        JOIN base n ON n.doc_id = r.neg_id
+        WHERE r.neg_id <> b.doc_id
+        ORDER BY anchor_id
+        """,
+        "deterministic contrastive triplets: crop positive + hash-bucket negative",
+    )
+)
