@@ -5,8 +5,11 @@ pairs (x125), quality-ordered token-budget selection (x126), the
 deletion-request forget cascade (x127), the sort-free budget threshold
 sweep (x128 — x126's scale path, made checkable), the vocabulary-size
 coverage curve (x129), the mergeable-statistics cross-check (x130),
-the snapshot-over-snapshot token-drift monitor (x134), and the
-k-anonymity release audit (x136).  The reference
+the snapshot-over-snapshot token-drift monitor (x134), the
+k-anonymity release audit (x136), the watermark-delay late-data sweep
+(x140), the hourly volume-anomaly monitor (x142), the
+duplicate-weighted effective-size readout (x143), and deterministic
+contrastive-triplet construction (x144).  The reference
 (`/root/reference/pyarrow/main.py`) has no dataset-assembly surface;
 these are driver-mandated LLM-pipeline operators (repo:BASELINE.json
 north_star) — the planning/governance half that sits AROUND the
@@ -53,6 +56,13 @@ Scale shapes:
 - x136 is two bounded-key aggregations (quasi-identifier group sizes,
   then the per-language risk rollup); the release decision consumes
   group sizes only, so nothing row-granular leaves the executors.
+- x140's watermark state lives on the arrival-window frame
+  (timespan/10 min rows), never a global ordering of the log.
+- x142's robust statistics run on the hours x types frame after one
+  keyed count of the raw log.
+- x143 shuffles the content key once; multiplicities join back by key.
+- x144's negative assignment routes through a broadcastable
+  (lang, bucket) representative frame — no RNG, no self-join.
 
 Determinism per helpers.py: md5-bucket sampling (the x25 pattern —
 stable across runs, engines, partitionings); ROUND-then-decimal-sum
