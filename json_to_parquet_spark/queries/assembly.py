@@ -1266,3 +1266,85 @@ register(
         "deterministic contrastive triplets: crop positive + hash-bucket negative",
     )
 )
+
+
+# --- x145: language-profile similarity matrix --------------------------------
+def x145_lang_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How close the languages in the corpus are, as data: cosine
+    similarity between per-language CHARACTER-trigram count vectors —
+    the comparability matrix behind transfer/mixing decisions (and the
+    sanity check that the langid field actually separates the corpus).
+    Group-level profiles first (corpus-sized work is one
+    (lang, gram)-keyed count), then the 5x5 matrix forms on the
+    profile frame: gram-keyed self-join bounded by langs² per gram.
+    Weights are exact integer counts; only the final cosine divides
+    (ROUND-then-decimal-sum per helpers rules 1+3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 2),
+                lambda i: F.col("text").substr(i, F.lit(3)),
+            )
+        ).alias("g"),
+    )
+    prof = grams.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("c"))
+    norm = prof.groupBy("lang").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("nrm")
+    )
+    a, b = prof.alias("a"), prof.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.lang") < F.col("b.lang")),
+        )
+        .groupBy(
+            F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b")
+        )
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).cast("long").alias("dot"))
+    )
+    na = norm.select(F.col("lang").alias("lang_a"), F.col("nrm").alias("nrm_a"))
+    nb = norm.select(F.col("lang").alias("lang_b"), F.col("nrm").alias("nrm_b"))
+    return (
+        dots.join(F.broadcast(na), "lang_a")
+        .join(F.broadcast(nb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "dot",
+            F.round(
+                F.col("dot").cast("double") / (F.col("nrm_a") * F.col("nrm_b")), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+register(
+    QuerySpec(
+        "x145_lang_similarity",
+        x145_lang_similarity,
+        """
+        WITH grams AS (
+          SELECT lang, unnest([substr(text, i, 3)
+                               FOR i IN generate_series(1, strlen(text) - 2)]) AS g
+          FROM documents),
+        prof AS (SELECT lang, g, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+        nrm AS (SELECT lang, sqrt(CAST(SUM(c * c) AS DOUBLE)) AS nrm
+                FROM prof GROUP BY 1),
+        dots AS (
+          SELECT a.lang AS lang_a, b.lang AS lang_b,
+                 CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+          FROM prof a JOIN prof b ON a.g = b.g AND a.lang < b.lang
+          GROUP BY 1, 2)
+        SELECT lang_a, lang_b, dot,
+               ROUND(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+        FROM dots
+        JOIN nrm na ON na.lang = lang_a
+        JOIN nrm nb ON nb.lang = lang_b
+        ORDER BY lang_a, lang_b
+        """,
+        "language-pair cosine similarity over character-trigram profiles",
+    )
+)
