@@ -732,3 +732,123 @@ register(
         "streaming hive-partitioned parquet sink: exactly-once layout + pruned read-back",
     )
 )
+
+
+# --- x146: append-mode emission schedule, made oracle-able -------------------
+# The module docstring's standing limitation — "which windows a drain
+# emits depends on micro-batch boundaries, which no engine-independent
+# SQL can express" — stops applying when the batch boundaries are
+# DETERMINISTIC and the watermark delay covers the arrival disorder.
+# Each 1-day arrival bucket of a jittered replay becomes exactly one
+# file; files stream in bucket order one per micro-batch; and because
+# the 26 h delay exceeds the replay's maximum event-time disorder
+# (±12.5 h jitter + day-bucket rounding), no row can arrive after its
+# window's state was evicted.  Under that sizing rule Spark's
+# append-mode drain is EXACTLY the batch aggregation restricted to
+# windows closed by the final watermark (global max event time − delay)
+# — each window emitted once, with its full count, zero late loss — and
+# that closed form is the oracle below.  (Measured while building this:
+# an UNDER-sized 2 h delay silently absorbs late rows into still-open
+# state rather than dropping them, so the x140 loss model applies to
+# eviction-lagged arrivals, not to this configuration — sizing the
+# delay from measured disorder is precisely the decision x140 informs.)
+X146_JITTER_STEP_US = 900_000_000  # ±(50 × 15 min) ≈ ±12.5 h arrival disorder
+X146_DAY_US = 86_400_000_000
+X146_DELAY = "26 hours"  # > max disorder → structurally zero late loss
+X146_DELAY_US = 26 * 3_600_000_000
+X146_WIN_US = 3_600_000_000  # 1-hour tumbling windows
+
+
+def x146_stream_watermark_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(GATE_DIR, f"events146_{sf_tag}")
+    ckpt = os.path.join(GATE_DIR, f"ckpt146_{sf_tag}")
+    _fresh(src, ckpt)
+    os.makedirs(src, exist_ok=True)
+
+    # Arrival replay: bucket each event into the day its (jittered)
+    # transport delivery lands in — SAME md5 arithmetic as the oracle.
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    ts_us = F.unix_micros("ts")
+    jitter = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+        - 50
+    ) * F.lit(X146_JITTER_STEP_US)
+    base = ev.select(
+        ts_us.alias("ts_us"),
+        F.floor((ts_us + jitter) / F.lit(X146_DAY_US)).cast("long").alias("bkt"),
+    )
+    # Fixture prep (gate harness, not the operator): materialize one file
+    # per arrival bucket with strictly increasing mtimes so the file
+    # stream delivers exactly one bucket per micro-batch, in order.
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = base.toPandas()  # bounded: the gate's event fixture, not 100 TB
+    t0 = _time.time() - 86_400  # keep well inside maxFileAge
+    for i, bkt in enumerate(sorted(pdf["bkt"].unique())):
+        path = os.path.join(src, f"b{i:06d}.parquet")
+        pq.write_table(
+            pa.table({"ts_us": pdf.loc[pdf["bkt"] == bkt, "ts_us"].to_numpy()}),
+            path,
+        )
+        os.utime(path, (t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema("ts_us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.select(F.timestamp_micros("ts_us").alias("ts"))
+        .withWatermark("ts", X146_DELAY)
+        .groupBy(F.window("ts", "1 hour"))
+        .count()
+    )
+    emitted: list = []
+
+    def collect(batch_df: DataFrame, _bid: int) -> None:
+        emitted.extend(  # append emits each closed window once; bounded
+            (r["window"].start, int(r["count"])) for r in batch_df.collect()
+        )
+
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(collect)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+
+    from datetime import timezone
+
+    rows = [
+        (int(k.replace(tzinfo=timezone.utc).timestamp() * 1_000_000), v)
+        for k, v in emitted
+    ]
+    return spark.createDataFrame(
+        rows, "window_start_us long, n_events long"
+    ).orderBy("window_start_us")
+
+
+register(
+    QuerySpec(
+        "x146_stream_watermark_drops",
+        x146_stream_watermark_drops,
+        f"""
+        WITH b AS (SELECT epoch_us(ts) AS u FROM events),
+        m AS (SELECT MAX(u) AS mx FROM b)
+        SELECT u - u % {X146_WIN_US} AS window_start_us,
+               COUNT(*) AS n_events
+        FROM b, m
+        WHERE u - u % {X146_WIN_US} + {X146_WIN_US} <= mx - {X146_DELAY_US}
+        GROUP BY 1, mx ORDER BY window_start_us
+        """,
+        "append-mode drain under disorder-covering watermark vs closed-window oracle",
+    )
+)

@@ -451,3 +451,24 @@ def test_simhash_hamming_pairs_complete(spark, sf_dir):
         if h <= HAM_MAX:
             brute[(a, b)] = h
     assert got == brute
+
+
+def test_contrastive_triplets_well_formed(spark, sf_dir):
+    """x144: every triplet's positive digest differs from its anchor
+    (the crop is a strict subset), the negative is a different document
+    of the same language, and anchors appear at most once."""
+    from json_to_parquet_spark.sources.catalog import load_table
+
+    rows = registry()["x144_contrastive_pairs"].spark(spark, sf_dir).collect()
+    assert rows
+    langs = {
+        r.doc_id: r.lang
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    }
+    seen = set()
+    for r in rows:
+        assert r.anchor_id not in seen
+        seen.add(r.anchor_id)
+        assert r.pos_md5 != r.anchor_md5
+        assert r.neg_id != r.anchor_id
+        assert langs[r.neg_id] == r.lang
