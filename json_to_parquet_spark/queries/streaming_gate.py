@@ -20,14 +20,16 @@ Both wipe their checkpoint/output dirs per invocation so every gate run
 reprocesses from scratch and is deterministic.
 
 The APPEND-mode emission set of the windowed/stateful aggregation
-operators (streaming/windowed.py, streaming/stateful.py) stays
-pytest-only BY NECESSITY: which windows a drain emits depends on
+operators (streaming/windowed.py, streaming/stateful.py) depends on
 micro-batch boundaries (watermark advances per batch), which no
-engine-independent SQL can express. But the COMPLETE-mode final state
-does not — after an availableNow drain it equals the batch aggregation
-exactly, however the input was batched — so ``x67_stream_window`` runs
-the same windowed operator in complete mode against a batch time-bucket
-oracle, closing the gate gap without faking the append semantics.
+engine-independent SQL can express FOR ARBITRARY BATCHING — so
+``x67_stream_window`` gate-checks the COMPLETE-mode final state (equal
+to the batch aggregation however the input was batched), and
+``x146_stream_watermark_drops`` goes further: it makes the batching
+itself deterministic (one arrival-bucket file per micro-batch) and
+sizes the watermark delay past the arrival disorder, at which point
+the append emission schedule has a closed form (batch aggregation over
+windows closed by the final watermark) and is oracle-checked directly.
 """
 
 from __future__ import annotations
