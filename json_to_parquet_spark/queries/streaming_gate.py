@@ -854,3 +854,139 @@ register(
         "append-mode drain under disorder-covering watermark vs closed-window oracle",
     )
 )
+
+
+# --- x147: outer stream-stream join null-emission, made oracle-able ----------
+# The last un-gated streaming semantics: LEFT OUTER interval joins emit
+# their null-match rows only when state eviction proves a left row
+# matchless.  With deterministic batching (one arrival-day file per
+# micro-batch, in-order) the eviction horizon has a closed form — and
+# measuring it exposed the engine's MULTIPLE-WATERMARK POLICY: the
+# horizon tracks min(max click ts, max purchase ts) − delay (the
+# per-stream watermarks combine with min, Spark's default), NOT the
+# global max.  Calibrated against both sf0.001 and sf0.01 (brackets
+# (2.089h, 2.763h] and the 5.92h sf0.001 horizon both land exactly on
+# the min-watermark prediction); the oracle below encodes it.
+X147_LOOKAHEAD_US = 3_600_000_000  # purchases within [click, click + 1h]
+X147_DELAY_US = 7_200_000_000  # withWatermark 2 hours, both streams
+
+
+def x147_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(GATE_DIR, f"events147_{sf_tag}")
+    ckpt = os.path.join(GATE_DIR, f"ckpt147_{sf_tag}")
+    _fresh(src, ckpt)
+    os.makedirs(src, exist_ok=True)
+
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    pdf = ev.toPandas()  # bounded: the gate's event fixture, not 100 TB
+    day_us = 86_400_000_000
+    pdf["bkt"] = pdf["ts_us"] // day_us
+    t0 = _time.time() - 86_400
+    for i, bkt in enumerate(sorted(pdf["bkt"].unique())):
+        path = os.path.join(src, f"b{i:06d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(
+                pdf.loc[
+                    pdf["bkt"] == bkt,
+                    ["event_id", "user_id", "event_type", "ts_us"],
+                ],
+                preserve_index=False,
+            ),
+            path,
+        )
+        os.utime(path, (t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts_us long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    base = stream.select(
+        "event_id", "user_id", "event_type", F.timestamp_micros("ts_us").alias("ts")
+    )
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purch = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purch,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    )
+    out: list = []
+
+    def collect(batch_df: DataFrame, _bid: int) -> None:
+        out.extend(  # matches + eviction-proven null rows; bounded
+            (int(r["c_id"]), None if r["p_id"] is None else int(r["p_id"]))
+            for r in batch_df.collect()
+        )
+
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(collect)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(900)
+    return spark.createDataFrame(out, "c_id long, p_id long").orderBy(
+        "c_id", "p_id"
+    )
+
+
+register(
+    QuerySpec(
+        "x147_stream_outer_join",
+        x147_stream_outer_join,
+        f"""
+        WITH e AS (
+          SELECT event_id, user_id, event_type, epoch_us(ts) AS u FROM events),
+        c AS (SELECT event_id AS c_id, user_id, u AS cu FROM e
+              WHERE event_type = 'click'),
+        p AS (SELECT event_id AS p_id, user_id, u AS pu FROM e
+              WHERE event_type = 'purchase'),
+        wm AS (
+          SELECT least(MAX(CASE WHEN event_type = 'click' THEN u END),
+                       MAX(CASE WHEN event_type = 'purchase' THEN u END))
+                 - {X147_DELAY_US} AS horizon
+          FROM e),
+        m AS (
+          SELECT c.c_id, p.p_id FROM c JOIN p USING (user_id)
+          WHERE p.pu BETWEEN c.cu AND c.cu + {X147_LOOKAHEAD_US})
+        SELECT c_id, p_id FROM m
+        UNION ALL
+        SELECT c.c_id, CAST(NULL AS BIGINT) AS p_id
+        FROM c, wm
+        WHERE c.c_id NOT IN (SELECT c_id FROM m)
+          AND c.cu + {X147_LOOKAHEAD_US} < wm.horizon
+        ORDER BY c_id, p_id
+        """,
+        "outer stream-stream interval join: null emission per the min-watermark policy",
+    )
+)
