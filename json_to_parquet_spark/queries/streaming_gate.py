@@ -990,3 +990,66 @@ register(
         "outer stream-stream interval join: null emission per the min-watermark policy",
     )
 )
+
+
+# --- x148: custom stateful operator (applyInPandasWithState) under the gate --
+def x148_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The arbitrary-stateful API gate-checked: streaming/stateful.py's
+    ``applyInPandasWithState`` per-user running totals drained over a
+    multi-batch file stream; the LAST emission per user must equal the
+    batch aggregate — the across-micro-batch state-accumulation contract.
+    The gate output carries the exact-integer state fields (event count,
+    max event-time micros); the operator's float running sum stays
+    pytest-covered (its accumulation order is arrival-dependent by
+    nature, exactly what helpers rule 1 exists to avoid in gate
+    outputs).  transformWithStateInPandas — the successor API — is
+    environment-blocked here (no protobuf in this container) and stays a
+    declared pytest skip."""
+    from ..streaming.stateful import running_user_totals
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(GATE_DIR, f"events148_{sf_tag}")
+    ckpt = os.path.join(GATE_DIR, f"ckpt148_{sf_tag}")
+    _fresh(src, ckpt)
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value", "ts")
+    ev.repartitionByRange(4, "ts").write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, value double, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    final: dict = {}
+
+    def upsert(batch_df: DataFrame, _bid: int) -> None:
+        for r in batch_df.collect():  # one row per user per batch; bounded
+            final[r["user_id"]] = (int(r["n_events"]), int(r["last_seen_us"]))
+
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    rows = [(int(u), n, us) for u, (n, us) in final.items()]
+    return spark.createDataFrame(
+        rows, "user_id long, n_events long, last_seen_us long"
+    ).orderBy("user_id")
+
+
+register(
+    QuerySpec(
+        "x148_stream_custom_state",
+        x148_stream_custom_state,
+        """
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_seen_us
+        FROM events GROUP BY 1 ORDER BY user_id
+        """,
+        "applyInPandasWithState running totals: final state vs batch aggregate",
+    )
+)
