@@ -678,3 +678,44 @@ register(
         "histogram-based join cardinality estimate vs exact (selectivity eval)",
     )
 )
+
+
+# --- x149: hidden _metadata file audit ---------------------------------------
+def x149_file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-layout audit through Spark's hidden ``_metadata`` file
+    column: per date partition of the x96 layout, how many rows and how
+    many DISTINCT physical files serve them.  ``repartition("d")``
+    guarantees exactly one file per partition directory (the layout
+    invariant a daily ingest must keep to avoid the small-files failure
+    mode), so the oracle is closed-form: original per-day counts with
+    n_files = 1.  If a layout change ever splinters a partition into
+    multiple files, this gate row is what breaks.  The ``_metadata``
+    access costs nothing extra — the file path rides along with each
+    scan task; no listing job, no footer reads."""
+    ev = spark.read.parquet(events_partitioned_path(spark, sf_dir))
+    return (
+        ev.select(
+            F.col("d").cast("string").alias("d"),
+            F.col("_metadata.file_path").alias("fp"),
+        )
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("fp").cast("long").alias("n_files"),
+        )
+        .orderBy("d")
+    )
+
+
+register(
+    QuerySpec(
+        "x149_file_metadata_audit",
+        x149_file_metadata_audit,
+        """
+        SELECT strftime(ts, '%Y-%m-%d') AS d, COUNT(*) AS n_rows,
+               CAST(1 AS BIGINT) AS n_files
+        FROM events GROUP BY 1 ORDER BY d
+        """,
+        "per-partition row/file audit via the hidden _metadata column",
+    )
+)
