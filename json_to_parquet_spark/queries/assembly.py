@@ -1184,6 +1184,7 @@ register(
 
 
 # --- x144: contrastive training-pair construction ----------------------------
+NEG_BUCKET_OFFSET = 50  # negative = representative of bucket (b+50) % 100
 def x144_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contrastive-learning triplets: for every anchor
     document, a POSITIVE built by augmentation (the first-half token
@@ -1216,7 +1217,7 @@ def x144_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neg_id",
         )
     )
-    neg_key = (F.col("bkt") + 50) % 100
+    neg_key = (F.col("bkt") + NEG_BUCKET_OFFSET) % 100
     paired = base.join(
         F.broadcast(reps),
         (F.col("lang") == F.col("neg_lang")) & (neg_key == F.col("neg_bkt")),
@@ -1258,7 +1259,7 @@ register(
         SELECT b.doc_id AS anchor_id, b.lang AS lang, b.anchor_md5, b.pos_md5,
                r.neg_id, n.anchor_md5 AS neg_md5
         FROM base b
-        JOIN reps r ON b.lang = r.lang AND (b.bkt + 50) % 100 = r.neg_bkt
+        JOIN reps r ON b.lang = r.lang AND (b.bkt + {NEG_BUCKET_OFFSET}) % 100 = r.neg_bkt
         JOIN base n ON n.doc_id = r.neg_id
         WHERE r.neg_id <> b.doc_id
         ORDER BY anchor_id
@@ -1269,6 +1270,7 @@ register(
 
 
 # --- x145: language-profile similarity matrix --------------------------------
+LANG_GRAM_W = 3  # character n-gram width, shared with the SQL oracle
 def x145_lang_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How close the languages in the corpus are, as data: cosine
     similarity between per-language CHARACTER-trigram count vectors —
@@ -1284,8 +1286,8 @@ def x145_lang_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.length("text") - 2),
-                lambda i: F.col("text").substr(i, F.lit(3)),
+                F.sequence(F.lit(1), F.length("text") - (LANG_GRAM_W - 1)),
+                lambda i: F.col("text").substr(i, F.lit(LANG_GRAM_W)),
             )
         ).alias("g"),
     )
@@ -1325,10 +1327,11 @@ register(
     QuerySpec(
         "x145_lang_similarity",
         x145_lang_similarity,
-        """
+        f"""
         WITH grams AS (
-          SELECT lang, unnest([substr(text, i, 3)
-                               FOR i IN generate_series(1, strlen(text) - 2)]) AS g
+          SELECT lang, unnest([substr(text, i, {LANG_GRAM_W})
+                               FOR i IN generate_series(1, strlen(text)
+                                                           - {LANG_GRAM_W - 1})]) AS g
           FROM documents),
         prof AS (SELECT lang, g, COUNT(*) AS c FROM grams GROUP BY 1, 2),
         nrm AS (SELECT lang, sqrt(CAST(SUM(c * c) AS DOUBLE)) AS nrm

@@ -548,7 +548,13 @@ def x131_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's epoch-aligned window assignment with integer micro
     arithmetic: starts = {t - t%slide, t - t%slide - slide}."""
     ev = _t(spark, sf_dir, "events")
-    win = F.window("ts", "10 minutes", "5 minutes")
+    # window strings derived from the shared constants so one retune
+    # moves the Spark side and the oracle together (ADVICE r3 x81 rule)
+    win = F.window(
+        "ts",
+        f"{HOP_WIDTH_US // 60_000_000} minutes",
+        f"{HOP_SLIDE_US // 60_000_000} minutes",
+    )
     return (
         ev.groupBy(win.alias("w"), "event_type")
         .agg(

@@ -756,8 +756,9 @@ register(
 # delay from measured disorder is precisely the decision x140 informs.)
 X146_JITTER_STEP_US = 900_000_000  # ±(50 × 15 min) ≈ ±12.5 h arrival disorder
 X146_DAY_US = 86_400_000_000
-X146_DELAY = "26 hours"  # > max disorder → structurally zero late loss
-X146_DELAY_US = 26 * 3_600_000_000
+X146_DELAY_H = 26  # > max disorder → structurally zero late loss
+X146_DELAY = f"{X146_DELAY_H} hours"
+X146_DELAY_US = X146_DELAY_H * 3_600_000_000
 X146_WIN_US = 3_600_000_000  # 1-hour tumbling windows
 
 
@@ -867,8 +868,10 @@ register(
 # global max.  Calibrated against both sf0.001 and sf0.01 (brackets
 # (2.089h, 2.763h] and the 5.92h sf0.001 horizon both land exactly on
 # the min-watermark prediction); the oracle below encodes it.
-X147_LOOKAHEAD_US = 3_600_000_000  # purchases within [click, click + 1h]
-X147_DELAY_US = 7_200_000_000  # withWatermark 2 hours, both streams
+X147_LOOKAHEAD_H = 1  # purchases within [click, click + 1h]
+X147_LOOKAHEAD_US = X147_LOOKAHEAD_H * 3_600_000_000
+X147_DELAY_H = 2  # withWatermark, both streams
+X147_DELAY_US = X147_DELAY_H * 3_600_000_000
 
 
 def x147_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -921,7 +924,7 @@ def x147_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").alias("c_user"),
             F.col("ts").alias("c_ts"),
         )
-        .withWatermark("c_ts", "2 hours")
+        .withWatermark("c_ts", f"{X147_DELAY_H} hours")
     )
     purch = (
         base.filter(F.col("event_type") == "purchase")
@@ -930,13 +933,16 @@ def x147_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").alias("p_user"),
             F.col("ts").alias("p_ts"),
         )
-        .withWatermark("p_ts", "2 hours")
+        .withWatermark("p_ts", f"{X147_DELAY_H} hours")
     )
     joined = clicks.join(
         purch,
         (F.col("c_user") == F.col("p_user"))
         & (F.col("p_ts") >= F.col("c_ts"))
-        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        & (
+            F.col("p_ts")
+            <= F.col("c_ts") + F.expr(f"INTERVAL {X147_LOOKAHEAD_H} HOUR")
+        ),
         "leftOuter",
     )
     out: list = []
