@@ -1282,15 +1282,17 @@ def x145_lang_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Weights are exact integer counts; only the final cosine divides
     (ROUND-then-decimal-sum per helpers rules 1+3)."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "lang",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("text") - (LANG_GRAM_W - 1)),
-                lambda i: F.col("text").substr(i, F.lit(LANG_GRAM_W)),
-            )
-        ).alias("g"),
-    )
+    # Guard the gram array for sub-width docs: Spark's descending-default
+    # sequence(1, 0) would fabricate windows while DuckDB's
+    # generate_series(1, 0) is empty — the ADVICE-r3 x78 divergence class.
+    grams_arr = F.when(
+        F.length("text") >= LANG_GRAM_W,
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - (LANG_GRAM_W - 1)),
+            lambda i: F.col("text").substr(i, F.lit(LANG_GRAM_W)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select("lang", F.explode(grams_arr).alias("g"))
     prof = grams.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("c"))
     norm = prof.groupBy("lang").agg(
         F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("nrm")
