@@ -1195,7 +1195,13 @@ def x144_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, bucket) lookup frame of at most langs x 100 rows, broadcast —
     so the same triplets regenerate on any cluster, which is what makes
     a contrastive dataset reproducible and resumable.  Output carries
-    digests, not text, so the gate compares content identity exactly."""
+    digests, not text, so the gate compares content identity exactly.
+
+    Coverage is honest, not padded: an anchor whose (lang, bucket+50)
+    cell is empty yields no triplet (338/500 anchors at sf0.01) — at
+    corpus scale every cell is populated and coverage is total; a
+    production variant would fall back to the nearest non-empty
+    bucket."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     crop = F.concat_ws(
