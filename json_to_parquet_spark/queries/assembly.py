@@ -8,8 +8,9 @@ coverage curve (x129), the mergeable-statistics cross-check (x130),
 the snapshot-over-snapshot token-drift monitor (x134), the
 k-anonymity release audit (x136), the watermark-delay late-data sweep
 (x140), the hourly volume-anomaly monitor (x142), the
-duplicate-weighted effective-size readout (x143), and deterministic
-contrastive-triplet construction (x144).  The reference
+duplicate-weighted effective-size readout (x143), deterministic
+contrastive-triplet construction (x144), and the language-pair
+char-trigram similarity matrix (x145).  The reference
 (`/root/reference/pyarrow/main.py`) has no dataset-assembly surface;
 these are driver-mandated LLM-pipeline operators (repo:BASELINE.json
 north_star) — the planning/governance half that sits AROUND the
