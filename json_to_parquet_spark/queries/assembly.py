@@ -1360,3 +1360,112 @@ register(
         "language-pair cosine similarity over character-trigram profiles",
     )
 )
+
+
+# --- x150: deterministic bootstrap confidence intervals ----------------------
+BOOT_REPLICAS = 20
+# hash-bucket thresholds approximating Poisson(1) draw counts
+# (P(0)≈.37, P(1)≈.37, else 2) — the Poisson bootstrap's per-row weight,
+# derandomized so every engine and every rerun draws the same resamples.
+BOOT_P0, BOOT_P1 = 37, 74
+
+
+def x150_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncertainty quantification for corpus metrics without RNG state:
+    a Poisson bootstrap of the per-type mean event value, with each
+    row's per-replica weight drawn from md5(event_id # replica) buckets
+    instead of a random stream.  The replica band (min..max of 20
+    replica means) is the error bar a dashboard should print next to
+    any sampled metric; derandomizing the draws is what makes the band
+    reproducible across engines, reruns, and partitionings — the same
+    property the x25 split and x123 epoch plan rely on.
+
+    Scale: one ×B explode + a (type, replica)-keyed aggregate (types×B
+    groups) + a type-keyed rollup.  Weighted sums go through decimals
+    (helpers rule 1: w·value is row-local IEEE, the SUM is the
+    order-sensitive step); replica means ROUND(·,6) before min/max."""
+    ev = load_table(spark, sf_dir, "events")
+    reps = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.explode(F.sequence(F.lit(1), F.lit(BOOT_REPLICAS))).alias("b"),
+    )
+    draw = _bucket100(
+        F.concat_ws("#", F.col("event_id").cast("string"), F.col("b").cast("string"))
+    )
+    w = (
+        F.when(draw < BOOT_P0, F.lit(0))
+        .when(draw < BOOT_P1, F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("long")
+    )
+    per_rep = (
+        reps.select("event_type", "b", w.alias("w"), (w * F.col("value")).alias("wv"))
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum("w").cast("long").alias("n_w"),
+            F.sum(F.col("wv").cast("decimal(30,10)")).cast("double").alias("s_wv"),
+        )
+        .select(
+            "event_type",
+            F.round(F.col("s_wv") / F.col("n_w").cast("double"), 6).alias("m"),
+        )
+    )
+    full = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_full"),
+    )
+    band = per_rep.groupBy("event_type").agg(
+        F.min("m").alias("ci_lo"),
+        F.max("m").alias("ci_hi"),
+        F.count(F.lit(1)).cast("long").alias("n_replicas"),
+    )
+    return (
+        full.join(band, "event_type")
+        .select("event_type", "n", "mean_full", "ci_lo", "ci_hi", "n_replicas")
+        .orderBy("event_type")
+    )
+
+
+register(
+    QuerySpec(
+        "x150_bootstrap_ci",
+        x150_bootstrap_ci,
+        f"""
+        WITH reps AS (
+          SELECT event_id, event_type, value, UNNEST(generate_series(1,
+                     {BOOT_REPLICAS})) AS b
+          FROM events),
+        wts AS (
+          SELECT event_type, b, value,
+                 CASE WHEN {_sql_bucket100("CAST(event_id AS VARCHAR) || '#' || CAST(b AS VARCHAR)")}
+                          < {BOOT_P0} THEN 0
+                      WHEN {_sql_bucket100("CAST(event_id AS VARCHAR) || '#' || CAST(b AS VARCHAR)")}
+                          < {BOOT_P1} THEN 1
+                      ELSE 2 END AS w
+          FROM reps),
+        per_rep AS (
+          SELECT event_type, b,
+                 ROUND(CAST(CAST(SUM(CAST(w * value AS DECIMAL(30,10)))
+                            AS VARCHAR) AS DOUBLE)
+                       / SUM(w), 6) AS m
+          FROM wts GROUP BY 1, 2),
+        fullm AS (
+          SELECT event_type, COUNT(*) AS n,
+                 ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR)
+                            AS DOUBLE) / COUNT(*), 6) AS mean_full
+          FROM events GROUP BY 1)
+        SELECT f.event_type AS event_type, f.n, f.mean_full,
+               MIN(p.m) AS ci_lo, MAX(p.m) AS ci_hi,
+               CAST(COUNT(*) AS BIGINT) AS n_replicas
+        FROM fullm f JOIN per_rep p USING (event_type)
+        GROUP BY 1, 2, 3 ORDER BY event_type
+        """,
+        "derandomized Poisson-bootstrap band for per-type mean value",
+    )
+)

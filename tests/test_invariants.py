@@ -472,3 +472,15 @@ def test_contrastive_triplets_well_formed(spark, sf_dir):
         assert r.pos_md5 != r.anchor_md5
         assert r.neg_id != r.anchor_id
         assert langs[r.neg_id] == r.lang
+
+
+def test_bootstrap_band_contains_full_mean(spark, sf_dir):
+    """x150: every replica band must bracket the full-sample mean, use
+    all replicas, and have positive width (the draws are not all
+    identical)."""
+    rows = registry()["x150_bootstrap_ci"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_replicas == 20
+        assert r.ci_lo <= r.mean_full <= r.ci_hi
+        assert r.ci_hi > r.ci_lo
