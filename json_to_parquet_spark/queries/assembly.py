@@ -1469,3 +1469,69 @@ register(
         "derandomized Poisson-bootstrap band for per-type mean value",
     )
 )
+
+
+# --- x151: leave-one-source-out influence ------------------------------------
+def x151_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which source moves the corpus metric: the jackknife
+    leave-one-source-out mean of document token counts, computed purely
+    from per-source partials — LOO_mean(s) = (S − S_s) / (N − n_s) —
+    so the sensitivity audit costs ONE aggregation, not one rescan per
+    source.  The x130 mergeability algebra applied in reverse:
+    subtracting a partial is as exact as adding one.  Influence ranks
+    tell a curator which source to investigate when the corpus metric
+    shifts."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source", F.size(F.split("text", " ")).cast("long").alias("n_toks")
+    )
+    per_src = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.sum("n_toks").cast("long").alias("s_s"),
+    )
+    totals = per_src.agg(
+        F.sum("n_s").cast("long").alias("n_tot"),
+        F.sum("s_s").cast("long").alias("s_tot"),
+    )
+    full_mean = F.round(F.col("s_tot").cast("double") / F.col("n_tot"), 6)
+    loo_mean = F.round(
+        (F.col("s_tot") - F.col("s_s")).cast("double")
+        / (F.col("n_tot") - F.col("n_s")),
+        6,
+    )
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_s",
+            full_mean.alias("mean_full"),
+            loo_mean.alias("mean_loo"),
+            F.round(loo_mean - full_mean, 6).alias("influence"),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    QuerySpec(
+        "x151_source_influence",
+        x151_source_influence,
+        """
+        WITH b AS (
+          SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+          FROM documents),
+        per_src AS (
+          SELECT source, COUNT(*) AS n_s, CAST(SUM(n_toks) AS BIGINT) AS s_s
+          FROM b GROUP BY 1),
+        t AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_tot,
+                     CAST(SUM(s_s) AS BIGINT) AS s_tot FROM per_src)
+        SELECT source, n_s,
+               ROUND(CAST(s_tot AS DOUBLE) / n_tot, 6) AS mean_full,
+               ROUND(CAST(s_tot - s_s AS DOUBLE) / (n_tot - n_s), 6) AS mean_loo,
+               ROUND(ROUND(CAST(s_tot - s_s AS DOUBLE) / (n_tot - n_s), 6)
+                     - ROUND(CAST(s_tot AS DOUBLE) / n_tot, 6), 6) AS influence
+        FROM per_src, t ORDER BY source
+        """,
+        "jackknife leave-one-source-out influence on the corpus token mean",
+    )
+)

@@ -170,6 +170,7 @@ _BNLJ_ALLOWED = {
     "x134_token_drift",  # 1-row snapshot-totals frame broadcast
     "x138_equidepth_histogram",  # 1-row row-count frame broadcast
     "x139_join_cardinality_eval",  # 1-row row-count frame broadcast
+    "x151_source_influence",  # 1-row corpus-totals frame broadcast
 }
 
 
