@@ -1535,3 +1535,94 @@ register(
         "jackknife leave-one-source-out influence on the corpus token mean",
     )
 )
+
+
+# --- x152: token-weighted median document length -----------------------------
+def x152_weighted_median_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where the TOKEN MASS lives, per language: the token-weighted
+    median document length — the length L such that half the language's
+    tokens come from documents of length ≤ L — alongside the plain
+    doc-count median.  Sequence-length planning reads the weighted one
+    (batches are built from tokens, not documents); a long-document tail
+    moves it far above the count median.  Both are discrete
+    rank/threshold selections over cumulative sums in (length, doc_id)
+    order (the x135 no-interpolation rule), one lang-keyed window."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("len"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("len", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("lang")
+    cum = base.select(
+        "lang",
+        "len",
+        F.sum("len").over(w).alias("cum_toks"),
+        F.row_number().over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("rn"),
+        F.sum("len").over(wt).alias("tot_toks"),
+        F.count(F.lit(1)).over(wt).alias("n_docs"),
+    )
+    # first row where the cumulative crosses half the mass / half the count
+    wmed = (
+        cum.filter(F.col("cum_toks") * 2 >= F.col("tot_toks"))
+        .groupBy("lang")
+        .agg(F.min("len").cast("long").alias("weighted_median_len"))
+    )
+    cmed = (
+        cum.filter(F.col("rn") * 2 >= F.col("n_docs"))
+        .groupBy("lang")
+        .agg(F.min("len").cast("long").alias("count_median_len"))
+    )
+    stats = base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("len").cast("long").alias("total_tokens"),
+    )
+    return (
+        stats.join(cmed, "lang")
+        .join(wmed, "lang")
+        .select(
+            "lang", "n_docs", "total_tokens", "count_median_len", "weighted_median_len"
+        )
+        .orderBy("lang")
+    )
+
+
+register(
+    QuerySpec(
+        "x152_weighted_median_len",
+        x152_weighted_median_len,
+        """
+        WITH b AS (
+          SELECT lang, doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+          FROM documents),
+        c AS (
+          SELECT lang, len,
+                 SUM(len) OVER (PARTITION BY lang ORDER BY len, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_toks,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY len, doc_id) AS rn,
+                 SUM(len) OVER (PARTITION BY lang) AS tot_toks,
+                 COUNT(*) OVER (PARTITION BY lang) AS n_docs
+          FROM b),
+        wmed AS (
+          SELECT lang, CAST(MIN(len) AS BIGINT) AS weighted_median_len
+          FROM c WHERE cum_toks * 2 >= tot_toks GROUP BY 1),
+        cmed AS (
+          SELECT lang, CAST(MIN(len) AS BIGINT) AS count_median_len
+          FROM c WHERE rn * 2 >= n_docs GROUP BY 1),
+        s AS (
+          SELECT lang, COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS total_tokens
+          FROM b GROUP BY 1)
+        SELECT s.lang AS lang, s.n_docs, s.total_tokens,
+               cmed.count_median_len, wmed.weighted_median_len
+        FROM s JOIN cmed USING (lang) JOIN wmed USING (lang)
+        ORDER BY lang
+        """,
+        "token-weighted vs count median document length per language",
+    )
+)
