@@ -1626,3 +1626,103 @@ register(
         "token-weighted vs count median document length per language",
     )
 )
+
+
+# --- x153: session entry/exit handoff matrix ---------------------------------
+def x153_session_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How journeys begin and end: per user session (q26's 30-minute
+    gap rule, shared constant), the (first event type, last event type)
+    pair — aggregated into the handoff matrix product analytics reads
+    to find entry points that never convert and exits that shouldn't
+    happen.  One user-keyed sessionize window (q26's shuffle), one
+    (session)-keyed first/last selection via rank, one bounded
+    (types x types) rollup — x90's transition matrix looks at adjacent
+    events; this looks at whole-session endpoints."""
+    from .relational2 import SESSION_GAP_US
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        us.alias("u"),
+        F.sum(is_new).over(run).cast("long").alias("session_id"),
+    )
+    ws = Window.partitionBy("user_id", "session_id")
+    ranked = sess.select(
+        "user_id",
+        "session_id",
+        "event_type",
+        F.row_number().over(ws.orderBy("u", "event_id")).alias("rn_a"),
+        F.row_number().over(ws.orderBy(F.desc("u"), F.desc("event_id"))).alias(
+            "rn_d"
+        ),
+        F.count(F.lit(1)).over(ws).alias("n_ev"),
+    )
+    firsts = ranked.filter(F.col("rn_a") == 1).select(
+        "user_id",
+        "session_id",
+        F.col("event_type").alias("first_type"),
+        "n_ev",
+    )
+    lasts = ranked.filter(F.col("rn_d") == 1).select(
+        "user_id", "session_id", F.col("event_type").alias("last_type")
+    )
+    return (
+        firsts.join(lasts, ["user_id", "session_id"])
+        .groupBy("first_type", "last_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_ev").cast("long").alias("n_events"),
+        )
+        .orderBy("first_type", "last_type")
+    )
+
+
+def _x153_sql() -> str:
+    from .relational2 import SESSION_GAP_US
+
+    return f"""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS u,
+                 epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS gap
+          FROM events),
+        s AS (
+          SELECT user_id, event_id, event_type, u,
+                 SUM(CASE WHEN gap IS NULL OR gap > {SESSION_GAP_US}
+                          THEN 1 ELSE 0 END) OVER (
+                     PARTITION BY user_id ORDER BY u, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM e),
+        r AS (
+          SELECT user_id, session_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                    ORDER BY u, event_id) AS rn_a,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                    ORDER BY u DESC, event_id DESC) AS rn_d,
+                 COUNT(*) OVER (PARTITION BY user_id, session_id) AS n_ev
+          FROM s)
+        SELECT f.event_type AS first_type, l.event_type AS last_type,
+               COUNT(*) AS n_sessions,
+               CAST(SUM(f.n_ev) AS BIGINT) AS n_events
+        FROM (SELECT * FROM r WHERE rn_a = 1) f
+        JOIN (SELECT * FROM r WHERE rn_d = 1) l
+          USING (user_id, session_id)
+        GROUP BY 1, 2 ORDER BY first_type, last_type
+    """
+
+
+register(
+    QuerySpec(
+        "x153_session_handoff",
+        x153_session_handoff,
+        _x153_sql(),
+        "session entry/exit event-type handoff matrix (q26 gap rule)",
+    )
+)
