@@ -9,8 +9,10 @@ the snapshot-over-snapshot token-drift monitor (x134), the
 k-anonymity release audit (x136), the watermark-delay late-data sweep
 (x140), the hourly volume-anomaly monitor (x142), the
 duplicate-weighted effective-size readout (x143), deterministic
-contrastive-triplet construction (x144), and the language-pair
-char-trigram similarity matrix (x145).  The reference
+contrastive-triplet construction (x144), the language-pair
+char-trigram similarity matrix (x145), derandomized bootstrap bands
+(x150), jackknife source influence (x151), the token-weighted median
+length (x152), and the session handoff matrix (x153).  The reference
 (`/root/reference/pyarrow/main.py`) has no dataset-assembly surface;
 these are driver-mandated LLM-pipeline operators (repo:BASELINE.json
 north_star) — the planning/governance half that sits AROUND the
@@ -64,6 +66,10 @@ Scale shapes:
 - x143 shuffles the content key once; multiplicities join back by key.
 - x144's negative assignment routes through a broadcastable
   (lang, bucket) representative frame — no RNG, no self-join.
+- x150's bootstrap explodes ×B but aggregates to types×B groups; x151
+  derives every leave-one-out mean from one partials frame; x152 is a
+  lang-keyed cumulative window; x153 reuses q26's sessionize shuffle
+  with a bounded types² rollup.
 
 Determinism per helpers.py: md5-bucket sampling (the x25 pattern —
 stable across runs, engines, partitionings); ROUND-then-decimal-sum
