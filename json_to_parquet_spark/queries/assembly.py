@@ -1732,3 +1732,115 @@ register(
         "session entry/exit event-type handoff matrix (q26 gap rule)",
     )
 )
+
+
+# --- x154: within-session event-type co-occurrence lift ----------------------
+def x154_session_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis over sessions: for each event-type pair,
+    the lift P(a,b together in a session) / (P(a)·P(b)) — above 1 the
+    behaviors cluster, below 1 they repel — the signal behind "users
+    who X also Y" features.  Sessionize once (q26's user-keyed window,
+    shared gap constant), reduce each session to its DISTINCT type set
+    (≤ types rows per session), and the pair join is bounded by types²
+    per session regardless of session length.  Counts are exact
+    integers; the lift ratio is one rounded row-local division against
+    a broadcast 1-row session total."""
+    from .relational2 import SESSION_GAP_US
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stypes = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.sum(is_new).over(run).cast("long").alias("session_id"),
+        )
+        .select("user_id", "session_id", "event_type")
+        .distinct()
+    )
+    totals = stypes.select("user_id", "session_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    per_type = stypes.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    a, b = stypes.alias("a"), stypes.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_id") == F.col("b.session_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ta = per_type.select(F.col("event_type").alias("type_a"), F.col("n_a").alias("na"))
+    tb = per_type.select(F.col("event_type").alias("type_b"), F.col("n_a").alias("nb"))
+    lift = F.round(
+        F.col("n_both").cast("double")
+        * F.col("n_sessions").cast("double")
+        / (F.col("na").cast("double") * F.col("nb").cast("double")),
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .crossJoin(F.broadcast(totals))
+        .select("type_a", "type_b", "n_both", lift.alias("lift"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+def _x154_sql() -> str:
+    from .relational2 import SESSION_GAP_US
+
+    return f"""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS u,
+                 epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS gap
+          FROM events),
+        s AS (
+          SELECT DISTINCT user_id, event_type,
+                 SUM(CASE WHEN gap IS NULL OR gap > {SESSION_GAP_US}
+                          THEN 1 ELSE 0 END) OVER (
+                     PARTITION BY user_id ORDER BY u, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM e),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions
+              FROM (SELECT DISTINCT user_id, session_id FROM s)),
+        pt AS (SELECT event_type, COUNT(*) AS n_a FROM s GROUP BY 1),
+        pairs AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 COUNT(*) AS n_both
+          FROM s a JOIN s b
+            ON a.user_id = b.user_id AND a.session_id = b.session_id
+           AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+        SELECT type_a, type_b, n_both,
+               ROUND(CAST(n_both AS DOUBLE) * t.n_sessions
+                     / (ta.n_a * CAST(tb.n_a AS DOUBLE)), 6) AS lift
+        FROM pairs
+        JOIN pt ta ON ta.event_type = type_a
+        JOIN pt tb ON tb.event_type = type_b
+        CROSS JOIN t
+        ORDER BY type_a, type_b
+    """
+
+
+register(
+    QuerySpec(
+        "x154_session_lift",
+        x154_session_lift,
+        _x154_sql(),
+        "within-session event-type co-occurrence lift (market-basket over sessions)",
+    )
+)
