@@ -1844,3 +1844,101 @@ register(
         "within-session event-type co-occurrence lift (market-basket over sessions)",
     )
 )
+
+
+# --- x155: content-novelty decay over ingest order ---------------------------
+def x155_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is a source still yielding new content?  Per source, the novelty
+    rate (fraction of a document's distinct shingles never seen in any
+    EARLIER document of that source, doc_id = ingest order) for the
+    early vs late half of the source's stream — a dropping rate is the
+    crawl-scheduler signal to visit less often.  First-seen attribution
+    is one (source, shingle)-keyed MIN(doc_id) aggregate; no
+    per-document rescans of history, which is what makes the metric
+    computable incrementally at crawl scale."""
+    from .quality import _shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    posting = docs.select(
+        "source",
+        "doc_id",
+        F.explode(_shingles(F.col("text"), 3, True)).alias("sh"),
+    )
+    first = posting.groupBy("source", "sh").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    per_doc = (
+        posting.join(first, ["source", "sh"])
+        .groupBy("source", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum((F.col("doc_id") == F.col("first_doc")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    half = Window.partitionBy("source")
+    ranked = per_doc.withColumn(
+        "is_late",
+        F.row_number().over(half.orderBy("doc_id")) * 2
+        > F.count(F.lit(1)).over(half),
+    )
+    return (
+        ranked.groupBy("source", "is_late")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sh").cast("long").alias("n_shingles"),
+            F.sum("n_novel").cast("long").alias("n_novel"),
+        )
+        .select(
+            "source",
+            "is_late",
+            "n_docs",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("novelty_rate"),
+        )
+        .orderBy("source", "is_late")
+    )
+
+
+def _x155_sql() -> str:
+    from .quality import _sql_shingles
+
+    return f"""
+        WITH tl AS (SELECT source, doc_id, string_split(text, ' ') AS t
+                    FROM documents),
+        posting AS (
+          SELECT source, doc_id, unnest({_sql_shingles(3, True)}) AS sh FROM tl),
+        first AS (
+          SELECT source, sh, MIN(doc_id) AS first_doc
+          FROM posting GROUP BY 1, 2),
+        per_doc AS (
+          SELECT p.source, p.doc_id, COUNT(*) AS n_sh,
+                 CAST(SUM(CASE WHEN p.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_novel
+          FROM posting p JOIN first f USING (source, sh)
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) * 2
+                    > COUNT(*) OVER (PARTITION BY source) AS is_late
+          FROM per_doc)
+        SELECT source, is_late, COUNT(*) AS n_docs,
+               CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+               CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+               ROUND(SUM(n_novel) / CAST(SUM(n_sh) AS DOUBLE), 6) AS novelty_rate
+        FROM ranked GROUP BY 1, 2 ORDER BY source, is_late
+    """
+
+
+register(
+    QuerySpec(
+        "x155_novelty_decay",
+        x155_novelty_decay,
+        _x155_sql(),
+        "per-source novelty rate, early vs late ingest half (crawl-revisit signal)",
+    )
+)
