@@ -1942,3 +1942,67 @@ register(
         "per-source novelty rate, early vs late ingest half (crawl-revisit signal)",
     )
 )
+
+
+# --- x156: inter-arrival burstiness per user ---------------------------------
+def x156_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal behavior classification: per user, the coefficient of
+    variation of inter-event gaps (CV = std/mean; ~1 for a memoryless
+    Poisson visitor, >1 bursty, <1 regular) — the feature that
+    separates schedulers and bots from humans in the event log.  Gaps
+    are floored to whole seconds (micro-precision squared gaps would
+    overflow BIGINT under ANSI; second resolution is the behavioral
+    scale anyway), so both moments are exact BIGINT sums and the CV is
+    a fixed IEEE sequence over bit-identical inputs; rounds per rule
+    3."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gap = F.floor((us - F.lag(us).over(w)) / F.lit(1_000_000)).alias("gap")
+    gaps = ev.select("user_id", gap).filter(F.col("gap").isNotNull())
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap").cast("long").alias("s1"),
+        F.sum(F.col("gap") * F.col("gap")).cast("long").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_gaps")
+    var = F.col("s2").cast("double") / F.col("n_gaps") - mean * mean
+    return (
+        agg.filter(F.col("n_gaps") >= 2)
+        .select(
+            "user_id",
+            "n_gaps",
+            F.round(mean, 6).alias("mean_gap_s"),
+            F.round(F.sqrt(var) / mean, 6).alias("cv"),
+        )
+        .orderBy("user_id")
+    )
+
+
+register(
+    QuerySpec(
+        "x156_user_burstiness",
+        x156_user_burstiness,
+        """
+        WITH g AS (
+          SELECT user_id,
+                 (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id)) // 1000000
+                     AS gap
+          FROM events),
+        a AS (
+          SELECT user_id, COUNT(*) AS n_gaps,
+                 CAST(SUM(gap) AS BIGINT) AS s1,
+                 CAST(SUM(gap * gap) AS BIGINT) AS s2
+          FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        SELECT user_id, n_gaps,
+               ROUND(CAST(s1 AS DOUBLE) / n_gaps, 6) AS mean_gap_s,
+               ROUND(sqrt(CAST(s2 AS DOUBLE) / n_gaps
+                          - (CAST(s1 AS DOUBLE) / n_gaps)
+                            * (CAST(s1 AS DOUBLE) / n_gaps))
+                     / (CAST(s1 AS DOUBLE) / n_gaps), 6) AS cv
+        FROM a WHERE n_gaps >= 2 ORDER BY user_id
+        """,
+        "per-user inter-arrival burstiness (CV of gaps) from exact integer moments",
+    )
+)
