@@ -2006,3 +2006,69 @@ register(
         "per-user inter-arrival burstiness (CV of gaps) from exact integer moments",
     )
 )
+
+
+# --- x157: user-activity concentration (Lorenz points) -----------------------
+def x157_activity_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How concentrated the event volume is: Lorenz-curve points over
+    users ordered by activity — "the busiest X% of users generate Y% of
+    events", the skew economics behind capacity planning and abuse
+    review (x94 profiles join keys; this profiles the population).
+    Built scalably as count-of-counts: one user-keyed count, then a
+    count-value histogram (bounded distinct values), with the
+    cumulative shares computed on that tiny frame descending — the
+    x128/x138 aggregate-then-plan shape again; no global sort of
+    users."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    hist = per_user.groupBy("c").agg(F.count(F.lit(1)).alias("n_users"))
+    totals = hist.agg(
+        F.sum("n_users").cast("long").alias("tot_users"),
+        F.sum(F.col("c") * F.col("n_users")).cast("long").alias("tot_events"),
+    )
+    w = Window.orderBy(F.desc("c")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        hist.withColumn("cum_users", F.sum("n_users").over(w).cast("long"))
+        .withColumn(
+            "cum_events", F.sum(F.col("c") * F.col("n_users")).over(w).cast("long")
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("c").cast("long").alias("events_per_user"),
+            F.col("n_users").cast("long").alias("n_users"),
+            F.round(
+                F.col("cum_users").cast("double") / F.col("tot_users"), 6
+            ).alias("cum_user_frac"),
+            F.round(
+                F.col("cum_events").cast("double") / F.col("tot_events"), 6
+            ).alias("cum_event_frac"),
+        )
+        .orderBy(F.desc("events_per_user"))
+    )
+
+
+register(
+    QuerySpec(
+        "x157_activity_concentration",
+        x157_activity_concentration,
+        """
+        WITH pu AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
+        h AS (SELECT c, COUNT(*) AS n_users FROM pu GROUP BY 1),
+        t AS (SELECT CAST(SUM(n_users) AS BIGINT) AS tot_users,
+                     CAST(SUM(c * n_users) AS BIGINT) AS tot_events FROM h)
+        SELECT CAST(c AS BIGINT) AS events_per_user,
+               CAST(n_users AS BIGINT) AS n_users,
+               ROUND(CAST(SUM(n_users) OVER (ORDER BY c DESC
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                     / t.tot_users, 6) AS cum_user_frac,
+               ROUND(CAST(SUM(c * n_users) OVER (ORDER BY c DESC
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                     / t.tot_events, 6) AS cum_event_frac
+        FROM h, t
+        ORDER BY events_per_user DESC
+        """,
+        "user-activity Lorenz points from count-of-counts (no user sort)",
+    )
+)

@@ -172,6 +172,7 @@ _BNLJ_ALLOWED = {
     "x139_join_cardinality_eval",  # 1-row row-count frame broadcast
     "x151_source_influence",  # 1-row corpus-totals frame broadcast
     "x154_session_lift",  # 1-row session-count frame broadcast
+    "x157_activity_concentration",  # 1-row totals frame broadcast
 }
 
 
