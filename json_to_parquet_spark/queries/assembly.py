@@ -12,7 +12,10 @@ duplicate-weighted effective-size readout (x143), deterministic
 contrastive-triplet construction (x144), the language-pair
 char-trigram similarity matrix (x145), derandomized bootstrap bands
 (x150), jackknife source influence (x151), the token-weighted median
-length (x152), and the session handoff matrix (x153).  The reference
+length (x152), the session handoff matrix (x153), within-session
+co-occurrence lift (x154), novelty decay over ingest order (x155),
+inter-arrival burstiness (x156), and user-activity Lorenz
+concentration (x157).  The reference
 (`/root/reference/pyarrow/main.py`) has no dataset-assembly surface;
 these are driver-mandated LLM-pipeline operators (repo:BASELINE.json
 north_star) — the planning/governance half that sits AROUND the
@@ -70,6 +73,10 @@ Scale shapes:
   derives every leave-one-out mean from one partials frame; x152 is a
   lang-keyed cumulative window; x153 reuses q26's sessionize shuffle
   with a bounded types² rollup.
+- x154 joins distinct per-session type sets (fan-out ≤ types² per
+  session); x155's first-seen attribution is one (source,shingle) MIN;
+  x156 is a lag window + exact integer moments; x157 never sorts users
+  (count-of-counts histogram + tiny-frame cumsum).
 
 Determinism per helpers.py: md5-bucket sampling (the x25 pattern —
 stable across runs, engines, partitionings); ROUND-then-decimal-sum
