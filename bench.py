@@ -1,16 +1,17 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE compact JSON line as the LAST line on stdout:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1,
-   "runs": {"q01_pricing_summary": [r1, r2, r3], ...}}
+   "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1, "n_runs": 3}
 
 Each entry is timed N times (SPARK_GRAFT_BENCH_RUNS, default 3) after one
 warm-up, and the reported number is the MINIMUM — the least-noise estimate
 of the plan's true cost on a box with background load (this machine swings
-3-15x run-to-run under load; VERDICT r2).  The per-run raws are emitted
-under "runs" so variance is visible to the reader.
+3-15x run-to-run under load; VERDICT r2).  Per-run raws and medians are
+NOT on the stdout line (round 4's driver capture truncated the line once
+they inflated it past the tail window — VERDICT r4 ask #1); they go to
+stderr and to the side file BENCH_RAWS.json next to this script.
 
 Query execution is measured with the noop sink (full plan executes —
 scan, shuffles, projections — nothing written, no driver collect), which
@@ -205,10 +206,28 @@ def main() -> None:
         )
 
     # min-of-N: the least-load-noise estimate of each plan's true cost;
-    # medians published alongside so load sensitivity is visible too.
+    # medians recorded alongside so load sensitivity is visible too.
     timings = {name: min(raws) for name, raws in raw_runs.items()}
     medians = {name: sorted(raws)[len(raws) // 2] for name, raws in raw_runs.items()}
     total = round(sum(timings.values()), 3)
+
+    # Raw per-run timings + medians: side file + stderr, NEVER the stdout
+    # line — the driver's tail capture truncated round 4's line once these
+    # were inlined (BENCH_r04 "parsed": null; VERDICT r4 ask #1).
+    raws_doc = {
+        "runs": raw_runs,
+        "medians": medians,
+        "n_runs": N_RUNS,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    raws_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_RAWS.json"
+    )
+    with open(raws_path, "w") as f:
+        json.dump(raws_doc, f, indent=1, sort_keys=True)
+    print(json.dumps(raws_doc), file=sys.stderr)
+
+    # The compact driver-contract line, LAST on stdout.
     print(
         json.dumps(
             {
@@ -217,8 +236,6 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
-                "runs": raw_runs,
-                "medians": medians,
                 "n_runs": N_RUNS,
             }
         )

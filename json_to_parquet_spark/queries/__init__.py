@@ -124,6 +124,58 @@ _PENDING_R4_WINDOW: tuple[str, ...] = (
 )
 
 
+# Round-5 sample window (VERDICT r4 ask #2): 60 round-4 additions queue
+# for 50 slots, and the module-import default ordered the four new
+# streaming gates, the BPE tokenizer chain (x101/x106/x113), and
+# x138/x139/x149 — the most novel, highest-risk entries — OUT of the
+# window.  This tuple pins the 50 in-window picks deliberately,
+# highest-risk first.  The 10 overflow entries (chosen explicitly, not by
+# import accident) are the best-invariant-covered assembly aggregates:
+# x150-x157 plus x142/x143 — all plain groupBy/window aggregates with
+# green full-registry DuckDB mirrors (tests/test_oracle_parity.py), the
+# lowest-risk residue; they queue for round 6 together with round 5's
+# fresh additions.
+_PENDING_R5_WINDOW: tuple[str, ...] = (
+    # the four round-4 streaming gates + the partitioned sink
+    "x109_stream_heavy_hitters", "x120_stream_partitioned_sink",
+    "x146_stream_watermark_drops", "x147_stream_outer_join",
+    "x148_stream_custom_state",
+    # the BPE tokenizer chain
+    "x101_bpe_train", "x106_temperature_mix", "x113_tokenize_pack",
+    # named high-risk in VERDICT r4 ask #2
+    "x103_embedding_pca", "x104_lsh_tradeoff",
+    "q85_priority_waiting", "q86_min_cost_supplier",
+    "q87_excess_share_suppliers",
+    "x138_equidepth_histogram", "x139_join_cardinality_eval",
+    "x149_file_metadata_audit",
+    # remaining round-4 additions, registry order
+    "x121_ivf_partitioned_index", "x122_pq_adc_search",
+    "x111_incremental_neardup", "x118_dedup_roi",
+    "x107_dup_ngram_coverage", "x137_prefix_filter_join",
+    "x141_simhash_hamming_pairs", "x123_epoch_mixture",
+    "x124_shard_rebalance", "x125_shingle_cosine_pairs",
+    "x126_token_budget_select", "x127_forget_cascade",
+    "x128_budget_threshold_sweep", "x129_vocab_coverage_curve",
+    "x130_mergeable_stats", "x134_token_drift", "x136_kanon_audit",
+    "x140_watermark_sweep", "x144_contrastive_pairs",
+    "x145_lang_similarity", "x102_ann_ndcg", "x112_langid_confusion",
+    "x116_split_leakage", "x119_rerank_stage", "x117_media_shard_pack",
+    "x133_media_resize", "x110_group_split", "x115_next_event_examples",
+    "x114_referential_audit", "x131_hopping_window",
+    "x132_activity_streaks", "x135_robust_stats",
+    "x105_schema_evolution", "x108_orc_roundtrip",
+)
+
+# Deliberate round-5 overflow → round-6 gate candidates (see above).
+_PENDING_R5_OVERFLOW: tuple[str, ...] = (
+    "x150_bootstrap_ci", "x151_source_influence",
+    "x152_weighted_median_len", "x153_session_handoff",
+    "x154_session_lift", "x155_novelty_decay", "x156_user_burstiness",
+    "x157_activity_concentration", "x142_volume_anomaly",
+    "x143_effective_size",
+)
+
+
 def _driver_evidenced(root: "str | None" = None) -> frozenset[str]:
     """Names with a green (or rows-only-by-design) row in any driver
     CORRECTNESS_r*.json at the repo root.  Merged with the static
@@ -186,18 +238,25 @@ def registry() -> dict[str, QuerySpec]:
     )
 
     # Gate-unproven queries first (stable within each group) so the
-    # driver's head-of-registry sample reaches them this round.  Within
-    # the pending group, queries that existed in round 2 but were never
-    # sampled outrank queries newly added this round — the 49 carried
-    # entries must all land inside the 50-slot sample window.
+    # driver's head-of-registry sample reaches them this round.  The
+    # pinned window tuples order the pending group deliberately:
+    # round-5's window puts the highest-risk unproven entries (streaming
+    # gates, tokenizer chain) inside the 50-slot sample; the pinned
+    # overflow queues after them, then anything newly added this round,
+    # then the carried/r4-window names (all absorbed into `evidenced`
+    # once their gate rows land, so these dict unions self-shrink).
     evidenced = _GATE_EVIDENCED | _driver_evidenced()
     pending = {n: s for n, s in _REGISTRY.items() if n not in evidenced}
     carried = {n: s for n, s in pending.items() if n in _PENDING_CARRIED}
-    window = {n: pending[n] for n in _PENDING_R4_WINDOW if n in pending}
-    fresh = {
-        n: s
-        for n, s in pending.items()
-        if n not in _PENDING_CARRIED and n not in window
-    }
+    window4 = {n: pending[n] for n in _PENDING_R4_WINDOW if n in pending}
+    window5 = {n: pending[n] for n in _PENDING_R5_WINDOW if n in pending}
+    overflow5 = {n: pending[n] for n in _PENDING_R5_OVERFLOW if n in pending}
+    pinned = (
+        set(_PENDING_CARRIED)
+        | set(_PENDING_R4_WINDOW)
+        | set(_PENDING_R5_WINDOW)
+        | set(_PENDING_R5_OVERFLOW)
+    )
+    fresh = {n: s for n, s in pending.items() if n not in pinned}
     proven = {n: s for n, s in _REGISTRY.items() if n in evidenced}
-    return {**carried, **window, **fresh, **proven}
+    return {**carried, **window4, **window5, **overflow5, **fresh, **proven}

@@ -1,0 +1,57 @@
+"""Gate-sample rotation invariants (no SparkSession needed).
+
+The driver's correctness gate samples the FIRST 50 registry entries each
+round, so ``registry()`` must (a) order gate-unproven queries first and
+(b) honor the pinned per-round window tuples — round 4 proved the
+import-order default exiles the riskiest entries (VERDICT r4 ask #2).
+"""
+
+from __future__ import annotations
+
+from json_to_parquet_spark.queries import (
+    _PENDING_R5_OVERFLOW,
+    _PENDING_R5_WINDOW,
+    _driver_evidenced,
+    _GATE_EVIDENCED,
+    registry,
+)
+
+
+def test_r5_window_is_exactly_fifty_and_disjoint():
+    assert len(_PENDING_R5_WINDOW) == 50
+    assert len(set(_PENDING_R5_WINDOW)) == 50
+    assert not set(_PENDING_R5_WINDOW) & set(_PENDING_R5_OVERFLOW)
+
+
+def test_pinned_names_exist_in_registry():
+    reg = registry()
+    missing = [
+        n
+        for n in (*_PENDING_R5_WINDOW, *_PENDING_R5_OVERFLOW)
+        if n not in reg
+    ]
+    assert not missing, missing
+
+
+def test_unproven_window_entries_lead_the_registry():
+    """While any R5-window query lacks a driver row, the registry head
+    must consist of unproven R5-window entries only — nothing pending
+    outside the window (overflow or fresh additions) may displace one."""
+    reg = registry()
+    evidenced = _GATE_EVIDENCED | _driver_evidenced()
+    unproven_window = [n for n in _PENDING_R5_WINDOW if n not in evidenced]
+    head = list(reg)[: len(unproven_window)]
+    assert head == unproven_window
+
+
+def test_head_sample_never_wastes_a_slot_on_proven_queries():
+    """Every entry in the driver's 50-slot head sample must be
+    gate-unproven, as long as ≥50 unproven queries exist."""
+    reg = registry()
+    evidenced = _GATE_EVIDENCED | _driver_evidenced()
+    pending = [n for n in reg if n not in evidenced]
+    if len(pending) < 50:
+        return  # backlog cleared; nothing to rotate
+    head50 = list(reg)[:50]
+    proven_in_head = [n for n in head50 if n in evidenced]
+    assert not proven_in_head, proven_in_head
