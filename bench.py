@@ -90,6 +90,14 @@ HEADLINE = [
     # round-4 fifth wave: the heaviest assembly-batch shape — df-capped
     # posting self-join producing weighted shingle-cosine pairs
     "x125_shingle_cosine_pairs",
+    # round-5 additions (VERDICT r4 ask #4): the assembly layer's
+    # remaining heavy shapes — the declared sort-heavy exact cumulative
+    # window (x126), its sort-free histogram scale path (x128, the
+    # measured win over x126's shape), and contrastive triplet
+    # construction (x144)
+    "x126_token_budget_select",
+    "x128_budget_threshold_sweep",
+    "x144_contrastive_pairs",
 ]
 
 CONVERT_RECORDS = 100_000

@@ -129,6 +129,7 @@ def convert(
     # page-cached splittable file, which measures cheaper than the cache
     # round-trip — so no persist there.
     spill_dir = getattr(df, "_graft_spill_dir", None)
+    conf_restore = getattr(df, "_graft_conf_restore", None)
     cached = (
         out.persist()
         if (parsed_here and will_range_exchange and spill_dir is None)
@@ -173,6 +174,11 @@ def convert(
             import shutil
 
             shutil.rmtree(spill_dir, ignore_errors=True)
+        if conf_restore is not None:
+            # The spill path lowered maxPartitionBytes so the single
+            # object fanned across all cores; the parse job above read
+            # the conf at plan time, so only now is restoring safe.
+            spark.conf.set(*conf_restore)
     if sorting_metadata and sorted_by is not None:
         # Reference-parity SortingColumn footer (SURVEY §2 O3); PyArrow
         # post-pass since Spark's writer can't record it.

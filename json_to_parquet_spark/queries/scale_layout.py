@@ -229,6 +229,19 @@ def x98_parquet_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched mapInPandas: no data pages are read, so the cost at
     100 TB is (#files × ~KiB), not the table size. Oracle: DuckDB's
     parquet_metadata() over the same file."""
+    # Defensive parity guard (VERDICT r4 ask #6): the registered oracle
+    # SQL embeds ORACLE_FILE_DIR as a literal path (frozen at module
+    # import), so if a harness hands the Spark side a DIFFERENT sf_dir
+    # the differential would silently compare two directories. Fail
+    # loudly instead — re-rooted harnesses must export
+    # SPARK_GRAFT_ORACLE_FILE_DIR before first registry import.
+    if os.path.normpath(sf_dir) != os.path.normpath(ORACLE_FILE_DIR):
+        raise ValueError(
+            f"x98 oracle is pinned to {ORACLE_FILE_DIR!r} but the Spark "
+            f"side received sf_dir={sf_dir!r}; export "
+            "SPARK_GRAFT_ORACLE_FILE_DIR to match before importing the "
+            "registry"
+        )
     path = os.path.join(sf_dir, "events.parquet")
     files = sorted(_glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(
         path

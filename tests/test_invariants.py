@@ -106,11 +106,13 @@ def test_bpe_merge_counts_monotone(spark, sf_dir):
     and only decrease existing pair counts, so the learned pair_cnt
     sequence must be non-increasing; rules must be distinct and the
     merged symbol the concatenation of its parts."""
+    from json_to_parquet_spark.queries.tokenizer import BPE_MERGES
+
     rows = registry()["x101_bpe_train"].spark(spark, sf_dir).collect()
-    assert len(rows) == 3
+    assert len(rows) == BPE_MERGES
     cnts = [r.pair_cnt for r in rows]
     assert cnts == sorted(cnts, reverse=True)
-    assert len({(r.w1, r.w2) for r in rows}) == 3
+    assert len({(r.w1, r.w2) for r in rows}) == BPE_MERGES
     for r in rows:
         assert r.merged == r.w1 + r.w2
 

@@ -157,7 +157,6 @@ _BNLJ_ALLOWED = {
     "x82_pmi_cooccur",  # 1-row corpus-doc-count frame broadcast
     "x85_shard_manifest",  # 1-row corpus-total frame broadcast
     "x92_bloom_membership",  # four 1-row confusion-summary aggregates crossed
-    "x101_bpe_train",  # 1-row argmax merge-rule frame broadcast per iteration
     "x102_ann_ndcg",  # composes x11 + x21: query-vec and centroid broadcasts
     "x103_embedding_pca",  # 1-row max-norm frame crossed per power iteration
     "x104_lsh_tradeoff",  # 1-row truth-count frame crossed per config row

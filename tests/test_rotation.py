@@ -55,3 +55,15 @@ def test_head_sample_never_wastes_a_slot_on_proven_queries():
     head50 = list(reg)[:50]
     proven_in_head = [n for n in head50 if n in evidenced]
     assert not proven_in_head, proven_in_head
+
+
+def test_x98_guards_oracle_dir_mismatch():
+    """x98's oracle SQL embeds a literal path frozen at import; the Spark
+    side must refuse a mismatched sf_dir instead of silently letting the
+    differential compare two directories (VERDICT r4 ask #6)."""
+    import pytest
+
+    from json_to_parquet_spark.queries import scale_layout
+
+    with pytest.raises(ValueError, match="pinned"):
+        scale_layout.x98_parquet_stats_report(None, "/nonexistent/sfX")
