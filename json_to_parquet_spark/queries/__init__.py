@@ -217,6 +217,7 @@ def registry() -> dict[str, QuerySpec]:
         convert_gate,
         corpus,
         crawl,
+        curation,
         dedup,
         evalsuite,
         evalsuite2,
@@ -230,6 +231,7 @@ def registry() -> dict[str, QuerySpec]:
         relational5,
         relational6,
         relational7,
+        retrieval,
         scale_layout,
         similarity,
         streaming_gate,

@@ -1,0 +1,1139 @@
+"""Round-5 data-curation operators — the model-driven half of corpus
+curation that rounds 1-4 did not cover: measuring a tokenizer
+(fertility), TRAINING a classifier distributed (naive-Bayes language
+ID), model-based data selection (DSIR importance weights), feature
+hashing, crawl-side URL canonicalization and domain reputation, context
+-length sizing (packing sweep), privacy-budgeted releases (deterministic
+DP noise), and span-corruption pretraining examples.
+
+The reference (`/root/reference/`) is a schema-driven NDJSON→Parquet
+converter with no text surface; these extend the driver-mandated
+LLM-pipeline north star (repo:BASELINE.json, SURVEY §2.C X4) beyond the
+statistics/dedup layers of rounds 2-4 into ops whose OUTPUT is a model
+artifact or a model-scored selection.
+
+Scale notes (100 TB posture):
+- Every operator's corpus-sized work is one token- or doc-keyed
+  aggregation with map-side partials; model frames (class-token counts,
+  vocab constants, per-language totals) are vocabulary- or
+  label-cardinality-sized and broadcast.
+- x159/x160 fan each doc-token row out only by the LANGUAGE count
+  (5 here; ≤ dozens in production) — never by vocabulary.
+- Log-probabilities follow the x83/x134 precedent: ROUND(ln(·), 6) at
+  the leaf (1-ulp libm skew is far below 5e-7), then decimal-summed so
+  accumulation order cannot matter (helpers rules 1+3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from . import QuerySpec, register
+from .helpers import SQL_DEC_SUM
+from .text import BPE_PATTERN
+
+
+def _words(docs: DataFrame, *keep: str) -> DataFrame:
+    """Whitespace tokens of lowercased text (the x101 tokenization),
+    one row per token occurrence, with the requested doc columns."""
+    return docs.select(
+        *keep, F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+
+
+# SQL twin of _words (a CTE body over `documents`).
+_SQL_WORDS = """
+          SELECT {keep}, word
+          FROM (SELECT {keep}, unnest(string_split(lower(text), ' ')) AS word
+                FROM documents)
+          WHERE word <> ''"""
+
+
+# --- x158: tokenizer fertility ------------------------------------------------
+def x158_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-pretokenizer tokens per
+    whitespace word, and characters per BPE token — the two numbers that
+    size a context budget per language (high-fertility languages consume
+    disproportionate sequence length). One corpus scan, one
+    language-keyed aggregation; every sum is integer (exact), ratios are
+    single deterministic double divisions."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    per_doc = docs.select(
+        "lang",
+        F.size(F.filter(F.split(F.lower("text"), " "), lambda w: w != "")).alias(
+            "n_words"
+        ),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_PATTERN), 0)).alias(
+            "n_bpe"
+        ),
+        F.length("text").alias("n_chars"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("words"),
+        F.sum("n_bpe").cast("long").alias("bpe_tokens"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "words",
+        "bpe_tokens",
+        F.round(F.col("bpe_tokens").cast("double") / F.col("words"), 6).alias(
+            "fertility"
+        ),
+        F.round(F.col("chars").cast("double") / F.col("bpe_tokens"), 6).alias(
+            "chars_per_token"
+        ),
+    ).orderBy("lang")
+
+
+register(
+    QuerySpec(
+        "x158_tokenizer_fertility",
+        x158_tokenizer_fertility,
+        f"""
+        WITH per_doc AS (
+          SELECT lang,
+                 len(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+                     AS n_words,
+                 len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS n_bpe,
+                 length(text) AS n_chars
+          FROM documents)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS words,
+               CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+               ROUND(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_words), 6) AS fertility,
+               ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_bpe), 6)
+                   AS chars_per_token
+        FROM per_doc GROUP BY lang ORDER BY lang
+        """,
+        "tokenizer fertility per language (BPE tokens/word, chars/token)",
+    )
+)
+
+
+# --- x159: naive-Bayes language-ID training + confusion ----------------------
+NB_ROUND = 6  # leaf rounding for log-probs (helpers rule 3)
+
+
+def x159_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN a multinomial naive-Bayes language classifier from the
+    corpus (token-class counts + Laplace smoothing) and evaluate it on
+    the same corpus: confusion matrix (true_lang, pred_lang, n_docs).
+    Unlike x07 (a fixed stopword heuristic, confusion-audited by x112),
+    the model here is LEARNED — the distributed training shape is the
+    point: class-conditional token counts are one (lang, token)-keyed
+    aggregation; scoring fans each doc-token row out by the LANGUAGE
+    cardinality only (5), never the vocabulary; the argmax is a per-doc
+    window.
+
+    Determinism: each leaf log-prob is ROUND(ln(p), 6) (x83 precedent),
+    per-doc scores sum those leaves as decimals (order-free), and the
+    argmax tiebreak is (score desc, lang asc) — total in both engines."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tok = _words(docs, "doc_id", "lang")
+
+    # Training: class-token counts, class totals, vocabulary size, priors.
+    cls = tok.groupBy(F.col("lang").alias("c_lang"), "word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = cls.groupBy("c_lang").agg(F.sum("cnt").cast("long").alias("tok_l"))
+    vocab = tok.agg(F.countDistinct("word").alias("v"))
+    priors = docs.groupBy(F.col("lang").alias("c_lang")).agg(
+        F.count(F.lit(1)).alias("d_l")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("d"))
+
+    # Per-language constants: smoothing denominator, unseen-token
+    # log-prob, log prior. Label-cardinality-sized frame; broadcast.
+    lang_const = (
+        totals.join(priors, "c_lang")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "c_lang",
+            (F.col("tok_l") + F.col("v")).alias("denom"),
+            F.round(F.log(F.lit(1.0) / (F.col("tok_l") + F.col("v"))), NB_ROUND)
+            .alias("logp0"),
+            F.round(
+                F.log(F.col("d_l").cast("double") / F.col("d")), NB_ROUND
+            ).alias("ln_prior"),
+        )
+    )
+    # Seen (token, lang) log-probs: vocabulary×labels-sized at worst.
+    tok_logp = cls.join(F.broadcast(lang_const.select("c_lang", "denom")), "c_lang")
+    tok_logp = tok_logp.select(
+        "c_lang",
+        "word",
+        F.round(
+            F.log((F.col("cnt") + 1).cast("double") / F.col("denom")), NB_ROUND
+        ).alias("logp"),
+    )
+
+    # Scoring: doc term frequencies × each candidate language.
+    tf = tok.groupBy("doc_id", F.col("lang").alias("true_lang"), "word").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    scored = (
+        tf.crossJoin(F.broadcast(lang_const))
+        .join(tok_logp, ["c_lang", "word"], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            "c_lang",
+            "ln_prior",
+            (F.col("tf") * F.coalesce(F.col("logp"), F.col("logp0")))
+            .cast("decimal(30,10)")
+            .alias("addend"),
+        )
+    )
+    doc_scores = scored.groupBy("doc_id", "true_lang", "c_lang").agg(
+        (F.first("ln_prior") + F.sum("addend").cast("double")).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("c_lang"))
+    pred = (
+        doc_scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "true_lang", F.col("c_lang").alias("pred_lang"))
+    )
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+register(
+    QuerySpec(
+        "x159_nb_langid",
+        x159_nb_langid,
+        f"""
+        WITH tok AS ({_SQL_WORDS.format(keep="doc_id, lang")}),
+        cls AS (
+          SELECT lang AS c_lang, word, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM tok GROUP BY 1, 2),
+        totals AS (
+          SELECT c_lang, CAST(SUM(cnt) AS BIGINT) AS tok_l
+          FROM cls GROUP BY 1),
+        vocab AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v FROM tok),
+        priors AS (
+          SELECT lang AS c_lang, CAST(COUNT(*) AS BIGINT) AS d_l
+          FROM documents GROUP BY 1),
+        n_docs AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM documents),
+        lang_const AS (
+          SELECT t.c_lang, t.tok_l + v.v AS denom,
+                 ROUND(ln(1.0 / (t.tok_l + v.v)), {NB_ROUND}) AS logp0,
+                 ROUND(ln(CAST(p.d_l AS DOUBLE) / n.d), {NB_ROUND}) AS ln_prior
+          FROM totals t JOIN priors p USING (c_lang)
+          CROSS JOIN vocab v CROSS JOIN n_docs n),
+        tok_logp AS (
+          SELECT c.c_lang, c.word,
+                 ROUND(ln(CAST(c.cnt + 1 AS DOUBLE) / l.denom), {NB_ROUND})
+                     AS logp
+          FROM cls c JOIN lang_const l USING (c_lang)),
+        tf AS (
+          SELECT doc_id, lang AS true_lang, word,
+                 CAST(COUNT(*) AS BIGINT) AS tf
+          FROM tok GROUP BY 1, 2, 3),
+        scored AS (
+          SELECT tf.doc_id, tf.true_lang, lc.c_lang, lc.ln_prior,
+                 CAST(tf.tf * COALESCE(tl.logp, lc.logp0)
+                      AS DECIMAL(30,10)) AS addend
+          FROM tf CROSS JOIN lang_const lc
+          LEFT JOIN tok_logp tl
+            ON tl.c_lang = lc.c_lang AND tl.word = tf.word),
+        doc_scores AS (
+          SELECT doc_id, true_lang, c_lang,
+                 ANY_VALUE(ln_prior)
+                   + CAST(CAST(SUM(addend) AS VARCHAR) AS DOUBLE) AS score
+          FROM scored GROUP BY 1, 2, 3),
+        pred AS (
+          SELECT doc_id, true_lang, c_lang AS pred_lang
+          FROM doc_scores
+          QUALIFY row_number() OVER (
+              PARTITION BY doc_id ORDER BY score DESC, c_lang ASC) = 1)
+        SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM pred GROUP BY 1, 2 ORDER BY true_lang, pred_lang
+        """,
+        "train multinomial naive-Bayes language ID; confusion matrix on corpus",
+    )
+)
+
+
+# --- x160: DSIR importance-weighted data selection ---------------------------
+DSIR_TOP_K = 20
+
+
+def x160_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023):
+    score every NON-target document by the log-likelihood ratio of its
+    unigrams under a target-domain LM (here: the English subcorpus)
+    versus the full-corpus LM, and select the top-K by mean per-token
+    ratio — 'which de/fr/es/zh documents look most like the target
+    distribution'. Shapes: two (token)-keyed count aggregations build
+    the two LMs (vocabulary-sized, broadcast); scoring is one pass over
+    doc term frequencies; selection is a TakeOrdered top-K, no global
+    sort."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tok = _words(docs, "doc_id", "lang")
+
+    corpus_cnt = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c_cnt"))
+    target_cnt = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("t_cnt"))
+    )
+    consts = corpus_cnt.agg(
+        F.sum("c_cnt").cast("long").alias("c_tot"),
+        F.count(F.lit(1)).alias("v"),
+    ).crossJoin(
+        F.broadcast(target_cnt.agg(F.sum("t_cnt").cast("long").alias("t_tot")))
+    )
+    # Per-word importance ratio over the corpus vocabulary (target counts
+    # left-joined: unseen-in-target words get the smoothed floor).
+    lam = (
+        corpus_cnt.join(target_cnt, "word", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "word",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("t_cnt"), F.lit(0)) + 1).cast("double")
+                    / (F.col("t_tot") + F.col("v"))
+                )
+                - F.log(
+                    (F.col("c_cnt") + 1).cast("double")
+                    / (F.col("c_tot") + F.col("v"))
+                ),
+                NB_ROUND,
+            ).alias("lam"),
+        )
+    )
+    tf = (
+        tok.filter(F.col("lang") != "en")
+        .groupBy("doc_id", "lang", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    weights = (
+        tf.join(lam, "word")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum((F.col("tf") * F.col("lam")).cast("decimal(30,10)"))
+            .cast("double")
+            .alias("llr"),
+            F.sum("tf").cast("long").alias("n_tok"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.col("llr") / F.col("n_tok"), NB_ROUND).alias("weight"),
+        )
+    )
+    top = weights.orderBy(F.desc("weight"), F.asc("doc_id")).limit(DSIR_TOP_K)
+    w = Window.orderBy(F.desc("weight"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        "lang",
+        "weight",
+    )
+
+
+register(
+    QuerySpec(
+        "x160_dsir_select",
+        x160_dsir_select,
+        f"""
+        WITH tok AS ({_SQL_WORDS.format(keep="doc_id, lang")}),
+        corpus_cnt AS (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS c_cnt
+          FROM tok GROUP BY 1),
+        target_cnt AS (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS t_cnt
+          FROM tok WHERE lang = 'en' GROUP BY 1),
+        consts AS (
+          SELECT (SELECT CAST(SUM(c_cnt) AS BIGINT) FROM corpus_cnt) AS c_tot,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM corpus_cnt) AS v,
+                 (SELECT CAST(SUM(t_cnt) AS BIGINT) FROM target_cnt) AS t_tot),
+        lam AS (
+          SELECT c.word,
+                 ROUND(ln(CAST(COALESCE(t.t_cnt, 0) + 1 AS DOUBLE)
+                          / (k.t_tot + k.v))
+                       - ln(CAST(c.c_cnt + 1 AS DOUBLE) / (k.c_tot + k.v)),
+                       {NB_ROUND}) AS lam
+          FROM corpus_cnt c LEFT JOIN target_cnt t USING (word)
+          CROSS JOIN consts k),
+        tf AS (
+          SELECT doc_id, lang, word, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM tok WHERE lang <> 'en' GROUP BY 1, 2, 3),
+        weights AS (
+          SELECT tf.doc_id, tf.lang,
+                 ROUND({SQL_DEC_SUM.format(x="tf.tf * lam.lam")}
+                       / CAST(SUM(tf.tf) AS BIGINT), {NB_ROUND}) AS weight
+          FROM tf JOIN lam USING (word)
+          GROUP BY 1, 2)
+        SELECT CAST(row_number() OVER (ORDER BY weight DESC, doc_id ASC)
+                    AS BIGINT) AS rank,
+               doc_id, lang, weight
+        FROM weights
+        ORDER BY weight DESC, doc_id ASC
+        LIMIT {DSIR_TOP_K}
+        """,
+        "DSIR importance-weighted selection of target-like documents",
+    )
+)
+
+
+# --- x161: hashing-trick feature vectors -------------------------------------
+from .dedup import ARITH_P, _charfold  # noqa: E402  (shared hash family)
+
+HASH_DIM = 32
+
+
+def x161_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the 'hashing trick', Weinberger et al. 2009):
+    project each document's unigram counts into a fixed HASH_DIM-dim
+    signed feature vector — dim = h(word) mod D, sign = parity of the
+    next hash bit — the input representation of fastText-style linear
+    classifiers. No vocabulary table exists at all: the op is ONE
+    doc+dim-keyed integer aggregation, so it runs identically at any
+    vocabulary size — the whole point of the trick at 100 TB. Output is
+    integer-exact: (doc_id, nnz, l1, features CSV 'dim:val' sorted)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = _words(docs, "doc_id")
+    feat = (
+        tok.withColumn("fp", _charfold(F.col("word")))
+        .select(
+            "doc_id",
+            (F.col("fp") % HASH_DIM).alias("dim"),
+            F.expr(f"CASE WHEN (fp DIV {HASH_DIM}) % 2 = 0 THEN 1 ELSE -1 END")
+            .cast("long")
+            .alias("sgn"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sgn").cast("long").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+    return (
+        feat.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nnz"),
+            F.sum(F.abs("val")).cast("long").alias("l1"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "val"))),
+                    lambda s: F.concat_ws(":", s.dim, s.val),
+                ),
+                ",",
+            ).alias("features"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    QuerySpec(
+        "x161_hash_features",
+        x161_hash_features,
+        f"""
+        WITH tok AS ({_SQL_WORDS.format(keep="doc_id")}),
+        fp AS (
+          SELECT doc_id,
+                 list_reduce(list_transform(string_split(word, ''),
+                                            c -> CAST(ascii(c) AS BIGINT)),
+                             (a, b) -> (a*31 + b) % {ARITH_P}) AS fp
+          FROM tok),
+        feat AS (
+          SELECT doc_id, fp % {HASH_DIM} AS dim,
+                 CAST(SUM(CASE WHEN (fp // {HASH_DIM}) % 2 = 0
+                               THEN 1 ELSE -1 END) AS BIGINT) AS val
+          FROM fp GROUP BY 1, 2
+          HAVING SUM(CASE WHEN (fp // {HASH_DIM}) % 2 = 0
+                          THEN 1 ELSE -1 END) <> 0)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nnz,
+               CAST(SUM(abs(val)) AS BIGINT) AS l1,
+               string_agg(dim || ':' || val, ',' ORDER BY dim) AS features
+        FROM feat GROUP BY doc_id ORDER BY doc_id
+        """,
+        "hashing-trick signed feature vectors (fastText input shape)",
+    )
+)
+
+
+# --- x162/x163: URL canonicalization + domain reputation ---------------------
+# Deterministic synthetic URL per document (placeholder domains, the x43
+# convention): mixed case, www/no-www, query strings, fragments, and
+# trailing slashes so each canonicalization rung collapses something.
+_URL_DOMAINS = [
+    "Docs.Example.ORG",
+    "docs.example.org",
+    "WWW.Example.com",
+    "example.com",
+    "media.example.net",
+]
+
+
+def _synth_url() -> F.Column:
+    dom = F.element_at(
+        F.array(*[F.lit(d) for d in _URL_DOMAINS]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    return F.concat(
+        F.lit("https://"),
+        dom,
+        F.lit("/P/"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("?utm=1&id="), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("#Frag")).otherwise(F.lit("")),
+    )
+
+
+_SQL_URL = """
+          'https://' ||
+          (['Docs.Example.ORG', 'docs.example.org', 'WWW.Example.com',
+            'example.com', 'media.example.net'])[(doc_id % 5) + 1] ||
+          '/P/' || CAST(doc_id % 7 AS VARCHAR) ||
+          CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+          CASE WHEN doc_id % 2 = 0
+               THEN '?utm=1&id=' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+          CASE WHEN doc_id % 4 = 0 THEN '#Frag' ELSE '' END"""
+
+
+def x162_url_canon_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL canonicalization ladder: distinct-URL counts at
+    five strictness rungs (raw → lowercase → strip fragment → strip
+    query → strip www + trailing slash) — the x89 normalization-ladder
+    audit applied to the URL key a crawler dedups on. Each rung is a
+    row-local rewrite; the only shuffle is the per-rung distinct count
+    (level-keyed, 5 groups)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    u0 = _synth_url()
+    u1 = F.lower(u0)
+    u2 = F.regexp_replace(u1, "#.*$", "")
+    u3 = F.regexp_replace(u2, r"\?.*$", "")
+    u4 = F.regexp_replace(
+        F.regexp_replace(u3, r"://www\.", "://"), "/$", ""
+    )
+    levels = F.array(
+        *[
+            F.struct(F.lit(i).cast("long").alias("level"), u.alias("u"))
+            for i, u in enumerate([u0, u1, u2, u3, u4])
+        ]
+    )
+    return (
+        docs.select(F.explode(levels).alias("lv"))
+        .select("lv.level", "lv.u")
+        .groupBy("level")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("u").cast("long").alias("n_distinct"),
+        )
+        .select(
+            "level",
+            "n_urls",
+            "n_distinct",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_urls"),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("level")
+    )
+
+
+register(
+    QuerySpec(
+        "x162_url_canon_dedup",
+        x162_url_canon_dedup,
+        f"""
+        WITH u AS (
+          SELECT doc_id, {_SQL_URL} AS u0 FROM documents),
+        canon AS (
+          SELECT doc_id, u0,
+                 lower(u0) AS u1,
+                 regexp_replace(lower(u0), '#.*$', '') AS u2,
+                 regexp_replace(regexp_replace(lower(u0), '#.*$', ''),
+                                '\\?.*$', '') AS u3,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(regexp_replace(lower(u0), '#.*$', ''),
+                                    '\\?.*$', ''),
+                     '://www\\.', '://'),
+                   '/$', '') AS u4
+          FROM u),
+        lv AS (
+          SELECT CAST(0 AS BIGINT) AS level, u0 AS u FROM canon
+          UNION ALL SELECT 1, u1 FROM canon
+          UNION ALL SELECT 2, u2 FROM canon
+          UNION ALL SELECT 3, u3 FROM canon
+          UNION ALL SELECT 4, u4 FROM canon)
+        SELECT level, CAST(COUNT(*) AS BIGINT) AS n_urls,
+               CAST(COUNT(DISTINCT u) AS BIGINT) AS n_distinct,
+               ROUND(1.0 - CAST(COUNT(DISTINCT u) AS DOUBLE) / COUNT(*), 6)
+                   AS dup_rate
+        FROM lv GROUP BY level ORDER BY level
+        """,
+        "URL canonicalization ladder: distinct counts per strictness rung",
+    )
+)
+
+
+def x163_domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl reputation table: for each (canonicalized) URL
+    domain — doc volume, source spread, exact-text duplication share,
+    and mean document length. The aggregation a crawler's blocklist /
+    recrawl scheduler reads. One domain-keyed aggregation; the text-dup
+    signal reuses the x01 fingerprint (md5) so no raw text shuffles."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    domain = F.regexp_extract(
+        F.lower(_synth_url()), r"://(?:www\.)?([^/#?]+)", 1
+    )
+    return (
+        docs.select(
+            domain.alias("domain"),
+            "source",
+            F.md5("text").alias("fp"),
+            "n_chars",
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.countDistinct("fp").cast("long").alias("n_unique_texts"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+        .select(
+            "domain",
+            "n_docs",
+            "n_sources",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_unique_texts").cast("double") / F.col("n_docs"),
+                6,
+            ).alias("dup_share"),
+            F.round(F.col("chars").cast("double") / F.col("n_docs"), 6).alias(
+                "avg_chars"
+            ),
+        )
+        .orderBy("domain")
+    )
+
+
+register(
+    QuerySpec(
+        "x163_domain_reputation",
+        x163_domain_reputation,
+        f"""
+        WITH u AS (
+          SELECT doc_id, text, source, n_chars,
+                 regexp_extract(lower({_SQL_URL}),
+                                '://(?:www\\.)?([^/#?]+)', 1) AS domain
+          FROM documents)
+        SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE)
+                           / COUNT(*), 6) AS dup_share,
+               ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+        FROM u GROUP BY domain ORDER BY domain
+        """,
+        "per-domain crawl reputation: volume, spread, dup share, mean length",
+    )
+)
+
+
+# --- x164: context-length packing sweep --------------------------------------
+PACK_LENS = (64, 128, 256, 512)
+
+
+def x164_packing_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste sweep over candidate context lengths: for each
+    max_len, chunk every document into ceil(n/L) sequences and measure
+    total padded tokens vs real tokens — the number that picks a
+    training context length. (x27 packs greedily into bins; this is the
+    simpler per-doc chunking model a sweep can afford.) Integer-exact
+    until the final percentage; the fan-out is ×|PACK_LENS|, then one
+    L-keyed aggregation."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = F.size(F.filter(F.split(F.lower("text"), " "), lambda w: w != ""))
+    lens = F.array(*[F.lit(length).cast("long") for length in PACK_LENS])
+    per = docs.select(n.cast("long").alias("n"), F.explode(lens).alias("max_len"))
+    chunks = F.expr("(n + max_len - 1) DIV max_len")
+    return (
+        per.select("max_len", "n", chunks.cast("long").alias("chunks"))
+        .groupBy("max_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("tokens"),
+            F.sum("chunks").cast("long").alias("n_chunks"),
+            F.sum(F.col("chunks") * F.col("max_len")).cast("long").alias("padded"),
+        )
+        .select(
+            "max_len",
+            "n_docs",
+            "tokens",
+            "n_chunks",
+            "padded",
+            F.round(
+                (F.col("padded") - F.col("tokens")).cast("double")
+                / F.col("padded")
+                * 100,
+                6,
+            ).alias("waste_pct"),
+        )
+        .orderBy("max_len")
+    )
+
+
+register(
+    QuerySpec(
+        "x164_packing_sweep",
+        x164_packing_sweep,
+        f"""
+        WITH per AS (
+          SELECT CAST(len(list_filter(string_split(lower(text), ' '),
+                                      w -> w <> '')) AS BIGINT) AS n,
+                 CAST(unnest([{", ".join(str(pl) for pl in PACK_LENS)}])
+                      AS BIGINT) AS max_len
+          FROM documents),
+        c AS (
+          SELECT max_len, n, (n + max_len - 1) // max_len AS chunks FROM per)
+        SELECT max_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS tokens,
+               CAST(SUM(chunks) AS BIGINT) AS n_chunks,
+               CAST(SUM(chunks * max_len) AS BIGINT) AS padded,
+               ROUND(CAST(SUM(chunks * max_len) - SUM(n) AS DOUBLE)
+                     / SUM(chunks * max_len) * 100, 6) AS waste_pct
+        FROM c GROUP BY max_len ORDER BY max_len
+        """,
+        "padding-waste sweep over candidate training context lengths",
+    )
+)
+
+
+# --- x165: differentially-private release with deterministic noise -----------
+DP_EPS = 1.0  # Laplace scale b = sensitivity/eps = 1.0 (count queries)
+_DP_A, _DP_B = 48_271, 11_213  # affine mix into the shared prime field
+
+
+def x165_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-budget accounting for a per-language count release: each
+    group's true count plus Laplace(1/ε) noise, the noise drawn by
+    INVERSE-CDF from a hash-derived uniform (the x83 derandomization:
+    u = (affine-mixed charfold of the group key)/P) — so the 'random'
+    release is reproducible across engines and runs, which is what makes
+    a privacy pipeline auditable/differential-testable at all. Columns
+    carry the accounting: sensitivity, epsilon, noise, noisy count.
+    One label-cardinality aggregation; noise math is row-local."""
+    docs = load_table(spark, sf_dir, "documents").select("lang")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_true"))
+    h = (F.lit(_DP_A) * _charfold(F.col("lang")) + F.lit(_DP_B)) % F.lit(ARITH_P)
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(ARITH_P + 1))
+    mag = F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5))
+    sgn = F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    noise = F.round(-sgn * F.log(mag) / F.lit(DP_EPS), 6)
+    return (
+        counts.select(
+            "lang",
+            "n_true",
+            F.lit(1).cast("long").alias("sensitivity"),
+            F.lit(DP_EPS).alias("epsilon"),
+            noise.alias("noise"),
+            F.round(F.col("n_true") + noise, 6).alias("n_noisy"),
+        )
+        .orderBy("lang")
+    )
+
+
+register(
+    QuerySpec(
+        "x165_dp_release",
+        x165_dp_release,
+        f"""
+        WITH counts AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_true
+          FROM documents GROUP BY lang),
+        keyed AS (
+          SELECT lang, n_true,
+                 (CAST(({_DP_A} * list_reduce(
+                      list_transform(string_split(lang, ''),
+                                     c -> CAST(ascii(c) AS BIGINT)),
+                      (a, b) -> (a*31 + b) % {ARITH_P})
+                    + {_DP_B}) % {ARITH_P} AS DOUBLE) + 1.0)
+                 / {float(ARITH_P + 1)} AS u
+          FROM counts),
+        noised AS (
+          SELECT lang, n_true,
+                 ROUND(-(CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+                       * ln(1.0 - 2.0 * abs(u - 0.5)) / {DP_EPS}, 6) AS noise
+          FROM keyed)
+        SELECT lang, n_true, CAST(1 AS BIGINT) AS sensitivity,
+               CAST({DP_EPS} AS DOUBLE) AS epsilon, noise,
+               ROUND(n_true + noise, 6) AS n_noisy
+        FROM noised ORDER BY lang
+        """,
+        "per-language DP count release with deterministic Laplace noise",
+    )
+)
+
+
+# --- x166: span-corruption pretraining examples ------------------------------
+SPAN_COUNT = 3
+SPAN_LEN = 3
+_SC_A, _SC_B = 69_621, 40_289
+
+
+def x166_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption example manifest: per document, SPAN_COUNT
+    deterministic mask spans of SPAN_LEN tokens (starts hash-derived from
+    (doc_id, k), overlaps merged), with the masked-token digest that lets
+    a downstream trainer verify its (inputs, targets) split byte-exactly.
+    Everything is row-local array math over the token list — zero
+    shuffles beyond the final orderBy; at 100 TB this is a pure map
+    stage."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    base = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id", "toks", F.size("toks").cast("long").alias("n")
+    ).filter(F.col("n") >= F.lit(SPAN_LEN))
+    starts = F.transform(
+        F.sequence(F.lit(0), F.lit(SPAN_COUNT - 1)),
+        lambda k: (
+            (F.lit(_SC_A) * (F.col("doc_id") * SPAN_COUNT + k) + F.lit(_SC_B))
+            % F.lit(ARITH_P)
+        )
+        % (F.col("n") - F.lit(SPAN_LEN - 1)),
+    )
+    positions = F.array_sort(
+        F.array_distinct(
+            F.flatten(
+                F.transform(starts, lambda s: F.sequence(s, s + F.lit(SPAN_LEN - 1)))
+            )
+        )
+    )
+    masked = F.transform(positions, lambda i: F.element_at("toks", (i + 1).cast("int")))
+    return base.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.size(positions).cast("long").alias("n_masked"),
+        F.round(F.size(positions).cast("double") / F.col("n"), 6).alias(
+            "corruption_rate"
+        ),
+        F.md5(F.array_join(masked, " ")).alias("masked_digest"),
+    ).orderBy("doc_id")
+
+
+register(
+    QuerySpec(
+        "x166_span_corruption",
+        x166_span_corruption,
+        f"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), w -> w <> '')
+                     AS toks
+          FROM documents),
+        sized AS (
+          SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+          FROM base WHERE len(toks) >= {SPAN_LEN}),
+        spans AS (
+          SELECT doc_id, toks, n,
+                 list_sort(list_distinct(flatten(
+                   [generate_series(s, s + {SPAN_LEN - 1})
+                    FOR s IN [(({_SC_A} * (doc_id * {SPAN_COUNT} + k)
+                                + {_SC_B}) % {ARITH_P})
+                              % (n - {SPAN_LEN - 1})
+                              FOR k IN generate_series(0, {SPAN_COUNT - 1})]]
+                 ))) AS positions
+          FROM sized)
+        SELECT doc_id, n AS n_tokens,
+               CAST(len(positions) AS BIGINT) AS n_masked,
+               ROUND(CAST(len(positions) AS DOUBLE) / n, 6) AS corruption_rate,
+               md5(array_to_string([toks[CAST(i + 1 AS BIGINT)]
+                                    FOR i IN positions], ' ')) AS masked_digest
+        FROM spans ORDER BY doc_id
+        """,
+        "T5 span-corruption mask manifest with masked-token digests",
+    )
+)
+
+
+# --- x173: readability scoring -----------------------------------------------
+def x173_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language readability profile: mean words/sentence,
+    syllables/word (vowel-group proxy), and Flesch reading-ease — the
+    classic text-difficulty gate a curriculum or quality filter sorts
+    on. All per-doc signals are row-local regex/array math, rounded at
+    the leaf (helpers rule 3) then decimal-summed; one language-keyed
+    aggregation."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    w = F.size(F.filter(F.split(F.lower("text"), " "), lambda x: x != ""))
+    s = F.greatest(
+        F.size(F.filter(F.split(F.col("text"), r"\."), lambda x: F.trim(x) != "")),
+        F.lit(1),
+    )
+    syll = F.size(F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0))
+    wps = F.round(w.cast("double") / s, 6)
+    spw = F.round(syll.cast("double") / w, 6)
+    flesch = F.round(
+        F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
+    )
+    per_doc = docs.select(
+        "lang", wps.alias("wps"), spw.alias("spw"), flesch.alias("flesch")
+    )
+    n = F.count(F.lit(1))
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            n.alias("n_docs"),
+            F.round(
+                F.sum(F.col("wps").cast("decimal(30,10)")).cast("double") / n, 6
+            ).alias("avg_words_per_sentence"),
+            F.round(
+                F.sum(F.col("spw").cast("decimal(30,10)")).cast("double") / n, 6
+            ).alias("avg_syllables_per_word"),
+            F.round(
+                F.sum(F.col("flesch").cast("decimal(30,10)")).cast("double") / n, 6
+            ).alias("avg_flesch"),
+        )
+        .orderBy("lang")
+    )
+
+
+register(
+    QuerySpec(
+        "x173_readability",
+        x173_readability,
+        f"""
+        WITH per_doc AS (
+          SELECT lang,
+                 ROUND(CAST(len(list_filter(string_split(lower(text), ' '),
+                                            x -> x <> '')) AS DOUBLE)
+                       / greatest(len(list_filter(string_split(text, '.'),
+                                                  x -> trim(x) <> '')), 1),
+                       6) AS wps,
+                 ROUND(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                            AS DOUBLE)
+                       / len(list_filter(string_split(lower(text), ' '),
+                                         x -> x <> '')), 6) AS spw
+          FROM documents),
+        scored AS (
+          SELECT lang, wps, spw,
+                 ROUND(206.835 - 1.015 * wps - 84.6 * spw, 6) AS flesch
+          FROM per_doc)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND({SQL_DEC_SUM.format(x="wps")} / COUNT(*), 6)
+                   AS avg_words_per_sentence,
+               ROUND({SQL_DEC_SUM.format(x="spw")} / COUNT(*), 6)
+                   AS avg_syllables_per_word,
+               ROUND({SQL_DEC_SUM.format(x="flesch")} / COUNT(*), 6)
+                   AS avg_flesch
+        FROM scored GROUP BY lang ORDER BY lang
+        """,
+        "per-language readability: words/sentence, syllables/word, Flesch",
+    )
+)
+
+
+# --- x174: code-vs-prose detection -------------------------------------------
+CODE_TAU = 0.01  # symbol-density threshold; shared with the oracle
+_CODE_SNIPPET = " if (x == 1) { return foo(x); }"
+
+
+def x174_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symbol-density code detector over a mixed corpus: every fourth
+    document gets a deterministic code snippet appended (the x43
+    fixture-augmentation convention — the raw corpus is pure prose, so
+    the detector needs something to detect), then docs whose
+    code-symbol density crosses CODE_TAU are flagged and the per-source
+    code share reported — the curation signal that routes code-ish
+    content to a different pipeline. Row-local regex; one source-keyed
+    aggregation."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    aug = F.when(
+        F.col("doc_id") % 4 == 0, F.concat(F.col("text"), F.lit(_CODE_SNIPPET))
+    ).otherwise(F.col("text"))
+    n_sym = F.size(F.regexp_extract_all(aug, F.lit("[{}();=<>]"), 0))
+    ratio = F.round(n_sym.cast("double") / F.length(aug), 6)
+    flagged = docs.select(
+        "source", (ratio >= F.lit(CODE_TAU)).cast("long").alias("is_code")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_code").cast("long").alias("n_code"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_code",
+            F.round(F.col("n_code").cast("double") / F.col("n_docs"), 6).alias(
+                "code_share"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    QuerySpec(
+        "x174_code_detect",
+        x174_code_detect,
+        f"""
+        WITH aug AS (
+          SELECT source,
+                 CASE WHEN doc_id % 4 = 0 THEN text || '{_CODE_SNIPPET}'
+                      ELSE text END AS t
+          FROM documents),
+        flagged AS (
+          SELECT source,
+                 CASE WHEN ROUND(CAST(len(regexp_extract_all(t, '[{{}}();=<>]'))
+                                      AS DOUBLE) / length(t), 6)
+                           >= {CODE_TAU}
+                      THEN 1 ELSE 0 END AS is_code
+          FROM aug)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(is_code) AS BIGINT) AS n_code,
+               ROUND(CAST(SUM(is_code) AS DOUBLE) / COUNT(*), 6) AS code_share
+        FROM flagged GROUP BY source ORDER BY source
+        """,
+        "symbol-density code-vs-prose detection, per-source code share",
+    )
+)
+
+
+# --- x175: stratified k-fold assignment --------------------------------------
+KFOLD_K = 5
+_KF_A, _KF_B = 16_807, 32_771
+
+
+def x175_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment with per-language balance audit:
+    fold = affine-hash(doc_id) mod K, and each (fold, lang) cell reports
+    its deviation from the perfectly-stratified expectation — the table
+    a cross-validation harness checks before trusting fold metrics.
+    One corpus aggregation + a label-cardinality broadcast."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    fold = (
+        (F.lit(_KF_A) * F.col("doc_id") + F.lit(_KF_B)) % F.lit(ARITH_P)
+    ) % F.lit(KFOLD_K)
+    cells = (
+        docs.select(fold.cast("long").alias("fold"), "lang")
+        .groupBy("fold", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    lang_tot = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_total"))
+    exp = F.col("lang_total").cast("double") / F.lit(KFOLD_K)
+    return (
+        cells.join(F.broadcast(lang_tot), "lang")
+        .select(
+            "fold",
+            "lang",
+            "n_docs",
+            F.round((F.col("n_docs") - exp) / exp * 100, 6).alias("dev_pct"),
+        )
+        .orderBy("fold", "lang")
+    )
+
+
+register(
+    QuerySpec(
+        "x175_stratified_kfold",
+        x175_stratified_kfold,
+        f"""
+        WITH cells AS (
+          SELECT (({_KF_A} * doc_id + {_KF_B}) % {ARITH_P}) % {KFOLD_K} AS fold,
+                 lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY 1, 2),
+        tot AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS lang_total
+          FROM documents GROUP BY lang)
+        SELECT c.fold, c.lang, c.n_docs,
+               ROUND((c.n_docs - CAST(t.lang_total AS DOUBLE) / {KFOLD_K})
+                     / (CAST(t.lang_total AS DOUBLE) / {KFOLD_K}) * 100, 6)
+                   AS dev_pct
+        FROM cells c JOIN tot t USING (lang)
+        ORDER BY fold, lang
+        """,
+        "deterministic stratified k-fold assignment with balance audit",
+    )
+)
+
+
+# --- x178: RAG chunker coverage audit ----------------------------------------
+def x178_chunk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage/redundancy audit of the x61 sliding-window chunker: per
+    document, the chunk count, total chunk tokens, and the redundancy
+    factor (chunk tokens / doc tokens — the storage multiplier overlap
+    costs a RAG index). COMPOSES the registered x61 operator (anti-
+    drift: the audit can't diverge from the chunker it audits); the
+    rollup is one doc-keyed aggregation."""
+    from .corpus import x61_chunk_sliding
+
+    chunks = x61_chunk_sliding(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("doc_tokens")
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").cast("long").alias("chunk_tokens"),
+    )
+    return (
+        per_doc.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "doc_tokens",
+            "n_chunks",
+            "chunk_tokens",
+            F.round(
+                F.col("chunk_tokens").cast("double") / F.col("doc_tokens"), 6
+            ).alias("redundancy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _x178_sql() -> str:
+    """Oracle composes x61's registered SQL verbatim (anti-drift)."""
+    from . import _REGISTRY
+
+    x61 = _REGISTRY["x61_chunk_sliding"].oracle
+    return f"""
+        WITH chunks AS ({x61}),
+        per_doc AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                 CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens
+          FROM chunks GROUP BY doc_id),
+        d AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS doc_tokens
+          FROM documents)
+        SELECT p.doc_id, d.doc_tokens, p.n_chunks, p.chunk_tokens,
+               ROUND(CAST(p.chunk_tokens AS DOUBLE) / d.doc_tokens, 6)
+                   AS redundancy
+        FROM per_doc p JOIN d USING (doc_id)
+        ORDER BY p.doc_id
+        """
+
+
+# x179's oracle needs x61 registered first; corpus is imported by
+# registry() before curation only alphabetically — import explicitly.
+from . import corpus as _corpus  # noqa: E402,F401
+
+register(
+    QuerySpec(
+        "x178_chunk_coverage",
+        x178_chunk_coverage,
+        _x178_sql(),
+        "chunker coverage/redundancy audit composing the registered x61",
+    )
+)

@@ -732,3 +732,156 @@ register(
         "per-partition row/file audit via the hidden _metadata column",
     )
 )
+
+
+# --- x170: small-files compaction planner ------------------------------------
+COMPACT_TARGET_ROWS = 1_500  # rows per compacted output file
+
+
+def x170_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse OPTIMIZE planning: bin-pack the date-partitioned event
+    layout's files into compaction groups of ~COMPACT_TARGET_ROWS rows
+    (next-fit in date order: a new bin starts when the running total
+    crosses the target — deterministic, single window pass, no sort
+    beyond the date spine). The file inventory comes from the ACTUAL
+    physical layout via the hidden ``_metadata`` column (the x149
+    plumbing — no listing job); the oracle recomputes the identical plan
+    from the logical table because the layout holds the one-file-per-
+    partition invariant x149 gates. At 100 TB the input is a file-count-
+    sized frame (millions of rows at most), not the data itself — the
+    plan is metadata-plane work, and the expensive rewrite it schedules
+    is exactly what the plan's bins bound."""
+    ev = spark.read.parquet(events_partitioned_path(spark, sf_dir))
+    per_file = (
+        ev.select(
+            F.col("d").cast("string").alias("d"),
+            F.col("_metadata.file_path").alias("fp"),
+        )
+        .groupBy("d", "fp")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    w = (
+        Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = per_file.select(
+        "d",
+        "n_rows",
+        F.floor(
+            F.coalesce(F.sum("n_rows").over(w), F.lit(0))
+            / F.lit(COMPACT_TARGET_ROWS)
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.min("d").alias("d_min"),
+            F.max("d").alias("d_max"),
+        )
+        .orderBy("bin")
+    )
+
+
+register(
+    QuerySpec(
+        "x170_compaction_plan",
+        x170_compaction_plan,
+        f"""
+        WITH per_file AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS d,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows
+          FROM events GROUP BY 1),
+        binned AS (
+          SELECT d, n_rows,
+                 CAST(floor(COALESCE(SUM(n_rows) OVER (
+                          ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) / {COMPACT_TARGET_ROWS}) AS BIGINT) AS bin
+          FROM per_file)
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+               MIN(d) AS d_min, MAX(d) AS d_max
+        FROM binned GROUP BY bin ORDER BY bin
+        """,
+        "next-fit compaction bin plan over the partitioned layout's files",
+    )
+)
+
+
+# --- x171: three-way bucket-co-located join ----------------------------------
+def x171_bucketed_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three fact-grain tables — orders, lineitem, and an order-level
+    returns rollup — ALL bucketed+sorted on the order key: the two
+    sort-merge joins chain on the same bucket layout, so the entire
+    3-way join runs with ZERO exchanges (plan-asserted with broadcast
+    off). This is the x97 contract extended to the multi-join case that
+    actually pays at 100 TB: one bucketed ingest amortizes across every
+    order-keyed join in the workload, not just the first."""
+    tag = _sf_tag(sf_dir)
+    orders = _bucketed_table(
+        spark,
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ),
+        f"x171_orders_{tag}",
+        "o_orderkey",
+    )
+    lineitem = _bucketed_table(
+        spark,
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        f"x171_lineitem_{tag}",
+        "l_orderkey",
+    )
+    returns = _bucketed_table(
+        spark,
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .groupBy(F.col("l_orderkey").alias("r_orderkey"))
+        .agg(F.count(F.lit(1)).alias("r_items")),
+        f"x171_returns_{tag}",
+        "r_orderkey",
+    )
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .join(returns, orders.o_orderkey == returns.r_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dec_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "revenue",
+            ),
+            F.sum("r_items").cast("long").alias("returned_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+register(
+    QuerySpec(
+        "x171_bucketed_three_way",
+        x171_bucketed_three_way,
+        f"""
+        WITH returns AS (
+          SELECT l_orderkey AS r_orderkey, CAST(COUNT(*) AS BIGINT) AS r_items
+          FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1)
+        SELECT o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               {SQL_DEC_SUM.format(x="l.l_extendedprice * (1.0 - l.l_discount)")}
+                   AS revenue,
+               CAST(SUM(r.r_items) AS BIGINT) AS returned_items
+        FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN returns r ON o.o_orderkey = r.r_orderkey
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+        """,
+        "zero-exchange 3-way join on one shared bucket layout",
+    )
+)

@@ -1059,3 +1059,171 @@ register(
         "applyInPandasWithState running totals: final state vs batch aggregate",
     )
 )
+
+
+def x172_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental MinHash-LSH near-dup: new documents arrive
+    as a file-source stream and each micro-batch is signed, banded, and
+    joined against the PRE-BUILT base band index (a persisted static
+    frame — the materialized-index shape x111 proves in batch), emitting
+    candidate pairs with signature-overlap estimates. This is THE
+    production continuous-ingest dedup loop: the base index is built
+    once, each arriving batch pays only its own signatures plus a
+    band-keyed join into the index.
+
+    Drained with availableNow over one-file micro-batches; every batch
+    doc is in exactly one micro-batch and pairs are keyed by batch doc,
+    so the union of per-batch outputs equals the one-shot batch result —
+    x111's REGISTERED oracle is reused verbatim (anti-drift: the
+    streaming twin can never diverge from the batch op's contract
+    without the gate seeing it)."""
+    from .dedup import (
+        _ARITH_HASHES,
+        _BAND_MIX,
+        _charfold,
+        _x111_sql,  # noqa: F401  (oracle reuse documented above)
+        ARITH_P,
+        INC_BATCH_OFFSET,
+        INC_DROP_FRAC,
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_HASHES,
+        shingles,
+    )
+    from pyspark.sql import Column
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(GATE_DIR, f"src_x172_{sf_tag}")
+    dest = os.path.join(GATE_DIR, f"out_x172_{sf_tag}")
+    ckpt = os.path.join(GATE_DIR, f"ckpt_x172_{sf_tag}")
+    _fresh(src, dest, ckpt)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def sig_of(corpus: DataFrame) -> DataFrame:
+        posting = corpus.select(
+            "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
+        ).withColumn("fp", _charfold(F.col("sh")))
+        mins = [
+            F.min((F.lit(a) * F.col("fp") + F.lit(b)) % F.lit(ARITH_P)).alias(
+                f"h{j}"
+            )
+            for j, (a, b) in enumerate(_ARITH_HASHES)
+        ]
+        return posting.groupBy("doc_id").agg(*mins)
+
+    def buckets_of(sig: DataFrame) -> DataFrame:
+        def _bucket(b: int) -> Column:
+            expr = F.col(f"h{b * LSH_ROWS}")
+            for r in range(1, LSH_ROWS):
+                expr = (expr * _BAND_MIX + F.col(f"h{b * LSH_ROWS + r}")) % F.lit(
+                    ARITH_P
+                )
+            return expr
+
+        return sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).cast("long").alias("band"),
+                            _bucket(b).alias("bucket"),
+                        )
+                        for b in range(LSH_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc_id", "bb.band", "bb.bucket")
+
+    # The static, pre-built side: base signatures + band index, persisted
+    # once and probed by every micro-batch.
+    base_sig = sig_of(docs).persist()
+    base_idx = buckets_of(base_sig).persist()
+    base_idx.count()  # materialize before the stream starts
+
+    # Arriving documents: x111's batch transform (suffix-truncated,
+    # id-offset), spread over 4 files = 4 micro-batches.
+    words = F.split(F.col("text"), " ")
+    drop_n = F.floor(F.size(words) / F.lit(INC_DROP_FRAC)).cast("int")
+    suffix = F.array_join(
+        F.slice(words, drop_n + F.lit(1), F.size(words) - drop_n), " "
+    )
+    batch_docs = docs.select(
+        (F.col("doc_id") + INC_BATCH_OFFSET).alias("doc_id"),
+        suffix.alias("text"),
+    )
+    batch_docs.repartitionByRange(4, "doc_id").write.parquet(src)
+
+    n_eq = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("long")
+        for j in range(MINHASH_HASHES)
+    )
+    sb = base_sig.select(
+        F.col("doc_id").alias("base_id"),
+        *[F.col(f"h{j}").alias(f"b{j}") for j in range(MINHASH_HASHES)],
+    )
+
+    def handle_batch(bdf: DataFrame, _bid: int) -> None:
+        bsig = sig_of(bdf).persist()
+        bb = buckets_of(bsig).alias("new")
+        cand = (
+            bb.join(
+                base_idx.alias("base"),
+                (F.col("new.band") == F.col("base.band"))
+                & (F.col("new.bucket") == F.col("base.bucket")),
+            )
+            .select(
+                F.col("new.doc_id").alias("batch_id"),
+                F.col("base.doc_id").alias("base_id"),
+            )
+            .dropDuplicates(["batch_id", "base_id"])
+        )
+        sa = bsig.select(
+            F.col("doc_id").alias("batch_id"),
+            *[F.col(f"h{j}").alias(f"a{j}") for j in range(MINHASH_HASHES)],
+        )
+        out = (
+            cand.join(sa, "batch_id")
+            .join(sb, "base_id")
+            .select(
+                "batch_id",
+                "base_id",
+                n_eq.alias("n_eq"),
+                (n_eq.cast("double") / F.lit(float(MINHASH_HASHES))).alias(
+                    "est_sim"
+                ),
+            )
+        )
+        out.write.mode("append").parquet(dest)
+        bsig.unpersist()
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    base_sig.unpersist()
+    base_idx.unpersist()
+    return spark.read.parquet(dest).orderBy("batch_id", "base_id")
+
+
+register(
+    QuerySpec(
+        "x172_stream_neardup",
+        x172_stream_neardup,
+        # Anti-drift: the streaming twin is gated against x111's batch
+        # oracle verbatim — see docstring.
+        __import__(
+            "json_to_parquet_spark.queries.dedup", fromlist=["_x111_sql"]
+        )._x111_sql(),
+        "streaming LSH near-dup: micro-batches probe the static band index",
+    )
+)

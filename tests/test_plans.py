@@ -170,6 +170,12 @@ _BNLJ_ALLOWED = {
     "x138_equidepth_histogram",  # 1-row row-count frame broadcast
     "x139_join_cardinality_eval",  # 1-row row-count frame broadcast
     "x151_source_influence",  # 1-row corpus-totals frame broadcast
+    "x159_nb_langid",  # label-cardinality lang-constants frame broadcast
+    "x160_dsir_select",  # 1-row corpus/target-totals frame broadcast
+    "x167_hard_negatives",  # query-vector set broadcast (the x11 shape)
+    "x168_crosslingual_margin",  # source-vector set broadcast (x11 shape)
+    "x176_label_noise_audit",  # bounded audit-vector set broadcast (x11 shape)
+    "x177_rrf_fusion",  # composes x54: 1-row corpus-stats frame broadcast
     "x154_session_lift",  # 1-row session-count frame broadcast
     "x157_activity_concentration",  # 1-row totals frame broadcast
 }
@@ -344,3 +350,20 @@ def test_x121_probe_is_partition_pruning(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x121_ivf_partitioned_index")
     assert "dynamicpruning" in plan.lower()
     assert "PartitionFilters: [" in plan
+
+
+def test_x171_three_way_bucketed_no_shuffle(spark, sf_dir):
+    """The 3-way join on the shared bucket layout must run as chained
+    sort-merge joins with ZERO exchanges before the joins — all three
+    scans expose the bucket spec on the order key (x97's contract,
+    extended to the multi-join case)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, sf_dir, "x171_bucketed_three_way")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert plan.count("SortMergeJoin") == 2, plan[:500]
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(r_orderkey" not in plan
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
