@@ -844,3 +844,181 @@ register(
         "dedup → quality gates → shard manifest as one declarative plan",
     )
 )
+
+
+# --- x180: sketch-vs-exact source overlap ------------------------------------
+def x180_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair overlap from MERGED MinHash sketches, measured against
+    the exact Jaccard: each source keeps one 16-coordinate signature
+    (min over all its shingle fingerprints per hash — the mergeable-
+    sketch algebra), pairs estimate Jaccard as the matching-coordinate
+    fraction, and the exact set Jaccard (x71's quantity, recomputed over
+    the same charfold fingerprints) sits alongside with the absolute
+    error. This is how cross-dataset overlap is audited at 100 TB:
+    signatures are source-cardinality-sized state that merges
+    commutatively under ingest, so the pairwise audit never rejoins the
+    corpus — only this eval pays the exact join, to certify the sketch.
+
+    Shapes: one (source, shingle-fp) distinct pass feeds BOTH the
+    signature aggregation (source-keyed, 16 longs of state) and the
+    exact intersection join (fp-keyed, fan-out ≤ C(n_sources,2) per
+    shared fp)."""
+    from .dedup import _ARITH_HASHES, _charfold, ARITH_P, shingles
+
+    d = _docs(spark, sf_dir)
+    sh = (
+        d.select("source", F.explode(shingles(F.col("text"))).alias("sh"))
+        .select("source", _charfold(F.col("sh")).alias("fp"))
+        .distinct()
+        .persist()
+    )
+    mins = [
+        F.min((F.lit(a) * F.col("fp") + F.lit(b)) % F.lit(ARITH_P)).alias(f"h{j}")
+        for j, (a, b) in enumerate(_ARITH_HASHES)
+    ]
+    sig = sh.groupBy("source").agg(*mins)
+    sa = sig.select(
+        F.col("source").alias("src_a"),
+        *[F.col(f"h{j}").alias(f"a{j}") for j in range(len(_ARITH_HASHES))],
+    )
+    sb = sig.select(
+        F.col("source").alias("src_b"),
+        *[F.col(f"h{j}").alias(f"b{j}") for j in range(len(_ARITH_HASHES))],
+    )
+    n_eq = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("long")
+        for j in range(len(_ARITH_HASHES))
+    )
+    est = (
+        # source-cardinality² pair frame; broadcast keeps it a BNLJ, not
+        # a cartesian (tests/test_plans.py forbids CartesianProduct)
+        sa.crossJoin(F.broadcast(sb))
+        .filter(F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            F.round(n_eq.cast("double") / F.lit(float(len(_ARITH_HASHES))), 6)
+            .alias("est_jaccard"),
+        )
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("source").alias("src_a"), "fp")
+    b = sh.select(F.col("source").alias("src_b"), "fp")
+    inter = (
+        a.join(b, "fp")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    exact = (
+        inter.join(
+            F.broadcast(
+                sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )
+    out = (
+        est.join(exact, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "est_jaccard",
+            F.coalesce("exact_jaccard", F.lit(0.0)).alias("exact_jaccard"),
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "est_jaccard",
+            "exact_jaccard",
+            F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6).alias(
+                "abs_err"
+            ),
+        )
+        .orderBy("src_a", "src_b")
+    )
+    sh.unpersist()
+    return out
+
+
+def _x180_sql() -> str:
+    from .dedup import _ARITH_HASHES, ARITH_P, SHINGLE_WIDTH
+
+    P, W = ARITH_P, SHINGLE_WIDTH
+    sig_cols = ",\n                 ".join(
+        f"MIN(({a}*fp + {b}) % {P}) AS h{j}"
+        for j, (a, b) in enumerate(_ARITH_HASHES)
+    )
+    eq_sum = " + ".join(
+        f"CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END"
+        for j in range(len(_ARITH_HASHES))
+    )
+    nh = float(len(_ARITH_HASHES))
+    return f"""
+        WITH tk AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+        shl AS (
+          SELECT source,
+                 unnest(list_distinct([array_to_string(t[i+1:i+{W}], ' ')
+                     FOR i IN generate_series(0, len(t)-{W})])) AS sh
+          FROM tk),
+        fps AS MATERIALIZED (
+          SELECT DISTINCT source,
+                 list_reduce(list_transform(string_split(sh, ''),
+                                            c -> CAST(ascii(c) AS BIGINT)),
+                             (a, b) -> (a*31 + b) % {P}) AS fp
+          FROM shl),
+        sig AS MATERIALIZED (
+          SELECT source,
+                 {sig_cols}
+          FROM fps GROUP BY source),
+        est AS (
+          SELECT sa.source AS src_a, sb.source AS src_b,
+                 ROUND(CAST({eq_sum} AS DOUBLE) / {nh}, 6) AS est_jaccard
+          FROM sig sa JOIN sig sb ON sa.source < sb.source),
+        sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM fps GROUP BY source),
+        inter AS (
+          SELECT a.source AS src_a, b.source AS src_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+          GROUP BY 1, 2),
+        exact AS (
+          SELECT i.src_a, i.src_b,
+                 ROUND(CAST(i.n_shared AS DOUBLE)
+                       / (na.n + nb.n - i.n_shared), 6) AS exact_jaccard
+          FROM inter i
+          JOIN sizes na ON na.source = i.src_a
+          JOIN sizes nb ON nb.source = i.src_b)
+        SELECT e.src_a, e.src_b, e.est_jaccard,
+               COALESCE(x.exact_jaccard, 0.0) AS exact_jaccard,
+               ROUND(abs(e.est_jaccard - COALESCE(x.exact_jaccard, 0.0)), 6)
+                   AS abs_err
+        FROM est e LEFT JOIN exact x
+          ON e.src_a = x.src_a AND e.src_b = x.src_b
+        ORDER BY e.src_a, e.src_b
+        """
+
+
+register(
+    QuerySpec(
+        "x180_source_overlap_sketch",
+        x180_source_overlap_sketch,
+        _x180_sql(),
+        "mergeable MinHash source-overlap estimates vs exact Jaccard",
+    )
+)

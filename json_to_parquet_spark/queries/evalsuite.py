@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
 from . import QuerySpec, register
+from .helpers import SQL_DEC_SUM
 from .dedup import (
     ARITH_P,
     MINHASH_HASHES,
@@ -1841,5 +1842,99 @@ register(
         FROM alldeg GROUP BY degree ORDER BY degree
         """,
         "degree histogram of the LSH near-dup candidate graph (bucketing health readout)",
+    )
+)
+
+
+# --- x181: behavioral sequence perplexity ------------------------------------
+ANOM_TOP = 10
+
+
+def x181_session_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral anomaly score: each user's event sequence is scored
+    under the corpus-wide first-order Markov model (x90's transition
+    MLE), and the ANOM_TOP lowest mean log-likelihood users are flagged
+    — 'whose clickstream does the population model least expect', the
+    sequence-level cousin of x73's distributional drift. The model is
+    type²-sized and broadcast; scoring is one user-keyed window + one
+    user-keyed aggregation; log-probs follow the x83/x134 leaf-rounding
+    + decimal-sum treaty."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_type", "event_id")
+    trans = ev.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    model_n = trans.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    model_tot = model_n.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("n_from")
+    )
+    model = model_n.join(F.broadcast(model_tot), "from_type").select(
+        "from_type",
+        "to_type",
+        F.round(
+            F.log(F.col("n").cast("double") / F.col("n_from")), 6
+        ).alias("logp"),
+    )
+    scored = (
+        trans.join(F.broadcast(model), ["from_type", "to_type"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trans"),
+            F.round(
+                F.sum(F.col("logp").cast("decimal(30,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_logp"),
+        )
+    )
+    flagged = scored.orderBy(F.asc("mean_logp"), F.asc("user_id")).limit(ANOM_TOP)
+    w2 = Window.orderBy(F.asc("mean_logp"), F.asc("user_id"))
+    return flagged.select(
+        F.row_number().over(w2).cast("long").alias("rank"),
+        "user_id",
+        "n_trans",
+        "mean_logp",
+    )
+
+
+register(
+    QuerySpec(
+        "x181_session_perplexity",
+        x181_session_perplexity,
+        f"""
+        WITH trans AS (
+          SELECT user_id, event_type AS from_type,
+                 lead(event_type) OVER (
+                     PARTITION BY user_id
+                     ORDER BY ts, event_type, event_id) AS to_type
+          FROM events QUALIFY to_type IS NOT NULL),
+        model_n AS (
+          SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM trans GROUP BY 1, 2),
+        model AS (
+          SELECT from_type, to_type,
+                 ROUND(ln(CAST(n AS DOUBLE)
+                          / SUM(n) OVER (PARTITION BY from_type)), 6) AS logp
+          FROM model_n),
+        scored AS (
+          SELECT t.user_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
+                 ROUND({{dec}} / COUNT(*), 6) AS mean_logp
+          FROM trans t JOIN model m
+            ON t.from_type = m.from_type AND t.to_type = m.to_type
+          GROUP BY t.user_id)
+        SELECT CAST(row_number() OVER (ORDER BY mean_logp ASC, user_id ASC)
+                    AS BIGINT) AS rank,
+               user_id, n_trans, mean_logp
+        FROM scored
+        ORDER BY mean_logp ASC, user_id ASC
+        LIMIT {ANOM_TOP}
+        """.replace("{dec}", SQL_DEC_SUM.format(x="m.logp")),
+        "lowest sequence log-likelihood users under the x90 Markov model",
     )
 )

@@ -990,3 +990,152 @@ register(
         "sessionized next-event-prediction examples: features + label from the event log",
     )
 )
+
+
+# --- x179: TextRank keyword extraction ---------------------------------------
+TR_VOCAB = 40  # co-occurrence graph restricted to the top-V corpus tokens
+TR_ITERS = 8
+TR_TOP = 10
+
+
+def x179_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    the word co-occurrence graph — adjacent-token edges, undirected,
+    restricted to the TR_VOCAB most frequent corpus tokens (the x82
+    bounded-vocabulary discipline: the graph is vocab², never corpus-
+    sized). The recurrence is x45's bit-exact fixed-point integer form,
+    so the unrolled oracle needs no float treaty; output is the TR_TOP
+    highest-ranked keywords.
+
+    Scale shape: one corpus scan builds bigram edge counts (token-pair
+    keyed shuffle over the bounded vocab); the TR_ITERS loop then runs
+    on ≤V² frames, coalesce(1)+broadcast per round exactly like x45,
+    with the same every-3 localCheckpoint cadence."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    top = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(TR_VOCAB)
+        .select("word")
+    )
+    # Adjacent-pair edges within each document, both directions, only
+    # between top-vocab tokens.
+    t = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    pairs = docs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.struct(
+                    F.element_at(t, i).alias("a"),
+                    F.element_at(t, i + 1).alias("b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b").filter(F.col("a") != F.col("b"))
+    both = pairs.unionAll(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    edges = (
+        both.join(F.broadcast(top.withColumnRenamed("word", "a")), "a")
+        .join(F.broadcast(top.withColumnRenamed("word", "b")), "b")
+        .groupBy(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    wout = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
+    ew = edges.join(wout, "src").coalesce(1).persist()
+    nodes = (
+        edges.select(F.col("src").alias("node")).distinct().coalesce(1).persist()
+    )
+    n = nodes.count()
+    base_u = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n)
+    pr = nodes.select("node", F.lit(PR_SCALE // n).cast("long").alias("pr_u"))
+    for i in range(TR_ITERS):
+        contrib = ew.join(F.broadcast(pr), ew.src == pr.node).select(
+            F.col("dst"), F.expr("pr_u * w DIV w_out").alias("c")
+        )
+        sums = F.broadcast(contrib.groupBy("dst").agg(F.sum("c").alias("s")))
+        pr = nodes.join(sums, nodes.node == sums.dst, "left").select(
+            "node",
+            (
+                F.lit(base_u)
+                + F.expr(f"{PR_DAMP_NUM} * coalesce(s, 0L) DIV {PR_DAMP_DEN}")
+            ).alias("pr_u"),
+        )
+        if (i + 1) % 3 == 0:
+            pr = pr.localCheckpoint()
+    ew.unpersist()
+    nodes.unpersist()
+    top_pr = pr.orderBy(F.desc("pr_u"), F.asc("node")).limit(TR_TOP)
+    w = Window.orderBy(F.desc("pr_u"), F.asc("node"))
+    return top_pr.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.col("node").alias("keyword"),
+        F.col("pr_u").cast("long").alias("pr_micro"),
+    )
+
+
+def _x179_sql() -> str:
+    head = f"""
+        WITH toks AS (
+          SELECT word FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS word
+            FROM documents) WHERE word <> ''),
+        top AS MATERIALIZED (
+          SELECT word FROM (
+            SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word)
+          ORDER BY cnt DESC, word ASC LIMIT {TR_VOCAB}),
+        tkl AS (
+          SELECT list_filter(string_split(lower(text), ' '), w -> w <> '') AS t
+          FROM documents),
+        adj AS (
+          SELECT p['a'] AS a, p['b'] AS b
+          FROM (SELECT unnest([{{'a': t[i], 'b': t[i+1]}}
+                    FOR i IN generate_series(1, len(t)-1)]) AS p
+                FROM tkl WHERE len(t) >= 2)
+          WHERE p['a'] <> p['b']),
+        bi AS (SELECT a, b FROM adj UNION ALL SELECT b, a FROM adj),
+        e AS MATERIALIZED (
+          SELECT a AS src, b AS dst, CAST(COUNT(*) AS BIGINT) AS w
+          FROM bi
+          WHERE a IN (SELECT word FROM top) AND b IN (SELECT word FROM top)
+          GROUP BY 1, 2),
+        ew AS MATERIALIZED (
+          SELECT e.*, SUM(w) OVER (PARTITION BY src) AS w_out FROM e),
+        nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        pr0 AS (
+          SELECT node, {PR_SCALE} // (SELECT n FROM nn) AS pr_u FROM nodes)"""
+    steps = []
+    for i in range(TR_ITERS):
+        steps.append(f"""
+        pr{i + 1} AS MATERIALIZED (
+          SELECT nd.node,
+                 (({PR_SCALE} * {PR_DAMP_DEN - PR_DAMP_NUM})
+                    // ({PR_DAMP_DEN} * (SELECT n FROM nn)))
+                 + ({PR_DAMP_NUM} * COALESCE(sm.s, 0)) // {PR_DAMP_DEN} AS pr_u
+          FROM nodes nd LEFT JOIN (
+            SELECT ew.dst AS node, SUM((p.pr_u * ew.w) // ew.w_out) AS s
+            FROM ew JOIN pr{i} p ON ew.src = p.node
+            GROUP BY ew.dst) sm ON nd.node = sm.node)""")
+    return (
+        head + "," + ",".join(steps)
+        + f"""
+        SELECT CAST(row_number() OVER (ORDER BY pr_u DESC, node ASC)
+                    AS BIGINT) AS rank,
+               node AS keyword, CAST(pr_u AS BIGINT) AS pr_micro
+        FROM pr{TR_ITERS}
+        ORDER BY pr_u DESC, node ASC
+        LIMIT {TR_TOP}"""
+    )
+
+
+register(
+    QuerySpec(
+        "x179_textrank_keywords",
+        x179_textrank_keywords,
+        _x179_sql(),
+        "TextRank keywords: fixed-point PageRank over the co-occurrence graph",
+    )
+)

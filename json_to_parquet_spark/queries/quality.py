@@ -24,7 +24,7 @@ Scale shapes, per ARCHITECTURE.md §3 conventions:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
@@ -445,5 +445,130 @@ register(
         ORDER BY dd.doc_id
         """,
         "per-doc fraction of span positions duplicated across documents (Gopher signal)",
+    )
+)
+
+
+# --- x182: duplicated-span interval merge ------------------------------------
+def x182_dup_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge x53's duplicated SPAN_W-word windows into MAXIMAL dup
+    regions per document (overlapping/adjacent windows coalesce — the
+    interval-union pass an exact-substring dedup needs before it can
+    cut: you remove regions, not windows). Output per doc: dup-window
+    count, merged-region count, and covered token positions.
+
+    Shapes: the span-keyed dup lookup is x53's aggregation; the merge is
+    a classic gaps-and-islands window PARTITIONED BY doc (state bounded
+    by one doc's window count). Token positions are 1-based."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    posed = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(toks) >= SPAN_W,
+                F.sequence(F.lit(1), F.size(toks) - (SPAN_W - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("pos"),
+        toks.alias("t"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.concat_ws(" ", F.slice(F.col("t"), F.col("pos"), SPAN_W)).alias("span"),
+    )
+    dup = (
+        posed.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("span")
+    )
+    hits = posed.join(dup, "span").select("doc_id", "pos")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.select(
+        "doc_id",
+        "pos",
+        (
+            F.col("pos")
+            > F.coalesce(
+                F.max(F.col("pos") + F.lit(SPAN_W - 1)).over(w_prev), F.lit(-1)
+            )
+        )
+        .cast("long")
+        .alias("starts"),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    regions = flagged.select(
+        "doc_id", "pos", F.sum("starts").over(w_run).alias("region")
+    )
+    per_region = regions.groupBy("doc_id", "region").agg(
+        F.min("pos").alias("r_start"),
+        (F.max("pos") + F.lit(SPAN_W - 1)).alias("r_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    )
+    return (
+        per_region.groupBy("doc_id")
+        .agg(
+            F.sum("n_windows").cast("long").alias("n_dup_windows"),
+            F.count(F.lit(1)).alias("n_regions"),
+            F.sum(F.col("r_end") - F.col("r_start") + 1)
+            .cast("long")
+            .alias("covered_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    QuerySpec(
+        "x182_dup_span_merge",
+        x182_dup_span_merge,
+        f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        posed AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 array_to_string(t[i:i+{SPAN_W - 1}], ' ') AS span
+          FROM toks, LATERAL unnest(generate_series(1, len(t) - {SPAN_W - 1}))
+               AS u(i)
+          WHERE len(t) >= {SPAN_W}),
+        dup AS (
+          SELECT span FROM posed
+          GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2),
+        hits AS (
+          SELECT p.doc_id, p.pos FROM posed p JOIN dup USING (span)),
+        flagged AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos > COALESCE(MAX(pos + {SPAN_W - 1}) OVER (
+                          PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1)
+                      THEN 1 ELSE 0 END AS starts
+          FROM hits),
+        regions AS (
+          SELECT doc_id, pos,
+                 SUM(starts) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS region
+          FROM flagged),
+        per_region AS (
+          SELECT doc_id, region, MIN(pos) AS r_start,
+                 MAX(pos) + {SPAN_W - 1} AS r_end,
+                 COUNT(*) AS n_windows
+          FROM regions GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(SUM(n_windows) AS BIGINT) AS n_dup_windows,
+               CAST(COUNT(*) AS BIGINT) AS n_regions,
+               CAST(SUM(r_end - r_start + 1) AS BIGINT) AS covered_tokens
+        FROM per_region GROUP BY doc_id ORDER BY doc_id
+        """,
+        "merge duplicated spans into maximal per-doc dup regions",
     )
 )
