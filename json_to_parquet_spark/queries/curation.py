@@ -1137,3 +1137,277 @@ register(
         "chunker coverage/redundancy audit composing the registered x61",
     )
 )
+
+
+# --- x183: skip-gram pairs with deterministic negative sampling --------------
+SG_VOCAB = 40  # skip-gram vocabulary (top-V corpus tokens)
+SG_WINDOW = 2  # context window ±SG_WINDOW
+SG_NEG = 2  # negatives per positive pair
+SG_TOP = 20  # emitted rows: the top pairs by frequency
+_SG_A, _SG_B = 22_695_477, 7_919
+
+
+def x183_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2vec-style training-pair construction: (center, context)
+    positives from a ±SG_WINDOW token window over the corpus, restricted
+    to the top-SG_VOCAB vocabulary, each paired with SG_NEG
+    deterministically hash-sampled negative words (uniform over the
+    vocabulary — the derandomized stand-in for unigram^0.75 sampling;
+    the x83 derandomization argument). Output: the SG_TOP most frequent
+    pairs with their sampled negatives — the verifiable head of the
+    training-pair stream.
+
+    Shapes: pair extraction is row-local list math; one pair-keyed count
+    aggregation over the bounded vocab (≤V² keys); the vocab index joins
+    are broadcasts. At 100 TB the pair stream is written, not
+    aggregated — the aggregation here is what makes the head oracle-
+    checkable."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    # token array materialized as a column before element_at-indexing —
+    # an inline filter(split(...)) re-evaluates per element inside the
+    # transform lambda, O(n²) per row (the x179 lesson)
+    t = F.col("t")
+    toked = docs.select(
+        F.filter(F.split(F.lower("text"), " "), lambda w: w != "").alias("t")
+    )
+    vocab_w = Window.orderBy(F.desc("cnt"), F.asc("word"))
+    vocab = (
+        _words(docs)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(SG_VOCAB)
+        .select(
+            "word", (F.row_number().over(vocab_w) - 1).cast("long").alias("idx")
+        )
+    )
+    offs = [d for d in range(-SG_WINDOW, SG_WINDOW + 1) if d != 0]
+    pairs = toked.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t)),
+                    lambda i: F.filter(
+                        F.array(
+                            *[
+                                F.struct(
+                                    F.element_at(t, i).alias("center"),
+                                    F.when(
+                                        (i + F.lit(d) >= 1)
+                                        & (i + F.lit(d) <= F.size(t)),
+                                        F.element_at(t, (i + F.lit(d)).cast("int")),
+                                    ).alias("ctx"),
+                                )
+                                for d in offs
+                            ]
+                        ),
+                        lambda s: s.ctx.isNotNull(),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.center", "p.ctx")
+    counted = (
+        pairs.join(F.broadcast(vocab.select(F.col("word").alias("center"))), "center")
+        .join(F.broadcast(vocab.select(F.col("word").alias("ctx"))), "ctx")
+        .filter(F.col("center") != F.col("ctx"))
+        .groupBy("center", "ctx")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    top = counted.orderBy(
+        F.desc("n_occ"), F.asc("center"), F.asc("ctx")
+    ).limit(SG_TOP)
+    pair_fp = _charfold(F.concat(F.col("center"), F.lit("|"), F.col("ctx")))
+    with_negs = top.withColumn("pfp", pair_fp)
+    for j in range(1, SG_NEG + 1):
+        neg_idx = (
+            (F.lit(_SG_A) * (F.col("pfp") + F.lit(j)) + F.lit(_SG_B))
+            % F.lit(ARITH_P)
+        ) % F.lit(SG_VOCAB)
+        with_negs = with_negs.join(
+            F.broadcast(
+                vocab.select(
+                    F.col("idx").alias(f"nidx{j}"), F.col("word").alias(f"neg{j}")
+                )
+            ),
+            neg_idx == F.col(f"nidx{j}"),
+        ).drop(f"nidx{j}")
+    w = Window.orderBy(F.desc("n_occ"), F.asc("center"), F.asc("ctx"))
+    return with_negs.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "center",
+        "ctx",
+        "n_occ",
+        *[F.col(f"neg{j}") for j in range(1, SG_NEG + 1)],
+    ).orderBy("rank")
+
+
+def _x183_sql() -> str:
+    offs = [d for d in range(-SG_WINDOW, SG_WINDOW + 1) if d != 0]
+    pair_comp = ", ".join(
+        f"""CASE WHEN i + {d} >= 1 AND i + {d} <= len(t)
+             THEN {{'center': t[i], 'ctx': t[i + {d}]}} END"""
+        for d in offs
+    )
+    neg_joins, neg_cols = [], []
+    for j in range(1, SG_NEG + 1):
+        neg_joins.append(
+            f"""JOIN vocab v{j}
+            ON v{j}.idx = (({_SG_A} * (tp.pfp + {j}) + {_SG_B})
+                           % {ARITH_P}) % {SG_VOCAB}"""
+        )
+        neg_cols.append(f"v{j}.word AS neg{j}")
+    return f"""
+        WITH tok AS ({_SQL_WORDS.format(keep="doc_id")}),
+        vocab AS MATERIALIZED (
+          SELECT word,
+                 CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) - 1
+                      AS BIGINT) AS idx
+          FROM (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word)
+          ORDER BY cnt DESC, word ASC LIMIT {SG_VOCAB}),
+        tl AS (
+          SELECT list_filter(string_split(lower(text), ' '), w -> w <> '') AS t
+          FROM documents),
+        rawp AS (
+          SELECT p['center'] AS center, p['ctx'] AS ctx
+          FROM (
+            SELECT unnest(list_filter(flatten(
+                [[{pair_comp}] FOR i IN generate_series(1, len(t))]),
+                s -> s IS NOT NULL AND s['ctx'] IS NOT NULL)) AS p
+            FROM tl WHERE len(t) >= 1)),
+        counted AS (
+          SELECT center, ctx, CAST(COUNT(*) AS BIGINT) AS n_occ
+          FROM rawp
+          WHERE center IN (SELECT word FROM vocab)
+            AND ctx IN (SELECT word FROM vocab)
+            AND center <> ctx
+          GROUP BY 1, 2),
+        top AS MATERIALIZED (
+          SELECT center, ctx, n_occ,
+                 list_reduce(list_transform(
+                     string_split(center || '|' || ctx, ''),
+                     c -> CAST(ascii(c) AS BIGINT)),
+                     (a, b) -> (a*31 + b) % {ARITH_P}) AS pfp
+          FROM counted
+          ORDER BY n_occ DESC, center ASC, ctx ASC LIMIT {SG_TOP})
+        SELECT CAST(row_number() OVER (
+                   ORDER BY n_occ DESC, center ASC, ctx ASC) AS BIGINT)
+                   AS rank,
+               tp.center, tp.ctx, tp.n_occ, {", ".join(neg_cols)}
+        FROM top tp
+        {" ".join(neg_joins)}
+        ORDER BY rank
+        """
+
+
+register(
+    QuerySpec(
+        "x183_skipgram_pairs",
+        x183_skipgram_pairs,
+        _x183_sql(),
+        "skip-gram training pairs with deterministic negative sampling",
+    )
+)
+
+
+# --- x184: length-bucketed dynamic batching ----------------------------------
+BATCH_BAND = 32  # token-length band width per bucket
+BATCH_BUDGET = 512  # token budget per batch (next-fit within a bucket)
+
+
+def x184_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic (length-bucketed) batch construction: documents bucket by
+    token-length band, then pack next-fit in deterministic md5 order
+    into BATCH_BUDGET-token batches; each batch pads to ITS OWN max
+    length, and the per-bucket padding waste shows the win over x164's
+    global fixed-length chunking — the standard throughput lever in
+    training-data loaders. Window state is per-bucket; the batch
+    assignment is one cumulative-sum pass (the x27 prefix-sum shape)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = F.size(F.filter(F.split(F.lower("text"), " "), lambda w: w != ""))
+    sized = docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tok"),
+        (n.cast("long") / F.lit(BATCH_BAND)).cast("long").alias("bucket"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w_cum = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    batched = sized.select(
+        "bucket",
+        "n_tok",
+        F.floor(
+            F.coalesce(F.sum("n_tok").over(w_cum), F.lit(0)) / F.lit(BATCH_BUDGET)
+        )
+        .cast("long")
+        .alias("batch"),
+    )
+    per_batch = batched.groupBy("bucket", "batch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("tokens"),
+        F.max("n_tok").alias("max_len"),
+    )
+    return (
+        per_batch.groupBy("bucket")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum("tokens").cast("long").alias("tokens"),
+            F.sum(F.col("max_len") * F.col("n_docs")).cast("long").alias("padded"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "n_batches",
+            "tokens",
+            "padded",
+            F.round(
+                (F.col("padded") - F.col("tokens")).cast("double")
+                / F.col("padded")
+                * 100,
+                6,
+            ).alias("waste_pct"),
+        )
+        .orderBy("bucket")
+    )
+
+
+register(
+    QuerySpec(
+        "x184_length_bucketed_batching",
+        x184_length_bucketed_batching,
+        f"""
+        WITH sized AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                                      w -> w <> '')) AS BIGINT) AS n_tok,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                                      w -> w <> '')) // {BATCH_BAND}
+                      AS BIGINT) AS bucket,
+                 md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents),
+        batched AS (
+          SELECT bucket, n_tok,
+                 CAST(floor(COALESCE(SUM(n_tok) OVER (
+                          PARTITION BY bucket ORDER BY h, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) / {BATCH_BUDGET}) AS BIGINT) AS batch
+          FROM sized),
+        per_batch AS (
+          SELECT bucket, batch, COUNT(*) AS n_docs,
+                 SUM(n_tok) AS tokens, MAX(n_tok) AS max_len
+          FROM batched GROUP BY 1, 2)
+        SELECT bucket, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_batches,
+               CAST(SUM(tokens) AS BIGINT) AS tokens,
+               CAST(SUM(max_len * n_docs) AS BIGINT) AS padded,
+               ROUND(CAST(SUM(max_len * n_docs) - SUM(tokens) AS DOUBLE)
+                     / SUM(max_len * n_docs) * 100, 6) AS waste_pct
+        FROM per_batch GROUP BY bucket ORDER BY bucket
+        """,
+        "length-bucketed dynamic batching with per-bucket padding waste",
+    )
+)

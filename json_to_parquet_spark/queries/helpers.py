@@ -29,6 +29,22 @@ package:
    when values match — wrap every integer-sum output in
    ``CAST(... AS BIGINT)``. The parity mirror asserts pandas dtype
    equality to catch this class.
+8. **DuckDB's double→int CAST rounds; Spark's truncates** — never cast a
+   ratio straight to an integer type. Take ``floor()``/``ceil()``
+   explicitly on BOTH sides first (bit x106, x185). Numeric literals
+   like ``1.0`` also parse as DECIMAL in DuckDB but DOUBLE in Spark —
+   ``CAST(1.0 AS DOUBLE)`` in oracle output columns (x165).
+9. **Unrolled-iteration oracles must MATERIALIZE every chained CTE that
+   is referenced more than once** — DuckDB inlines CTEs by default, so a
+   per-round frame referenced twice doubles the subplan per round
+   (2^16 scans at 16 rounds, observed as fd exhaustion in x101). Also
+   avoid reserved words (``both``, ...) as CTE names.
+10. **Materialize array expressions into a COLUMN before element_at-
+   indexing them inside transform lambdas.** An inline
+   ``filter(split(lower(text)))`` is re-evaluated on every element
+   access in the lambda — O(n²) per row; measured 7.7 s vs 0.4 s for
+   one pair-explosion at sf0.1 (x179). ``df.select(expr.alias("t"))``
+   first, then index ``F.col("t")``.
 """
 
 from __future__ import annotations

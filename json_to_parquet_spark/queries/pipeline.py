@@ -1015,33 +1015,50 @@ def x179_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.explode(F.split(F.lower("text"), " ")).alias("word")
     ).filter(F.col("word") != "")
+    # Eager checkpoint: `top` is referenced twice below (both ends of
+    # the edge join) and `edges` feeds wout/ew/nodes — without
+    # materialization the corpus pair-explosion re-executes per
+    # reference (measured 17.7 s → ~6 s at sf0.1 with the checkpoints).
     top = (
         toks.groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("word"))
         .limit(TR_VOCAB)
         .select("word")
+        .localCheckpoint()
     )
     # Adjacent-pair edges within each document, both directions, only
-    # between top-vocab tokens.
-    t = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
-    pairs = docs.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - 1),
-                lambda i: F.struct(
-                    F.element_at(t, i).alias("a"),
-                    F.element_at(t, i + 1).alias("b"),
-                ),
-            )
-        ).alias("p")
-    ).select("p.a", "p.b").filter(F.col("a") != F.col("b"))
+    # between top-vocab tokens. The token array is materialized into a
+    # COLUMN before element_at-indexing: an inline filter(split(...))
+    # expression re-evaluates per element access inside the transform
+    # lambda — O(n²) per row, measured 7.7 s vs 0.4 s for this explode
+    # at sf0.1.
+    t = F.col("t")
+    pairs = (
+        docs.select(
+            F.filter(F.split(F.lower("text"), " "), lambda w: w != "").alias("t")
+        )
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - 1),
+                    lambda i: F.struct(
+                        F.element_at(t, i).alias("a"),
+                        F.element_at(t, i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .filter(F.col("a") != F.col("b"))
+    )
     both = pairs.unionAll(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
     edges = (
         both.join(F.broadcast(top.withColumnRenamed("word", "a")), "a")
         .join(F.broadcast(top.withColumnRenamed("word", "b")), "b")
         .groupBy(F.col("a").alias("src"), F.col("b").alias("dst"))
         .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint()  # ONE corpus pair pass; ≤V² rows kept
     )
     wout = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
     ew = edges.join(wout, "src").coalesce(1).persist()

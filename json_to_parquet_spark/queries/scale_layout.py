@@ -885,3 +885,143 @@ register(
         "zero-exchange 3-way join on one shared bucket layout",
     )
 )
+
+
+# --- x185: stats-based pruning planner ---------------------------------------
+# Query ranges as exact fractions (numerator/denominator) of max(event_id)
+# — shared with the oracle so a retune moves both sides.
+PRUNE_RANGES = ((1, 10, 2, 10), (4, 10, 5, 10), (7, 10, 10, 10))
+
+
+def x185_stats_pruning_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level pruning decisions, differential-checked: read each
+    layout file's event_id min/max from its parquet FOOTER (the x98
+    metadata plane), then for each query range decide which files a
+    stats-based planner must scan (min ≤ hi AND max ≥ lo) and how many
+    rows actually match — the (files_total, files_scanned, rows)
+    triple an Iceberg/Delta-style manifest prune reports. The oracle
+    recomputes per-date stats from the logical table (valid because the
+    layout keeps one file per date partition — the x149 invariant).
+    Footer pass cost ∝ #files; the decision pass runs on the
+    file-count-sized stats frame."""
+    layout = events_partitioned_path(spark, sf_dir)
+    files = sorted(_glob.glob(os.path.join(layout, "d=*", "*.parquet")))
+
+    def read_minmax(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                lo = hi = None
+                n = 0
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(idx["event_id"]).statistics
+                    lo = int(st.min) if lo is None else min(lo, int(st.min))
+                    hi = int(st.max) if hi is None else max(hi, int(st.max))
+                    n += md.row_group(g).num_rows
+                rows.append(
+                    {"path": p, "f_min": lo, "f_max": hi, "f_rows": n}
+                )
+            yield pd.DataFrame(rows, columns=["path", "f_min", "f_max", "f_rows"])
+
+    file_df = spark.createDataFrame([(f,) for f in files], "path string")
+    stats = file_df.repartition(min(len(files), 32)).mapInPandas(
+        read_minmax, "path string, f_min long, f_max long, f_rows long"
+    )
+    max_id = stats.agg(F.max("f_max").alias("mx"))
+    ev = spark.read.parquet(layout)
+    preds = spark.createDataFrame(
+        [(i, *fr) for i, fr in enumerate(PRUNE_RANGES)],
+        "pred_id long, lo_n long, lo_d long, hi_n long, hi_d long",
+    )
+    ranged = preds.crossJoin(F.broadcast(max_id)).select(
+        "pred_id",
+        # floor() before the integer cast (the x106 lesson: DuckDB's
+        # double->int cast rounds, Spark's truncates)
+        F.floor(F.col("mx") * F.col("lo_n") / F.col("lo_d")).cast("long").alias("lo"),
+        F.floor(F.col("mx") * F.col("hi_n") / F.col("hi_d")).cast("long").alias("hi"),
+    )
+    decisions = (
+        stats.crossJoin(F.broadcast(ranged))
+        .groupBy("pred_id", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_files_total"),
+            F.sum(
+                ((F.col("f_min") <= F.col("hi")) & (F.col("f_max") >= F.col("lo")))
+                .cast("long")
+            )
+            .cast("long")
+            .alias("n_files_scanned"),
+        )
+    )
+    matched = (
+        ev.select(F.col("event_id"))
+        .crossJoin(F.broadcast(ranged))
+        .filter((F.col("event_id") >= F.col("lo")) & (F.col("event_id") <= F.col("hi")))
+        .groupBy("pred_id")
+        .agg(F.count(F.lit(1)).alias("rows_matched"))
+    )
+    return (
+        decisions.join(matched, "pred_id", "left")
+        .select(
+            "pred_id",
+            "lo",
+            "hi",
+            "n_files_total",
+            "n_files_scanned",
+            F.coalesce("rows_matched", F.lit(0)).cast("long").alias("rows_matched"),
+        )
+        .orderBy("pred_id")
+    )
+
+
+def _x185_sql() -> str:
+    pred_rows = ", ".join(
+        f"({i}, {ln}, {ld}, {hn}, {hd})"
+        for i, (ln, ld, hn, hd) in enumerate(PRUNE_RANGES)
+    )
+    return f"""
+        WITH per_file AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS d,
+                 MIN(event_id) AS f_min, MAX(event_id) AS f_max,
+                 COUNT(*) AS f_rows
+          FROM events GROUP BY 1),
+        mx AS (SELECT MAX(f_max) AS mx FROM per_file),
+        preds(pred_id, lo_n, lo_d, hi_n, hi_d) AS (VALUES {pred_rows}),
+        ranged AS (
+          SELECT CAST(pred_id AS BIGINT) AS pred_id,
+                 CAST(floor(mx.mx * lo_n / lo_d) AS BIGINT) AS lo,
+                 CAST(floor(mx.mx * hi_n / hi_d) AS BIGINT) AS hi
+          FROM preds CROSS JOIN mx),
+        decisions AS (
+          SELECT r.pred_id, r.lo, r.hi,
+                 CAST(COUNT(*) AS BIGINT) AS n_files_total,
+                 CAST(SUM(CASE WHEN f.f_min <= r.hi AND f.f_max >= r.lo
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_files_scanned
+          FROM per_file f CROSS JOIN ranged r
+          GROUP BY 1, 2, 3),
+        matched AS (
+          SELECT r.pred_id, CAST(COUNT(*) AS BIGINT) AS rows_matched
+          FROM events e JOIN ranged r
+            ON e.event_id >= r.lo AND e.event_id <= r.hi
+          GROUP BY 1)
+        SELECT d.pred_id, d.lo, d.hi, d.n_files_total, d.n_files_scanned,
+               CAST(COALESCE(m.rows_matched, 0) AS BIGINT) AS rows_matched
+        FROM decisions d LEFT JOIN matched m USING (pred_id)
+        ORDER BY d.pred_id
+        """
+
+
+register(
+    QuerySpec(
+        "x185_stats_pruning_planner",
+        x185_stats_pruning_planner,
+        _x185_sql(),
+        "footer-stats manifest pruning decisions vs actual matched rows",
+    )
+)

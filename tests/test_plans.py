@@ -177,6 +177,7 @@ _BNLJ_ALLOWED = {
     "x176_label_noise_audit",  # bounded audit-vector set broadcast (x11 shape)
     "x177_rrf_fusion",  # composes x54: 1-row corpus-stats frame broadcast
     "x180_source_overlap_sketch",  # source-cardinality signature frame bcast
+    "x185_stats_pruning_planner",  # 3-row predicate-range frame broadcast
     "x154_session_lift",  # 1-row session-count frame broadcast
     "x157_activity_concentration",  # 1-row totals frame broadcast
 }
