@@ -95,3 +95,88 @@ def test_x172_stream_equals_batch_twin(spark, sf_dir):
         .collect()
     )
     assert stream == batch
+
+
+def test_x179_keywords_ranked_and_positive(spark, sf_dir):
+    from json_to_parquet_spark.queries.pipeline import TR_TOP
+
+    rows = registry()["x179_textrank_keywords"].spark(spark, sf_dir).collect()
+    assert 0 < len(rows) <= TR_TOP
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    prs = [r.pr_micro for r in rows]
+    assert prs == sorted(prs, reverse=True)
+    assert all(p > 0 for p in prs)
+    assert len({r.keyword for r in rows}) == len(rows)
+
+
+def test_x180_sketch_estimates_bounded(spark, sf_dir):
+    rows = registry()["x180_source_overlap_sketch"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert 0.0 <= r.exact_jaccard <= 1.0
+        assert abs(r.abs_err - round(abs(r.est_jaccard - r.exact_jaccard), 6)) < 1e-9
+
+
+def test_x181_loglik_nonpositive(spark, sf_dir):
+    rows = registry()["x181_session_perplexity"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_trans >= 1
+        assert r.mean_logp <= 0.0  # log of MLE probabilities
+
+
+def test_x182_regions_consistent(spark, sf_dir):
+    from json_to_parquet_spark.queries.quality import SPAN_W
+
+    rows = registry()["x182_dup_span_merge"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_regions <= r.n_dup_windows
+        assert r.covered_tokens >= SPAN_W * r.n_regions
+        # a merged region of k windows covers at most k + SPAN_W - 1 tokens
+        assert r.covered_tokens <= r.n_dup_windows + (SPAN_W - 1) * r.n_regions
+
+
+def test_x183_negatives_come_from_vocab(spark, sf_dir):
+    from json_to_parquet_spark.queries.curation import SG_VOCAB, _words
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    vocab = {
+        r.word
+        for r in _words(docs)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(SG_VOCAB)
+        .collect()
+    }
+    rows = registry()["x183_skipgram_pairs"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.center in vocab and r.ctx in vocab
+        assert r.neg1 in vocab and r.neg2 in vocab
+        assert r.center != r.ctx
+
+
+def test_x184_padding_dominates_tokens(spark, sf_dir):
+    rows = registry()["x184_length_bucketed_batching"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.padded >= r.tokens
+        assert r.n_batches >= 1
+        assert 0.0 <= r.waste_pct < 100.0
+
+
+def test_x185_pruning_decisions_sane(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.count()
+    rows = registry()["x185_stats_pruning_planner"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_files_scanned <= r.n_files_total
+        assert 0 <= r.rows_matched <= total
+        assert r.lo <= r.hi
+        # a range matching rows must scan at least one file
+        if r.rows_matched > 0:
+            assert r.n_files_scanned >= 1
