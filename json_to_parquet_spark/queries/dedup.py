@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
-from . import QuerySpec, register
+from . import QuerySpec, _REGISTRY, register
 
 
 def x01_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,15 +308,18 @@ CLUSTER_DF_CAP = 48  # 60% of the 80-doc window
 _CLUSTER_MAX_ITERS = 20
 
 
-def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, cluster_id=MIN doc_id of its near-dup component) via
-    iterative min-label propagation — shared by x26 (cluster rollup) and
-    x33 (survivor selection)."""
-    docs = (
+def _neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < CLUSTER_MAX_ID)
         .select("doc_id", F.array_distinct(F.split("text", " ")).alias("tokens"))
     )
+
+
+def _neardup_edges(docs: DataFrame) -> DataFrame:
+    """The near-dup edge set (src < dst, exact Jaccard over df-capped
+    token sets ≥ CLUSTER_JACCARD) — shared by the min-label loop
+    (x26/x33) and the large-star/small-star twin (x186)."""
     posting_all = docs.select("doc_id", F.explode("tokens").alias("token"))
     # df-cap: drop stop-words before the self-join. The df frame is tiny
     # (distinct tokens) — broadcast it so the filter adds no shuffle.
@@ -339,12 +342,20 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_inter").cast("double") / (
         F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_inter")
     ).cast("double")
-    edges = (
+    return (
         inter.join(sa, F.col("src") == F.col("sa.doc_id"))
         .join(sb, F.col("dst") == F.col("sb.doc_id"))
         .filter(jac >= CLUSTER_JACCARD)
         .select("src", "dst")
     )
+
+
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id=MIN doc_id of its near-dup component) via
+    iterative min-label propagation — shared by x26 (cluster rollup) and
+    x33 (survivor selection)."""
+    docs = _neardup_docs(spark, sf_dir)
+    edges = _neardup_edges(docs)
 
     # undirected: propagate labels both ways
     sym = edges.unionAll(
@@ -1275,5 +1286,95 @@ register(
         x141_simhash_hamming_pairs,
         _x141_sql(),
         "SimHash hamming-radius pair join via bit-band bucketing (pigeonhole-complete)",
+    )
+)
+
+
+# --- x186: connected components via large-star/small-star --------------------
+_LSSS_MAX_ROUNDS = 12
+
+
+def x186_cc_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) over the SAME near-dup edge set as x26 — the
+    promised at-extreme-scale replacement for min-label propagation:
+    label propagation needs O(component diameter) rounds, star
+    contraction needs O(log n) regardless of diameter (the failure mode
+    is a long chain of near-dups — a crawl of paginated mirrors — where
+    propagation would take hundreds of rounds). Each round is two
+    node-keyed min-aggregations + joins; convergence is detected by an
+    (edge-count, checksum) fixpoint, each round localCheckpoint'd.
+
+    Output and ORACLE are x26's verbatim (cluster rollup vs the
+    recursive-CTE transitive closure) — the two algorithms must agree
+    bit-for-bit on every component."""
+    docs = _neardup_docs(spark, sf_dir)
+    edges = _neardup_edges(docs).localCheckpoint()
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        nm = sym.groupBy("src").agg(F.min("dst").alias("mv"))
+        nm = nm.select("src", F.least("src", "mv").alias("m"))
+        return (
+            sym.join(nm, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        ori = e.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        ).distinct()
+        nm = ori.groupBy("src").agg(F.min("dst").alias("m"))
+        low = (
+            ori.join(nm, "src")
+            .filter(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        high = ori.join(nm, "src").select("src", F.col("m").alias("dst"))
+        return low.unionAll(high).distinct()
+
+    prev_sig = None
+    e = edges
+    for _ in range(_LSSS_MAX_ROUNDS):
+        e = small_star(large_star(e)).localCheckpoint()
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("src") * 31 + F.col("dst")).alias("chk"),
+        ).collect()[0]
+        if prev_sig == (sig.n, sig.chk):
+            break
+        prev_sig = (sig.n, sig.chk)
+    # Fixpoint: every edge points a node at its component root.
+    roots = e.groupBy(F.col("src").alias("doc_id")).agg(
+        F.min("dst").alias("root")
+    )
+    labels = docs.join(roots, "doc_id", "left").select(
+        "doc_id", F.coalesce("root", F.col("doc_id")).alias("cluster_id")
+    )
+    return labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+            ),
+        ).alias("members"),
+    )
+
+
+register(
+    QuerySpec(
+        "x186_cc_largestar",
+        x186_cc_largestar,
+        # x26's oracle VERBATIM: both CC algorithms must produce
+        # identical components (anti-drift compose).
+        _REGISTRY["x26_dedup_clusters"].oracle,
+        "connected components via large-star/small-star (O(log n) rounds)",
     )
 )

@@ -180,3 +180,17 @@ def test_x185_pruning_decisions_sane(spark, sf_dir):
         # a range matching rows must scan at least one file
         if r.rows_matched > 0:
             assert r.n_files_scanned >= 1
+
+
+def test_x186_largestar_equals_minlabel_cc(spark, sf_dir):
+    """Large-star/small-star and min-label propagation must produce
+    bit-identical components — two algorithms, one contract."""
+    a = sorted(
+        tuple(r)
+        for r in registry()["x186_cc_largestar"].spark(spark, sf_dir).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in registry()["x26_dedup_clusters"].spark(spark, sf_dir).collect()
+    )
+    assert a == b
