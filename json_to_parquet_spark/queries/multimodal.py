@@ -306,3 +306,130 @@ register(
         "aspect-preserving media resize through mapInPandas (oracle-checked)",
     )
 )
+
+
+# --- x187: frame-level media dedup -------------------------------------------
+FD_HALF_OFF = 200_000  # id offset: first-half-frames re-encode
+FD_CORRUPT_OFF = 300_000  # id offset: one-frame-corrupted copy
+FD_MIN_CONTAIN = 0.5
+
+
+def x187_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level media near-dup: chunk every payload into fixed-stride
+    frames through the REAL mapInPandas splitter (x38's plumbing), then
+    find media pairs sharing frames by content hash — the
+    shared-frame containment pass video/audio dedup runs (a shortened
+    or partially-corrupted re-encode shares most frames with its
+    source even though the whole-file hash differs, which is exactly
+    what x15's binary dedup cannot see). The corpus is augmented with
+    two deterministic re-encode families: a first-half truncation
+    (containment 1.0 from the copy side) and a first-frame corruption
+    (containment (n-1)/n), so the containment spectrum is real.
+
+    Shapes: frame explosion is the x38 map stage (no shuffle); the pair
+    join keys on frame_md5 — fan-out per frame bounded by its copy
+    count; the rollup is pair-keyed. Output: pairs with containment ≥
+    FD_MIN_CONTAIN."""
+    from ..operators.media import FRAME_BYTES, extract_frames
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_frames = F.greatest(
+        F.lit(1), F.ceil(F.length("text") / F.lit(float(FRAME_BYTES)))
+    )
+    half = (
+        docs.filter(n_frames >= 2)
+        .select(
+            (F.col("doc_id") + FD_HALF_OFF).alias("doc_id"),
+            F.substring(
+                "text", 1, (F.floor(n_frames / 2) * FRAME_BYTES).cast("int")
+            ).alias("text"),
+        )
+    )
+    corrupt = docs.select(
+        (F.col("doc_id") + FD_CORRUPT_OFF).alias("doc_id"),
+        F.concat(F.lit("#"), F.substring("text", 2, 1 << 30)).alias("text"),
+    )
+    corpus = docs.unionAll(half).unionAll(corrupt)
+    media = corpus.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    frames = extract_frames(media).select("doc_id", "frame_md5").persist()
+    counts = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    a = frames.select(F.col("doc_id").alias("id_a"), "frame_md5")
+    b = frames.select(F.col("doc_id").alias("id_b"), "frame_md5")
+    shared = (
+        a.join(b, "frame_md5")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_frames"))
+    )
+    ca = counts.select(F.col("doc_id").alias("id_a"), F.col("n_frames").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("id_b"), F.col("n_frames").alias("n_b"))
+    out = (
+        shared.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared_frames",
+            F.round(
+                F.col("shared_frames").cast("double")
+                / F.least("n_a", "n_b").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= FD_MIN_CONTAIN)
+        .orderBy("id_a", "id_b")
+    )
+    return out
+
+
+register(
+    QuerySpec(
+        "x187_frame_dedup",
+        x187_frame_dedup,
+        f"""
+        WITH base AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + {FD_HALF_OFF},
+                 substr(text, 1,
+                        CAST(floor(greatest(1, ceil(strlen(text) / 64.0)) / 2)
+                             * 64 AS BIGINT))
+          FROM documents
+          WHERE greatest(1, ceil(strlen(text) / 64.0)) >= 2
+          UNION ALL
+          SELECT doc_id + {FD_CORRUPT_OFF}, '#' || substr(text, 2)
+          FROM documents),
+        f AS (
+          SELECT doc_id,
+                 unnest(range(0, CAST(greatest(1, ceil(strlen(text) / 64.0))
+                                      AS BIGINT))) AS frame_idx
+          FROM base),
+        frames AS MATERIALIZED (
+          SELECT f.doc_id,
+                 md5(substr(b.text, CAST(f.frame_idx * 64 + 1 AS BIGINT), 64))
+                     AS frame_md5
+          FROM f JOIN base b USING (doc_id)),
+        counts AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames
+          FROM frames GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(COUNT(*) AS BIGINT) AS shared_frames
+          FROM frames a JOIN frames b
+            ON a.frame_md5 = b.frame_md5 AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT s.id_a, s.id_b, s.shared_frames,
+               ROUND(CAST(s.shared_frames AS DOUBLE)
+                     / least(ca.n_frames, cb.n_frames), 6) AS containment
+        FROM shared s
+        JOIN counts ca ON ca.doc_id = s.id_a
+        JOIN counts cb ON cb.doc_id = s.id_b
+        WHERE CAST(s.shared_frames AS DOUBLE)
+              / least(ca.n_frames, cb.n_frames) >= {FD_MIN_CONTAIN}
+        ORDER BY s.id_a, s.id_b
+        """,
+        "frame-level media dedup: shared-frame containment across re-encodes",
+    )
+)

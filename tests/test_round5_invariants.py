@@ -194,3 +194,24 @@ def test_x186_largestar_equals_minlabel_cc(spark, sf_dir):
         for r in registry()["x26_dedup_clusters"].spark(spark, sf_dir).collect()
     )
     assert a == b
+
+
+def test_x187_containment_families(spark, sf_dir):
+    """The two deterministic re-encode families must land where frame
+    math puts them: every half-truncated copy has containment 1.0
+    against its source; every corrupted copy has (n-1)/n < 1."""
+    from json_to_parquet_spark.queries.multimodal import (
+        FD_CORRUPT_OFF,
+        FD_HALF_OFF,
+    )
+
+    rows = registry()["x187_frame_dedup"].spark(spark, sf_dir).collect()
+    assert rows
+    half = [r for r in rows if r.id_b - r.id_a == FD_HALF_OFF]
+    corrupt = [r for r in rows if r.id_b - r.id_a == FD_CORRUPT_OFF]
+    assert half and corrupt
+    assert all(r.containment == 1.0 for r in half)
+    assert all(r.containment < 1.0 for r in corrupt)
+    for r in rows:
+        assert 0.0 < r.containment <= 1.0
+        assert r.shared_frames >= 1
