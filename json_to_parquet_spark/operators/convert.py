@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.dt_rewrite import dt_rewrite_paths, rewrite_dt_fields
-from ..sources.ndjson import read_ndjson_parallel
+from ..sources.ndjson import read_ndjson_parallel, release_parallel_read
 
 # Reference default sort column (pyarrow/main.py:14: SORT_COLUMN env, default "time").
 DEFAULT_SORT_COLUMN = os.environ.get("SORT_COLUMN", "time")
@@ -110,6 +110,31 @@ def convert(
         # all cores — see read_ndjson_parallel (2-4× on single-gz objects)
         else read_ndjson_parallel(spark, source, schema, sampling_ratio=sampling_ratio)
     )
+    # The parallel read may have lowered maxPartitionBytes and left a
+    # spill dir behind (see release_parallel_read); release them in a
+    # finally that spans EVERYTHING from here on, so an exception raised
+    # before the write path (dt rewrite, the persist/count, plan errors)
+    # can't leak the ~4 MiB split size into the rest of the session.
+    try:
+        return _convert_body(
+            spark, df, dest, sort_column, mode, dt_mode,
+            sorting_metadata, partition_by, parsed_here,
+        )
+    finally:
+        release_parallel_read(spark, df)
+
+
+def _convert_body(
+    spark: SparkSession,
+    df: DataFrame,
+    dest: str,
+    sort_column: str,
+    mode: str,
+    dt_mode: str,
+    sorting_metadata: bool,
+    partition_by: list[str] | None,
+    parsed_here: bool,
+) -> ConvertResult:
     schema_before = df.schema.simpleString()
     out = rewrite_dt_fields(df, mode=dt_mode)
     rewritten = dt_rewrite_paths(df.schema)
@@ -129,7 +154,6 @@ def convert(
     # page-cached splittable file, which measures cheaper than the cache
     # round-trip — so no persist there.
     spill_dir = getattr(df, "_graft_spill_dir", None)
-    conf_restore = getattr(df, "_graft_conf_restore", None)
     cached = (
         out.persist()
         if (parsed_here and will_range_exchange and spill_dir is None)
@@ -170,15 +194,8 @@ def convert(
             cached.unpersist()
         if text_cache is not None:
             text_cache.unpersist()
-        if spill_dir is not None:
-            import shutil
-
-            shutil.rmtree(spill_dir, ignore_errors=True)
-        if conf_restore is not None:
-            # The spill path lowered maxPartitionBytes so the single
-            # object fanned across all cores; the parse job above read
-            # the conf at plan time, so only now is restoring safe.
-            spark.conf.set(*conf_restore)
+        # spill dir + lowered maxPartitionBytes are released by the
+        # caller's release_parallel_read finally (convert()).
     if sorting_metadata and sorted_by is not None:
         # Reference-parity SortingColumn footer (SURVEY §2 O3); PyArrow
         # post-pass since Spark's writer can't record it.

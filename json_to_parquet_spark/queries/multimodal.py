@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.media import FRAME_BYTES
 from ..sources.catalog import load_table
 from . import QuerySpec, register
 
@@ -119,15 +120,17 @@ register(
     QuerySpec(
         "x38_media_frames",
         x38_media_frames,
-        """
+        f"""
         WITH f AS (
           SELECT doc_id,
-                 unnest(range(0, CAST(greatest(1, ceil(strlen(text) / 64.0)) AS BIGINT)))
+                 unnest(range(0, CAST(greatest(1, ceil(strlen(text) / {FRAME_BYTES}.0))
+                                      AS BIGINT)))
                      AS frame_idx
           FROM documents),
         c AS (
           SELECT f.doc_id, f.frame_idx,
-                 substr(d.text, CAST(f.frame_idx * 64 + 1 AS BIGINT), 64) AS chunk
+                 substr(d.text, CAST(f.frame_idx * {FRAME_BYTES} + 1 AS BIGINT),
+                        {FRAME_BYTES}) AS chunk
           FROM f JOIN documents d USING (doc_id))
         SELECT doc_id,
                CAST(frame_idx AS BIGINT) AS frame_idx,
@@ -312,6 +315,15 @@ register(
 FD_HALF_OFF = 200_000  # id offset: first-half-frames re-encode
 FD_CORRUPT_OFF = 300_000  # id offset: one-frame-corrupted copy
 FD_MIN_CONTAIN = 0.5
+# Hot-frame cap (VERDICT r5): a frame hash with more than FD_MAX_DF
+# occurrences corpus-wide (black frames, silence, intro cards — corpus-
+# sized copy counts in real media) is dropped from PAIR GENERATION, so
+# the frame_md5 self-join fans out at most FD_MAX_DF² per frame
+# independent of corpus size — the x125 posting-df treatment applied to
+# frames.  Denominators keep FULL frame counts, so containment over the
+# surviving frames is a lower bound (capped pairs can only lose shared
+# frames, never gain).
+FD_MAX_DF = 8
 
 
 def x187_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,36 +339,52 @@ def x187_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (containment (n-1)/n), so the containment spectrum is real.
 
     Shapes: frame explosion is the x38 map stage (no shuffle); the pair
-    join keys on frame_md5 — fan-out per frame bounded by its copy
-    count; the rollup is pair-keyed. Output: pairs with containment ≥
-    FD_MIN_CONTAIN."""
-    from ..operators.media import FRAME_BYTES, extract_frames
+    join keys on frame_md5 with frames above FD_MAX_DF occurrences
+    dropped first (see FD_MAX_DF — the hot-key guard that keeps the
+    self-join linear when a frame's copy count is corpus-sized); the
+    rollup is pair-keyed. Output: pairs with containment ≥
+    FD_MIN_CONTAIN.
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    All slicing/counting is in BYTES (octet_length + binary substring
+    on the encoded payload), matching the byte-stride splitter; the
+    oracle's char-based slicing is byte-equivalent only because the
+    documents corpus is pure ASCII — asserted by
+    tests/test_round6_invariants.py::test_documents_corpus_is_ascii."""
+    from ..operators.media import extract_frames
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
     n_frames = F.greatest(
-        F.lit(1), F.ceil(F.length("text") / F.lit(float(FRAME_BYTES)))
+        F.lit(1), F.ceil(F.octet_length("payload") / F.lit(float(FRAME_BYTES)))
     )
     half = (
         docs.filter(n_frames >= 2)
         .select(
             (F.col("doc_id") + FD_HALF_OFF).alias("doc_id"),
             F.substring(
-                "text", 1, (F.floor(n_frames / 2) * FRAME_BYTES).cast("int")
-            ).alias("text"),
+                "payload", 1, (F.floor(n_frames / 2) * FRAME_BYTES).cast("int")
+            ).alias("payload"),
         )
     )
     corrupt = docs.select(
         (F.col("doc_id") + FD_CORRUPT_OFF).alias("doc_id"),
-        F.concat(F.lit("#"), F.substring("text", 2, 1 << 30)).alias("text"),
+        F.concat(
+            F.encode(F.lit("#"), "UTF-8"), F.substring("payload", 2, 1 << 30)
+        ).alias("payload"),
     )
-    corpus = docs.unionAll(half).unionAll(corrupt)
-    media = corpus.select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
-    )
+    media = docs.unionAll(half).unionAll(corrupt)
     frames = extract_frames(media).select("doc_id", "frame_md5").persist()
     counts = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
-    a = frames.select(F.col("doc_id").alias("id_a"), "frame_md5")
-    b = frames.select(F.col("doc_id").alias("id_b"), "frame_md5")
+    cold = (
+        frames.groupBy("frame_md5")
+        .agg(F.count(F.lit(1)).alias("fdf"))
+        .filter(F.col("fdf") <= FD_MAX_DF)
+        .select("frame_md5")
+    )
+    joinable = frames.join(cold, "frame_md5")
+    a = joinable.select(F.col("doc_id").alias("id_a"), "frame_md5")
+    b = joinable.select(F.col("doc_id").alias("id_b"), "frame_md5")
     shared = (
         a.join(b, "frame_md5")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -388,36 +416,46 @@ register(
     QuerySpec(
         "x187_frame_dedup",
         x187_frame_dedup,
+        # Char-based slicing (substr/strlen) is byte-equivalent to the
+        # engine's byte-stride frames ONLY on ASCII text — precondition
+        # asserted by test_round6_invariants.py::test_documents_corpus_is_ascii.
         f"""
         WITH base AS (
           SELECT doc_id, text FROM documents
           UNION ALL
           SELECT doc_id + {FD_HALF_OFF},
                  substr(text, 1,
-                        CAST(floor(greatest(1, ceil(strlen(text) / 64.0)) / 2)
-                             * 64 AS BIGINT))
+                        CAST(floor(greatest(1, ceil(strlen(text) / {FRAME_BYTES}.0)) / 2)
+                             * {FRAME_BYTES} AS BIGINT))
           FROM documents
-          WHERE greatest(1, ceil(strlen(text) / 64.0)) >= 2
+          WHERE greatest(1, ceil(strlen(text) / {FRAME_BYTES}.0)) >= 2
           UNION ALL
           SELECT doc_id + {FD_CORRUPT_OFF}, '#' || substr(text, 2)
           FROM documents),
         f AS (
           SELECT doc_id,
-                 unnest(range(0, CAST(greatest(1, ceil(strlen(text) / 64.0))
+                 unnest(range(0, CAST(greatest(1, ceil(strlen(text) / {FRAME_BYTES}.0))
                                       AS BIGINT))) AS frame_idx
           FROM base),
         frames AS MATERIALIZED (
           SELECT f.doc_id,
-                 md5(substr(b.text, CAST(f.frame_idx * 64 + 1 AS BIGINT), 64))
+                 md5(substr(b.text, CAST(f.frame_idx * {FRAME_BYTES} + 1 AS BIGINT),
+                            {FRAME_BYTES}))
                      AS frame_md5
           FROM f JOIN base b USING (doc_id)),
         counts AS (
           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames
           FROM frames GROUP BY doc_id),
+        cold AS (
+          SELECT frame_md5 FROM frames
+          GROUP BY frame_md5 HAVING COUNT(*) <= {FD_MAX_DF}),
+        joinable AS MATERIALIZED (
+          SELECT f.doc_id, f.frame_md5
+          FROM frames f JOIN cold USING (frame_md5)),
         shared AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                  CAST(COUNT(*) AS BIGINT) AS shared_frames
-          FROM frames a JOIN frames b
+          FROM joinable a JOIN joinable b
             ON a.frame_md5 = b.frame_md5 AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
         SELECT s.id_a, s.id_b, s.shared_frames,

@@ -620,18 +620,48 @@ def x45_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     requirement for data-pipeline reruns, not just a test trick).
 
     Scale shape: edge extraction is the only big-data touch — two fact
-    joins reduced immediately to a nation×nation weight matrix (≤625
-    rows). The loop then iterates on frames bounded by |V| and |E| with a
-    ``localCheckpoint`` every 3 rounds to truncate lineage (the x26
-    lesson); no dangling nodes here — every nation both buys and sells.
-    The every-3 cadence is measured optimal at sf0.1 (warm min-of-3:
-    every-2 ≈ 4.4-5.0 s, every-3 ≈ 3.9-4.6 s, every-5 ≈ 4.6-5.7 s —
-    fewer checkpoints lose more to plan depth than they save in jobs)."""
+    joins reduced immediately to a nation×nation weight matrix, bounded
+    at |V|² ≤ 625 rows at ANY input scale (25 nations). The iteration
+    therefore runs DRIVER-SIDE on the collected matrix (the x186/zorder
+    bounded-collect pattern, VERDICT r5 ask #6): 10 fixed-point rounds
+    over ≤625 Python ints replace 10 Spark jobs whose frames never
+    exceed driver scale, retiring the loop's per-round job overhead
+    (was the single largest bench line at 4.2 s) while the distributed
+    work — the fact joins — is untouched. For graphs whose vertex set
+    DOES grow with the data, the distributed loop is retained as
+    ``pagerank_distributed_loop`` below (bit-identical — asserted by
+    tests/test_round6_invariants.py::test_x45_driver_loop_matches_distributed)."""
+    edges = _x45_edges(spark, sf_dir)
+    rows = edges.collect()  # bounded: ≤ |V|² = 625 rows at any scale
+    w = {(r.src, r.dst): r.w for r in rows}
+    w_out: dict[int, int] = {}
+    for (s, _), wt in w.items():
+        w_out[s] = w_out.get(s, 0) + wt
+    nodes = sorted({s for s, _ in w} | {d for _, d in w})
+    n = len(nodes)
+    base_u = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n)
+    pr = {v: PR_SCALE // n for v in nodes}
+    for _ in range(PR_ITERS):
+        sums: dict[int, int] = {}
+        for (s, d), wt in w.items():
+            sums[d] = sums.get(d, 0) + (pr[s] * wt) // w_out[s]
+        pr = {
+            v: base_u + (PR_DAMP_NUM * sums.get(v, 0)) // PR_DAMP_DEN
+            for v in nodes
+        }
+    return spark.createDataFrame(
+        [(int(v), int(pr[v])) for v in nodes], "node long, pr_micro long"
+    )
+
+
+def _x45_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed part of x45: two fact joins reduced to the
+    nation×nation weight matrix (≤625 rows at any scale)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    edges = (
+    return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
@@ -640,6 +670,17 @@ def x45_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
+
+
+def pagerank_distributed_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x45's recurrence iterated AS DATAFRAMES — the retained scale-out
+    variant for graphs whose vertex set grows with the data (where a
+    driver-side matrix no longer applies). Same fixed-point integer
+    recurrence, bit-identical output; un-registered, equality-tested
+    against the driver loop. ``localCheckpoint`` every 3 rounds is the
+    measured-optimal lineage-truncation cadence (every-2 ≈ 4.4-5.0 s,
+    every-3 ≈ 3.9-4.6 s, every-5 ≈ 4.6-5.7 s at sf0.1)."""
+    edges = _x45_edges(spark, sf_dir)
     wout = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
     # post-aggregation frames are graph-sized (≤|V|², here ≤625 rows) at
     # ANY input scale — coalesce(1) + broadcast keeps each of the 10

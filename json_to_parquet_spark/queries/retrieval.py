@@ -119,6 +119,9 @@ register(
 MARGIN_K = 4  # margin denominator: mean cosine of the top-K neighbours
 SRC_LABEL, TGT_LABEL = 0, 1
 MINE_TOP = 10
+# Broadcast bound on the mined source side (VERDICT r5): one bounded
+# pivot CHUNK of source ids per pass, never the whole label-0 half.
+MINE_SRC_CHUNK = 64
 
 
 def x168_crosslingual_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,10 +129,24 @@ def x168_crosslingual_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     criterion): align label-0 vectors to label-1 vectors, scoring each
     candidate pair by cos(best) / mean(cos of the source's top-K target
     neighbours) — the margin denominator suppresses hubs that are close
-    to EVERYTHING. Returns the MINE_TOP highest-margin alignments.
-    The source side broadcasts; the target corpus never shuffles."""
+    to EVERYTHING. Returns the MINE_TOP highest-margin alignments among
+    the mined chunk.
+
+    Scale shape: the broadcast side is ONE bounded source chunk
+    (``vec_id < MINE_SRC_CHUNK``, a fixed pivot set — NOT the whole
+    label-0 half, whose size grows with the corpus); the target corpus
+    never shuffles (plan-asserted: single BroadcastExchange, bounded
+    subtree).  A full-corpus mining run processes the source side in
+    MINE_SRC_CHUNK-sized chunks — each chunk an independent,
+    embarrassingly-parallel pass of this exact shape (margins are
+    per-source-row, so chunking is lossless) — or swaps candidate
+    generation for the x21/x121 IVF probe exactly as x119/x176 do.
+    The exact bounded scan here is what keeps the policy
+    oracle-checkable."""
     emb = load_table(spark, sf_dir, "embeddings")
-    src = emb.filter(F.col("label") == SRC_LABEL).select(
+    src = emb.filter(
+        (F.col("label") == SRC_LABEL) & (F.col("vec_id") < MINE_SRC_CHUNK)
+    ).select(
         F.col("vec_id").alias("src_id"), F.col("embedding").alias("src_vec")
     )
     tgt = emb.filter(F.col("label") == TGT_LABEL).select(
@@ -176,7 +193,8 @@ register(
         WITH e AS (
           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
           FROM embeddings),
-        s AS (SELECT vec_id AS src_id, v AS sv FROM e WHERE label = {SRC_LABEL}),
+        s AS (SELECT vec_id AS src_id, v AS sv FROM e
+              WHERE label = {SRC_LABEL} AND vec_id < {MINE_SRC_CHUNK}),
         t AS (SELECT vec_id AS tgt_id, v AS tv FROM e WHERE label = {TGT_LABEL}),
         scored AS (
           SELECT s.src_id, t.tgt_id,

@@ -87,8 +87,10 @@ def read_ndjson_parallel(
     scan — which then splits it by ``maxPartitionBytes``, so inference,
     parse, and the sort's sampling pass all run on all cores with zero
     shuffle and full native pushdown. The spill location is attached to
-    the returned frame as ``_graft_spill_dir``; the convert pipeline
-    deletes it after its terminal write. (On a cluster the same pattern
+    the returned frame as ``_graft_spill_dir`` and the lowered split-size
+    conf as ``_graft_conf_restore``; EVERY caller must call
+    ``release_parallel_read(spark, df)`` in a ``finally`` after the
+    frame's last action (the convert pipeline does). (On a cluster the same pattern
     spills to the job's scratch dir — the point is one sequential
     decompress buys a splittable source for every downstream pass.)
 
@@ -113,9 +115,10 @@ def read_ndjson_parallel(
             # (floor 4 MiB) fans both passes across every core —
             # measured 1.24 s → 0.22 s on the inference pass alone for
             # the 100k-record bench object. Session conf is restored by
-            # the caller after its terminal action (the parse job also
-            # reads this conf at plan time, so restoring here would be
-            # too early); ``_graft_conf_restore`` carries the old value.
+            # the caller via ``release_parallel_read`` after its terminal
+            # action (the parse job also reads this conf at plan time, so
+            # restoring here would be too early);
+            # ``_graft_conf_restore`` carries the old value.
             key = "spark.sql.files.maxPartitionBytes"
             old = spark.conf.get(key, "134217728b")
             split = max(4 << 20, os.path.getsize(spilled) // (2 * target) + 1)
@@ -143,6 +146,27 @@ def read_ndjson_parallel(
     return text.select(
         F.from_json(F.col("value"), schema).alias("r")
     ).select("r.*")
+
+
+def release_parallel_read(spark: SparkSession, df: DataFrame) -> None:
+    """Release the session-level side effects a ``read_ndjson_parallel``
+    spill path may have left behind: restore the lowered
+    ``spark.sql.files.maxPartitionBytes`` and delete the spill dir.
+
+    EVERY caller of ``read_ndjson_parallel`` must invoke this (in a
+    ``finally``) after the frame's LAST action — restoring earlier is
+    wrong because the parse job reads the conf at plan time, and never
+    restoring leaks a ~4 MiB split size into every later scan of the
+    session (the tiny-partition footgun).  Idempotent; safe when the
+    spill path was not taken."""
+    restore = getattr(df, "_graft_conf_restore", None)
+    if restore is not None:
+        spark.conf.set(*restore)
+        df._graft_conf_restore = None
+    spill_dir = getattr(df, "_graft_spill_dir", None)
+    if spill_dir is not None:
+        shutil.rmtree(spill_dir, ignore_errors=True)
+        df._graft_spill_dir = None
 
 
 def _spill_to_splittable(path: str) -> str | None:

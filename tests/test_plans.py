@@ -369,3 +369,32 @@ def test_x171_three_way_bucketed_no_shuffle(spark, sf_dir):
     assert "Exchange hashpartitioning(l_orderkey" not in plan
     assert "Exchange hashpartitioning(r_orderkey" not in plan
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+
+
+def test_x168_broadcast_side_is_bounded(spark, sf_dir):
+    """x168's broadcast side must be the bounded source CHUNK
+    (vec_id < MINE_SRC_CHUNK pushed to the scan), never the whole
+    label-0 half of the corpus (VERDICT r5: broadcasting half the corpus
+    is an OOM at 100 TB, not a plan), and the per-source top-k must run
+    as a WindowGroupLimit so only k rows per source survive the shuffle."""
+    from json_to_parquet_spark.queries.retrieval import MINE_SRC_CHUNK
+
+    plan = _plan(spark, sf_dir, "x168_crosslingual_margin")
+    # the bound reaches the parquet scan of the broadcast side
+    assert re.search(rf"LessThan\(vec_id,{MINE_SRC_CHUNK}\)", plan), plan[:800]
+    assert "BroadcastExchange" in plan
+    # the corpus side is never hash-shuffled on anything but the bounded
+    # src_id key (the WindowGroupLimit top-k shuffle)
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    assert keys and set(keys) == {"src_id"}, keys
+    assert "WindowGroupLimit" in plan
+
+
+def test_x187_hot_frame_guard_in_plan(spark, sf_dir):
+    """x187's frame_md5 self-join must be preceded by the hot-frame df
+    cap (fdf <= FD_MAX_DF) so a corpus-sized frame copy count (black
+    frames, silence) cannot make the join quadratic on one key."""
+    from json_to_parquet_spark.queries.multimodal import FD_MAX_DF
+
+    plan = _plan(spark, sf_dir, "x187_frame_dedup")
+    assert re.search(rf"fdf#\d+L? <= {FD_MAX_DF}", plan), plan[:800]
