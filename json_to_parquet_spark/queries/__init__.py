@@ -214,6 +214,7 @@ def registry() -> dict[str, QuerySpec]:
     # Import side-effect modules once, on first access.
     from . import (  # noqa: F401
         assembly,
+        audits,
         convert_gate,
         corpus,
         crawl,

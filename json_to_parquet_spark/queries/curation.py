@@ -1411,3 +1411,160 @@ register(
         "length-bucketed dynamic batching with per-bucket padding waste",
     )
 )
+
+
+# --- x194: logistic-regression quality classifier, trained distributed -------
+# Batch gradient descent in the parameter-server shape: each epoch is ONE
+# distributed pass over the per-doc feature frame producing decimal-exact
+# gradient sums; the 4-weight model state lives driver-side (a bounded
+# scalar collect per epoch, the x45 pattern).  All per-row math follows
+# helpers rules 2+3 (row-level IEEE ops, ROUND(·,6) before any
+# aggregation; exp follows the x83/x134 ln precedent), so the oracle can
+# unroll the identical recurrence as chained MATERIALIZED 1-row CTEs.
+X194_ITERS = 8
+X194_LR = 2.0  # learning rate (tuned for the ~unit-scaled features)
+X194_X2_SCALE = 10  # mean-word-length feature scaled to ~unit range
+X194_LEN_T = 300  # label: doc is "long-form" if n_chars > this
+
+
+def x194_lr_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a logistic-regression document classifier (label: long-form
+    vs short, the fasttext-style quality-gate shape) by full-batch
+    gradient descent.  Features are deterministic surface rationals
+    (doc length in words /100, mean word length, type-token ratio) so
+    the whole training trajectory — weights, Brier score, accuracy per
+    epoch — is bit-reproducible and value-checked against the oracle's
+    unrolled recurrence.
+
+    Scale: the ONLY corpus-sized work is one feature-frame aggregation
+    per epoch (map-side decimal partials, 1-row result); the model is 4
+    doubles.  Epochs scale as O(iters × one corpus pass) — exactly how
+    a distributed LR/linear probe trains on 100 TB (compute gradients
+    where the data is, step the tiny model centrally)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("n_chars").alias("nc"), F.split(F.lower("text"), " ").alias("t")
+    )
+    feats = (
+        toks.select(
+            "nc", F.size("t").alias("nw"), F.size(F.array_distinct("t")).alias("nd")
+        )
+        .select(
+            F.round(F.col("nw") / F.lit(100), 6).alias("x1"),
+            F.round(F.col("nc") / F.col("nw") / X194_X2_SCALE, 6).alias("x2"),
+            F.round(F.col("nd") / F.col("nw"), 6).alias("x3"),
+            F.when(F.col("nc") > X194_LEN_T, 1.0).otherwise(0.0).alias("y"),
+        )
+        .persist()
+    )
+    n = feats.count()  # scalar; also materializes the persisted frame
+    dec = "decimal(30,10)"
+    w = [0.0, 0.0, 0.0, 0.0]
+    rows = []
+    for it in range(1, X194_ITERS + 1):
+        z = (
+            F.lit(w[0])
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2")
+            + F.lit(w[3]) * F.col("x3")
+        )
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+        scored = feats.select(
+            p.alias("p"), "y", F.lit(1.0).alias("x0"), "x1", "x2", "x3"
+        )
+        aggs = [
+            F.sum(F.round((F.col("p") - F.col("y")) * F.col(f"x{j}"), 6).cast(dec))
+            .cast("double")
+            .alias(f"g{j}")
+            for j in range(4)
+        ] + [
+            F.sum(
+                F.round((F.col("p") - F.col("y")) * (F.col("p") - F.col("y")), 6).cast(
+                    dec
+                )
+            )
+            .cast("double")
+            .alias("se"),
+            F.sum(((F.col("p") >= 0.5) == (F.col("y") == 1.0)).cast("long")).alias(
+                "hits"
+            ),
+        ]
+        stat = scored.agg(*aggs).select(
+            *[
+                F.round(F.lit(w[j]) - X194_LR * F.round(F.col(f"g{j}") / n, 6), 6).alias(
+                    f"w{j}"
+                )
+                for j in range(4)
+            ],
+            F.round(F.col("se") / n, 6).alias("brier"),
+            F.round(F.col("hits") / F.lit(n), 6).alias("acc"),
+        ).collect()[0]
+        w = [stat[f"w{j}"] for j in range(4)]
+        rows.append((it, w[0], w[1], w[2], w[3], stat.brier, stat.acc))
+    feats.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "iter long, w0 double, w1 double, w2 double, w3 double, "
+        "brier double, acc double",
+    )
+
+
+def _x194_sql() -> str:
+    """x194's oracle: the identical recurrence unrolled as chained
+    MATERIALIZED 1-row CTEs (helpers rule 9)."""
+    head = f"""
+        WITH feats AS MATERIALIZED (
+          SELECT ROUND(CAST(nw AS DOUBLE) / 100, 6) AS x1,
+                 ROUND(CAST(nc AS DOUBLE) / nw / {X194_X2_SCALE}, 6) AS x2,
+                 ROUND(CAST(nd AS DOUBLE) / nw, 6) AS x3,
+                 CASE WHEN nc > {X194_LEN_T} THEN 1.0 ELSE 0.0 END AS y
+          FROM (SELECT n_chars AS nc,
+                       len(string_split(lower(text), ' ')) AS nw,
+                       len(list_distinct(string_split(lower(text), ' '))) AS nd
+                FROM documents)),
+        n AS MATERIALIZED (SELECT COUNT(*) AS n FROM feats),
+        w0 AS MATERIALIZED (
+          SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+                 CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3,
+                 CAST(NULL AS DOUBLE) AS brier, CAST(NULL AS DOUBLE) AS acc)"""
+    steps = []
+    for t in range(1, X194_ITERS + 1):
+        prev = f"w{t - 1}"
+        gsum = SQL_DEC_SUM.format(x="ROUND((p - y) * {xj}, 6)")
+        sesum = SQL_DEC_SUM.format(x="ROUND((p - y) * (p - y), 6)")
+        grads = ",\n                 ".join(
+            f"ROUND(MAX(w.{{w}}) - {X194_LR} * ROUND({gsum.format(xj=xj)} / MAX(n.n), 6), 6)"
+            f" AS {{w}}".format(w=f"w{j}")
+            for j, xj in enumerate(["1.0", "x1", "x2", "x3"])
+        )
+        steps.append(f"""
+        s{t} AS MATERIALIZED (
+          SELECT p, y, x1, x2, x3
+          FROM (SELECT ROUND(1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1
+                                                + w.w2 * f.x2 + w.w3 * f.x3))), 6)
+                           AS p,
+                       f.y, f.x1, f.x2, f.x3
+                FROM feats f CROSS JOIN {prev} w)),
+        w{t} AS MATERIALIZED (
+          SELECT {grads},
+                 ROUND({sesum} / MAX(n.n), 6) AS brier,
+                 ROUND(CAST(SUM(CASE WHEN (p >= 0.5) = (y = 1.0)
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                       / MAX(n.n), 6) AS acc
+          FROM s{t} CROSS JOIN {prev} w CROSS JOIN n)""")
+    tail = "\n        UNION ALL\n".join(
+        f"        SELECT CAST({t} AS BIGINT) AS iter, w0, w1, w2, w3, brier, acc"
+        f" FROM w{t}"
+        for t in range(1, X194_ITERS + 1)
+    )
+    return head + "," + ",".join(steps) + "\n" + tail + "\n        ORDER BY iter"
+
+
+register(
+    QuerySpec(
+        "x194_lr_quality_train",
+        x194_lr_quality_train,
+        _x194_sql(),
+        "distributed full-batch LR training (weights/Brier/acc per epoch)",
+    )
+)

@@ -178,6 +178,12 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
+# Exact-twin id offset for x09's doubled corpus (shared with the x188
+# recall audit, which checks that every (d, d + X09_TWIN_OFF) twin pair
+# is recalled by the production sketch).
+X09_TWIN_OFF = 100_000
+
+
 def x09_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates over the doubled corpus (injected
     exact dups guarantee candidates exist), verified by signature overlap.
@@ -187,7 +193,7 @@ def x09_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (x08) is the oracle-checked verification stage of the same pipeline.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    shifted = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    shifted = docs.select((F.col("doc_id") + X09_TWIN_OFF).alias("doc_id"), "text")
     corpus = docs.unionAll(shifted)  # every doc has one exact near-dup
     # The signature frame is referenced three times (banding + both sides
     # of the candidate rejoin); DataFrames don't share subplans, so persist
@@ -263,6 +269,12 @@ def x18_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates hash identically is asserted in tests.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_fingerprints(docs)
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """x18's production kernel over any (doc_id, text) frame — shared so
+    the x189 audit runs the REAL xxhash64 pipeline on variant corpora."""
     posting = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
     ).select("doc_id", F.xxhash64("token").alias("h"))

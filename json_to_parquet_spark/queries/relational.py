@@ -603,10 +603,16 @@ register(
 
 
 # --- q20: approximate distinct (HLL) — engine-specific sketch, rows-only ---
+# Target relative standard deviation of the HLL++ sketch; shared with the
+# x192 error audit, which asserts the estimate lands within a multiple of
+# this bound of the exact count.
+Q20_RSD = 0.01
+
+
 def q20_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_partkey", rsd=Q20_RSD).alias("approx_parts"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 

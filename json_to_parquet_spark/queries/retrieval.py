@@ -591,3 +591,181 @@ register(
         "reciprocal-rank fusion of the registered BM25 + cosine rankers",
     )
 )
+
+
+# --- x196: IVF-composed full-corpus bitext mining ----------------------------
+def x196_ivf_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL-corpus composition x168's docstring promises: margin
+    mining over ALL label-0 sources (no bounded pivot set, no broadcast
+    of either corpus half) with candidate generation restricted by
+    x21's deterministic IVF coarse quantizer — each source probes its
+    IVF_N_PROBE nearest cells, each target lives in exactly one cell,
+    and candidates are the cell-equi-join of the two assignments.
+
+    Scale shapes: the only corpus-sized joins are (a) the nearest-
+    centroid assignment (broadcast of the bounded centroid frame), and
+    (b) the candidate cell join + vector rejoins — all key-equi hash
+    joins whose fan-out per cell is the cell population, never
+    all-pairs.  The margin denominator uses the ACTUAL candidate top-K
+    count (cells can be sparse), so the recurrence stays exact.  This
+    trades x168's exhaustive-scan margins for probed-candidate margins
+    — the standard mined-bitext accuracy/cost trade (Artetxe & Schwenk
+    2019 §3.3 use exactly this FAISS-IVF restriction at scale)."""
+    from .similarity import IVF_N_CENTROIDS, IVF_N_PROBE
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+
+    def assign(df: DataFrame, id_col: str, n_keep: int) -> DataFrame:
+        """nearest-centroid cells (euclidean, rounded, id tie-break) —
+        x21's quantizer shape: broadcast the bounded centroid frame."""
+        scored = df.crossJoin(F.broadcast(cent)).select(
+            id_col,
+            "c_id",
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            "embedding",
+                            F.col("c_vec"),
+                            lambda x, y: (x.cast("double") - y.cast("double"))
+                            * (x.cast("double") - y.cast("double")),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                ),
+                6,
+            ).alias("dist"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.asc("dist"), F.asc("c_id"))
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= n_keep)
+            .select(id_col, F.col("c_id").alias("cell"))
+        )
+
+    src = emb.filter(F.col("label") == SRC_LABEL).select(
+        F.col("vec_id").alias("src_id"), "embedding"
+    )
+    tgt = emb.filter(F.col("label") == TGT_LABEL).select(
+        F.col("vec_id").alias("tgt_id"), "embedding"
+    )
+    probes = assign(src, "src_id", IVF_N_PROBE)
+    lists = assign(tgt, "tgt_id", 1)
+    # id-only cell join (narrow shuffle rows), vectors rejoin by key after
+    cand = probes.join(lists, "cell").select("src_id", "tgt_id")
+    sv = src.select("src_id", F.col("embedding").alias("src_vec"))
+    tv = tgt.select("tgt_id", F.col("embedding").alias("tgt_vec"))
+    scored = (
+        cand.join(sv, "src_id")
+        .join(tv, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            cosine(F.col("src_vec"), F.col("tgt_vec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("cos"), F.asc("tgt_id"))
+    topk = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= MARGIN_K
+    )
+    denom = topk.groupBy("src_id").agg(
+        (
+            F.sum(F.col("cos").cast("decimal(30,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_topk")
+    )
+    best = topk.filter(F.col("rn") == 1).select("src_id", "tgt_id", "cos")
+    ranked = (
+        best.join(denom, "src_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            "cos",
+            F.round(F.col("cos") / F.col("mean_topk"), 6).alias("margin"),
+        )
+        .orderBy(F.desc("margin"), F.asc("src_id"))
+        .limit(MINE_TOP)
+    )
+    w2 = Window.orderBy(F.desc("margin"), F.asc("src_id"))
+    return ranked.select(
+        F.row_number().over(w2).cast("long").alias("rank"),
+        "src_id",
+        "tgt_id",
+        "cos",
+        "margin",
+    )
+
+
+def _x196_sql() -> str:
+    from .similarity import IVF_N_CENTROIDS, IVF_N_PROBE
+
+    return f"""
+        WITH e AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e
+                 WHERE vec_id < {IVF_N_CENTROIDS}),
+        s AS (SELECT vec_id AS src_id, v FROM e WHERE label = {SRC_LABEL}),
+        t AS (SELECT vec_id AS tgt_id, v FROM e WHERE label = {TGT_LABEL}),
+        sdist AS (
+          SELECT s.src_id, c.c_id,
+                 ROUND(sqrt(list_sum(list_transform(
+                     list_zip(s.v, c.c_vec),
+                     p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS dist
+          FROM s CROSS JOIN cent c),
+        probes AS (
+          SELECT src_id, c_id AS cell FROM sdist
+          QUALIFY row_number() OVER (PARTITION BY src_id ORDER BY dist, c_id)
+                  <= {IVF_N_PROBE}),
+        tdist AS (
+          SELECT t.tgt_id, c.c_id,
+                 ROUND(sqrt(list_sum(list_transform(
+                     list_zip(t.v, c.c_vec),
+                     p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS dist
+          FROM t CROSS JOIN cent c),
+        lists AS (
+          SELECT tgt_id, c_id AS cell FROM tdist
+          QUALIFY row_number() OVER (PARTITION BY tgt_id ORDER BY dist, c_id)
+                  = 1),
+        scored AS (
+          SELECT p.src_id, l.tgt_id,
+                 {_SQL_COS.format(a="s.v", b="t.v")} AS cos
+          FROM probes p JOIN lists l USING (cell)
+               JOIN s ON s.src_id = p.src_id
+               JOIN t ON t.tgt_id = l.tgt_id),
+        topk AS (
+          SELECT src_id, tgt_id, cos,
+                 row_number() OVER (PARTITION BY src_id
+                                    ORDER BY cos DESC, tgt_id ASC) AS rn
+          FROM scored QUALIFY rn <= {MARGIN_K}),
+        denom AS (
+          SELECT src_id,
+                 {SQL_DEC_SUM.format(x="cos")} / COUNT(cos) AS mean_topk
+          FROM topk GROUP BY src_id),
+        ranked AS (
+          SELECT b.src_id, b.tgt_id, b.cos,
+                 ROUND(b.cos / d.mean_topk, 6) AS margin
+          FROM topk b JOIN denom d USING (src_id)
+          WHERE b.rn = 1
+          ORDER BY margin DESC, src_id ASC
+          LIMIT {MINE_TOP})
+        SELECT CAST(row_number() OVER (ORDER BY margin DESC, src_id ASC)
+                    AS BIGINT) AS rank,
+               src_id, tgt_id, cos, margin
+        FROM ranked
+        ORDER BY margin DESC, src_id ASC
+        """
+
+
+register(
+    QuerySpec(
+        "x196_ivf_bitext_mine",
+        x196_ivf_bitext_mine,
+        _x196_sql(),
+        "full-corpus margin mining through the IVF cell restriction (no broadcast corpus)",
+    )
+)

@@ -94,20 +94,17 @@ register(
 LSH_PLANES = 8
 
 
-def x12_cosine_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path for ANN: sign-LSH bucketing. Each vector hashes to an
-    8-bit bucket of hyperplane signs (planes derived deterministically
-    from xxhash64 of (plane, dim) — pseudo-random ±1 components, no
-    stored model). Search then only scans the query's bucket: the
-    cross-join shrinks by ~2^planes. Bucket stats here; rows-only check
-    (xxhash64 not reproducible in DuckDB).
-    """
-    emb = load_table(spark, sf_dir, "embeddings")
-    # ±1 hyperplane components: sign of xxhash64(plane, dim_index)
+def sign_lsh_bucket(vec_col) -> "F.Column":
+    """The production sign-LSH bucket kernel shared by x12/x20 and the
+    x190/x191 audits: ±1 hyperplane components are the sign of
+    xxhash64(plane, dim_index) — pseudo-random, no stored model — and
+    the bucket is the LSH_PLANES-bit string of dot-product signs.
+    Identical vectors hash to identical buckets by construction (the
+    theorem the audits pin)."""
     sign_dot = [
         F.aggregate(
             F.zip_with(
-                "embedding",
+                vec_col,
                 F.sequence(F.lit(0), F.lit(63)),
                 lambda x, i: x.cast("double")
                 * F.when(F.xxhash64(F.lit(p), i) % 2 == 0, 1.0).otherwise(-1.0),
@@ -117,12 +114,23 @@ def x12_cosine_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for p in range(LSH_PLANES)
     ]
-    bucket = sum(
-        ((s > 0).cast("long") * (1 << p) for p, s in enumerate(sign_dot)),
-        start=F.lit(0).cast("long"),
-    )
+    out = F.lit(0).cast("long")
+    for p, s in enumerate(sign_dot):
+        out = out + (s > 0).cast("long") * F.lit(1 << p).cast("long")
+    return out
+
+
+def x12_cosine_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for ANN: sign-LSH bucketing. Each vector hashes to an
+    8-bit bucket of hyperplane signs (planes derived deterministically
+    from xxhash64 of (plane, dim) — pseudo-random ±1 components, no
+    stored model). Search then only scans the query's bucket: the
+    cross-join shrinks by ~2^planes. Bucket stats here; rows-only check
+    (xxhash64 not reproducible in DuckDB).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
     return (
-        emb.select("vec_id", "label", bucket.alias("bucket"))
+        emb.select("vec_id", "label", sign_lsh_bucket(F.col("embedding")).alias("bucket"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
@@ -265,27 +273,9 @@ def x20_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow projection. Rows-only check (xxhash64 planes); the brute-force
     twin x11 is the oracle-checked exact baseline."""
     emb = load_table(spark, sf_dir, "embeddings")
-
-    def bucket_of(vec_col):
-        sign_dot = [
-            F.aggregate(
-                F.zip_with(
-                    vec_col,
-                    F.sequence(F.lit(0), F.lit(63)),
-                    lambda x, i: x.cast("double")
-                    * F.when(F.xxhash64(F.lit(p), i) % 2 == 0, 1.0).otherwise(-1.0),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            for p in range(LSH_PLANES)
-        ]
-        out = F.lit(0).cast("long")
-        for p, s in enumerate(sign_dot):
-            out = out + (s > 0).cast("long") * F.lit(1 << p).cast("long")
-        return out
-
-    corpus = emb.select("vec_id", "embedding", bucket_of(F.col("embedding")).alias("bucket"))
+    corpus = emb.select(
+        "vec_id", "embedding", sign_lsh_bucket(F.col("embedding")).alias("bucket")
+    )
     queries = corpus.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_vec"),
@@ -900,3 +890,198 @@ def _register_x122() -> None:
 
 
 _register_x122()
+
+
+# --- x197: IVF-PQ with residual encoding (the production FAISS layout) -------
+# Codebook training vectors: residuals of the PQ_K vectors just past the
+# coarse-centroid block.  (The first IVF_N_CENTROIDS vectors ARE the
+# coarse centroids, so their residuals are zero — using them would
+# degenerate the codebook; the offset keeps it deterministic AND
+# nonzero.)
+IVFPQ_CB_BASE = IVF_N_CENTROIDS
+IVFPQ_TOPK = 5
+
+
+def x197_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ proper: every vector is assigned to its nearest coarse
+    centroid (x21's deterministic quantizer), its RESIDUAL against that
+    centroid is product-quantized (x42's subspace scheme on residuals —
+    the residual trick is what makes PQ accurate under IVF: residuals
+    are small and centered, so a shared codebook covers them), and
+    queries ADC-search only their IVF_N_PROBE probed cells with a
+    PER-CELL distance table built from the query's residual against
+    that cell's centroid.  Completes x121 (cell-partitioned storage,
+    DPP probing) + x122 (flat PQ ADC) into the layout a 100 TB ANN
+    index actually ships: inverted lists of (vec_id, PQ_M codes) — ~5
+    bytes/vector here — scanned via table lookups, exact vectors never
+    touched after indexing.
+
+    Scale shapes: assignments/encodings are one broadcast join against
+    the bounded centroid/codebook frames + a per-key WindowGroupLimit;
+    the search joins the code table against a broadcast distance table
+    of Nq × probes × PQ_M × PQ_K rows (bounded), keyed on (cell, m,
+    code) so only probed cells' codes participate.  All distances are
+    ROUND(·,6) decimal-summed (helpers rules 1+3)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+
+    def nearest_cells(df: DataFrame, id_col: str, n_keep: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cent)).select(
+            id_col,
+            "c_id",
+            _sq_dist(F.col("embedding"), F.col("c_vec")).alias("d"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.asc("d"), F.asc("c_id"))
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= n_keep)
+            .select(id_col, F.col("c_id").alias("cell"))
+        )
+
+    residual = F.zip_with(
+        "embedding", F.col("c_vec"), lambda x, y: x.cast("double") - y.cast("double")
+    )
+    assigned = (
+        emb.join(nearest_cells(emb, "vec_id", 1), "vec_id")
+        .join(F.broadcast(cent), F.col("cell") == F.col("c_id"))
+        .select("vec_id", "cell", residual.alias("res"))
+    )
+    slices = F.array(
+        *[F.slice("res", m * PQ_SUBDIM + 1, PQ_SUBDIM) for m in range(PQ_M)]
+    )
+    sub = assigned.select("vec_id", "cell", F.posexplode(slices).alias("m", "sv"))
+    cb = sub.filter(
+        (F.col("vec_id") >= IVFPQ_CB_BASE) & (F.col("vec_id") < IVFPQ_CB_BASE + PQ_K)
+    ).select((F.col("vec_id") - IVFPQ_CB_BASE).alias("cb_id"), "m", F.col("sv").alias("cb_vec"))
+    enc = sub.join(F.broadcast(cb), "m").select(
+        "vec_id", "cell", "m", "cb_id", _sq_dist(F.col("sv"), F.col("cb_vec")).alias("d")
+    )
+    wenc = Window.partitionBy("vec_id", "m").orderBy(F.asc("d"), F.asc("cb_id"))
+    codes = (
+        enc.withColumn("crank", F.row_number().over(wenc))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "cell", "m", F.col("cb_id").alias("code"))
+    )
+
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    probes = nearest_cells(
+        queries.select(F.col("q_id").alias("vec_id"), F.col("q_vec").alias("embedding")),
+        "vec_id",
+        IVF_N_PROBE,
+    ).select(F.col("vec_id").alias("q_id"), "cell")
+    qres = (
+        queries.join(F.broadcast(probes), "q_id")
+        .join(F.broadcast(cent), F.col("cell") == F.col("c_id"))
+        .select(
+            "q_id",
+            "cell",
+            F.zip_with(
+                "q_vec", F.col("c_vec"), lambda x, y: x.cast("double") - y.cast("double")
+            ).alias("res"),
+        )
+    )
+    qsub = qres.select("q_id", "cell", F.posexplode(slices).alias("m", "sv"))
+    dtab = qsub.join(F.broadcast(cb), "m").select(
+        "q_id", "cell", "m", "cb_id", _sq_dist(F.col("sv"), F.col("cb_vec")).alias("d2")
+    )
+    partial = codes.join(
+        F.broadcast(dtab),
+        (codes.cell == dtab.cell) & (codes.m == dtab.m) & (codes.code == dtab.cb_id),
+    ).select(codes.vec_id, "q_id", "d2")
+    adc = (
+        partial.filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(
+            F.round(
+                F.sum(F.col("d2").cast("decimal(30,10)")).cast("double"), 6
+            ).alias("adc_dist")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVFPQ_TOPK)
+        .select("q_id", "vec_id", "adc_dist", F.col("rank").cast("long").alias("rank"))
+        .orderBy("q_id", "rank")
+    )
+
+
+def _x197_sql() -> str:
+    sq = (
+        "ROUND(list_sum(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)"
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e
+                 WHERE vec_id < {IVF_N_CENTROIDS}),
+        lists AS (
+          SELECT vec_id, c_id AS cell FROM (
+            SELECT e.vec_id, c.c_id, {sq.format(a="e.v", b="c.c_vec")} AS d
+            FROM e CROSS JOIN cent c)
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c_id) = 1),
+        res AS MATERIALIZED (
+          SELECT e.vec_id, l.cell,
+                 list_transform(list_zip(e.v, c.c_vec), p -> p[1] - p[2]) AS r
+          FROM e JOIN lists l USING (vec_id) JOIN cent c ON l.cell = c.c_id),
+        sub AS MATERIALIZED (
+          SELECT vec_id, cell, m,
+                 r[m * {PQ_SUBDIM} + 1 : (m + 1) * {PQ_SUBDIM}] AS sv
+          FROM res CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) t),
+        cb AS MATERIALIZED (
+          SELECT vec_id - {IVFPQ_CB_BASE} AS cb_id, m, sv AS cb_vec
+          FROM sub
+          WHERE vec_id >= {IVFPQ_CB_BASE} AND vec_id < {IVFPQ_CB_BASE + PQ_K}),
+        codes AS (
+          SELECT vec_id, cell, m, cb_id AS code FROM (
+            SELECT s.vec_id, s.cell, s.m, c.cb_id,
+                   {sq.format(a="s.sv", b="c.cb_vec")} AS d
+            FROM sub s JOIN cb c USING (m))
+          QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cb_id) = 1),
+        probes AS (
+          SELECT q_id, c_id AS cell FROM (
+            SELECT e.vec_id AS q_id, c.c_id, {sq.format(a="e.v", b="c.c_vec")} AS d
+            FROM e CROSS JOIN cent c WHERE e.vec_id < {N_QUERY_VECS})
+          QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d, c_id)
+                  <= {IVF_N_PROBE}),
+        qsub AS (
+          SELECT q_id, cell, m,
+                 r[m * {PQ_SUBDIM} + 1 : (m + 1) * {PQ_SUBDIM}] AS sv
+          FROM (SELECT p.q_id, p.cell,
+                       list_transform(list_zip(e.v, c.c_vec), x -> x[1] - x[2]) AS r
+                FROM probes p JOIN e ON e.vec_id = p.q_id
+                     JOIN cent c ON p.cell = c.c_id)
+               CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) t),
+        dtab AS (
+          SELECT q.q_id, q.cell, q.m, c.cb_id,
+                 {sq.format(a="q.sv", b="c.cb_vec")} AS d2
+          FROM qsub q JOIN cb c USING (m)),
+        adc AS (
+          SELECT d.q_id, k.vec_id,
+                 ROUND(CAST(CAST(SUM(CAST(d.d2 AS DECIMAL(30,10))) AS VARCHAR)
+                            AS DOUBLE), 6) AS adc_dist
+          FROM codes k
+          JOIN dtab d ON k.cell = d.cell AND k.m = d.m AND k.code = d.cb_id
+          WHERE k.vec_id != d.q_id
+          GROUP BY d.q_id, k.vec_id)
+        SELECT q_id, vec_id, adc_dist,
+               CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY adc_dist ASC, vec_id ASC) AS BIGINT) AS rank
+        FROM adc
+        QUALIFY rank <= {IVFPQ_TOPK}
+        ORDER BY q_id, rank
+        """
+
+
+register(
+    QuerySpec(
+        "x197_ivfpq_residual",
+        x197_ivfpq_residual,
+        _x197_sql(),
+        "IVF-PQ with residual encoding: per-cell ADC over probed inverted lists",
+    )
+)
