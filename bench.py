@@ -105,6 +105,19 @@ HEADLINE = [
     # cost is the same corpus shingling x09/x111 already measure)
     "x159_nb_langid",
     "x179_textrank_keywords",
+    # round-6 additions (VERDICT r5 ask #4): the round-5 retrieval/
+    # multimodal heavies — broadcast-scored corpus scans (x167, x176),
+    # the hot-frame-capped pair join (x187), the bounded-chunk margin
+    # miner in its FIXED shape (x168), the streaming near-dup gate drain
+    # (x172) — plus the new IVF-composed full-corpus miner (x196) and
+    # the residual IVF-PQ search (x197)
+    "x167_hard_negatives",
+    "x168_crosslingual_margin",
+    "x176_label_noise_audit",
+    "x187_frame_dedup",
+    "x172_stream_neardup",
+    "x196_ivf_bitext_mine",
+    "x197_ivfpq_residual",
 ]
 
 CONVERT_RECORDS = 100_000

@@ -176,6 +176,42 @@ _PENDING_R5_OVERFLOW: tuple[str, ...] = (
 )
 
 
+# Round-6 sample window (VERDICT r5 ask #1): the 40 gate-unproven
+# queries — the 10 pinned r5 overflow + the 30 round-5 additions
+# (x158–x187) — plus EXACTLY the 10 round-6 additions (x188–x197) fill
+# the 50-slot window with zero slack.  Pinned explicitly so any further
+# round-6 registration queues AFTER slot 50 (an r7 candidate) instead of
+# displacing an unproven entry by import-order accident.  Ordered
+# newest-code-first: the round-6 additions, then the round-5 fresh set,
+# then the invariant-heavy r5 overflow aggregates.
+_PENDING_R6_WINDOW: tuple[str, ...] = (
+    # round-6 additions: sketch audits, KMV, LR training, IVF compositions
+    "x188_minhash_twin_audit", "x189_simhash_perm_audit",
+    "x190_lsh_scale_audit", "x191_ann_self_recall",
+    "x192_hll_error_audit", "x193_pctl_rank_audit",
+    "x194_lr_quality_train", "x195_bottomk_distinct",
+    "x196_ivf_bitext_mine", "x197_ivfpq_residual",
+    # round-5 additions (registry order), incl. the fixed x168/x187
+    "x158_tokenizer_fertility", "x159_nb_langid", "x160_dsir_select",
+    "x161_hash_features", "x162_url_canon_dedup", "x163_domain_reputation",
+    "x164_packing_sweep", "x165_dp_release", "x166_span_corruption",
+    "x167_hard_negatives", "x168_crosslingual_margin", "x169_mmr_diversify",
+    "x170_compaction_plan", "x171_bucketed_three_way", "x172_stream_neardup",
+    "x173_readability", "x174_code_detect", "x175_stratified_kfold",
+    "x176_label_noise_audit", "x177_rrf_fusion", "x178_chunk_coverage",
+    "x179_textrank_keywords", "x180_source_overlap_sketch",
+    "x181_session_perplexity", "x182_dup_span_merge", "x183_skipgram_pairs",
+    "x184_length_bucketed_batching", "x185_stats_pruning_planner",
+    "x186_cc_largestar", "x187_frame_dedup",
+    # round-5 pinned overflow (best-invariant-covered aggregates)
+    "x150_bootstrap_ci", "x151_source_influence",
+    "x152_weighted_median_len", "x153_session_handoff",
+    "x154_session_lift", "x155_novelty_decay", "x156_user_burstiness",
+    "x157_activity_concentration", "x142_volume_anomaly",
+    "x143_effective_size",
+)
+
+
 def _driver_evidenced(root: "str | None" = None) -> frozenset[str]:
     """Names with a green (or rows-only-by-design) row in any driver
     CORRECTNESS_r*.json at the repo root.  Merged with the static
@@ -253,13 +289,18 @@ def registry() -> dict[str, QuerySpec]:
     carried = {n: s for n, s in pending.items() if n in _PENDING_CARRIED}
     window4 = {n: pending[n] for n in _PENDING_R4_WINDOW if n in pending}
     window5 = {n: pending[n] for n in _PENDING_R5_WINDOW if n in pending}
+    window6 = {n: pending[n] for n in _PENDING_R6_WINDOW if n in pending}
     overflow5 = {n: pending[n] for n in _PENDING_R5_OVERFLOW if n in pending}
     pinned = (
         set(_PENDING_CARRIED)
         | set(_PENDING_R4_WINDOW)
         | set(_PENDING_R5_WINDOW)
+        | set(_PENDING_R6_WINDOW)
         | set(_PENDING_R5_OVERFLOW)
     )
     fresh = {n: s for n, s in pending.items() if n not in pinned}
     proven = {n: s for n, s in _REGISTRY.items() if n in evidenced}
-    return {**carried, **window4, **window5, **overflow5, **fresh, **proven}
+    return {
+        **carried, **window4, **window5, **window6, **overflow5,
+        **fresh, **proven,
+    }

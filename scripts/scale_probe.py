@@ -1,0 +1,143 @@
+"""sf1-class scaling probe (VERDICT r5 ask #5).
+
+The sf0.001–sf0.1 cross-SF table in ARCHITECTURE §3b is scheduling-
+floor-flat, which proves no super-linear blowup but cannot separate
+data cost from floor.  This probe builds a ~10× sf0.1 fixture ("sfx1",
+sf≈1) by replicating every table with key-offset replicas — referential
+integrity preserved (order/cust/supp/part keys offset consistently),
+document texts word-ROTATED per replica so shingle/token distributions
+stay realistic instead of producing a 10-fold exact-dup corpus — and
+runs the heaviest registry entries at sf0.1 and sfx1.
+
+Usage:
+    python scripts/scale_probe.py --build          # create /tmp fixture
+    python scripts/scale_probe.py [--runs N]       # run probe, print JSON
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEST = os.environ.get("SPARK_GRAFT_SFX1_DIR", "/tmp/spark_graft_sfx1")
+FACTOR = 10
+
+# Key spaces: offsets must clear every real key AND the id-offset tricks
+# queries play (x09 +100k, x187 +300k, x191 +900k).
+KEY_OFFSETS = {
+    "o_orderkey": 10_000_000,
+    "l_orderkey": 10_000_000,
+    "c_custkey": 1_000_000,
+    "o_custkey": 1_000_000,
+    "s_suppkey": 1_000_000,
+    "l_suppkey": 1_000_000,
+    "p_partkey": 1_000_000,
+    "l_partkey": 1_000_000,
+    "ps_partkey": 1_000_000,
+    "ps_suppkey": 1_000_000,
+    "doc_id": 1_000_000,
+    "vec_id": 1_000_000,
+    "event_id": 10_000_000,
+    "user_id": 1_000_000,
+    "session_id": 10_000_000,
+}
+
+# One canonical entry per heavy shape; all scale with the corpus (x26 &
+# friends are id-bounded by design and excluded).
+PROBE = [
+    "q01_pricing_summary",       # lineitem scan + agg
+    "q76_local_supplier_volume", # 5-way star join
+    "x62_unigram_logprob",       # open-vocab token shuffle + join
+    "x101_bpe_train",            # iterative corpus-scan training
+    "x111_incremental_neardup",  # banded LSH join vs base index
+    "x125_shingle_cosine_pairs", # df-capped posting self-join
+    "x159_nb_langid",            # distributed NB train + score
+    "x179_textrank_keywords",    # bounded-graph fixed point over corpus scan
+    "x103_embedding_pca",        # d²-keyed covariance + power iteration
+    "x49_kmeans",                # Lloyd iterations
+    "x45_pagerank",              # fact joins + driver fixed-point
+    "x65_triangle_count",        # blocked similarity graph census
+]
+
+
+def build() -> None:
+    import duckdb
+
+    os.makedirs(DEST, exist_ok=True)
+    con = duckdb.connect()
+    tables = [
+        f[: -len(".parquet")]
+        for f in sorted(os.listdir(SRC))
+        if f.endswith(".parquet")
+    ]
+    for t in tables:
+        src = os.path.join(SRC, f"{t}.parquet")
+        cols = [r[0] for r in con.sql(f"DESCRIBE SELECT * FROM '{src}'").fetchall()]
+        if t in ("region", "nation"):  # fixed dims: never replicated
+            con.sql(f"COPY (SELECT * FROM '{src}') TO '{DEST}/{t}.parquet'")
+            continue
+        parts = []
+        for r in range(FACTOR):
+            sel = []
+            for c in cols:
+                if c in KEY_OFFSETS:
+                    sel.append(f"{c} + {r * KEY_OFFSETS[c]} AS {c}")
+                elif t == "documents" and c == "text" and r > 0:
+                    # rotate word order by r so replicas are distinct
+                    # documents with the same length/vocab statistics
+                    sel.append(
+                        "array_to_string(list_concat("
+                        f"string_split(text, ' ')[{r + 1}:], "
+                        f"string_split(text, ' ')[:{r}]), ' ') AS text"
+                    )
+                else:
+                    sel.append(c)
+            parts.append(f"SELECT {', '.join(sel)} FROM '{src}'")
+        con.sql(
+            f"COPY ({' UNION ALL '.join(parts)}) TO '{DEST}/{t}.parquet'"
+        )
+        n = con.sql(f"SELECT COUNT(*) FROM '{DEST}/{t}.parquet'").fetchone()[0]
+        print(f"built {t}: {n} rows", file=sys.stderr)
+
+
+def run(runs: int) -> None:
+    from json_to_parquet_spark.queries import registry
+    from json_to_parquet_spark.session import build_session
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = build_session(
+        app_name="scale_probe", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    reg = registry()
+    out: dict[str, dict[str, float]] = {}
+    for sf_name, sf_dir in (("sf0.1", SRC), ("sfx1", DEST)):
+        for name in PROBE:
+            best = None
+            for _ in range(runs):
+                t0 = time.time()
+                reg[name].spark(spark, sf_dir).collect()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            out.setdefault(name, {})[sf_name] = round(best, 3)
+            print(f"{sf_name} {name}: {best:.3f}s", file=sys.stderr)
+    for name, row in out.items():
+        row["ratio"] = round(row["sfx1"] / row["sf0.1"], 2)
+    print(json.dumps({"factor": FACTOR, "runs": runs, "queries": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--build", action="store_true")
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+    if args.build:
+        build()
+    else:
+        run(args.runs)

@@ -180,6 +180,9 @@ _BNLJ_ALLOWED = {
     "x185_stats_pruning_planner",  # 3-row predicate-range frame broadcast
     "x154_session_lift",  # 1-row session-count frame broadcast
     "x157_activity_concentration",  # 1-row totals frame broadcast
+    "x188_minhash_twin_audit",  # two 1-row audit aggregates crossed
+    "x196_ivf_bitext_mine",  # bounded centroid frame broadcast (x21 quantizer)
+    "x197_ivfpq_residual",  # bounded centroid frame broadcast (x21 quantizer)
 }
 
 

@@ -67,3 +67,29 @@ def test_x98_guards_oracle_dir_mismatch():
 
     with pytest.raises(ValueError, match="pinned"):
         scale_layout.x98_parquet_stats_report(None, "/nonexistent/sfX")
+
+
+def test_r6_window_is_exactly_fifty_and_complete():
+    """Round-6 window: the 40 r5-unproven queries + the 10 round-6
+    additions fill all 50 slots with zero slack (VERDICT r5 ask #1)."""
+    from json_to_parquet_spark.queries import _PENDING_R6_WINDOW
+
+    assert len(_PENDING_R6_WINDOW) == 50
+    assert len(set(_PENDING_R6_WINDOW)) == 50
+    reg = registry()
+    missing = [n for n in _PENDING_R6_WINDOW if n not in reg]
+    assert not missing, missing
+
+
+def test_unproven_r6_window_entries_lead_the_registry():
+    """While any R6-window query lacks a driver row, the registry head
+    must consist of unproven R6-window entries only — any query added
+    later in round 6 queues AFTER slot 50 (an r7 candidate) instead of
+    displacing one."""
+    from json_to_parquet_spark.queries import _PENDING_R6_WINDOW
+
+    reg = registry()
+    evidenced = _GATE_EVIDENCED | _driver_evidenced()
+    unproven_window = [n for n in _PENDING_R6_WINDOW if n not in evidenced]
+    head = list(reg)[: len(unproven_window)]
+    assert head == unproven_window
