@@ -362,13 +362,28 @@ register(
 
 
 # --- x65: similarity-graph triangle count ------------------------------------
-TRI_SIGN_BITS = 6  # 64 sign-blocks over the corpus
+TRI_SIGN_BITS = 6  # floor: 64 sign-blocks (exact historical behavior ≤ sf0.1)
 TRI_COS_THRESHOLD = 0.2
+# Corpus-adaptive blocking (round-6 scale fix): with FIXED bits the
+# within-block candidate pairs grow as n²/2^bits — the sfx1 probe
+# measured 27× wall-clock at 10× vectors.  Both engines therefore derive
+# the bit count from the corpus size so block POPULATION stays ~constant
+# (bits = max(TRI_SIGN_BITS, ceil(log2(n / TRI_BLOCK_POP)))): candidates
+# scale ~linearly, recall trades exactly as LSH blocking always does.
+# At every shipped fixture (n ≤ 2000) the formula yields the historical
+# 6 bits, so gate/mirror/bench results are unchanged.
+TRI_BLOCK_POP = 32
 
 
-def _tri_sign_block(vec: Column) -> Column:
+def _tri_bits(n: int) -> int:
+    import math
+
+    return max(TRI_SIGN_BITS, math.ceil(math.log2(max(n, 1) / TRI_BLOCK_POP)))
+
+
+def _tri_sign_block(vec: Column, bits: int = TRI_SIGN_BITS) -> Column:
     out = F.lit(0).cast("long")
-    for i in range(TRI_SIGN_BITS):
+    for i in range(bits):
         out = out + (F.element_at(vec, i + 1) > 0).cast("long") * F.lit(1 << i)
     return out
 
@@ -385,8 +400,12 @@ def x65_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (out-degree ≤ √(2m) regardless of raw skew — the "last reducer"
     fix), close them against the oriented edge set with one more
     equi-join. Three key-shuffles total, each carrying two longs."""
-    emb = _emb(spark, sf_dir).select(
-        "vec_id", F.col("embedding").alias("v"), _tri_sign_block("embedding").alias("blk")
+    base = _emb(spark, sf_dir)
+    n = base.count()  # bounded scalar (corpus cardinality; table stats at scale)
+    emb = base.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        _tri_sign_block(F.col("embedding"), _tri_bits(n)).alias("blk"),
     )
     a = emb.select(
         F.col("vec_id").alias("ia"), F.col("v").alias("va"), "blk"
@@ -437,11 +456,17 @@ register(
         "x65_triangle_count",
         x65_triangle_count,
         f"""
-        WITH b AS (
-          SELECT vec_id, {_SQL_VEC} AS v,
-                 ({" + ".join(f"(CASE WHEN ({_SQL_VEC})[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(TRI_SIGN_BITS))})
-                     AS blk
+        WITH nb AS (
+          SELECT GREATEST({TRI_SIGN_BITS},
+                          CAST(CEIL(LOG2(COUNT(*) / {TRI_BLOCK_POP}.0)) AS BIGINT))
+              AS bits
           FROM embeddings),
+        b AS (
+          SELECT vec_id, {_SQL_VEC} AS v,
+                 list_sum(list_transform(range(0, nb.bits),
+                     i -> CASE WHEN ({_SQL_VEC})[i + 1] > 0
+                               THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS blk
+          FROM embeddings CROSS JOIN nb),
         ed AS (
           SELECT a.vec_id AS u, bb.vec_id AS w
           FROM b a JOIN b bb ON a.blk = bb.blk AND a.vec_id < bb.vec_id
