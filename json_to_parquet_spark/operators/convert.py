@@ -194,8 +194,13 @@ def _convert_body(
             cached.unpersist()
         if text_cache is not None:
             text_cache.unpersist()
-        # spill dir + lowered maxPartitionBytes are released by the
-        # caller's release_parallel_read finally (convert()).
+    # The write was the source frame's last action: release the spill
+    # dir + lowered maxPartitionBytes NOW, before the output
+    # verification scan below — reading `dest` under the ~4 MiB split
+    # size costs a swarm of tiny tasks (measured +0.5 s on the bench
+    # convert).  The caller's finally re-invokes this harmlessly
+    # (idempotent); it exists for the paths that raise BEFORE here.
+    release_parallel_read(spark, df)
     if sorting_metadata and sorted_by is not None:
         # Reference-parity SortingColumn footer (SURVEY §2 O3); PyArrow
         # post-pass since Spark's writer can't record it.
