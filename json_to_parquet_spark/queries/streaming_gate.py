@@ -1153,7 +1153,11 @@ def x172_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + INC_BATCH_OFFSET).alias("doc_id"),
         suffix.alias("text"),
     )
-    batch_docs.repartitionByRange(4, "doc_id").write.parquet(src)
+    # hash-partitioned by key: deterministic batch membership without
+    # repartitionByRange's extra sampling job; the union of per-batch
+    # outputs is batch-assignment-invariant (pairs are keyed by batch
+    # doc), so the oracle contract is untouched.
+    batch_docs.repartition(4, "doc_id").write.parquet(src)
 
     n_eq = sum(
         (F.col(f"a{j}") == F.col(f"b{j}")).cast("long")
