@@ -260,6 +260,7 @@ def registry() -> dict[str, QuerySpec]:
         evalsuite2,
         multimodal,
         pipeline,
+        preference,
         quality,
         relational,
         relational2,

@@ -1568,3 +1568,139 @@ register(
         "distributed full-batch LR training (weights/Brier/acc per epoch)",
     )
 )
+
+
+# --- x203: Gopher-rules quality battery --------------------------------------
+# Repetition/quality heuristics after Rae et al. 2021 (Gopher, §A1.1),
+# thresholds calibrated to this corpus so the battery has signal (R2 is
+# the one rule every doc here passes — kept at the published band for
+# realism).  Every threshold is shared with the oracle via f-string.
+GOPHER_MIN_WORDS = 30          # R1: too-short docs
+GOPHER_WL_LO, GOPHER_WL_HI = 3.0, 10.0  # R2: mean word length band
+GOPHER_SHORT_FRAC_MAX = 0.08   # R3: fraction of <2-char words
+GOPHER_STOP_MIN = 2            # R4: distinct stop-word hits required
+GOPHER_TOP_FRAC_MAX = 0.2     # R5: single-token dominance cap
+GOPHER_STOPWORDS = ("join", "hash", "row", "batch", "scan")
+
+
+def x203_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-filter battery as one pass: five per-document
+    rules (length floor, mean-word-length band, short-word fraction,
+    stop-word presence, single-token dominance) evaluated row-locally,
+    rolled up per source — the go/no-go table a corpus intake reads
+    before admitting a crawl slice.
+
+    Scale: R1–R4 are pure map-side array math over the materialized
+    token column (helpers rule 10); R5 needs each doc's top token
+    frequency, computed as a (doc, token) count + per-doc max — one
+    narrow keyed aggregation, map-side combined.  The rollup is
+    source-keyed.  Nothing is corpus-global."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.col("n_chars").alias("nc"),
+        F.split(F.lower("text"), " ").alias("w"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("w").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    feats = (
+        toks.join(tf, "doc_id")
+        .select(
+            "source",
+            F.size("w").alias("nw"),
+            F.round(F.col("nc") / F.size("w"), 6).alias("mwl"),
+            F.round(
+                F.size(F.filter("w", lambda x: F.length(x) < 2))
+                / F.size("w").cast("double"),
+                6,
+            ).alias("short_frac"),
+            F.size(
+                F.array_intersect(
+                    F.array_distinct("w"),
+                    F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+                )
+            ).alias("stop_hits"),
+            F.round(F.col("top_c") / F.size("w").cast("double"), 6).alias(
+                "top_frac"
+            ),
+        )
+    )
+    r = {
+        "r1": F.col("nw") >= GOPHER_MIN_WORDS,
+        "r2": (F.col("mwl") >= GOPHER_WL_LO) & (F.col("mwl") <= GOPHER_WL_HI),
+        "r3": F.col("short_frac") <= GOPHER_SHORT_FRAC_MAX,
+        "r4": F.col("stop_hits") >= GOPHER_STOP_MIN,
+        "r5": F.col("top_frac") <= GOPHER_TOP_FRAC_MAX,
+    }
+    all_pass = r["r1"] & r["r2"] & r["r3"] & r["r4"] & r["r5"]
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *[F.sum(c.cast("long")).cast("long").alias(f"pass_{k}") for k, c in r.items()],
+            F.sum(all_pass.cast("long")).cast("long").alias("n_pass_all"),
+        )
+        .select(
+            "source", "n_docs", "pass_r1", "pass_r2", "pass_r3", "pass_r4",
+            "pass_r5",
+            "n_pass_all",
+            F.round(F.col("n_pass_all") / F.col("n_docs").cast("double"), 6).alias(
+                "pass_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    QuerySpec(
+        "x203_gopher_rules",
+        x203_gopher_rules,
+        f"""
+        WITH d AS (
+          SELECT doc_id, source, n_chars AS nc,
+                 string_split(lower(text), ' ') AS w
+          FROM documents),
+        tf AS (
+          SELECT doc_id, MAX(c) AS top_c FROM (
+            SELECT doc_id, tok, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(w) AS tok FROM d)
+            GROUP BY doc_id, tok)
+          GROUP BY doc_id),
+        f AS (
+          SELECT d.source,
+                 len(d.w) AS nw,
+                 ROUND(CAST(d.nc AS DOUBLE) / len(d.w), 6) AS mwl,
+                 ROUND(CAST(len(list_filter(d.w, x -> strlen(x) < 2)) AS DOUBLE)
+                       / len(d.w), 6) AS short_frac,
+                 len(list_intersect(list_distinct(d.w),
+                     [{", ".join(repr(s) for s in GOPHER_STOPWORDS)}])) AS stop_hits,
+                 ROUND(CAST(tf.top_c AS DOUBLE) / len(d.w), 6) AS top_frac
+          FROM d JOIN tf USING (doc_id)),
+        rules AS (
+          SELECT source,
+                 CASE WHEN nw >= {GOPHER_MIN_WORDS} THEN 1 ELSE 0 END AS r1,
+                 CASE WHEN mwl >= {GOPHER_WL_LO} AND mwl <= {GOPHER_WL_HI}
+                      THEN 1 ELSE 0 END AS r2,
+                 CASE WHEN short_frac <= {GOPHER_SHORT_FRAC_MAX} THEN 1 ELSE 0 END AS r3,
+                 CASE WHEN stop_hits >= {GOPHER_STOP_MIN} THEN 1 ELSE 0 END AS r4,
+                 CASE WHEN top_frac <= {GOPHER_TOP_FRAC_MAX} THEN 1 ELSE 0 END AS r5
+          FROM f)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(r1) AS BIGINT) AS pass_r1,
+               CAST(SUM(r2) AS BIGINT) AS pass_r2,
+               CAST(SUM(r3) AS BIGINT) AS pass_r3,
+               CAST(SUM(r4) AS BIGINT) AS pass_r4,
+               CAST(SUM(r5) AS BIGINT) AS pass_r5,
+               CAST(SUM(r1 * r2 * r3 * r4 * r5) AS BIGINT) AS n_pass_all,
+               ROUND(CAST(SUM(r1 * r2 * r3 * r4 * r5) AS DOUBLE) / COUNT(*), 6)
+                   AS pass_rate
+        FROM rules GROUP BY source ORDER BY source
+        """,
+        "Gopher quality-rule battery: five per-doc rules, per-source pass rates",
+    )
+)

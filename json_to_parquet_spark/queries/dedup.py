@@ -1390,3 +1390,275 @@ register(
         "connected components via large-star/small-star (O(log n) rounds)",
     )
 )
+
+
+# --- x198: k-core decomposition of the near-dup graph ------------------------
+# Fixed unrolled peel rounds: peeling is idempotent at the fixpoint, so
+# running exactly KCORE_ROUNDS rounds needs no convergence collect and
+# the oracle unrolls the identical recurrence.  KCORE_ROUNDS=8 reaches
+# the fixpoint with slack on every fixture (verified: rounds 6..8 are
+# no-ops); at corpus scale the same loop runs with a (count, checksum)
+# fixpoint signature like x186.
+KCORE_ROUNDS = 8
+KCORE_KS = (2, 3)
+
+
+def x198_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the x26 near-dup similarity graph —
+    the density prune cluster curation runs AFTER connected components:
+    a doc in the 3-core sits in a tight mutual-similarity clique
+    (template families, mirror farms), while degree-1 hangers-on are
+    borderline pairs.  Peeling (repeatedly drop nodes with degree < k)
+    is the standard O(E)-per-round distributed algorithm; cores are
+    nested, so the k=3 peel resumes from the k=2 survivors.
+
+    Output: every near-dup-graph node with its original degree and
+    core2/core3 membership flags."""
+    docs = _neardup_docs(spark, sf_dir)
+    edges = _neardup_edges(docs).localCheckpoint()
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg0 = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+
+    def peel(e: DataFrame, k: int) -> DataFrame:
+        """Rounds of: keep nodes with degree >= k, keep edges whose both
+        endpoints survive.  Returns the surviving symmetric edge set."""
+        for r in range(KCORE_ROUNDS):
+            keep = (
+                e.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("d"))
+                .filter(F.col("d") >= k)
+                .select("src")
+            )
+            e = (
+                e.join(keep, "src")
+                .join(keep.select(F.col("src").alias("dst")), "dst")
+                .select("src", "dst")
+            )
+            if (r + 1) % 3 == 0:
+                e = e.localCheckpoint()
+        return e
+
+    core2_edges = peel(sym, 2).localCheckpoint()
+    core2 = core2_edges.select("src").distinct()
+    core3 = peel(core2_edges, 3).select("src").distinct()
+    return (
+        deg0.join(
+            core2.select("src", F.lit(True).alias("in2")), "src", "left"
+        )
+        .join(core3.select("src", F.lit(True).alias("in3")), "src", "left")
+        .select(
+            F.col("src").alias("doc_id"),
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("in2", F.lit(False)).alias("core2"),
+            F.coalesce("in3", F.lit(False)).alias("core3"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _x198_sql() -> str:
+    # The near-dup edge CTEs are x26's oracle front half: token sets,
+    # df-cap, exact-Jaccard pairs.  Peel rounds unroll per k.
+    head = f"""
+        WITH toks AS (
+          SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokens
+          FROM documents WHERE doc_id < {CLUSTER_MAX_ID}),
+        posting_all AS (
+          SELECT doc_id, unnest(tokens) AS token FROM toks),
+        hot AS (
+          SELECT token FROM posting_all
+          GROUP BY token HAVING COUNT(*) > {CLUSTER_DF_CAP}),
+        posting AS (
+          SELECT p.doc_id, p.token FROM posting_all p
+          LEFT JOIN hot h ON p.token = h.token WHERE h.token IS NULL),
+        sizes AS (
+          SELECT doc_id, COUNT(*) AS n_tok FROM posting GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS n_inter
+          FROM posting a JOIN posting b
+            ON a.token = b.token AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT ia, ib FROM inter
+          JOIN sizes sa ON ia = sa.doc_id
+          JOIN sizes sb ON ib = sb.doc_id
+          WHERE CAST(n_inter AS DOUBLE)
+                / (sa.n_tok + sb.n_tok - n_inter) >= {CLUSTER_JACCARD}),
+        e2_0 AS MATERIALIZED (
+          SELECT ia AS src, ib AS dst FROM pairs
+          UNION ALL SELECT ib, ia FROM pairs),
+        deg0 AS MATERIALIZED (
+          SELECT src, COUNT(*) AS degree FROM e2_0 GROUP BY src)"""
+    steps = []
+    prev = "e2_0"
+    for k in KCORE_KS:
+        if prev != "e2_0":
+            steps.append(f"""
+        e{k}_0 AS MATERIALIZED (SELECT src, dst FROM {prev})""")
+        for r in range(1, KCORE_ROUNDS + 1):
+            steps.append(f"""
+        e{k}_{r} AS MATERIALIZED (
+          SELECT e.src, e.dst
+          FROM e{k}_{r - 1} e
+          JOIN (SELECT src FROM e{k}_{r - 1}
+                GROUP BY src HAVING COUNT(*) >= {k}) ks ON e.src = ks.src
+          JOIN (SELECT src FROM e{k}_{r - 1}
+                GROUP BY src HAVING COUNT(*) >= {k}) kd ON e.dst = kd.src)""")
+        prev = f"e{k}_{KCORE_ROUNDS}"
+    tail = f"""
+        SELECT d.src AS doc_id, CAST(d.degree AS BIGINT) AS degree,
+               EXISTS (SELECT 1 FROM e2_{KCORE_ROUNDS} c WHERE c.src = d.src)
+                   AS core2,
+               EXISTS (SELECT 1 FROM e3_{KCORE_ROUNDS} c WHERE c.src = d.src)
+                   AS core3
+        FROM deg0 d
+        ORDER BY doc_id"""
+    return head + "," + ",".join(steps) + tail
+
+
+register(
+    QuerySpec(
+        "x198_kcore",
+        x198_kcore,
+        _x198_sql(),
+        "k-core peel of the near-dup graph (density prune; cores 2 and 3)",
+    )
+)
+
+
+# --- x199: SemDeDup (cluster-restricted semantic dedup) ----------------------
+SEM_COPY_OFF = 700_000  # exact-dup twin offset (disjoint from x19/x191's)
+SEM_COS_T = 0.99
+SEM_KEEP_DIM = 32  # the partial-overlap variant keeps this dim prefix
+
+
+def x199_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding corpus with
+    k-means, then search for semantic duplicates ONLY within each
+    cluster — the restriction that makes embedding-level dedup linear
+    instead of all-pairs (pair candidates per cluster ∝ cluster size,
+    and clusters are capacity-bounded in production).  The corpus is
+    augmented with two deterministic variant families per vector: an
+    exact re-embed (cos 1.0 — must be caught) and a half-dimension
+    truncation (cos ≪ T — must survive), so the prune has both
+    positives and negatives.  Duplicates keep the MIN vec_id.
+
+    Shapes: clustering is x49's Lloyd loop VERBATIM (shared
+    ``kmeans_assign`` + ``_kmeans_sql`` — the anti-drift compose, as
+    x186/x172 do); the pair stage is a cluster-keyed self-join.
+    Output: per-cluster n_vecs / n_dup_pairs / n_dropped / kept."""
+    from ..sources.catalog import load_table as _lt
+    from .similarity import cosine as _cos
+    from .similarity import kmeans_assign
+
+    emb = _lt(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    exact = emb.select(
+        (F.col("vec_id") + SEM_COPY_OFF).alias("vec_id"), "v"
+    )
+    trunc = emb.select(
+        (F.col("vec_id") + 2 * SEM_COPY_OFF).alias("vec_id"),
+        F.transform(
+            "v",
+            lambda x, i: F.when(i < SEM_KEEP_DIM, x).otherwise(F.lit(0.0)),
+        ).alias("v"),
+    )
+    corpus = emb.unionAll(exact).unionAll(trunc)
+    assign = kmeans_assign(corpus).select("vec_id", "cluster")
+    vecs = corpus.join(assign, "vec_id")
+    a = vecs.select(
+        "cluster", F.col("vec_id").alias("ia"), F.col("v").alias("va")
+    )
+    b = vecs.select(
+        "cluster", F.col("vec_id").alias("ib"), F.col("v").alias("vb")
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(_cos(F.col("va"), F.col("vb")) >= SEM_COS_T)
+        .select("cluster", "ia", "ib")
+    )
+    dropped = pairs.select("cluster", F.col("ib").alias("vec_id")).distinct()
+    per_cluster = assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    dup_pairs = pairs.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs")
+    )
+    drops = dropped.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_dropped")
+    )
+    return (
+        per_cluster.join(dup_pairs, "cluster", "left")
+        .join(drops, "cluster", "left")
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            (F.col("n_vecs") - F.coalesce("n_dropped", F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _x199_sql() -> str:
+    from .similarity import _kmeans_sql
+
+    e_body = f"""
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          UNION ALL
+          SELECT vec_id + {SEM_COPY_OFF}, CAST(embedding AS DOUBLE[])
+          FROM embeddings
+          UNION ALL
+          SELECT vec_id + {2 * SEM_COPY_OFF},
+                 list_transform(
+                     list_zip(CAST(embedding AS DOUBLE[]),
+                              range(0, len(embedding))),
+                     p -> CASE WHEN p[2] < {SEM_KEEP_DIM} THEN p[1]
+                               ELSE 0.0 END)
+          FROM embeddings"""
+    km = _kmeans_sql(e_body=e_body)
+    return f"""
+        WITH assign AS ({km}),
+        corpus AS ({e_body}),
+        vecs AS MATERIALIZED (
+          SELECT a.cluster, c.vec_id, c.v
+          FROM corpus c JOIN assign a USING (vec_id)),
+        pairs AS MATERIALIZED (
+          SELECT x.cluster, x.vec_id AS ia, y.vec_id AS ib
+          FROM vecs x JOIN vecs y
+            ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+          WHERE ROUND(list_dot_product(x.v, y.v)
+                      / (sqrt(list_dot_product(x.v, x.v))
+                         * sqrt(list_dot_product(y.v, y.v))), 6)
+                >= {SEM_COS_T}),
+        per AS (SELECT cluster, COUNT(*) AS n_vecs FROM assign GROUP BY cluster),
+        dp AS (SELECT cluster, COUNT(*) AS n_dup_pairs FROM pairs GROUP BY cluster),
+        dr AS (SELECT cluster, COUNT(*) AS n_dropped
+               FROM (SELECT DISTINCT cluster, ib FROM pairs) GROUP BY cluster)
+        SELECT CAST(p.cluster AS BIGINT) AS cluster,
+               CAST(p.n_vecs AS BIGINT) AS n_vecs,
+               CAST(COALESCE(dp.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+               CAST(COALESCE(dr.n_dropped, 0) AS BIGINT) AS n_dropped,
+               CAST(p.n_vecs - COALESCE(dr.n_dropped, 0) AS BIGINT) AS n_kept
+        FROM per p
+        LEFT JOIN dp ON p.cluster = dp.cluster
+        LEFT JOIN dr ON p.cluster = dr.cluster
+        ORDER BY cluster
+        """
+
+
+register(
+    QuerySpec(
+        "x199_semdedup",
+        x199_semdedup,
+        _x199_sql(),
+        "SemDeDup: k-means clusters, within-cluster cosine prune, keep min id",
+    )
+)

@@ -549,6 +549,12 @@ def x49_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    return kmeans_assign(emb)
+
+
+def kmeans_assign(emb: DataFrame) -> DataFrame:
+    """x49's Lloyd loop over any (vec_id, v: array<double>) frame —
+    shared with x199 (SemDeDup), which clusters an augmented corpus."""
     cent = emb.filter(F.col("vec_id") < KM_K).select(
         F.col("vec_id").alias("c_id"), F.col("v").alias("c_vec")
     )
@@ -588,9 +594,12 @@ def x49_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_sql(n_iter: int = KM_ITERS) -> str:
+def _kmeans_sql(
+    n_iter: int = KM_ITERS,
+    e_body: str = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+) -> str:
     head = f"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        WITH e AS ({e_body}),
         cent0 AS (
           SELECT vec_id AS c_id, v AS c_vec FROM e WHERE vec_id < {KM_K})"""
     steps = []

@@ -183,6 +183,7 @@ _BNLJ_ALLOWED = {
     "x188_minhash_twin_audit",  # two 1-row audit aggregates crossed
     "x196_ivf_bitext_mine",  # bounded centroid frame broadcast (x21 quantizer)
     "x197_ivfpq_residual",  # bounded centroid frame broadcast (x21 quantizer)
+    "x199_semdedup",  # composes x49: K-row centroid frame broadcast per round
 }
 
 
