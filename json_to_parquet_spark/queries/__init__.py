@@ -258,6 +258,7 @@ def registry() -> dict[str, QuerySpec]:
         dedup,
         evalsuite,
         evalsuite2,
+        modeling,
         multimodal,
         pipeline,
         preference,

@@ -184,6 +184,8 @@ _BNLJ_ALLOWED = {
     "x196_ivf_bitext_mine",  # bounded centroid frame broadcast (x21 quantizer)
     "x197_ivfpq_residual",  # bounded centroid frame broadcast (x21 quantizer)
     "x199_semdedup",  # composes x49: K-row centroid frame broadcast per round
+    "x204_kneser_ney",  # 1-row bigram-type-count frame broadcast
+    "x205_capacity_assign",  # K-row centroid frame broadcast (x21 quantizer)
 }
 
 
