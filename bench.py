@@ -118,6 +118,15 @@ HEADLINE = [
     "x172_stream_neardup",
     "x196_ivf_bitext_mine",
     "x197_ivfpq_residual",
+    # round-6 second batch: Kneser-Ney estimation (bigram count +
+    # vocab-table joins), capacity-balanced assignment (two centroid
+    # passes), k-center coreset (K corpus passes).  x199 SemDeDup stays
+    # un-benched by documented choice: its cost is x49's Lloyd loop (a
+    # headline entry) + a bounded-slice pair join, measured once at
+    # 8.2 s min-of-3 — composition overhead, not a new shape.
+    "x204_kneser_ney",
+    "x205_capacity_assign",
+    "x208_kcenter_coreset",
 ]
 
 CONVERT_RECORDS = 100_000

@@ -1532,6 +1532,15 @@ register(
 SEM_COPY_OFF = 700_000  # exact-dup twin offset (disjoint from x19/x191's)
 SEM_COS_T = 0.99
 SEM_KEEP_DIM = 32  # the partial-overlap variant keeps this dim prefix
+# Audit-slice bound (the x26 CLUSTER_MAX_ID pattern): with K fixed,
+# cluster population — and the within-cluster pair count — grows with
+# the corpus (measured 64 s at sf0.1 unbounded), so the oracle-checkable
+# demo runs on a bounded slice.  At 100 TB the SAME prune composes with
+# capacity-bounded cells instead: x205's capacity assignment (or the
+# x21/x121 IVF layout) caps every cell's population, which caps each
+# cell's pair count — cluster-restricted dedup is linear ONLY under a
+# cell-capacity invariant, never under fixed-K Lloyd.
+SEM_MAX_ID = 400
 
 
 def x199_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1547,13 +1556,19 @@ def x199_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shapes: clustering is x49's Lloyd loop VERBATIM (shared
     ``kmeans_assign`` + ``_kmeans_sql`` — the anti-drift compose, as
-    x186/x172 do); the pair stage is a cluster-keyed self-join.
+    x186/x172 do) over the bounded audit slice (``SEM_MAX_ID`` — see the
+    constant's note: fixed-K clusters grow with the corpus, so the
+    at-scale composition swaps Lloyd for a CAPACITY-bounded cell layout,
+    x205/x121, whose per-cell pair count is capped by construction); the
+    pair stage is a cluster-keyed self-join.
     Output: per-cluster n_vecs / n_dup_pairs / n_dropped / kept."""
     from ..sources.catalog import load_table as _lt
     from .similarity import cosine as _cos
     from .similarity import kmeans_assign
 
-    emb = _lt(spark, sf_dir, "embeddings").select(
+    emb = _lt(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < SEM_MAX_ID
+    ).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     exact = emb.select(
@@ -1566,9 +1581,16 @@ def x199_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x, i: F.when(i < SEM_KEEP_DIM, x).otherwise(F.lit(0.0)),
         ).alias("v"),
     )
-    corpus = emb.unionAll(exact).unionAll(trunc)
-    assign = kmeans_assign(corpus).select("vec_id", "cluster")
-    vecs = corpus.join(assign, "vec_id")
+    # the augmented corpus is bounded (≤3·SEM_MAX_ID rows) and re-scanned
+    # by every Lloyd iteration — materialize it once so the variant
+    # construction (transform + unions) isn't in each iteration's lineage
+    corpus = emb.unionAll(exact).unionAll(trunc).localCheckpoint()
+    # the assignment feeds the per-cluster rollup AND (through vecs)
+    # both sides of the pair self-join — without materialization the
+    # 3-iteration Lloyd chain re-executes per consumer (the x125
+    # persist lesson)
+    assign = kmeans_assign(corpus).select("vec_id", "cluster").localCheckpoint()
+    vecs = corpus.join(assign, "vec_id").localCheckpoint()
     a = vecs.select(
         "cluster", F.col("vec_id").alias("ia"), F.col("v").alias("va")
     )
@@ -1612,9 +1634,10 @@ def _x199_sql() -> str:
 
     e_body = f"""
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          WHERE vec_id < {SEM_MAX_ID}
           UNION ALL
           SELECT vec_id + {SEM_COPY_OFF}, CAST(embedding AS DOUBLE[])
-          FROM embeddings
+          FROM embeddings WHERE vec_id < {SEM_MAX_ID}
           UNION ALL
           SELECT vec_id + {2 * SEM_COPY_OFF},
                  list_transform(
@@ -1622,7 +1645,7 @@ def _x199_sql() -> str:
                               range(0, len(embedding))),
                      p -> CASE WHEN p[2] < {SEM_KEEP_DIM} THEN p[1]
                                ELSE 0.0 END)
-          FROM embeddings"""
+          FROM embeddings WHERE vec_id < {SEM_MAX_ID}"""
     km = _kmeans_sql(e_body=e_body)
     return f"""
         WITH assign AS ({km}),

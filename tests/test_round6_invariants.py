@@ -156,3 +156,80 @@ def test_release_parallel_read_direct_caller(spark, tmp_path):
         release_parallel_read(spark, df)  # idempotent
     assert spark.conf.get(key) == before
     assert getattr(df, "_graft_spill_dir", None) is None
+
+
+def test_x198_cores_nested_and_degree_consistent(spark, sf_dir):
+    """core3 ⊆ core2, core members satisfy the degree floor, and every
+    near-dup-graph node appears exactly once."""
+    rows = registry()["x198_kcore"].spark(spark, sf_dir).collect()
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))
+    for r in rows:
+        if r.core3:
+            assert r.core2
+        if r.core2:
+            assert r.degree >= 2  # original degree bounds peeled degree
+
+
+def test_x199_semdedup_catches_every_exact_copy(spark, sf_dir):
+    """Every exact re-embed must be dropped (it shares its base's
+    cluster and scores cosine 1.0); the half-dimension truncations must
+    survive; total kept = base + truncation variants."""
+    from json_to_parquet_spark.queries.dedup import SEM_MAX_ID
+    from json_to_parquet_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    n_base = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < SEM_MAX_ID)
+        .count()
+    )
+    rows = registry()["x199_semdedup"].spark(spark, sf_dir).collect()
+    assert sum(r.n_vecs for r in rows) == 3 * n_base
+    assert sum(r.n_dropped for r in rows) == n_base  # the exact copies
+    assert sum(r.n_kept for r in rows) == 2 * n_base
+
+
+def test_x200_strengths_normalized_and_ranked(spark, sf_dir):
+    rows = registry()["x200_bradley_terry"].spark(spark, sf_dir).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert abs(sum(r.strength for r in rows) - 1.0) < 1e-4  # renormalized
+    strengths = [r.strength for r in rows]
+    assert strengths == sorted(strengths, reverse=True)
+
+
+def test_x202_dpo_pairs_margin_and_orientation(spark, sf_dir):
+    from json_to_parquet_spark.queries.preference import DPO_MIN_MARGIN
+
+    rows = registry()["x202_dpo_pairs"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.margin >= DPO_MIN_MARGIN
+        assert r.chosen_event != r.rejected_event
+
+
+def test_x205_capacity_respected_and_conserved(spark, sf_dir):
+    from json_to_parquet_spark.sources.catalog import load_table
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    rows = registry()["x205_capacity_assign"].spark(spark, sf_dir).collect()
+    placed = sum(r.placed_r1 + r.placed_r2 for r in rows)
+    assert placed + rows[0].n_unplaced_total == n
+    for r in rows:
+        assert r.final_size <= r.capacity
+        assert r.placed_r1 <= min(r.capacity, r.first_demand)
+
+
+def test_x208_coreset_distances_non_increasing(spark, sf_dir):
+    from json_to_parquet_spark.queries.modeling import CORESET_K
+
+    rows = sorted(
+        registry()["x208_kcenter_coreset"].spark(spark, sf_dir).collect(),
+        key=lambda r: r.pick,
+    )
+    assert len(rows) == CORESET_K
+    assert len({r.vec_id for r in rows}) == CORESET_K
+    # farthest-point picks: each later pick is no farther than the one
+    # before it (greedy max of a shrinking min-distance field)
+    dists = [r.dist_at_pick for r in rows[1:]]
+    assert all(a >= b for a, b in zip(dists, dists[1:]))
