@@ -1685,3 +1685,295 @@ register(
         "SemDeDup: k-means clusters, within-cluster cosine prune, keep min id",
     )
 )
+
+
+# --- x211: dedup-method agreement matrix -------------------------------------
+AGREE_MAX_ID = 80  # the x26 audit window
+AGREE_T = 0.5
+
+
+def x211_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise agreement between three dedup pair-generators on the
+    same audit slice and threshold — the method-selection table read
+    before standardizing a corpus on one dedup definition: token-set
+    Jaccard (unordered bag-of-words), 3-shingle Jaccard (order-aware),
+    and the arithmetic-MinHash ESTIMATE of shingle Jaccard (the sketch —
+    its agreement row against shingle_jaccard is the sketch's empirical
+    fidelity).  Output: per method pair, both set sizes, the common
+    pairs, and the pair-set Jaccard.
+
+    Scale: each generator is the standard df-bounded posting/band join
+    on the bounded slice; the agreement rollup is one pair-keyed flag
+    aggregation."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < AGREE_MAX_ID)
+        .select("doc_id", "text")
+    )
+
+    def jaccard_pairs(sets: DataFrame) -> DataFrame:
+        """(doc_id, items array) → pairs with set-Jaccard ≥ AGREE_T."""
+        sizes = sets.select("doc_id", F.size("items").alias("n_it"))
+        posting = sets.select("doc_id", F.explode("items").alias("it"))
+        a, b = posting.alias("a"), posting.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.it") == F.col("b.it"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+            )
+            .agg(F.count(F.lit(1)).alias("ni"))
+        )
+        sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_it").alias("na"))
+        sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_it").alias("nb"))
+        return (
+            inter.join(sa, "id_a")
+            .join(sb, "id_b")
+            .filter(
+                F.col("ni").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("ni")).cast("double")
+                >= AGREE_T
+            )
+            .select("id_a", "id_b")
+        )
+
+    tokens = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("items")
+    )
+    shingle_sets = docs.select(
+        "doc_id", shingles(F.col("text")).alias("items")
+    )
+    m_token = jaccard_pairs(tokens)
+    m_shingle = jaccard_pairs(shingle_sets)
+
+    # sketch method: arith-MinHash estimate over LSH band candidates
+    posting = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
+    ).withColumn("fp", _charfold(F.col("sh")))
+    mins = [
+        F.min((F.lit(a) * F.col("fp") + F.lit(b)) % F.lit(ARITH_P)).alias(f"h{j}")
+        for j, (a, b) in enumerate(_ARITH_HASHES)
+    ]
+    sig = posting.groupBy("doc_id").agg(*mins).persist()
+
+    def _bucket(b: int) -> Column:
+        expr = F.col(f"h{b * LSH_ROWS}")
+        for r in range(1, LSH_ROWS):
+            expr = (expr * _BAND_MIX + F.col(f"h{b * LSH_ROWS + r}")) % F.lit(
+                ARITH_P
+            )
+        return expr
+
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("long").alias("band"),
+                        _bucket(b).alias("bucket"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    ba, bb = bands.alias("a"), bands.alias("b")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"h{j}").alias(f"a{j}") for j in range(MINHASH_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"h{j}").alias(f"b{j}") for j in range(MINHASH_HASHES)],
+    )
+    n_eq = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("long")
+        for j in range(MINHASH_HASHES)
+    )
+    m_sketch = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(n_eq.cast("double") / MINHASH_HASHES >= AGREE_T)
+        .select("id_a", "id_b")
+    )
+
+    flagged = (
+        m_token.select("id_a", "id_b", F.lit(1).alias("m1"), F.lit(0).alias("m2"), F.lit(0).alias("m3"))
+        .unionAll(
+            m_shingle.select("id_a", "id_b", F.lit(0), F.lit(1), F.lit(0))
+        )
+        .unionAll(m_sketch.select("id_a", "id_b", F.lit(0), F.lit(0), F.lit(1)))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max("m1").alias("m1"),
+            F.max("m2").alias("m2"),
+            F.max("m3").alias("m3"),
+        )
+    )
+    stats = flagged.agg(
+        F.sum("m1").alias("n1"),
+        F.sum("m2").alias("n2"),
+        F.sum("m3").alias("n3"),
+        F.sum(F.col("m1") * F.col("m2")).alias("c12"),
+        F.sum(F.col("m1") * F.col("m3")).alias("c13"),
+        F.sum(F.col("m2") * F.col("m3")).alias("c23"),
+    )
+    rows = []
+    for a_name, b_name, na, nb, c in [
+        ("token_jaccard", "shingle_jaccard", "n1", "n2", "c12"),
+        ("token_jaccard", "minhash_est", "n1", "n3", "c13"),
+        ("shingle_jaccard", "minhash_est", "n2", "n3", "c23"),
+    ]:
+        rows.append(
+            stats.select(
+                F.lit(a_name).alias("method_a"),
+                F.lit(b_name).alias("method_b"),
+                F.col(na).cast("long").alias("n_a"),
+                F.col(nb).cast("long").alias("n_b"),
+                F.col(c).cast("long").alias("n_common"),
+                # two empty pair sets agree perfectly (union empty → 1.0)
+                F.when(
+                    F.col(na) + F.col(nb) - F.col(c) == 0, F.lit(1.0)
+                ).otherwise(
+                    F.round(
+                        F.col(c).cast("double")
+                        / (F.col(na) + F.col(nb) - F.col(c)).cast("double"),
+                        6,
+                    )
+                ).alias("pair_jaccard"),
+            )
+        )
+    out = rows[0].unionAll(rows[1]).unionAll(rows[2])
+    sig.unpersist()
+    return out.orderBy("method_a", "method_b")
+
+
+def _x211_sql() -> str:
+    W = SHINGLE_WIDTH
+    sig_cols = ",\n                 ".join(
+        f"MIN(({a} * fp + {b}) % {ARITH_P}) AS h{j}"
+        for j, (a, b) in enumerate(_ARITH_HASHES)
+    )
+    band_structs = ", ".join(
+        "{'band': %d, 'bucket': %s}"
+        % (
+            b,
+            "(" * (LSH_ROWS - 1)
+            + f"h{b * LSH_ROWS}"
+            + "".join(
+                f" * {_BAND_MIX} + h{b * LSH_ROWS + r}) % {ARITH_P}"
+                for r in range(1, LSH_ROWS)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    n_eq = " + ".join(
+        f"CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END"
+        for j in range(MINHASH_HASHES)
+    )
+    jacc = """
+        {name} AS (
+          SELECT ia AS id_a, ib AS id_b FROM (
+            SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS ni
+            FROM {posting} a JOIN {posting} b
+              ON a.it = b.it AND a.doc_id < b.doc_id
+            GROUP BY 1, 2) i
+          JOIN {sizes} sa ON i.ia = sa.doc_id
+          JOIN {sizes} sb ON i.ib = sb.doc_id
+          WHERE CAST(i.ni AS DOUBLE) / (sa.n_it + sb.n_it - i.ni) >= {t})"""
+    return f"""
+        WITH d AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < {AGREE_MAX_ID}),
+        tok_sets AS (
+          SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM d),
+        tok_posting AS (
+          SELECT doc_id, unnest(s) AS it FROM tok_sets),
+        tok_sizes AS (SELECT doc_id, len(s) AS n_it FROM tok_sets),
+        tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM d),
+        sh_sets AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(t[i+1:i+{W}], ' ')
+                     FOR i IN generate_series(0, len(t)-{W})]) AS s
+          FROM tk),
+        sh_posting AS (
+          SELECT doc_id, unnest(s) AS it FROM sh_sets),
+        sh_sizes AS (SELECT doc_id, len(s) AS n_it FROM sh_sets),
+        {jacc.format(name="m1", posting="tok_posting", sizes="tok_sizes", t=AGREE_T)},
+        {jacc.format(name="m2", posting="sh_posting", sizes="sh_sizes", t=AGREE_T)},
+        fp AS (
+          SELECT doc_id,
+                 list_reduce(list_transform(string_split(it, ''),
+                                            c -> CAST(ascii(c) AS BIGINT)),
+                             (a, b) -> (a*31 + b) % {ARITH_P}) AS fp
+          FROM sh_posting),
+        sig AS MATERIALIZED (
+          SELECT doc_id,
+                 {sig_cols}
+          FROM fp GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, bb.band AS band, bb.bucket AS bucket
+          FROM (SELECT doc_id, unnest([{band_structs}]) AS bb FROM sig)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id),
+        m3 AS (
+          SELECT c.id_a, c.id_b
+          FROM cand c JOIN sig sa ON c.id_a = sa.doc_id
+                      JOIN sig sb ON c.id_b = sb.doc_id
+          WHERE CAST({n_eq} AS DOUBLE) / {MINHASH_HASHES} >= {AGREE_T}),
+        flagged AS (
+          SELECT id_a, id_b, MAX(m1) AS m1, MAX(m2) AS m2, MAX(m3) AS m3
+          FROM (
+            SELECT id_a, id_b, 1 AS m1, 0 AS m2, 0 AS m3 FROM m1
+            UNION ALL SELECT id_a, id_b, 0, 1, 0 FROM m2
+            UNION ALL SELECT id_a, id_b, 0, 0, 1 FROM m3)
+          GROUP BY id_a, id_b),
+        stats AS (
+          SELECT SUM(m1) AS n1, SUM(m2) AS n2, SUM(m3) AS n3,
+                 SUM(m1 * m2) AS c12, SUM(m1 * m3) AS c13,
+                 SUM(m2 * m3) AS c23
+          FROM flagged)
+        SELECT * FROM (
+          SELECT 'token_jaccard' AS method_a, 'shingle_jaccard' AS method_b,
+                 CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+                 CAST(c12 AS BIGINT) AS n_common,
+                 CASE WHEN n1 + n2 - c12 = 0 THEN CAST(1.0 AS DOUBLE) ELSE ROUND(CAST(c12 AS DOUBLE) / (n1 + n2 - c12), 6) END AS pair_jaccard
+          FROM stats
+          UNION ALL
+          SELECT 'token_jaccard', 'minhash_est', CAST(n1 AS BIGINT),
+                 CAST(n3 AS BIGINT), CAST(c13 AS BIGINT),
+                 CASE WHEN n1 + n3 - c13 = 0 THEN CAST(1.0 AS DOUBLE) ELSE ROUND(CAST(c13 AS DOUBLE) / (n1 + n3 - c13), 6) END
+          FROM stats
+          UNION ALL
+          SELECT 'shingle_jaccard', 'minhash_est', CAST(n2 AS BIGINT),
+                 CAST(n3 AS BIGINT), CAST(c23 AS BIGINT),
+                 CASE WHEN n2 + n3 - c23 = 0 THEN CAST(1.0 AS DOUBLE) ELSE ROUND(CAST(c23 AS DOUBLE) / (n2 + n3 - c23), 6) END
+          FROM stats)
+        ORDER BY method_a, method_b
+        """
+
+
+register(
+    QuerySpec(
+        "x211_dedup_method_agreement",
+        x211_dedup_method_agreement,
+        _x211_sql(),
+        "pair-set agreement between token/shingle/minhash dedup definitions",
+    )
+)

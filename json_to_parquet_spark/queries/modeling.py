@@ -679,3 +679,125 @@ register(
         "k-center greedy coreset (farthest-point traversal, K diverse picks)",
     )
 )
+
+
+# --- x209: fully portable HyperLogLog ----------------------------------------
+HLL_P_BITS = 6
+HLL_M = 1 << HLL_P_BITS  # 64 registers
+HLL_W_BITS = 50  # rank bits: 56-bit md5-prefix hash minus the bucket bits
+# alpha_64 · m² · 2^W — precomputed in Python so both engines divide by
+# the identical double constant.
+HLL_ALPHA = 0.709
+HLL_NUM = HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_W_BITS + 1))
+
+
+def x209_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog from first principles over a PORTABLE hash (Flajolet
+    et al. 2007), so — unlike q20's engine-internal HLL++ — the register
+    state AND the estimate are bit-identical cross-engine: bucket = the
+    low HLL_P_BITS of a 56-bit md5-prefix hash, rank ρ = leading-zero
+    count of the remaining HLL_W_BITS + 1 (computed EXACTLY via binary
+    string length — float log2 is 1-ulp-unsafe at power-of-two
+    boundaries), register = MAX(ρ) per bucket (mergeable across shards
+    by construction).  The harmonic sum Σ2^(−M_b) is scaled to the
+    INTEGER Σ2^(W+1−M_b) — 64 exact dyadic terms summed in BIGINT, so
+    accumulation order cannot matter — and divides the precomputed
+    double numerator once.  The third distinct sketch in the family:
+    q20 (engine HLL++, audited by x192), x195 (KMV, value-checked),
+    x209 (HLL, value-checked)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    h = F.conv(
+        F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 14), 16, 10
+    ).cast("long")
+    # bucket/rank splits MUST stay integer ops: h spans 56 bits, beyond
+    # double's exact range, so a float division would corrupt buckets.
+    hashed = li.distinct().select("l_returnflag", h.alias("h")).select(
+        "l_returnflag",
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.shiftright("h", HLL_P_BITS).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.bin("w"))
+    )
+    regs = (
+        hashed.select("l_returnflag", "bucket", rho.alias("rho"))
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    # missing buckets contribute M=0: add (HLL_M - present) · 2^(W+1)
+    z = regs.groupBy("l_returnflag").agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_W_BITS + 1} - m)"))
+        .alias("z_present"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    ).select(
+        "l_returnflag",
+        (
+            F.col("z_present")
+            + (F.lit(HLL_M) - F.col("n_buckets"))
+            * F.lit(1 << (HLL_W_BITS + 1)).cast("long")
+        ).alias("z_int"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("long").alias("n_exact")
+    )
+    return (
+        exact.join(z, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_exact",
+            F.floor(F.lit(HLL_NUM) / F.col("z_int")).cast("long").alias("n_est"),
+        )
+        .select(
+            "l_returnflag",
+            "n_exact",
+            "n_est",
+            F.round(
+                F.abs(F.col("n_est") - F.col("n_exact")).cast("double")
+                / F.col("n_exact"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+register(
+    QuerySpec(
+        "x209_hll_portable",
+        x209_hll_portable,
+        f"""
+        WITH dh AS (
+          SELECT DISTINCT l_returnflag,
+                 CAST(from_hex(substring(md5(CAST(l_partkey AS VARCHAR)),
+                                         1, 14))::BIT::BIGINT AS BIGINT) AS h
+          FROM lineitem),
+        hashed AS (
+          SELECT l_returnflag, h % {HLL_M} AS bucket, h // {HLL_M} AS w
+          FROM dh),
+        regs AS (
+          SELECT l_returnflag, bucket,
+                 MAX(CASE WHEN w = 0 THEN {HLL_W_BITS + 1}
+                          ELSE {HLL_W_BITS + 1} - strlen(bin(w)) END) AS m
+          FROM hashed GROUP BY l_returnflag, bucket),
+        z AS (
+          SELECT l_returnflag,
+                 CAST(SUM(1::BIGINT << ({HLL_W_BITS + 1} - m)) AS BIGINT)
+                 + ({HLL_M} - COUNT(*)) * (1::BIGINT << {HLL_W_BITS + 1})
+                     AS z_int
+          FROM regs GROUP BY l_returnflag),
+        exact AS (
+          SELECT l_returnflag,
+                 CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT e.l_returnflag, e.n_exact,
+               CAST(FLOOR(CAST({HLL_NUM!r} AS DOUBLE) / z.z_int) AS BIGINT)
+                   AS n_est,
+               ROUND(CAST(abs(CAST(FLOOR(CAST({HLL_NUM!r} AS DOUBLE) / z.z_int)
+                                   AS BIGINT) - e.n_exact) AS DOUBLE)
+                     / e.n_exact, 6) AS rel_err
+        FROM exact e JOIN z USING (l_returnflag)
+        ORDER BY e.l_returnflag
+        """,
+        "portable HyperLogLog: exact-integer harmonic sum, estimate value-checked",
+    )
+)

@@ -381,3 +381,98 @@ register(
         "DPO preference pairs per user with deterministic ties + margin floor",
     )
 )
+
+
+# --- x210: reliability bins + expected calibration error ---------------------
+CAL_BINS = 10
+CAL_SCALE = 10.0  # sigmoid temperature on the centered rating
+
+
+def x210_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected-calibration-error contribution per
+    confidence bin — the audit run before trusting a scorer's
+    probabilities (reward models, quality classifiers).  Predicted
+    probability = sigmoid of the centered rating; outcome = x201's
+    hash-perturbed rater (so the score is informative but imperfect and
+    the bins have real gaps).  Conf/acc are exact count ratios and
+    decimal-summed rounded scores; ECE = Σ (n_b/N)·|acc_b − conf_b| is
+    reported as the per-bin weighted contribution.
+
+    Scale: one row-local scoring pass + one bin-keyed aggregation."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    p = F.round(
+        F.lit(1.0)
+        / (F.lit(1.0) + F.exp(-(F.col("value") - F.lit(K_CUT)) / F.lit(CAL_SCALE))),
+        6,
+    )
+    y = ((F.col("value") + _rater_b_noise_spark()) >= K_CUT).cast("long")
+    scored = ev.select(
+        p.alias("p"),
+        y.alias("y"),
+        F.least(F.floor(p * CAL_BINS), F.lit(CAL_BINS - 1))
+        .cast("long")
+        .alias("bin"),
+    )
+    n_total = scored.agg(F.count(F.lit(1)).alias("n_total"))
+    agg = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("p").cast("decimal(30,10)")).cast("double").alias("p_sum"),
+        F.sum("y").alias("y_sum"),
+    )
+    conf = F.round(F.col("p_sum") / F.col("n"), 6)
+    acc = F.round(F.col("y_sum") / F.col("n").cast("double"), 6)
+    return (
+        agg.crossJoin(F.broadcast(n_total))
+        .select(
+            "bin",
+            F.col("n").cast("long").alias("n"),
+            conf.alias("conf"),
+            acc.alias("acc"),
+            F.round(F.abs(acc - conf), 6).alias("gap"),
+            F.round(
+                (F.col("n") / F.col("n_total").cast("double"))
+                * F.abs(acc - conf),
+                6,
+            ).alias("ece_contrib"),
+        )
+        .orderBy("bin")
+    )
+
+
+register(
+    QuerySpec(
+        "x210_calibration_ece",
+        x210_calibration_ece,
+        f"""
+        WITH scored AS (
+          SELECT ROUND(CAST(1.0 AS DOUBLE)
+                       / (CAST(1.0 AS DOUBLE)
+                          + exp(-(value - {K_CUT}) / CAST({CAL_SCALE} AS DOUBLE))),
+                       6) AS p,
+                 CASE WHEN value + {_SQL_NOISE} >= {K_CUT} THEN 1 ELSE 0 END AS y
+          FROM events),
+        binned AS (
+          SELECT p, y,
+                 least(CAST(FLOOR(p * {CAL_BINS}) AS BIGINT), {CAL_BINS - 1})
+                     AS bin
+          FROM scored),
+        nt AS (SELECT COUNT(*) AS n_total FROM binned),
+        agg AS (
+          SELECT bin, COUNT(*) AS n,
+                 {SQL_DEC_SUM.format(x="p")} AS p_sum,
+                 SUM(y) AS y_sum
+          FROM binned GROUP BY bin)
+        SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+               ROUND(p_sum / n, 6) AS conf,
+               ROUND(CAST(y_sum AS DOUBLE) / n, 6) AS acc,
+               ROUND(abs(ROUND(CAST(y_sum AS DOUBLE) / n, 6)
+                         - ROUND(p_sum / n, 6)), 6) AS gap,
+               ROUND((CAST(n AS DOUBLE) / nt.n_total)
+                     * abs(ROUND(CAST(y_sum AS DOUBLE) / n, 6)
+                           - ROUND(p_sum / n, 6)), 6) AS ece_contrib
+        FROM agg CROSS JOIN nt
+        ORDER BY bin
+        """,
+        "reliability bins + per-bin ECE contribution for the rating scorer",
+    )
+)

@@ -186,6 +186,7 @@ _BNLJ_ALLOWED = {
     "x199_semdedup",  # composes x49: K-row centroid frame broadcast per round
     "x204_kneser_ney",  # 1-row bigram-type-count frame broadcast
     "x205_capacity_assign",  # K-row centroid frame broadcast (x21 quantizer)
+    "x210_calibration_ece",  # 1-row total-count frame broadcast
 }
 
 
