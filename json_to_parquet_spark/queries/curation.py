@@ -1596,6 +1596,14 @@ def x203_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow keyed aggregation, map-side combined.  The rollup is
     source-keyed.  Nothing is corpus-global."""
     docs = load_table(spark, sf_dir, "documents")
+    return gopher_pass_rates(gopher_rule_counts(docs))
+
+
+def gopher_rule_counts(docs: DataFrame) -> DataFrame:
+    """x203's per-source rule-pass COUNTS over any documents frame —
+    additive across document subsets, so a streaming twin (x212) can
+    emit per-micro-batch counts and re-aggregate to the identical batch
+    result."""
     toks = docs.select(
         "doc_id", "source", F.col("n_chars").alias("nc"),
         F.split(F.lower("text"), " ").alias("w"),
@@ -1637,23 +1645,32 @@ def x203_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r5": F.col("top_frac") <= GOPHER_TOP_FRAC_MAX,
     }
     all_pass = r["r1"] & r["r2"] & r["r3"] & r["r4"] & r["r5"]
-    return (
-        feats.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            *[F.sum(c.cast("long")).cast("long").alias(f"pass_{k}") for k, c in r.items()],
-            F.sum(all_pass.cast("long")).cast("long").alias("n_pass_all"),
-        )
-        .select(
-            "source", "n_docs", "pass_r1", "pass_r2", "pass_r3", "pass_r4",
-            "pass_r5",
-            "n_pass_all",
-            F.round(F.col("n_pass_all") / F.col("n_docs").cast("double"), 6).alias(
-                "pass_rate"
-            ),
-        )
-        .orderBy("source")
+    return feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.sum(c.cast("long")).cast("long").alias(f"pass_{k}") for k, c in r.items()],
+        F.sum(all_pass.cast("long")).cast("long").alias("n_pass_all"),
     )
+
+
+def gopher_pass_rates(counts: DataFrame) -> DataFrame:
+    """Rate projection over (possibly re-aggregated) rule counts."""
+    summed = counts.groupBy("source").agg(
+        *[
+            F.sum(c).cast("long").alias(c)
+            for c in (
+                "n_docs", "pass_r1", "pass_r2", "pass_r3", "pass_r4",
+                "pass_r5", "n_pass_all",
+            )
+        ]
+    )
+    return summed.select(
+        "source", "n_docs", "pass_r1", "pass_r2", "pass_r3", "pass_r4",
+        "pass_r5",
+        "n_pass_all",
+        F.round(F.col("n_pass_all") / F.col("n_docs").cast("double"), 6).alias(
+            "pass_rate"
+        ),
+    ).orderBy("source")
 
 
 register(

@@ -476,3 +476,110 @@ register(
         "reliability bins + per-bin ECE contribution for the rating scorer",
     )
 )
+
+
+# --- x213: temperature-scaling calibration fit -------------------------------
+TEMP_GRID = (0.5, 0.75, 1.0, 1.5, 2.0, 3.0)
+
+
+def x213_temperature_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature scaling (Guo et al. 2017): rescale the scorer's
+    logits by each candidate temperature, measure expected calibration
+    error against the rater outcome, and flag the grid argmin — the
+    single-parameter post-hoc calibration fix applied after an x210
+    audit shows miscalibration.  Deterministic: the grid is fixed, every
+    bin share is an exact count ratio, ECE sums ROUND(·,6) contributions
+    decimally, argmin ties break toward the smaller temperature.
+
+    Scale: the corpus is scored once per grid point via one row-local
+    fan-out (×|grid|) and aggregated by (temp, bin) — a single keyed
+    pass; no per-T rescans."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    y = ((F.col("value") + _rater_b_noise_spark()) >= K_CUT).cast("long")
+    fanned = ev.select(
+        y.alias("y"),
+        ((F.col("value") - K_CUT) / F.lit(CAL_SCALE)).alias("logit"),
+        F.explode(F.array(*[F.lit(t) for t in TEMP_GRID])).alias("temp"),
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit") / F.col("temp"))), 6)
+    binned = fanned.select(
+        "temp",
+        "y",
+        p.alias("p"),
+        F.least(F.floor(p * CAL_BINS), F.lit(CAL_BINS - 1)).cast("long").alias("bin"),
+    )
+    n_total = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    per_bin = (
+        binned.groupBy("temp", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("p").cast("decimal(30,10)")).cast("double").alias("p_sum"),
+            F.sum("y").alias("y_sum"),
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "temp",
+            F.round(
+                (F.col("n") / F.col("n_total").cast("double"))
+                * F.abs(
+                    F.round(F.col("y_sum") / F.col("n").cast("double"), 6)
+                    - F.round(F.col("p_sum") / F.col("n"), 6)
+                ),
+                6,
+            ).alias("contrib"),
+        )
+    )
+    ece = per_bin.groupBy("temp").agg(
+        F.sum(F.col("contrib").cast("decimal(30,10)")).cast("double").alias("ece")
+    )
+    w = Window.orderBy(F.asc("ece"), F.asc("temp"))
+    return (
+        ece.withColumn("rank", F.row_number().over(w))
+        .select(
+            "temp",
+            F.round("ece", 6).alias("ece"),
+            (F.col("rank") == 1).alias("is_best"),
+        )
+        .orderBy("temp")
+    )
+
+
+register(
+    QuerySpec(
+        "x213_temperature_fit",
+        x213_temperature_fit,
+        f"""
+        WITH ev AS (
+          SELECT (value - {K_CUT}) / CAST({CAL_SCALE} AS DOUBLE) AS logit,
+                 CASE WHEN value + {_SQL_NOISE} >= {K_CUT} THEN 1 ELSE 0 END AS y
+          FROM events),
+        nt AS (SELECT COUNT(*) AS n_total FROM ev),
+        fanned AS (
+          SELECT y, logit, unnest([{", ".join(f"CAST({t} AS DOUBLE)" for t in TEMP_GRID)}]) AS temp
+          FROM ev),
+        binned AS (
+          SELECT temp, y, p,
+                 least(CAST(FLOOR(p * {CAL_BINS}) AS BIGINT), {CAL_BINS - 1}) AS bin
+          FROM (SELECT temp, y,
+                       ROUND(CAST(1.0 AS DOUBLE)
+                             / (CAST(1.0 AS DOUBLE) + exp(-logit / temp)), 6) AS p
+                FROM fanned)),
+        per_bin AS (
+          SELECT temp,
+                 ROUND((CAST(COUNT(*) AS DOUBLE) / MAX(nt.n_total))
+                       * abs(ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6)
+                             - ROUND({SQL_DEC_SUM.format(x="p")} / COUNT(*), 6)),
+                       6) AS contrib
+          FROM binned CROSS JOIN nt
+          GROUP BY temp, bin),
+        ece AS (
+          SELECT temp, {SQL_DEC_SUM.format(x="contrib")} AS ece
+          FROM per_bin GROUP BY temp)
+        SELECT temp, ROUND(ece, 6) AS ece,
+               row_number() OVER (ORDER BY ece ASC, temp ASC) = 1 AS is_best
+        FROM ece
+        ORDER BY temp
+        """,
+        "temperature-scaling grid fit: ECE per T, argmin flagged",
+    )
+)

@@ -1231,3 +1231,62 @@ register(
         "streaming LSH near-dup: micro-batches probe the static band index",
     )
 )
+
+
+# --- x212: streaming corpus-quality gate -------------------------------------
+def x212_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of x203's Gopher-rule battery: documents arrive as
+    a file-source stream and every micro-batch emits its per-source
+    rule-pass COUNTS (additive partials); the drained union re-aggregates
+    to pass rates — bit-identical to the one-shot batch result, so
+    x203's REGISTERED oracle is reused verbatim (the x172 anti-drift
+    pattern applied to the quality layer).  This is the intake shape a
+    continuously-crawled corpus actually runs: per-slice quality
+    partials merged into the corpus health table, no re-scan of history.
+    """
+    from .curation import gopher_pass_rates, gopher_rule_counts
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(GATE_DIR, f"src_x212_{sf_tag}")
+    dest = os.path.join(GATE_DIR, f"out_x212_{sf_tag}")
+    ckpt = os.path.join(GATE_DIR, f"ckpt_x212_{sf_tag}")
+    _fresh(src, dest, ckpt)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    docs.repartition(4, "doc_id").write.parquet(src)
+
+    def handle_batch(bdf, _bid: int) -> None:
+        gopher_rule_counts(bdf).write.mode("append").parquet(dest)
+
+    q = (
+        spark.readStream.schema("doc_id bigint, text string, source string, n_chars bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return gopher_pass_rates(spark.read.parquet(dest))
+
+
+def _register_x212() -> None:
+    # Anti-drift: the streaming twin is gated against x203's batch
+    # oracle VERBATIM (the x186/x172 registry-reuse pattern; curation
+    # registers before this module in registry()'s import order).
+    from . import _REGISTRY
+
+    register(
+        QuerySpec(
+            "x212_stream_quality_gate",
+            x212_stream_quality_gate,
+            _REGISTRY["x203_gopher_rules"].oracle,
+            "streaming Gopher gate: per-micro-batch rule partials == batch result",
+        )
+    )
+
+
+_register_x212()

@@ -187,6 +187,7 @@ _BNLJ_ALLOWED = {
     "x204_kneser_ney",  # 1-row bigram-type-count frame broadcast
     "x205_capacity_assign",  # K-row centroid frame broadcast (x21 quantizer)
     "x210_calibration_ece",  # 1-row total-count frame broadcast
+    "x213_temperature_fit",  # 1-row total-count frame broadcast
 }
 
 
