@@ -1039,35 +1039,27 @@ TR_ITERS = 8
 TR_TOP = 10
 
 
-def x179_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
-    the word co-occurrence graph — adjacent-token edges, undirected,
-    restricted to the TR_VOCAB most frequent corpus tokens (the x82
-    bounded-vocabulary discipline: the graph is vocab², never corpus-
-    sized). The recurrence is x45's bit-exact fixed-point integer form,
-    so the unrolled oracle needs no float treaty; output is the TR_TOP
-    highest-ranked keywords.
+def _x179_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed part of x179: adjacent-token co-occurrence edge
+    counts restricted to the TR_VOCAB most frequent corpus tokens — a
+    ≤V² = 1600-row weight matrix at ANY corpus scale.
 
-    Scale shape: one corpus scan builds bigram edge counts (token-pair
-    keyed shuffle over the bounded vocab); the TR_ITERS loop then runs
-    on ≤V² frames, coalesce(1)+broadcast per round exactly like x45,
-    with the same every-3 localCheckpoint cadence."""
+    Two corpus passes: unigram counts pick the vocab (collected — a
+    bounded TR_VOCAB-row driver list compiled into an `isin` filter, so
+    the pair pass needs no joins and nothing to checkpoint), then one
+    pair-explosion pass builds the filtered edge counts."""
     docs = load_table(spark, sf_dir, "documents").select("text")
     toks = docs.select(
         F.explode(F.split(F.lower("text"), " ")).alias("word")
     ).filter(F.col("word") != "")
-    # Eager checkpoint: `top` is referenced twice below (both ends of
-    # the edge join) and `edges` feeds wout/ew/nodes — without
-    # materialization the corpus pair-explosion re-executes per
-    # reference (measured 17.7 s → ~6 s at sf0.1 with the checkpoints).
-    top = (
-        toks.groupBy("word")
+    vocab = [
+        r.word
+        for r in toks.groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("word"))
         .limit(TR_VOCAB)
-        .select("word")
-        .localCheckpoint()
-    )
+        .collect()  # bounded: exactly TR_VOCAB rows at any scale
+    ]
     # Adjacent-pair edges within each document, both directions, only
     # between top-vocab tokens. The token array is materialized into a
     # COLUMN before element_at-indexing: an inline filter(split(...))
@@ -1094,19 +1086,77 @@ def x179_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
     )
     both = pairs.unionAll(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    edges = (
-        both.join(F.broadcast(top.withColumnRenamed("word", "a")), "a")
-        .join(F.broadcast(top.withColumnRenamed("word", "b")), "b")
+    return (
+        both.filter(F.col("a").isin(vocab) & F.col("b").isin(vocab))
         .groupBy(F.col("a").alias("src"), F.col("b").alias("dst"))
         .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint()  # ONE corpus pair pass; ≤V² rows kept
     )
+
+
+def x179_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    the word co-occurrence graph — adjacent-token edges, undirected,
+    restricted to the TR_VOCAB most frequent corpus tokens (the x82
+    bounded-vocabulary discipline: the graph is vocab², never corpus-
+    sized). The recurrence is x45's bit-exact fixed-point integer form,
+    so the unrolled oracle needs no float treaty; output is the TR_TOP
+    highest-ranked keywords.
+
+    Scale shape (VERDICT r6 ask #1 — the x45 treatment): the corpus
+    touch is exactly two distributed scans inside ``_x179_edges``
+    (unigram counts, pair counts); the result is a ≤V² = 1600-row
+    matrix at ANY corpus size, so the TR_ITERS fixed-point loop runs
+    DRIVER-SIDE on the collected matrix. The previous DataFrame
+    iteration's per-round ``localCheckpoint`` blocks were executor-
+    block-backed and intermittently re-materialized under a shared
+    bench session (raws 20.8/22.2/4.85 s at sf0.1 vs a 2.7-4.3 band);
+    the driver loop has NOTHING to evict — no checkpoint, no persist.
+    The distributed twin is retained below as
+    ``textrank_distributed_loop`` (bit-identical, equality-tested by
+    tests/test_round7_invariants.py)."""
+    rows = _x179_edges(spark, sf_dir).collect()  # bounded: ≤ V² = 1600
+    w = {(r.src, r.dst): r.w for r in rows}
+    w_out: dict[str, int] = {}
+    for (s, _), wt in w.items():
+        w_out[s] = w_out.get(s, 0) + wt
+    nodes = sorted({s for s, _ in w})
+    n = len(nodes)
+    base_u = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n)
+    pr = {v: PR_SCALE // n for v in nodes}
+    for _ in range(TR_ITERS):
+        sums: dict[str, int] = {}
+        for (s, d), wt in w.items():
+            sums[d] = sums.get(d, 0) + (pr[s] * wt) // w_out[s]
+        pr = {
+            v: base_u + (PR_DAMP_NUM * sums.get(v, 0)) // PR_DAMP_DEN
+            for v in nodes
+        }
+    top = sorted(nodes, key=lambda v: (-pr[v], v))[:TR_TOP]
+    return spark.createDataFrame(
+        [(i + 1, v, int(pr[v])) for i, v in enumerate(top)],
+        "rank long, keyword string, pr_micro long",
+    )
+
+
+def textrank_distributed_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x179's recurrence iterated AS DATAFRAMES — the retained scale-out
+    variant for co-occurrence graphs whose vocabulary grows with the
+    data (where a driver-side matrix no longer applies). Same
+    fixed-point integer recurrence, bit-identical output; un-registered,
+    equality-tested against the driver loop. ``persist`` + forced
+    count (not ``localCheckpoint``) for the loop-invariant frames: a
+    persisted block that gets evicted recomputes its own lineage
+    transparently, whereas an evicted/lost checkpoint block re-runs the
+    corpus pair pass it was meant to retire (VERDICT r6: the bimodal
+    20.8 s executions)."""
+    edges = _x179_edges(spark, sf_dir)
     wout = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
     ew = edges.join(wout, "src").coalesce(1).persist()
     nodes = (
         edges.select(F.col("src").alias("node")).distinct().coalesce(1).persist()
     )
-    n = nodes.count()
+    n = nodes.count()  # forces both persists' single partition
+    ew.count()
     base_u = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n)
     pr = nodes.select("node", F.lit(PR_SCALE // n).cast("long").alias("pr_u"))
     for i in range(TR_ITERS):
@@ -1122,16 +1172,23 @@ def x179_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pr_u"),
         )
         if (i + 1) % 3 == 0:
-            pr = pr.localCheckpoint()
-    ew.unpersist()
-    nodes.unpersist()
+            # plan-growth truncation WITHOUT executor-block dependence:
+            # collect the ≤V-row frame and re-create it (the frame is
+            # vocab-sized by construction, never corpus-sized)
+            pr = spark.createDataFrame(
+                [(r.node, r.pr_u) for r in pr.collect()],
+                "node string, pr_u long",
+            )
     top_pr = pr.orderBy(F.desc("pr_u"), F.asc("node")).limit(TR_TOP)
     w = Window.orderBy(F.desc("pr_u"), F.asc("node"))
-    return top_pr.select(
+    out = top_pr.select(
         F.row_number().over(w).cast("long").alias("rank"),
         F.col("node").alias("keyword"),
         F.col("pr_u").cast("long").alias("pr_micro"),
-    )
+    ).localCheckpoint()  # materialize BEFORE unpersisting the loop frames
+    ew.unpersist()
+    nodes.unpersist()
+    return out
 
 
 def _x179_sql() -> str:
