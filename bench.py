@@ -127,6 +127,9 @@ HEADLINE = [
     "x204_kneser_ney",
     "x205_capacity_assign",
     "x208_kcenter_coreset",
+    # round-7 addition (VERDICT r6 ask #4): the production-shape
+    # full-corpus SemDeDup — capacity-capped ring sub-cells
+    "x214_semdedup_capacity",
 ]
 
 CONVERT_RECORDS = 100_000

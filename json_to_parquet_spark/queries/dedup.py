@@ -1977,3 +1977,254 @@ register(
         "pair-set agreement between token/shingle/minhash dedup definitions",
     )
 )
+
+
+# --- x214: production-shape SemDeDup (capacity-bounded ring sub-cells) -------
+SEMF_K1 = 16    # coarse centroids — FIXED, so the broadcast side is constant
+SEMF_CAP = 128  # hard per-sub-cell population cap (the capacity invariant)
+SEMF_OV = 16    # boundary-overlap band compared across adjacent sub-cells
+SEMF_OFF = 900_000  # exact re-embed twin offset (clear of sfx1 replica ranges)
+
+
+def x214_semdedup_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) in its PRODUCTION shape — the
+    registered full-corpus composition x199's docstring promises
+    (VERDICT r6 ask #4): no ``SEM_MAX_ID`` audit slice, every embedding
+    participates, and the pair stage is linear in the corpus by a
+    CAPACITY invariant that holds by construction:
+
+      1. coarse quantize: nearest of SEMF_K1 FIXED centroids (the first
+         K1 vectors, the x21 trick).  K1 never grows with the corpus,
+         so the broadcast side is constant-size — unlike "K ∝ n"
+         nearest-centroid, whose n×K scoring pass is quadratic, and
+         unlike fixed-K Lloyd (x199's shape), whose per-cell population
+         — and pair count — grows with the corpus.
+      2. ring-split: within each coarse cell, rank by (distance-to-
+         centroid, vec_id) and cut into sub-cells of EXACTLY SEMF_CAP
+         rows.  Every sub-cell's pair count is ≤ cap²/2 regardless of
+         corpus size or cell skew.
+      3. prune within each sub-cell, plus a bounded SEMF_OV-row overlap
+         band across adjacent sub-cells (near-dups have near-equal
+         centroid distance, so boundary straddlers sit within a few
+         ranks of the cut; the exact-twin positives are ADJACENT ranks
+         by the vec_id tie-break, so the band provably catches them).
+         Total pairs ≈ n·(cap/2 + OV) — linear in n.
+
+    The corpus is augmented with one exact re-embed twin per vector
+    (cos 1.0 — must be caught; identical distance → adjacent rank →
+    same sub-cell or overlap band), so the prune has guaranteed
+    positives at any SF.  Duplicates keep the MIN vec_id (pairs emit
+    (least, greatest); the greater id is dropped).
+
+    Output: one row per coarse cell — population, sub-cell count, dup
+    pairs, dropped, kept.  The recall trade (cross-ring pairs beyond the
+    overlap band are not compared) is the documented approximation;
+    SemDeDup itself only ever compares within clusters."""
+    from .similarity import dot as _dot
+
+    corpus, placed = _x214_placement(spark, sf_dir)
+    # placement feeds the per-cell rollup AND (through vecs) both sides
+    # of the pair self-join plus the overlap band — 5 consumers; without
+    # materialization the scoring crossJoin + two windows re-execute per
+    # consumer (observed as 18 repeated BroadcastNestedLoopJoin subtrees
+    # in the un-materialized plan).  At 100 TB this frame is what an
+    # index build writes to a table; localCheckpoint is the single-query
+    # equivalent (the x199 pattern).
+    placed = placed.localCheckpoint()
+    # Vectors are L2-NORMALIZED once per row (n folds), so the per-pair
+    # cosine is a single dot fold instead of dot + two norms — Spark's
+    # higher-order functions are interpreted, and the pair stage
+    # evaluates ~n·(cap/2 + OV) of them: measured 3.7 s → 1.2 s for the
+    # 240k same-sub pairs at sf0.1.  The norm is materialized into a
+    # column BEFORE the transform lambda references it (helpers rule 10).
+    vecs = (
+        corpus.join(placed, "vec_id")
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+        .select(
+            "vec_id",
+            "cell",
+            "sub",
+            "pos",
+            F.transform("v", lambda x: x / F.col("nrm")).alias("vh"),
+        )
+        .localCheckpoint()
+    )
+    a = vecs.select(
+        "cell", "sub", "pos", F.col("vec_id").alias("ia"), F.col("vh").alias("va")
+    )
+    b = vecs.select(
+        "cell", "sub", "pos", F.col("vec_id").alias("ib"), F.col("vh").alias("vb")
+    )
+    same = a.join(b.drop("pos"), ["cell", "sub"]).filter(
+        F.col("ia") < F.col("ib")
+    )
+    # overlap band: last OV of sub s vs first OV of sub s+1
+    adj = a.filter(F.col("pos") >= SEMF_CAP - SEMF_OV).join(
+        b.filter(F.col("pos") < SEMF_OV).select(
+            "cell", (F.col("sub") - 1).alias("sub"), "ib", "vb"
+        ),
+        ["cell", "sub"],
+    )
+    cols = ["cell", "ia", "va", "ib", "vb"]
+    pairs = (
+        same.select(*cols)
+        .unionAll(adj.select(*cols))
+        .filter(F.round(_dot(F.col("va"), F.col("vb")), 6) >= SEM_COS_T)
+        .select(
+            "cell",
+            F.least("ia", "ib").alias("ia"),
+            F.greatest("ia", "ib").alias("ib"),
+        )
+        .localCheckpoint()  # consumed twice (dp, dr); one pair pass
+    )
+    dropped = pairs.select("cell", "ib").distinct()
+    per = placed.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (F.max("sub") + 1).alias("n_subcells"),
+    )
+    dp = pairs.groupBy("cell").agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    dr = dropped.groupBy("cell").agg(F.count(F.lit(1)).alias("n_dropped"))
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < SEMF_K1)
+        .select(F.col("vec_id").alias("cell"))
+        .join(per, "cell", "left")
+        .join(dp, "cell", "left")
+        .join(dr, "cell", "left")
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce("n_vecs", F.lit(0)).cast("long").alias("n_vecs"),
+            F.coalesce("n_subcells", F.lit(0)).cast("long").alias("n_subcells"),
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            (F.coalesce("n_vecs", F.lit(0)) - F.coalesce("n_dropped", F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _x214_placement(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """x214's distributed placement subplan, un-materialized (factored
+    so tests/test_plans.py can assert its shape: ONE bounded-broadcast
+    centroid crossJoin — the scan pushes ``vec_id < SEMF_K1`` — and no
+    corpus-sized broadcast anywhere).  Returns (corpus, placed) where
+    placed = (vec_id, cell, sub, pos)."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    twin = emb.select((F.col("vec_id") + SEMF_OFF).alias("vec_id"), "v")
+    corpus = emb.unionAll(twin)
+    cent = emb.filter(F.col("vec_id") < SEMF_K1).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("c_vec")
+    )
+    scored = corpus.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "c_id",
+        F.round(
+            F.aggregate(
+                F.zip_with("v", "c_vec", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("d"),
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("c_id"))
+    assign = (
+        scored.withColumn("pick", F.row_number().over(wv))
+        .filter(F.col("pick") == 1)
+        .select("vec_id", F.col("c_id").alias("cell"), "d")
+    )
+    wc = Window.partitionBy("cell").orderBy(F.asc("d"), F.asc("vec_id"))
+    placed = assign.select(
+        "vec_id",
+        "cell",
+        (F.row_number().over(wc) - F.lit(1)).alias("rn0"),
+    ).select(
+        "vec_id",
+        "cell",
+        F.expr(f"rn0 DIV {SEMF_CAP}").alias("sub"),
+        F.expr(f"rn0 % {SEMF_CAP}").alias("pos"),
+    )
+    return corpus, placed
+
+
+def _x214_sql() -> str:
+    return f"""
+        WITH base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        e AS (
+          SELECT vec_id, v FROM base
+          UNION ALL SELECT vec_id + {SEMF_OFF}, v FROM base),
+        cent AS (
+          SELECT vec_id AS c_id, v AS c_vec FROM base
+          WHERE vec_id < {SEMF_K1}),
+        scored AS (
+          SELECT e.vec_id, c.c_id,
+                 ROUND(list_sum(list_transform(list_zip(e.v, c.c_vec),
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS d
+          FROM e CROSS JOIN cent c),
+        assign AS MATERIALIZED (
+          SELECT vec_id, c_id AS cell, d FROM scored
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d ASC, c_id ASC) = 1),
+        placed AS MATERIALIZED (
+          SELECT vec_id, cell,
+                 rn0 // {SEMF_CAP} AS sub, rn0 % {SEMF_CAP} AS pos
+          FROM (SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY cell
+                                          ORDER BY d ASC, vec_id ASC) - 1
+                           AS rn0
+                FROM assign)),
+        vecs AS MATERIALIZED (
+          SELECT p.vec_id, p.cell, p.sub, p.pos,
+                 list_transform(e.v,
+                     x -> x / sqrt(list_dot_product(e.v, e.v))) AS vh
+          FROM placed p JOIN e USING (vec_id)),
+        cand AS (
+          SELECT x.cell, x.vec_id AS ia, x.vh AS va, y.vec_id AS ib, y.vh AS vb
+          FROM vecs x JOIN vecs y
+            ON x.cell = y.cell AND x.sub = y.sub AND x.vec_id < y.vec_id
+          UNION ALL
+          SELECT x.cell, x.vec_id, x.vh, y.vec_id, y.vh
+          FROM vecs x JOIN vecs y
+            ON x.cell = y.cell AND y.sub = x.sub + 1
+           AND x.pos >= {SEMF_CAP - SEMF_OV} AND y.pos < {SEMF_OV}),
+        pairs AS MATERIALIZED (
+          SELECT cell, LEAST(ia, ib) AS ia, GREATEST(ia, ib) AS ib
+          FROM cand
+          WHERE ROUND(list_dot_product(va, vb), 6) >= {SEM_COS_T}),
+        per AS (SELECT cell, COUNT(*) AS n_vecs, MAX(sub) + 1 AS n_subcells
+                FROM placed GROUP BY cell),
+        dp AS (SELECT cell, COUNT(*) AS n_dup_pairs FROM pairs GROUP BY cell),
+        dr AS (SELECT cell, COUNT(*) AS n_dropped
+               FROM (SELECT DISTINCT cell, ib FROM pairs) GROUP BY cell)
+        SELECT CAST(c.c_id AS BIGINT) AS cell,
+               CAST(COALESCE(p.n_vecs, 0) AS BIGINT) AS n_vecs,
+               CAST(COALESCE(p.n_subcells, 0) AS BIGINT) AS n_subcells,
+               CAST(COALESCE(dp.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+               CAST(COALESCE(dr.n_dropped, 0) AS BIGINT) AS n_dropped,
+               CAST(COALESCE(p.n_vecs, 0) - COALESCE(dr.n_dropped, 0)
+                    AS BIGINT) AS n_kept
+        FROM cent c
+        LEFT JOIN per p ON c.c_id = p.cell
+        LEFT JOIN dp ON c.c_id = dp.cell
+        LEFT JOIN dr ON c.c_id = dr.cell
+        ORDER BY cell
+        """
+
+
+register(
+    QuerySpec(
+        "x214_semdedup_capacity",
+        x214_semdedup_capacity,
+        _x214_sql(),
+        "full-corpus SemDeDup: capacity-capped ring sub-cells, min-id survivors",
+    )
+)

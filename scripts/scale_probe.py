@@ -63,6 +63,14 @@ PROBE = [
     "x49_kmeans",                # Lloyd iterations
     "x45_pagerank",              # fact joins + driver fixed-point
     "x65_triangle_count",        # blocked similarity graph census
+    # round-7 additions (VERDICT r6 ask #5): the round-6 heavies
+    "x196_ivf_bitext_mine",      # IVF-composed full-corpus mining
+    "x197_ivfpq_residual",       # per-cell ADC over probed lists
+    "x204_kneser_ney",           # bigram + continuation-count joins
+    "x205_capacity_assign",      # two broadcast-centroid passes
+    "x208_kcenter_coreset",      # K serial corpus passes (the risky shape)
+    "x212_stream_quality_gate",  # micro-batch drain vs batch oracle
+    "x214_semdedup_capacity",    # capacity-capped ring-cell dedup (r7)
 ]
 
 

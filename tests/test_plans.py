@@ -406,3 +406,26 @@ def test_x187_hot_frame_guard_in_plan(spark, sf_dir):
 
     plan = _plan(spark, sf_dir, "x187_frame_dedup")
     assert re.search(rf"fdf#\d+L? <= {FD_MAX_DF}", plan), plan[:800]
+
+
+def test_x214_placement_bounded_broadcast(spark, sf_dir):
+    """x214's only broadcast must be the SEMF_K1 fixed centroid set
+    (the bound pushed to the parquet scan) — never the corpus — and the
+    pair stage must be equi-joins on (cell, sub), never a cartesian
+    (VERDICT r6 ask #4: no corpus-sized broadcast/crossJoin)."""
+    from json_to_parquet_spark.queries.dedup import SEMF_K1, _x214_placement
+
+    _, placed = _x214_placement(spark, sf_dir)
+    plan = placed._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the centroid cross
+    assert "CartesianProduct" not in plan
+    assert re.search(rf"LessThan\(vec_id,{SEMF_K1}\)", plan), plan[:800]
+
+
+def test_x214_pair_stage_no_cartesian(spark, sf_dir):
+    """The materialized full query: pair joins are keyed on (cell, sub)
+    — SortMergeJoin/ShuffledHashJoin — with no nested-loop anywhere
+    (the placement subtree is checkpointed out of this plan)."""
+    plan = _plan(spark, sf_dir, "x214_semdedup_capacity")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

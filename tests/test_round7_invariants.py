@@ -30,3 +30,25 @@ def test_x179_driver_loop_matches_distributed(spark, sf_dir):
     b = sorted(map(tuple, textrank_distributed_loop(spark, sf_dir).collect()))
     assert a == b
     assert len(a) == TR_TOP
+
+
+def test_x214_twin_recall(spark, sf_dir):
+    """Every exact re-embed twin must be caught: identical vectors have
+    identical centroid distance, hence ADJACENT ranks in the ring order
+    (vec_id tie-break), hence the same sub-cell or the overlap band.
+    n_dropped == n_dup_pairs == |embeddings| exactly when the corpus has
+    no other cos≥T pair (true for the synthetic corpus at test SFs)."""
+    import duckdb
+
+    rows = registry()["x214_semdedup_capacity"].spark(spark, sf_dir).collect()
+    (n_emb,) = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()
+    assert sum(r.n_vecs for r in rows) == 2 * n_emb
+    assert sum(r.n_dropped for r in rows) >= n_emb  # all twins caught
+    assert sum(r.n_kept for r in rows) <= n_emb
+    # every sub-cell respects the capacity invariant
+    from json_to_parquet_spark.queries.dedup import SEMF_CAP
+
+    for r in rows:
+        assert r.n_vecs <= r.n_subcells * SEMF_CAP
