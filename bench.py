@@ -245,11 +245,30 @@ def main() -> None:
             lambda: fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
         )
 
+    # x172's wall clock is dominated by gate-harness work (fixture
+    # regeneration, base-index build, output re-read) that a real
+    # continuous stream pays once, not per batch; report the drain loop
+    # and the harness as separate rows (VERDICT r6 ask #6).  The split
+    # rows replace nothing: x172_stream_neardup stays the end-to-end
+    # number, drain+harness are its decomposition.
+    from json_to_parquet_spark.queries.streaming_gate import X172_SPLIT
+
+    if "x172_stream_neardup" in raw_runs and len(X172_SPLIT) >= N_RUNS:
+        drains = [round(d, 3) for _, d in X172_SPLIT[-N_RUNS:]]
+        raw_runs["x172_drain"] = drains
+        raw_runs["x172_harness"] = [
+            round(total - d, 3)
+            for total, d in zip(raw_runs["x172_stream_neardup"], drains)
+        ]
+
     # min-of-N: the least-load-noise estimate of each plan's true cost;
     # medians recorded alongside so load sensitivity is visible too.
     timings = {name: min(raws) for name, raws in raw_runs.items()}
     medians = {name: sorted(raws)[len(raws) // 2] for name, raws in raw_runs.items()}
-    total = round(sum(timings.values()), 3)
+    # the x172 split rows decompose x172_stream_neardup, which is already
+    # in the sum — don't double-count them in the headline total
+    _decomp = {"x172_drain", "x172_harness"}
+    total = round(sum(v for k, v in timings.items() if k not in _decomp), 3)
 
     # Raw per-run timings + medians: side file + stderr, NEVER the stdout
     # line — the driver's tail capture truncated round 4's line once these
