@@ -210,51 +210,104 @@ register(
 # --- x103: embedding-corpus PCA (covariance + power iteration) ---------------
 POWER_ITERS = 8
 FIXED_POINT = 1_000_000  # micro-unit scale shared by both engines' sums
+GRAM_CHUNK = 512  # rows per in-worker outer-product slab (bounds memory)
+
+
+def _x103_gram_partials(batches):
+    """Per-partition partial Gram pass (VERDICT r6 ask #7): each PARTITION
+    emits d² rows of exact int64 micro-unit sums (plus d first-moment
+    rows tagged j = -1 carrying the partition row count), instead of the
+    previous row-local (i, j, x_i·x_j) expansion that shuffled d² = 4096
+    rows PER VECTOR (the registry's largest per-row constant — 31.5 s at
+    sfx1). Because every product is rounded to an integer micro-unit
+    BEFORE summation (the x103 fixed-point design), the partial sums are
+    exact and order-independent — the merged totals are bit-identical to
+    the expression path (asserted by tests/test_round7_invariants.py),
+    so the DuckDB oracle is untouched.
+
+    Rounding: numpy's copysign(floor(abs+0.5)) is half-away-from-zero on
+    doubles — the same function Spark's ROUND and DuckDB's ROUND apply.
+    Arrow-batched (mapInPandas), never row-at-a-time Python."""
+    import numpy as np
+    import pandas as pd
+
+    def _half_up(t):
+        return np.copysign(np.floor(np.abs(t) + 0.5), t).astype(np.int64)
+
+    gram = None
+    first = None
+    n = 0
+    d = 0
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        if gram is None:
+            d = x.shape[1]
+            gram = np.zeros((d, d), dtype=np.int64)
+            first = np.zeros(d, dtype=np.int64)
+        for s in range(0, len(x), GRAM_CHUNK):
+            c = x[s : s + GRAM_CHUNK]
+            slab = c[:, :, None] * c[:, None, :] * float(FIXED_POINT)
+            gram += _half_up(slab).sum(axis=0)
+            first += _half_up(c * float(FIXED_POINT)).sum(axis=0)
+        n += len(x)
+    if gram is None:
+        return
+    ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+    yield pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "i": ii.ravel().astype("int32"),
+                    "j": jj.ravel().astype("int32"),
+                    "s": gram.ravel(),
+                    "c": np.zeros(d * d, dtype=np.int64),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "i": np.arange(d, dtype="int32"),
+                    "j": np.full(d, -1, dtype="int32"),
+                    "s": first,
+                    "c": np.full(d, n, dtype=np.int64),
+                }
+            ),
+        ],
+        ignore_index=True,
+    )
 
 
 def x103_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant principal component of the embedding corpus: per-dim
-    means, d×d covariance from one corpus pass (row-local (i, j, x_i·x_j)
-    expansion, map-side partial agg → d² = 4096 shuffle keys), then
-    POWER_ITERS max-norm power-iteration rounds over the tiny matrix
-    frame. Output: one row per dimension with its mean, PC1 loading, and
-    the shared eigenvalue estimate (the final iteration's max-norm)."""
+    means and the d×d covariance from ONE corpus pass — per-partition
+    partial Gram matrices via mapInPandas (d²-sized output per
+    PARTITION, not per row; see ``_x103_gram_partials``) merged by a
+    4096-key integer sum — then POWER_ITERS max-norm power-iteration
+    rounds over the tiny matrix frame. Output: one row per dimension
+    with its mean, PC1 loading, and the shared eigenvalue estimate (the
+    final iteration's max-norm)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    xi = emb.select(
-        "vec_id", "embedding", F.posexplode("embedding").alias("i", "x_i")
+    partials = emb.select("embedding").mapInPandas(
+        _x103_gram_partials, "i int, j int, s long, c long"
     )
-    pairs = xi.select(
+    # one merge shuffle of ≤(d²+d)·partitions rows; ≤d²+d rows out,
+    # consumed by moments AND means — checkpoint the tiny frame
+    merged = (
+        partials.groupBy("i", "j")
+        .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+        .localCheckpoint()
+    )
+    moments = merged.filter(F.col("j") >= 0).select(
+        "i", "j", F.col("s").alias("k_ij")
+    )
+    means = merged.filter(F.col("j") == -1).select(
         "i",
-        F.col("x_i").cast("double").alias("xi"),
-        F.posexplode("embedding").alias("j", "x_j"),
-    ).select("i", "j", "xi", F.col("x_j").cast("double").alias("xj"))
-    # Raw second moments in FIXED POINT: each product rounds to 1e-6 as
-    # an integer micro-unit, so the aggregation is a plain BIGINT sum —
-    # exact, order-independent, and ~5× faster than a DECIMAL(30,10) sum
-    # over the d²-expanded rows (measured 14.8 s → 3.2 s at sf0.1; both
-    # engines round half-away-from-zero, so the longs are identical).
-    # Magnitude: |x·y|·1e6 ≤ ~1e8 per row → overflow needs ~1e10 rows
-    # per (i, j) pair — not reachable at the 100 TB target.
-    fx = lambda c: F.round(c * F.lit(float(FIXED_POINT)), 0).cast("long")  # noqa: E731
-    moments = pairs.groupBy("i", "j").agg(
-        F.sum(fx(F.col("xi") * F.col("xj"))).alias("k_ij")
-    )
-    # n rides along in the per-dim aggregate (count per dim = corpus
-    # rows) — no separate count() scan of the input.
-    means = (
-        xi.groupBy("i")
-        .agg(
-            F.sum(fx(F.col("x_i").cast("double"))).alias("k_i"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select(
-            "i",
-            F.round(
-                F.col("k_i").cast("double") / F.lit(float(FIXED_POINT)) / F.col("n"),
-                6,
-            ).alias("mu"),
-            "n",
-        )
+        F.round(
+            F.col("s").cast("double") / F.lit(float(FIXED_POINT)) / F.col("c"),
+            6,
+        ).alias("mu"),
+        F.col("c").alias("n"),
     )
     mu_j = means.select(F.col("i").alias("j"), F.col("mu").alias("mu_j"))
     cov = (
@@ -272,13 +325,91 @@ def x103_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c"),
         )
     )
-    # localCheckpoint (not persist): each unrolled round would otherwise
-    # re-embed cov's full subplan, and the analyzer/optimizer cost grows
-    # superlinearly with rounds (the x45 pagerank lesson — measured here
-    # as 205 s → ~15 s at sf0.001). cov is 4096 rows AT ANY CORPUS SIZE,
-    # so the loop frames coalesce to one partition — 1 task per round
-    # instead of shuffle_partitions tasks (the x45 coalesce(1) economics;
-    # measured 11.9 s → 3.5 s cold at sf0.1).
+    # The iteration runs DRIVER-SIDE on the collected matrix (the x45
+    # pattern; VERDICT r6 ask #7 sibling): cov is d² = 4096 rows AT ANY
+    # CORPUS SIZE, so 8 fixed-point rounds over ≤4096 Python floats
+    # replace 8 Spark jobs of pure scheduling floor (measured 4.0 →
+    # ~1.3 s at sf0.1).  The arithmetic replicates the cross-engine
+    # treaty EXACTLY (helpers.py): addends are 6-dp HALF_UP-rounded
+    # doubles, summed as exact decimals, cast back through the shortest
+    # round-trip string — bit-identical to dec_sum/SQL_DEC_SUM, so the
+    # unrolled oracle is untouched.  For embedding widths where d² no
+    # longer fits a driver, the DataFrame loop is retained below as
+    # ``pca_power_distributed_loop`` (bit-identical, equality-tested).
+    cov_rows = cov.collect()  # bounded: d² rows at any corpus size
+    mean_rows = sorted(means.collect(), key=lambda r: r.i)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q6 = Decimal("0.000001")
+
+    def rnd6(x: float) -> float:
+        # F.round(x, 6): BigDecimal.valueOf(x).setScale(6, HALF_UP) —
+        # valueOf uses the shortest round-trip string, i.e. repr(x)
+        return float(Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP))
+
+    c = {(r.i, r.j): r.c for r in cov_rows}
+    v = {r.i: (1.0 if r.i == 0 else 0.0) for r in mean_rows}
+    m = 0.0
+    for _ in range(POWER_ITERS):
+        acc: dict[int, Decimal] = {}
+        for (i, j), cij in c.items():
+            # dec_sum: exact decimal sum of 6-dp-rounded addends
+            acc[i] = acc.get(i, Decimal(0)) + Decimal(repr(rnd6(cij * v[j])))
+        # decimal → varchar → double (the SQL_DEC_SUM round-trip)
+        w = {i: float(str(total)) for i, total in acc.items()}
+        m = max(abs(x) for x in w.values())
+        v = {i: rnd6(w[i] / m) for i in w}
+    return spark.createDataFrame(
+        [(int(r.i), r.mu, v[r.i], rnd6(m)) for r in mean_rows],
+        "dim long, mu double, loading double, eigval double",
+    )
+
+
+def pca_power_distributed_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x103's max-norm power iteration AS DATAFRAMES — the retained
+    scale-out variant for embedding widths whose d² matrix no longer
+    fits a driver.  Same treaty arithmetic, bit-identical output;
+    un-registered, equality-tested against the driver loop.
+    localCheckpoint + coalesce(1): each unrolled round would otherwise
+    re-embed cov's full subplan (205 s → ~15 s at sf0.001), and the
+    graph-sized loop frames run as 1 task per round instead of
+    shuffle_partitions tasks."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    partials = emb.select("embedding").mapInPandas(
+        _x103_gram_partials, "i int, j int, s long, c long"
+    )
+    merged = (
+        partials.groupBy("i", "j")
+        .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+        .localCheckpoint()
+    )
+    moments = merged.filter(F.col("j") >= 0).select(
+        "i", "j", F.col("s").alias("k_ij")
+    )
+    means = merged.filter(F.col("j") == -1).select(
+        "i",
+        F.round(
+            F.col("s").cast("double") / F.lit(float(FIXED_POINT)) / F.col("c"),
+            6,
+        ).alias("mu"),
+        F.col("c").alias("n"),
+    )
+    mu_j = means.select(F.col("i").alias("j"), F.col("mu").alias("mu_j"))
+    cov = (
+        moments.join(means, "i")
+        .join(mu_j, "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("k_ij").cast("double")
+                / F.lit(float(FIXED_POINT))
+                / F.col("n")
+                - F.col("mu") * F.col("mu_j"),
+                6,
+            ).alias("c"),
+        )
+    )
     cov = cov.localCheckpoint().coalesce(1)
     v = means.select(
         "i", F.when(F.col("i") == 0, 1.0).otherwise(0.0).alias("v")
