@@ -1981,7 +1981,7 @@ register(
 
 # --- x214: production-shape SemDeDup (capacity-bounded ring sub-cells) -------
 SEMF_K1 = 16    # coarse centroids — FIXED, so the broadcast side is constant
-SEMF_CAP = 128  # hard per-sub-cell population cap (the capacity invariant)
+SEMF_CAP = 64   # hard per-sub-cell population cap (the capacity invariant)
 SEMF_OV = 16    # boundary-overlap band compared across adjacent sub-cells
 SEMF_OFF = 900_000  # exact re-embed twin offset (clear of sfx1 replica ranges)
 
@@ -2029,31 +2029,33 @@ def x214_semdedup_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumer (observed as 18 repeated BroadcastNestedLoopJoin subtrees
     # in the un-materialized plan).  At 100 TB this frame is what an
     # index build writes to a table; localCheckpoint is the single-query
-    # equivalent (the x199 pattern).
+    # equivalent (the x199 pattern).  The frame is NARROW scalars only —
+    # vec_id, cell, sub, pos, nrm: materializing an ARRAY column is the
+    # pathology here (Spark's columnar cache / checkpoint writes array
+    # cells element-at-a-time: measured 13 s to cache 40k 64-dim rows),
+    # so the vectors stay in the parquet scan and rejoin by key below.
     placed = placed.localCheckpoint()
-    # Vectors are L2-NORMALIZED once per row (n folds), so the per-pair
-    # cosine is a single dot fold instead of dot + two norms — Spark's
-    # higher-order functions are interpreted, and the pair stage
-    # evaluates ~n·(cap/2 + OV) of them: measured 3.7 s → 1.2 s for the
-    # 240k same-sub pairs at sf0.1.  The norm is materialized into a
-    # column BEFORE the transform lambda references it (helpers rule 10).
-    vecs = (
-        corpus.join(placed, "vec_id")
-        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
-        .select(
-            "vec_id",
-            "cell",
-            "sub",
-            "pos",
-            F.transform("v", lambda x: x / F.col("nrm")).alias("vh"),
-        )
-        .localCheckpoint()
-    )
+    # The per-pair cosine divides by the two PRECOMPUTED norms carried in
+    # `placed` (one fold per corpus row, paid once inside the placement
+    # pass) — one interpreted dot fold per pair, no per-element
+    # normalize (F.transform's per-element lambda measured 3.5 s per
+    # consumer scan at sfx1).
+    vecs = corpus.join(placed, "vec_id")
     a = vecs.select(
-        "cell", "sub", "pos", F.col("vec_id").alias("ia"), F.col("vh").alias("va")
+        "cell",
+        "sub",
+        "pos",
+        F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
     )
     b = vecs.select(
-        "cell", "sub", "pos", F.col("vec_id").alias("ib"), F.col("vh").alias("vb")
+        "cell",
+        "sub",
+        "pos",
+        F.col("vec_id").alias("ib"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
     same = a.join(b.drop("pos"), ["cell", "sub"]).filter(
         F.col("ia") < F.col("ib")
@@ -2061,15 +2063,20 @@ def x214_semdedup_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # overlap band: last OV of sub s vs first OV of sub s+1
     adj = a.filter(F.col("pos") >= SEMF_CAP - SEMF_OV).join(
         b.filter(F.col("pos") < SEMF_OV).select(
-            "cell", (F.col("sub") - 1).alias("sub"), "ib", "vb"
+            "cell", (F.col("sub") - 1).alias("sub"), "ib", "vb", "nb"
         ),
         ["cell", "sub"],
     )
-    cols = ["cell", "ia", "va", "ib", "vb"]
+    cols = ["cell", "ia", "va", "na", "ib", "vb", "nb"]
     pairs = (
         same.select(*cols)
         .unionAll(adj.select(*cols))
-        .filter(F.round(_dot(F.col("va"), F.col("vb")), 6) >= SEM_COS_T)
+        .filter(
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            )
+            >= SEM_COS_T
+        )
         .select(
             "cell",
             F.least("ia", "ib").alias("ia"),
@@ -2112,8 +2119,11 @@ def _x214_placement(
     so tests/test_plans.py can assert its shape: ONE bounded-broadcast
     centroid crossJoin — the scan pushes ``vec_id < SEMF_K1`` — and no
     corpus-sized broadcast anywhere).  Returns (corpus, placed) where
-    placed = (vec_id, cell, sub, pos)."""
+    placed = (vec_id, cell, sub, pos, nrm) — nrm is the L2 norm folded
+    once per corpus row here so the pair stage never recomputes it."""
     from pyspark.sql import Window
+
+    from .similarity import dot as _dot
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -2123,8 +2133,10 @@ def _x214_placement(
     cent = emb.filter(F.col("vec_id") < SEMF_K1).select(
         F.col("vec_id").alias("c_id"), F.col("v").alias("c_vec")
     )
-    scored = corpus.crossJoin(F.broadcast(cent)).select(
+    withn = corpus.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    scored = withn.crossJoin(F.broadcast(cent)).select(
         "vec_id",
+        "nrm",
         "c_id",
         F.round(
             F.aggregate(
@@ -2139,11 +2151,12 @@ def _x214_placement(
     assign = (
         scored.withColumn("pick", F.row_number().over(wv))
         .filter(F.col("pick") == 1)
-        .select("vec_id", F.col("c_id").alias("cell"), "d")
+        .select("vec_id", "nrm", F.col("c_id").alias("cell"), "d")
     )
     wc = Window.partitionBy("cell").orderBy(F.asc("d"), F.asc("vec_id"))
     placed = assign.select(
         "vec_id",
+        "nrm",
         "cell",
         (F.row_number().over(wc) - F.lit(1)).alias("rn0"),
     ).select(
@@ -2151,6 +2164,7 @@ def _x214_placement(
         "cell",
         F.expr(f"rn0 DIV {SEMF_CAP}").alias("sub"),
         F.expr(f"rn0 % {SEMF_CAP}").alias("pos"),
+        "nrm",
     )
     return corpus, placed
 
@@ -2183,23 +2197,24 @@ def _x214_sql() -> str:
                            AS rn0
                 FROM assign)),
         vecs AS MATERIALIZED (
-          SELECT p.vec_id, p.cell, p.sub, p.pos,
-                 list_transform(e.v,
-                     x -> x / sqrt(list_dot_product(e.v, e.v))) AS vh
+          SELECT p.vec_id, p.cell, p.sub, p.pos, e.v,
+                 sqrt(list_dot_product(e.v, e.v)) AS nrm
           FROM placed p JOIN e USING (vec_id)),
         cand AS (
-          SELECT x.cell, x.vec_id AS ia, x.vh AS va, y.vec_id AS ib, y.vh AS vb
+          SELECT x.cell, x.vec_id AS ia, x.v AS va, x.nrm AS na,
+                 y.vec_id AS ib, y.v AS vb, y.nrm AS nb
           FROM vecs x JOIN vecs y
             ON x.cell = y.cell AND x.sub = y.sub AND x.vec_id < y.vec_id
           UNION ALL
-          SELECT x.cell, x.vec_id, x.vh, y.vec_id, y.vh
+          SELECT x.cell, x.vec_id, x.v, x.nrm, y.vec_id, y.v, y.nrm
           FROM vecs x JOIN vecs y
             ON x.cell = y.cell AND y.sub = x.sub + 1
            AND x.pos >= {SEMF_CAP - SEMF_OV} AND y.pos < {SEMF_OV}),
         pairs AS MATERIALIZED (
           SELECT cell, LEAST(ia, ib) AS ia, GREATEST(ia, ib) AS ib
           FROM cand
-          WHERE ROUND(list_dot_product(va, vb), 6) >= {SEM_COS_T}),
+          WHERE ROUND(list_dot_product(va, vb) / (na * nb), 6)
+                >= {SEM_COS_T}),
         per AS (SELECT cell, COUNT(*) AS n_vecs, MAX(sub) + 1 AS n_subcells
                 FROM placed GROUP BY cell),
         dp AS (SELECT cell, COUNT(*) AS n_dup_pairs FROM pairs GROUP BY cell),

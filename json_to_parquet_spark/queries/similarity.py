@@ -1094,3 +1094,349 @@ register(
         "IVF-PQ with residual encoding: per-cell ADC over probed inverted lists",
     )
 )
+
+
+# --- x215: filtered vector search (predicate inside the candidate scan) ------
+FANN_TOPK = 5
+
+
+def x215_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — ANN under a metadata predicate (here:
+    corpus label must equal the query's label), the shape every serving
+    stack hits when queries carry tenant/language/freshness filters.
+    The predicate is applied INSIDE the candidate scan (pre-filtering
+    the probed inverted lists), not to the final top-k: post-filtering
+    an unfiltered ANN result returns fewer than k survivors whenever
+    the filter is selective — the classic filtered-HNSW/IVF failure.
+
+    The quantizer and list layout are x21's verbatim (first-K centroids,
+    nearest-centroid lists, IVF_N_PROBE probes).  Output per query: the
+    pre-filter candidate count, the filtered-ANN top-k hits vs the
+    EXACT filtered top-k (brute force over the label slice), and
+    recall@k — the built-in quality audit, x102's pattern under a
+    predicate."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.col("label").cast("long").alias("label")
+    )
+    cent = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+
+    def assign(df, n_keep):
+        scored = df.crossJoin(F.broadcast(cent)).select(
+            "vec_id",
+            "c_id",
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("embedding"),
+                            F.col("c_vec"),
+                            lambda x, y: (x.cast("double") - y.cast("double"))
+                            * (x.cast("double") - y.cast("double")),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                ),
+                6,
+            ).alias("dist"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("c_id"))
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= n_keep)
+            .select("vec_id", "c_id")
+        )
+
+    lists = assign(emb, 1).select("vec_id", F.col("c_id").alias("list_c"))
+    corpus = emb.join(lists, "vec_id")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    probes = assign(
+        emb.filter(F.col("vec_id") < N_QUERY_VECS), IVF_N_PROBE
+    ).select(F.col("vec_id").alias("q_id"), F.col("c_id").alias("probe_c"))
+    # candidate scan: probed lists AND the predicate, pre-filter
+    cand = (
+        corpus.join(F.broadcast(probes), corpus.list_c == probes.probe_c)
+        .join(F.broadcast(queries), "q_id")
+        .filter(
+            (F.col("vec_id") != F.col("q_id"))
+            & (F.col("label") == F.col("q_label"))
+        )
+    )
+    cscored = cand.select(
+        "q_id",
+        "vec_id",
+        cosine(F.col("q_vec"), F.col("embedding")).alias("cos_sim"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    approx = (
+        cscored.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= FANN_TOPK)
+        .select("q_id", "vec_id")
+    )
+    n_cand = cscored.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_cand"))
+    # exact filtered truth: brute force over the label slice
+    exact_scored = (
+        emb.join(F.broadcast(queries), emb.label == queries.q_label)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(F.col("q_vec"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    exact = (
+        exact_scored.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= FANN_TOPK)
+        .select("q_id", "vec_id")
+    )
+    hits = (
+        approx.join(exact, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        queries.select("q_id")
+        .join(n_cand, "q_id", "left")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_cand"),
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.round(
+                F.coalesce("hits", F.lit(0)).cast("double")
+                / F.lit(float(FANN_TOPK)),
+                6,
+            ).alias("recall_at_k"),
+        )
+        .orderBy("q_id")
+    )
+
+
+def _x215_sql() -> str:
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 CAST(label AS BIGINT) AS label
+          FROM embeddings),
+        cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e
+                 WHERE vec_id < {IVF_N_CENTROIDS}),
+        adist AS (
+          SELECT e.vec_id, c.c_id,
+                 ROUND(sqrt(list_sum(list_transform(
+                     list_zip(e.v, c.c_vec),
+                     p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS dist
+          FROM e CROSS JOIN cent c),
+        lists AS (
+          SELECT vec_id, c_id AS list_c FROM adist
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, c_id) = 1),
+        probes AS (
+          SELECT vec_id AS q_id, c_id AS probe_c FROM adist
+          WHERE vec_id < {N_QUERY_VECS}
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, c_id) <= {IVF_N_PROBE}),
+        qs AS (SELECT vec_id AS q_id, v AS q_vec, label AS q_label FROM e
+               WHERE vec_id < {N_QUERY_VECS}),
+        cscored AS MATERIALIZED (
+          SELECT p.q_id, e.vec_id,
+                 ROUND(list_dot_product(q.q_vec, e.v)
+                       / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                          * sqrt(list_dot_product(e.v, e.v))), 6) AS cos_sim
+          FROM e
+          JOIN lists l ON e.vec_id = l.vec_id
+          JOIN probes p ON l.list_c = p.probe_c
+          JOIN qs q ON p.q_id = q.q_id
+          WHERE e.vec_id != p.q_id AND e.label = q.q_label),
+        approx AS (
+          SELECT q_id, vec_id FROM cscored
+          QUALIFY row_number() OVER (PARTITION BY q_id
+              ORDER BY cos_sim DESC, vec_id ASC) <= {FANN_TOPK}),
+        ncand AS (SELECT q_id, COUNT(*) AS n_cand FROM cscored GROUP BY q_id),
+        escored AS (
+          SELECT q.q_id, e.vec_id,
+                 ROUND(list_dot_product(q.q_vec, e.v)
+                       / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                          * sqrt(list_dot_product(e.v, e.v))), 6) AS cos_sim
+          FROM e JOIN qs q ON e.label = q.q_label
+          WHERE e.vec_id != q.q_id),
+        exact AS (
+          SELECT q_id, vec_id FROM escored
+          QUALIFY row_number() OVER (PARTITION BY q_id
+              ORDER BY cos_sim DESC, vec_id ASC) <= {FANN_TOPK}),
+        hits AS (
+          SELECT a.q_id, COUNT(*) AS hits
+          FROM approx a JOIN exact x
+            ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+          GROUP BY a.q_id)
+        SELECT q.q_id,
+               CAST(COALESCE(n.n_cand, 0) AS BIGINT) AS n_cand,
+               CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+               ROUND(CAST(COALESCE(h.hits, 0) AS DOUBLE) / {FANN_TOPK},
+                     6) AS recall_at_k
+        FROM qs q
+        LEFT JOIN ncand n ON q.q_id = n.q_id
+        LEFT JOIN hits h ON q.q_id = h.q_id
+        ORDER BY q.q_id
+        """
+
+
+register(
+    QuerySpec(
+        "x215_filtered_ann",
+        x215_filtered_ann,
+        _x215_sql(),
+        "filtered vector search: predicate inside the IVF candidate scan + recall audit",
+    )
+)
+
+
+# --- x216: binary quantization + exact rescore --------------------------------
+BQ_CAND = 32  # hamming candidates kept per query before exact rescore
+BQ_TOPK = 5
+
+
+def x216_binary_quant_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized retrieval: each vector compresses to its sign
+    bits (64 dims → two 32-bit halves packed into BIGINTs — 32× smaller
+    than float32), candidates are the BQ_CAND nearest by Hamming
+    distance (bit_count(xor) — a register-width scan that needs no
+    index at all), and the final top-k is an exact cosine rescore of
+    just those candidates.  This is the 1-bit quantization + rescoring
+    ladder production vector stores ship (sign-bit BQ preserves cosine
+    ordering approximately because E[hamming] is monotone in angle).
+
+    Scale shape: the packed signature table is 16 bytes/vector; the
+    query×corpus hamming scan is a broadcast of N_QUERY_VECS signatures
+    over one corpus pass; only BQ_CAND rows per query carry vectors
+    into the rescore."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+
+    powers = F.array(*[F.lit(1 << k).cast("long") for k in range(32)])
+
+    def half(lo: int):
+        # bits lo..lo+31 of the sign signature, packed into a long
+        # (LSB = first dim of the slice, matching the oracle's 1 << k)
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col("v"), lo + 1, 32),
+                powers,
+                lambda x, p: F.when(x > 0.0, p).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    sig = emb.select("vec_id", half(0).alias("h0"), half(32).alias("h1"))
+    qsig = sig.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("h0").alias("q0"),
+        F.col("h1").alias("q1"),
+    )
+    ham = (
+        sig.crossJoin(F.broadcast(qsig))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                F.bit_count(F.col("h0").bitwiseXOR(F.col("q0")))
+                + F.bit_count(F.col("h1").bitwiseXOR(F.col("q1")))
+            ).cast("long").alias("ham"),
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.asc("ham"), F.asc("vec_id"))
+    cand = (
+        ham.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= BQ_CAND)
+        .select("q_id", "vec_id", "ham")
+    )
+    qvec = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+    )
+    rescored = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(qvec), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            "ham",
+            cosine(F.col("q_vec"), F.col("v")).alias("cos_sim"),
+        )
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= BQ_TOPK)
+        .select(
+            "q_id",
+            "vec_id",
+            "ham",
+            "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
+def _x216_sql() -> str:
+    def half(lo: int) -> str:
+        return f"""list_sum(list_transform(
+            list_zip(v[{lo + 1}:{lo + 32}], range(0, 32)),
+            p -> CASE WHEN p[1] > 0.0
+                 THEN (CAST(1 AS BIGINT) << CAST(p[2] AS INT))
+                 ELSE 0 END))"""
+
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sig AS MATERIALIZED (
+          SELECT vec_id, CAST({half(0)} AS BIGINT) AS h0,
+                 CAST({half(32)} AS BIGINT) AS h1
+          FROM e),
+        qsig AS (SELECT vec_id AS q_id, h0 AS q0, h1 AS q1 FROM sig
+                 WHERE vec_id < {N_QUERY_VECS}),
+        ham AS (
+          SELECT q.q_id, s.vec_id,
+                 CAST(bit_count(xor(s.h0, q.q0))
+                      + bit_count(xor(s.h1, q.q1)) AS BIGINT) AS ham
+          FROM sig s CROSS JOIN qsig q
+          WHERE s.vec_id != q.q_id),
+        cand AS (
+          SELECT q_id, vec_id, ham FROM ham
+          QUALIFY row_number() OVER (PARTITION BY q_id
+              ORDER BY ham ASC, vec_id ASC) <= {BQ_CAND}),
+        rescored AS (
+          SELECT c.q_id, c.vec_id, c.ham,
+                 ROUND(list_dot_product(q.v, e.v)
+                       / (sqrt(list_dot_product(q.v, q.v))
+                          * sqrt(list_dot_product(e.v, e.v))), 6) AS cos_sim
+          FROM cand c
+          JOIN e ON c.vec_id = e.vec_id
+          JOIN e q ON c.q_id = q.vec_id)
+        SELECT q_id, vec_id, ham, cos_sim,
+               CAST(row_number() OVER (PARTITION BY q_id
+                   ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM rescored
+        QUALIFY rank <= {BQ_TOPK}
+        ORDER BY q_id, rank
+        """
+
+
+register(
+    QuerySpec(
+        "x216_binary_quant_rescore",
+        x216_binary_quant_rescore,
+        _x216_sql(),
+        "1-bit binary quantization: hamming candidate scan + exact cosine rescore",
+    )
+)

@@ -188,6 +188,8 @@ _BNLJ_ALLOWED = {
     "x205_capacity_assign",  # K-row centroid frame broadcast (x21 quantizer)
     "x210_calibration_ece",  # 1-row total-count frame broadcast
     "x213_temperature_fit",  # 1-row total-count frame broadcast
+    "x215_filtered_ann",  # query-vec/probe-set broadcasts (the x21 shapes)
+    "x216_binary_quant_rescore",  # N_QUERY_VECS-row signature broadcast
 }
 
 
