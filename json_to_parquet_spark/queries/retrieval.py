@@ -610,11 +610,26 @@ def x196_ivf_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     count (cells can be sparse), so the recurrence stays exact.  This
     trades x168's exhaustive-scan margins for probed-candidate margins
     — the standard mined-bitext accuracy/cost trade (Artetxe & Schwenk
-    2019 §3.3 use exactly this FAISS-IVF restriction at scale)."""
+    2019 §3.3 use exactly this FAISS-IVF restriction at scale).
+
+    Cell count: nlist = max(16, ceil(√n)) GROWS with the corpus — the
+    FAISS sizing rule.  A FIXED cell count makes per-cell population ∝
+    n and the cell join quadratic (the r7 sfx1 probe measured 11.6× at
+    10× data before this change); √n cells cap the expected per-source
+    candidate count at probe·√n, i.e. total mining work ~ n^1.5 — the
+    inherent flat-IVF law for full-corpus kNN (sub-quadratic; FAISS
+    accepts the same).  The centroid broadcast is √n-sized; past the
+    point where that broadcast hurts, production swaps in a two-level
+    coarse quantizer (assign to √√n super-cells first), which this
+    composition admits without changing the join shapes."""
+    import math
+
     from .similarity import IVF_N_CENTROIDS, IVF_N_PROBE
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+    n = emb.count()  # bounded scalar (table stats at scale)
+    nlist = max(IVF_N_CENTROIDS, math.ceil(math.sqrt(float(n))))
+    cent = emb.filter(F.col("vec_id") < nlist).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
 
@@ -708,7 +723,8 @@ def _x196_sql() -> str:
           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
           FROM embeddings),
         cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e
-                 WHERE vec_id < {IVF_N_CENTROIDS}),
+                 WHERE vec_id < GREATEST({IVF_N_CENTROIDS},
+                     CAST(CEIL(SQRT((SELECT COUNT(*) FROM e))) AS BIGINT))),
         s AS (SELECT vec_id AS src_id, v FROM e WHERE label = {SRC_LABEL}),
         t AS (SELECT vec_id AS tgt_id, v FROM e WHERE label = {TGT_LABEL}),
         sdist AS (
