@@ -71,6 +71,10 @@ PROBE = [
     "x208_kcenter_coreset",      # K serial corpus passes (the risky shape)
     "x212_stream_quality_gate",  # micro-batch drain vs batch oracle
     "x214_semdedup_capacity",    # capacity-capped ring-cell dedup (r7)
+    # round-8 additions (VERDICT r7 asks #4/#5): sqrt(n)-cell IVF consumers
+    "x21_ivf_ann",               # IVF coarse-quantized ANN (sqrt(n) cells, r8)
+    "x215_filtered_ann",         # predicate inside the IVF candidate scan
+    "x216_binary_quant_rescore", # packed-sign hamming scan + cosine rescore
 ]
 
 
@@ -114,7 +118,7 @@ def build() -> None:
         print(f"built {t}: {n} rows", file=sys.stderr)
 
 
-def run(runs: int) -> None:
+def run(runs: int, only: list[str] | None = None) -> None:
     from json_to_parquet_spark.queries import registry
     from json_to_parquet_spark.session import build_session
 
@@ -124,8 +128,9 @@ def run(runs: int) -> None:
     )
     reg = registry()
     out: dict[str, dict[str, float]] = {}
+    probe = [n for n in PROBE if not only or n in only]
     for sf_name, sf_dir in (("sf0.1", SRC), ("sfx1", DEST)):
-        for name in PROBE:
+        for name in probe:
             best = None
             for _ in range(runs):
                 t0 = time.time()
@@ -144,8 +149,10 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--build", action="store_true")
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--only", type=str, default=None,
+                    help="comma-separated subset of PROBE entries")
     args = ap.parse_args()
     if args.build:
         build()
     else:
-        run(args.runs)
+        run(args.runs, args.only.split(",") if args.only else None)

@@ -411,17 +411,33 @@ def test_x187_hot_frame_guard_in_plan(spark, sf_dir):
 
 
 def test_x214_placement_bounded_broadcast(spark, sf_dir):
-    """x214's only broadcast must be the SEMF_K1 fixed centroid set
-    (the bound pushed to the parquet scan) — never the corpus — and the
-    pair stage must be equi-joins on (cell, sub), never a cartesian
-    (VERDICT r6 ask #4: no corpus-sized broadcast/crossJoin)."""
-    from json_to_parquet_spark.queries.dedup import SEMF_K1, _x214_placement
+    """x214's broadcasts must all be bounded: the K0 = max(4, ⌈n^¼⌉)
+    super-cell routing of the corpus and of the K1 = max(16, ⌈√n⌉)
+    fine centroids (two nested-loop crosses, both bounds pushed to the
+    parquet scan), plus the K1-row cent_sup frame keyed on s_id (a
+    BroadcastHashJoin) — never the corpus — and the pair stage must be
+    equi-joins on (cell, sub), never a cartesian (VERDICT r6 ask #4:
+    no corpus-sized broadcast/crossJoin; r7 ask #1: K1 grows with the
+    corpus, two-level so assignment work stays ~n^1.25)."""
+    from json_to_parquet_spark.queries.dedup import (
+        SEMF_K1_MIN,
+        _semf_k0,
+        _x214_placement,
+    )
 
-    _, placed = _x214_placement(spark, sf_dir)
+    _, placed, k1 = _x214_placement(spark, sf_dir)
+    assert k1 >= SEMF_K1_MIN
+    import duckdb
+
+    (n,) = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()
+    k0 = _semf_k0(n)
     plan = placed._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("BroadcastNestedLoopJoin") == 1  # the centroid cross
+    assert plan.count("BroadcastNestedLoopJoin") == 2  # the two K0 crosses
     assert "CartesianProduct" not in plan
-    assert re.search(rf"LessThan\(vec_id,{SEMF_K1}\)", plan), plan[:800]
+    assert re.search(rf"LessThan\(vec_id,{k1}\)", plan), plan[:800]
+    assert re.search(rf"LessThan\(vec_id,{k0}\)", plan), plan[:800]
 
 
 def test_x214_pair_stage_no_cartesian(spark, sf_dir):
