@@ -312,7 +312,12 @@ def x76_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SQL twin: the x11 exact-top-5 CTEs and the x21 IVF CTEs (similarity.py
 # constants inlined), joined per query.  Constants are imported so a
 # similarity.py retune retunes this oracle too.
-from .similarity import IVF_N_CENTROIDS, IVF_N_PROBE  # noqa: E402
+from .similarity import (  # noqa: E402
+    IVF_N_PROBE,
+    SQL_IVF_NLIST,
+    SQL_TWO_LEVEL_LISTS,
+    ivf_nlist,
+)  # noqa: E402
 
 _X76_SQL = f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -327,19 +332,16 @@ _X76_SQL = f"""
           SELECT q_id, vec_id FROM ex_scored
           QUALIFY row_number() OVER (PARTITION BY q_id
                   ORDER BY cos_sim DESC, vec_id ASC) <= {RECALL_K}),
-        cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e WHERE vec_id < {IVF_N_CENTROIDS}),
-        adist AS (
+        cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e WHERE vec_id < {SQL_IVF_NLIST}),
+        {SQL_TWO_LEVEL_LISTS},
+        qdist AS (
           SELECT e.vec_id, c.c_id,
                  ROUND(sqrt(list_sum(list_transform(
                      list_zip(e.v, c.c_vec),
                      p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS dist
-          FROM e CROSS JOIN cent c),
-        lists AS (
-          SELECT vec_id, c_id AS list_c FROM adist
-          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id) = 1),
+          FROM e CROSS JOIN cent c WHERE e.vec_id < {N_QUERY_VECS}),
         probes AS (
-          SELECT vec_id AS q_id, c_id AS probe_c FROM adist
-          WHERE vec_id < {N_QUERY_VECS}
+          SELECT vec_id AS q_id, c_id AS probe_c FROM qdist
           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id)
                   <= {IVF_N_PROBE}),
         cand AS (
@@ -687,7 +689,7 @@ def x80_ivf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     and separated before you ship it. Centroids broadcast (K rows); one
     vec_id-keyed window over K rows per vector; one centroid-keyed agg."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+    cent = emb.filter(F.col("vec_id") < ivf_nlist(spark, sf_dir)).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
     dist = F.round(
@@ -748,7 +750,7 @@ register(
         x80_ivf_quality,
         f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e WHERE vec_id < {IVF_N_CENTROIDS}),
+        cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e WHERE vec_id < {SQL_IVF_NLIST}),
         adist AS (
           SELECT e.vec_id, c.c_id,
                  ROUND(sqrt(list_sum(list_transform(

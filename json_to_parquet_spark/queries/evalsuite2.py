@@ -50,8 +50,9 @@ from .dedup import (
 from .evalsuite import BATCH_OFFSET, RECALL_K, SKETCH_EVAL_MAX_ID
 from .helpers import SQL_DEC_SUM, dec_sum
 from .similarity import (
-    IVF_N_CENTROIDS,
     IVF_N_PROBE,
+    SQL_IVF_NLIST,
+    SQL_TWO_LEVEL_LISTS,
     N_QUERY_VECS,
     x11_cosine_topk,
     x21_ivf_ann,
@@ -140,19 +141,16 @@ def _x102_sql() -> str:
                       ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rk_e
           FROM ex_scored
           QUALIFY rk_e <= {RECALL_K}),
-        cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e WHERE vec_id < {IVF_N_CENTROIDS}),
-        adist AS (
+        cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e WHERE vec_id < {SQL_IVF_NLIST}),
+        {SQL_TWO_LEVEL_LISTS},
+        qdist AS (
           SELECT e.vec_id, c.c_id,
                  ROUND(sqrt(list_sum(list_transform(
                      list_zip(e.v, c.c_vec),
                      p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS dist
-          FROM e CROSS JOIN cent c),
-        lists AS (
-          SELECT vec_id, c_id AS list_c FROM adist
-          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id) = 1),
+          FROM e CROSS JOIN cent c WHERE e.vec_id < {N_QUERY_VECS}),
         probes AS (
-          SELECT vec_id AS q_id, c_id AS probe_c FROM adist
-          WHERE vec_id < {N_QUERY_VECS}
+          SELECT vec_id AS q_id, c_id AS probe_c FROM qdist
           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id)
                   <= {IVF_N_PROBE}),
         cand AS (

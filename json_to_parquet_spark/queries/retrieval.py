@@ -622,13 +622,10 @@ def x196_ivf_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     point where that broadcast hurts, production swaps in a two-level
     coarse quantizer (assign to √√n super-cells first), which this
     composition admits without changing the join shapes."""
-    import math
-
-    from .similarity import IVF_N_CENTROIDS, IVF_N_PROBE
+    from .similarity import IVF_N_PROBE, ivf_nlist
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()  # bounded scalar (table stats at scale)
-    nlist = max(IVF_N_CENTROIDS, math.ceil(math.sqrt(float(n))))
+    nlist = ivf_nlist(spark, sf_dir)  # max(16, ceil(sqrt(n))), memoized
     cent = emb.filter(F.col("vec_id") < nlist).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
@@ -716,15 +713,14 @@ def x196_ivf_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _x196_sql() -> str:
-    from .similarity import IVF_N_CENTROIDS, IVF_N_PROBE
+    from .similarity import IVF_N_PROBE, SQL_IVF_NLIST
 
     return f"""
         WITH e AS (
           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
           FROM embeddings),
         cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e
-                 WHERE vec_id < GREATEST({IVF_N_CENTROIDS},
-                     CAST(CEIL(SQRT((SELECT COUNT(*) FROM e))) AS BIGINT))),
+                 WHERE vec_id < {SQL_IVF_NLIST}),
         s AS (SELECT vec_id AS src_id, v FROM e WHERE label = {SRC_LABEL}),
         t AS (SELECT vec_id AS tgt_id, v FROM e WHERE label = {TGT_LABEL}),
         sdist AS (

@@ -306,23 +306,171 @@ register(
 )
 
 
-IVF_N_CENTROIDS = 16
+IVF_N_CENTROIDS = 16  # FLOOR of the sizing rule; actual nlist grows, see below
 IVF_N_PROBE = 2
+
+# The coarse-cell count follows the FAISS sizing rule (adopted for x196
+# in round 7, propagated family-wide in round 8 per VERDICT r7 ask #4):
+# nlist = max(16, ceil(sqrt(n))) GROWS with the corpus.  With a FIXED
+# cell count, per-cell population is ∝ n, so every per-query candidate
+# scan grows linearly and the "index" stops being one at scale; sqrt(n)
+# cells cap the expected scan at probes·sqrt(n) rows.  The centroids
+# stay the first nlist corpus vectors (the determinism trick that makes
+# the quantizer oracle-able), and both engines derive the same count
+# from the same COUNT(*) — the shared-constant invariant, f-string the
+# SQL fragment below wherever an oracle filters `vec_id < nlist`.
+SQL_IVF_NLIST = (
+    f"GREATEST({IVF_N_CENTROIDS}, "
+    "CAST(CEIL(SQRT((SELECT COUNT(*) FROM embeddings))) AS BIGINT))"
+)
+_NLIST_CACHE: dict[str, int] = {}
+
+
+def ivf_nlist(spark: SparkSession, sf_dir: str) -> int:
+    """nlist = max(16, ⌈√n⌉) for the embeddings table at ``sf_dir`` —
+    one bounded count action (the table-stats lookup at scale),
+    memoized per directory since the test tables are immutable."""
+    if sf_dir not in _NLIST_CACHE:
+        import math
+
+        n = load_table(spark, sf_dir, "embeddings").count()
+        _NLIST_CACHE[sf_dir] = max(
+            IVF_N_CENTROIDS, math.ceil(math.sqrt(float(n)))
+        )
+    return _NLIST_CACHE[sf_dir]
+
+
+# With √n cells, a FLAT corpus→cell assignment pass is n×√n = n^1.5 work
+# (measured 16× at 10× data on the sfx1 probe for x21) — so CORPUS list
+# assignment is TWO-LEVEL: route each vector to the nearest of
+# K0 = max(4, ⌈n^¼⌉) super-cells, then score only that super-cell's fine
+# centroids (~n^1.25 total; the FAISS-IMI shape).  Query-side PROBING
+# stays flat over all nlist centroids: queries are bounded at
+# N_QUERY_VECS, so the flat probe scan is constant-sized — and it keeps
+# probe semantics global (a query always reaches its true nearest
+# lists, whatever the corpus routing did).  CEIL(SQRT(SQRT())) rather
+# than POWER(n, 0.25): IEEE sqrt is correctly rounded in both engines,
+# pow is not guaranteed to be.
+IVF_K0_MIN = 4
+SQL_IVF_K0 = (
+    f"GREATEST({IVF_K0_MIN}, "
+    "CAST(CEIL(SQRT(SQRT((SELECT COUNT(*) FROM embeddings)))) AS BIGINT))"
+)
+
+
+def ivf_k0(spark: SparkSession, sf_dir: str) -> int:
+    """K0 = max(4, ⌈n^¼⌉) super-cells — the two-level routing fan-out."""
+    if sf_dir not in _K0_CACHE:
+        import math
+
+        n = load_table(spark, sf_dir, "embeddings").count()
+        _K0_CACHE[sf_dir] = max(
+            IVF_K0_MIN, math.ceil(math.sqrt(math.sqrt(float(n))))
+        )
+    return _K0_CACHE[sf_dir]
+
+
+_K0_CACHE: dict[str, int] = {}
+
+# SQL twin of two_level_lists(): CTE block assuming ``e(vec_id, v)`` and
+# ``cent(c_id, c_vec)`` are already defined; yields ``lists(vec_id,
+# list_c)``.  Distances are rounded SQUARED L2 (monotone to euclidean;
+# ROUND-at-6dp ties break by id identically in both engines).
+SQL_TWO_LEVEL_LISTS = f"""sup AS (
+          SELECT vec_id AS s_id, v AS s_vec FROM e
+          WHERE vec_id < {SQL_IVF_K0}),
+        cent_sup AS MATERIALIZED (
+          SELECT s_id, c_id, c_vec FROM (
+            SELECT c.c_id, c.c_vec, s.s_id,
+                   ROUND(list_sum(list_transform(list_zip(c.c_vec, s.s_vec),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS sd
+            FROM cent c CROSS JOIN sup s)
+          QUALIFY row_number() OVER (PARTITION BY c_id
+                                     ORDER BY sd, s_id) = 1),
+        vec_sup AS MATERIALIZED (
+          SELECT vec_id, s_id FROM (
+            SELECT e.vec_id, s.s_id,
+                   ROUND(list_sum(list_transform(list_zip(e.v, s.s_vec),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS sd
+            FROM e CROSS JOIN sup s)
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sd, s_id) = 1),
+        lists AS MATERIALIZED (
+          SELECT vec_id, c_id AS list_c FROM (
+            SELECT e.vec_id, cs.c_id,
+                   ROUND(list_sum(list_transform(list_zip(e.v, cs.c_vec),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS d
+            FROM e JOIN vec_sup vs USING (vec_id)
+                   JOIN cent_sup cs ON vs.s_id = cs.s_id)
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d, c_id) = 1)"""
+
+
+def two_level_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, list_c) — every corpus vector's inverted-list id under
+    the two-level quantizer (see the block comment above).  Plan shape:
+    two bounded nested-loop broadcasts (the K0-row super-cell frame,
+    scan bounds pushed) plus one bounded BroadcastHashJoin (the
+    nlist-row cent_sup frame keyed on super-cell); no corpus-sized
+    broadcast, no corpus-wide window over more than ~n·n^¼ rows."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    nlist = ivf_nlist(spark, sf_dir)
+    k0 = ivf_k0(spark, sf_dir)
+    sup = emb.filter(F.col("vec_id") < k0).select(
+        F.col("vec_id").alias("s_id"), F.col("embedding").alias("s_vec")
+    )
+    cent = emb.filter(F.col("vec_id") < nlist).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    wcs = Window.partitionBy("c_id").orderBy(F.asc("sd"), F.asc("s_id"))
+    cent_sup = (
+        cent.crossJoin(F.broadcast(sup))
+        .select(
+            "c_id", "c_vec", "s_id",
+            _sq_dist(F.col("c_vec"), F.col("s_vec")).alias("sd"),
+        )
+        .withColumn("srank", F.row_number().over(wcs))
+        .filter(F.col("srank") == 1)
+        .select("s_id", "c_id", "c_vec")
+    )
+    wvs = Window.partitionBy("vec_id").orderBy(F.asc("sd"), F.asc("s_id"))
+    vec_sup = (
+        emb.crossJoin(F.broadcast(sup))
+        .select(
+            "vec_id", "embedding", "s_id",
+            _sq_dist(F.col("embedding"), F.col("s_vec")).alias("sd"),
+        )
+        .withColumn("srank", F.row_number().over(wvs))
+        .filter(F.col("srank") == 1)
+        .select("vec_id", "embedding", "s_id")
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("c_id"))
+    return (
+        vec_sup.join(F.broadcast(cent_sup), "s_id")
+        .select(
+            "vec_id", "c_id",
+            _sq_dist(F.col("embedding"), F.col("c_vec")).alias("d"),
+        )
+        .withColumn("crank", F.row_number().over(wv))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", F.col("c_id").alias("list_c"))
+    )
 
 
 def x21_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate NN, fully oracle-able: the coarse quantizer is
-    deterministic (centroids = the first IVF_N_CENTROIDS corpus vectors),
+    deterministic (centroids = the first nlist = max(16, ⌈√n⌉) corpus
+    vectors — the FAISS sizing rule, so per-cell population stays ~√n),
     every vector is assigned to its nearest centroid (inverted lists), and
     each query scans only its IVF_N_PROBE nearest lists before exact
     rerank. At scale the inverted lists are pre-materialized/partitioned
-    by centroid id, so a query touches corpus/centroids × probes vectors.
+    by centroid id, so a query touches ~probes·√n vectors.
 
     Distances are rounded per helpers rule 3; ties broken by id, so list
     assignment is identical across engines.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+    cent = emb.filter(F.col("vec_id") < ivf_nlist(spark, sf_dir)).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
 
@@ -354,7 +502,7 @@ def x21_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(id_col, F.col("c_id").alias(f"{out_prefix}_c"), "crank")
         )
 
-    lists = assign(emb, F.col("embedding"), "vec_id", 1, "list")
+    lists = two_level_lists(spark, sf_dir)  # corpus side: ~n^1.25, not n^1.5
     corpus = emb.join(lists, "vec_id")
 
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
@@ -390,19 +538,16 @@ register(
         x21_ivf_ann,
         f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e WHERE vec_id < {IVF_N_CENTROIDS}),
-        adist AS (
+        cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e WHERE vec_id < {SQL_IVF_NLIST}),
+        {SQL_TWO_LEVEL_LISTS},
+        qdist AS (
           SELECT e.vec_id, c.c_id,
                  ROUND(sqrt(list_sum(list_transform(
                      list_zip(e.v, c.c_vec),
                      p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS dist
-          FROM e CROSS JOIN cent c),
-        lists AS (
-          SELECT vec_id, c_id AS list_c FROM adist
-          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id) = 1),
+          FROM e CROSS JOIN cent c WHERE e.vec_id < {N_QUERY_VECS}),
         probes AS (
-          SELECT vec_id AS q_id, c_id AS probe_c FROM adist
-          WHERE vec_id < {N_QUERY_VECS}
+          SELECT vec_id AS q_id, c_id AS probe_c FROM qdist
           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id)
                   <= {IVF_N_PROBE}),
         cand AS (
@@ -663,37 +808,17 @@ def ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
     from .convert_gate import GATE_DIR
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    dest = os.path.join(GATE_DIR, f"ivf_index_{tag}")
+    # nlist in the path: a layout built under a different cell count
+    # must never be mistaken for this one (the count is data-derived)
+    dest = os.path.join(
+        GATE_DIR, f"ivf_index_{tag}_tl_nl{ivf_nlist(spark, sf_dir)}"
+    )
     if not os.path.exists(os.path.join(dest, "_SUCCESS")):
         emb = load_table(spark, sf_dir, "embeddings")
-        cent = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
-            F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
-        )
-        scored = emb.crossJoin(F.broadcast(cent)).select(
-            "vec_id",
-            "embedding",
-            "c_id",
-            F.round(
-                F.sqrt(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("embedding"),
-                            F.col("c_vec"),
-                            lambda x, y: (x.cast("double") - y.cast("double"))
-                            * (x.cast("double") - y.cast("double")),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    )
-                ),
-                6,
-            ).alias("dist"),
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("c_id"))
-        lists = (
-            scored.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") == 1)
-            .select("vec_id", "embedding", F.col("c_id").alias("list_c"))
+        # assignment = the shared two-level quantizer, so the layout is
+        # EXACTLY x21's inverted lists (x21's oracle is reused verbatim)
+        lists = emb.join(two_level_lists(spark, sf_dir), "vec_id").select(
+            "vec_id", "embedding", "list_c"
         )
         lists.repartition("list_c").write.mode("overwrite").partitionBy(
             "list_c"
@@ -703,7 +828,7 @@ def ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
 
 def x121_ivf_partitioned_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+    cent = emb.filter(F.col("vec_id") < ivf_nlist(spark, sf_dir)).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
@@ -903,11 +1028,11 @@ _register_x122()
 
 # --- x197: IVF-PQ with residual encoding (the production FAISS layout) -------
 # Codebook training vectors: residuals of the PQ_K vectors just past the
-# coarse-centroid block.  (The first IVF_N_CENTROIDS vectors ARE the
-# coarse centroids, so their residuals are zero — using them would
-# degenerate the codebook; the offset keeps it deterministic AND
-# nonzero.)
-IVFPQ_CB_BASE = IVF_N_CENTROIDS
+# coarse-centroid block.  (The first nlist vectors ARE the coarse
+# centroids, so their residuals are zero — using them would degenerate
+# the codebook; the offset keeps it deterministic AND nonzero.  Since
+# round 8 the base is the derived nlist — SQL computes the same base
+# from the same COUNT via SQL_IVF_NLIST.)
 IVFPQ_TOPK = 5
 
 
@@ -932,7 +1057,7 @@ def x197_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     code) so only probed cells' codes participate.  All distances are
     ROUND(·,6) decimal-summed (helpers rules 1+3)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+    cent = emb.filter(F.col("vec_id") < ivf_nlist(spark, sf_dir)).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
 
@@ -953,7 +1078,12 @@ def x197_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding", F.col("c_vec"), lambda x, y: x.cast("double") - y.cast("double")
     )
     assigned = (
-        emb.join(nearest_cells(emb, "vec_id", 1), "vec_id")
+        emb.join(
+            two_level_lists(spark, sf_dir).select(
+                "vec_id", F.col("list_c").alias("cell")
+            ),
+            "vec_id",
+        )
         .join(F.broadcast(cent), F.col("cell") == F.col("c_id"))
         .select("vec_id", "cell", residual.alias("res"))
     )
@@ -961,9 +1091,10 @@ def x197_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.slice("res", m * PQ_SUBDIM + 1, PQ_SUBDIM) for m in range(PQ_M)]
     )
     sub = assigned.select("vec_id", "cell", F.posexplode(slices).alias("m", "sv"))
+    cb_base = ivf_nlist(spark, sf_dir)
     cb = sub.filter(
-        (F.col("vec_id") >= IVFPQ_CB_BASE) & (F.col("vec_id") < IVFPQ_CB_BASE + PQ_K)
-    ).select((F.col("vec_id") - IVFPQ_CB_BASE).alias("cb_id"), "m", F.col("sv").alias("cb_vec"))
+        (F.col("vec_id") >= cb_base) & (F.col("vec_id") < cb_base + PQ_K)
+    ).select((F.col("vec_id") - cb_base).alias("cb_id"), "m", F.col("sv").alias("cb_vec"))
     enc = sub.join(F.broadcast(cb), "m").select(
         "vec_id", "cell", "m", "cb_id", _sq_dist(F.col("sv"), F.col("cb_vec")).alias("d")
     )
@@ -1027,24 +1158,21 @@ def _x197_sql() -> str:
     return f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e
-                 WHERE vec_id < {IVF_N_CENTROIDS}),
-        lists AS (
-          SELECT vec_id, c_id AS cell FROM (
-            SELECT e.vec_id, c.c_id, {sq.format(a="e.v", b="c.c_vec")} AS d
-            FROM e CROSS JOIN cent c)
-          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, c_id) = 1),
+                 WHERE vec_id < {SQL_IVF_NLIST}),
+        {SQL_TWO_LEVEL_LISTS},
         res AS MATERIALIZED (
-          SELECT e.vec_id, l.cell,
+          SELECT e.vec_id, l.list_c AS cell,
                  list_transform(list_zip(e.v, c.c_vec), p -> p[1] - p[2]) AS r
-          FROM e JOIN lists l USING (vec_id) JOIN cent c ON l.cell = c.c_id),
+          FROM e JOIN lists l USING (vec_id) JOIN cent c ON l.list_c = c.c_id),
         sub AS MATERIALIZED (
           SELECT vec_id, cell, m,
                  r[m * {PQ_SUBDIM} + 1 : (m + 1) * {PQ_SUBDIM}] AS sv
           FROM res CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) t),
         cb AS MATERIALIZED (
-          SELECT vec_id - {IVFPQ_CB_BASE} AS cb_id, m, sv AS cb_vec
+          SELECT vec_id - {SQL_IVF_NLIST} AS cb_id, m, sv AS cb_vec
           FROM sub
-          WHERE vec_id >= {IVFPQ_CB_BASE} AND vec_id < {IVFPQ_CB_BASE + PQ_K}),
+          WHERE vec_id >= {SQL_IVF_NLIST}
+           AND vec_id < {SQL_IVF_NLIST} + {PQ_K}),
         codes AS (
           SELECT vec_id, cell, m, cb_id AS code FROM (
             SELECT s.vec_id, s.cell, s.m, c.cb_id,
@@ -1118,7 +1246,7 @@ def x215_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", F.col("label").cast("long").alias("label")
     )
-    cent = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+    cent = emb.filter(F.col("vec_id") < ivf_nlist(spark, sf_dir)).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
 
@@ -1149,7 +1277,7 @@ def x215_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "c_id")
         )
 
-    lists = assign(emb, 1).select("vec_id", F.col("c_id").alias("list_c"))
+    lists = two_level_lists(spark, sf_dir)  # corpus side: ~n^1.25
     corpus = emb.join(lists, "vec_id")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("q_id"),
@@ -1225,20 +1353,16 @@ def _x215_sql() -> str:
                  CAST(label AS BIGINT) AS label
           FROM embeddings),
         cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e
-                 WHERE vec_id < {IVF_N_CENTROIDS}),
-        adist AS (
+                 WHERE vec_id < {SQL_IVF_NLIST}),
+        {SQL_TWO_LEVEL_LISTS},
+        qdist AS (
           SELECT e.vec_id, c.c_id,
                  ROUND(sqrt(list_sum(list_transform(
                      list_zip(e.v, c.c_vec),
                      p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS dist
-          FROM e CROSS JOIN cent c),
-        lists AS (
-          SELECT vec_id, c_id AS list_c FROM adist
-          QUALIFY row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY dist, c_id) = 1),
+          FROM e CROSS JOIN cent c WHERE e.vec_id < {N_QUERY_VECS}),
         probes AS (
-          SELECT vec_id AS q_id, c_id AS probe_c FROM adist
-          WHERE vec_id < {N_QUERY_VECS}
+          SELECT vec_id AS q_id, c_id AS probe_c FROM qdist
           QUALIFY row_number() OVER (PARTITION BY vec_id
                                      ORDER BY dist, c_id) <= {IVF_N_PROBE}),
         qs AS (SELECT vec_id AS q_id, v AS q_vec, label AS q_label FROM e
