@@ -130,6 +130,13 @@ HEADLINE = [
     # round-7 addition (VERDICT r6 ask #4): the production-shape
     # full-corpus SemDeDup — capacity-capped ring sub-cells
     "x214_semdedup_capacity",
+    # round-8 additions (VERDICT r7 asks #4/#5/#6): the filtered-ANN and
+    # binary-quantization retrieval shapes (previously un-benched), the
+    # two-level quantizer routing audit, and the selectivity sweep
+    "x215_filtered_ann",
+    "x216_binary_quant_rescore",
+    "x217_two_level_router",
+    "x218_filtered_ann_sweep",
 ]
 
 CONVERT_RECORDS = 100_000

@@ -406,13 +406,10 @@ SQL_TWO_LEVEL_LISTS = f"""sup AS (
                                      ORDER BY d, c_id) = 1)"""
 
 
-def two_level_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, list_c) — every corpus vector's inverted-list id under
-    the two-level quantizer (see the block comment above).  Plan shape:
-    two bounded nested-loop broadcasts (the K0-row super-cell frame,
-    scan bounds pushed) plus one bounded BroadcastHashJoin (the
-    nlist-row cent_sup frame keyed on super-cell); no corpus-sized
-    broadcast, no corpus-wide window over more than ~n·n^¼ rows."""
+def two_level_cent_sup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s_id, c_id, c_vec) — each of the nlist fine centroids routed to
+    its nearest of the K0 super-cells (nlist×K0 scoring: bounded both
+    sides, a tiny broadcast subtree)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     nlist = ivf_nlist(spark, sf_dir)
     k0 = ivf_k0(spark, sf_dir)
@@ -423,7 +420,7 @@ def two_level_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
     wcs = Window.partitionBy("c_id").orderBy(F.asc("sd"), F.asc("s_id"))
-    cent_sup = (
+    return (
         cent.crossJoin(F.broadcast(sup))
         .select(
             "c_id", "c_vec", "s_id",
@@ -433,6 +430,21 @@ def two_level_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("srank") == 1)
         .select("s_id", "c_id", "c_vec")
     )
+
+
+def two_level_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, list_c) — every corpus vector's inverted-list id under
+    the two-level quantizer (see the block comment above).  Plan shape:
+    two bounded nested-loop broadcasts (the K0-row super-cell frame,
+    scan bounds pushed) plus one bounded BroadcastHashJoin (the
+    nlist-row cent_sup frame keyed on super-cell); no corpus-sized
+    broadcast, no corpus-wide window over more than ~n·n^¼ rows."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    k0 = ivf_k0(spark, sf_dir)
+    sup = emb.filter(F.col("vec_id") < k0).select(
+        F.col("vec_id").alias("s_id"), F.col("embedding").alias("s_vec")
+    )
+    cent_sup = two_level_cent_sup(spark, sf_dir)
     wvs = Window.partitionBy("vec_id").orderBy(F.asc("sd"), F.asc("s_id"))
     vec_sup = (
         emb.crossJoin(F.broadcast(sup))
@@ -1562,5 +1574,329 @@ register(
         x216_binary_quant_rescore,
         _x216_sql(),
         "1-bit binary quantization: hamming candidate scan + exact cosine rescore",
+    )
+)
+
+
+# --- x217: two-level quantizer routing health ---------------------------------
+def x217_two_level_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Health audit of the two-level coarse quantizer the whole IVF
+    family now routes through (the "beyond-√n path" promised by x196's
+    docstring, VERDICT r7 ask #6): per super-cell — how many of the
+    nlist = max(16, ⌈√n⌉) fine cells were routed to it, how many corpus
+    vectors landed in it, and the largest/smallest fine-cell population
+    inside it.  This is the x80-class pre-ship check for the TWO-LEVEL
+    layout: a super-cell hoarding most fine cells (or a fine cell
+    hoarding most vectors) means the routing is skewed and the n^1.25
+    assignment bound degrades toward n^1.5.
+
+    Scale shapes: composes two_level_cent_sup (nlist×K0, bounded) and
+    two_level_lists (the family's shared ~n^1.25 assignment); the
+    rollups are key-shuffle aggs over narrow (id, id) rows.  Both
+    broadcast levels stay bounded — asserted by tests/test_plans.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    k0 = ivf_k0(spark, sf_dir)
+    routing = two_level_cent_sup(spark, sf_dir).select("s_id", "c_id")
+    pops = (
+        two_level_lists(spark, sf_dir)
+        .groupBy("list_c")
+        .agg(F.count(F.lit(1)).alias("pop"))
+    )
+    per_cell = routing.join(
+        pops, routing.c_id == pops.list_c, "left"
+    ).select("s_id", "c_id", F.coalesce("pop", F.lit(0)).alias("pop"))
+    per_sup = per_cell.groupBy("s_id").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("pop").alias("n_vecs"),
+        F.max("pop").alias("max_cell_pop"),
+        F.min("pop").alias("min_cell_pop"),
+    )
+    return (
+        emb.filter(F.col("vec_id") < k0)
+        .select(F.col("vec_id").alias("s_id"))
+        .join(per_sup, "s_id", "left")
+        .select(
+            F.col("s_id").cast("long").alias("s_id"),
+            F.coalesce("n_cells", F.lit(0)).cast("long").alias("n_cells"),
+            F.coalesce("n_vecs", F.lit(0)).cast("long").alias("n_vecs"),
+            F.coalesce("max_cell_pop", F.lit(0)).cast("long").alias("max_cell_pop"),
+            F.coalesce("min_cell_pop", F.lit(0)).cast("long").alias("min_cell_pop"),
+        )
+        .orderBy("s_id")
+    )
+
+
+def _x217_sql() -> str:
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e
+                 WHERE vec_id < {SQL_IVF_NLIST}),
+        {SQL_TWO_LEVEL_LISTS},
+        pops AS (SELECT list_c, COUNT(*) AS pop FROM lists GROUP BY list_c),
+        per_cell AS (
+          SELECT cs.s_id, cs.c_id, COALESCE(p.pop, 0) AS pop
+          FROM cent_sup cs LEFT JOIN pops p ON cs.c_id = p.list_c),
+        per_sup AS (
+          SELECT s_id, COUNT(*) AS n_cells, SUM(pop) AS n_vecs,
+                 MAX(pop) AS max_cell_pop, MIN(pop) AS min_cell_pop
+          FROM per_cell GROUP BY s_id)
+        SELECT CAST(s.vec_id AS BIGINT) AS s_id,
+               CAST(COALESCE(p.n_cells, 0) AS BIGINT) AS n_cells,
+               CAST(COALESCE(p.n_vecs, 0) AS BIGINT) AS n_vecs,
+               CAST(COALESCE(p.max_cell_pop, 0) AS BIGINT) AS max_cell_pop,
+               CAST(COALESCE(p.min_cell_pop, 0) AS BIGINT) AS min_cell_pop
+        FROM e s LEFT JOIN per_sup p ON s.vec_id = p.s_id
+        WHERE s.vec_id < {SQL_IVF_K0}
+        ORDER BY s_id
+        """
+
+
+register(
+    QuerySpec(
+        "x217_two_level_router",
+        x217_two_level_router,
+        _x217_sql(),
+        "two-level quantizer routing health: per-super-cell fan-out and populations",
+    )
+)
+
+
+# --- x218: filtered-ANN selectivity sweep --------------------------------------
+# The x104 band-sweep pattern applied to x215: pre-filtering's value only
+# shows when the predicate is selective, so measure recall@k and candidate
+# volume at three selectivities — 'all' (no predicate, selectivity 1.0),
+# 'half' (label parity match, ~0.5), 'tenth' (label equality, ~0.1 on the
+# 10-label corpus).  One row per (selectivity, query).
+SEL_LEVELS = ("all", "half", "tenth")
+
+
+def x218_filtered_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x215's pre-filtered candidate scan swept across predicate
+    selectivities: per (sel, q_id) — surviving candidate count, hits
+    against the EXACT filtered top-k, recall@k.  The sweep is the
+    quality evidence for the pre-filtering design choice: at sel=1.0 it
+    must match plain x21-style ANN; as the filter tightens, the
+    candidate pool shrinks but recall holds because the predicate is
+    applied INSIDE the probed lists, not to the final top-k.
+
+    Scale shapes: the probed-candidate base and the exact-truth base
+    are each built ONCE (bounded: probes·√n and n×N_QUERY_VECS rows)
+    and fanned across the three selectivity levels as a filter on
+    narrow columns — no per-level rescan of the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.col("label").cast("long").alias("label")
+    )
+    cent = emb.filter(F.col("vec_id") < ivf_nlist(spark, sf_dir)).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    qdist = queries.crossJoin(F.broadcast(cent)).select(
+        "q_id",
+        "c_id",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("q_vec"),
+                        F.col("c_vec"),
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ),
+            6,
+        ).alias("dist"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("c_id"))
+    probes = (
+        qdist.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= IVF_N_PROBE)
+        .select("q_id", F.col("c_id").alias("probe_c"))
+    )
+    lists = two_level_lists(spark, sf_dir)
+    corpus = emb.join(lists, "vec_id")
+    cbase = (
+        corpus.join(F.broadcast(probes), corpus.list_c == probes.probe_c)
+        .join(F.broadcast(queries), "q_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            "q_label",
+            cosine(F.col("q_vec"), F.col("embedding")).alias("cos_sim"),
+        )
+        # narrow scalars only (ids, labels, one rounded double): pay the
+        # probe scan once, fan the three selectivity filters over it
+        .localCheckpoint()
+    )
+    ebase = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            "q_label",
+            cosine(F.col("q_vec"), F.col("embedding")).alias("cos_sim"),
+        )
+        .localCheckpoint()  # same: one exact-truth pass, three filters
+    )
+
+    def _sel_pred(sel: str):
+        if sel == "all":
+            return F.lit(True)
+        if sel == "half":
+            return (F.col("label") % 2) == (F.col("q_label") % 2)
+        return F.col("label") == F.col("q_label")
+
+    def _fan(base: DataFrame) -> DataFrame:
+        parts = [
+            base.filter(_sel_pred(sel)).select(
+                F.lit(sel).alias("sel"), "q_id", "vec_id", "cos_sim"
+            )
+            for sel in SEL_LEVELS
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
+
+    wsq = Window.partitionBy("sel", "q_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    cscored = _fan(cbase)
+    approx = (
+        cscored.withColumn("rk", F.row_number().over(wsq))
+        .filter(F.col("rk") <= FANN_TOPK)
+        .select("sel", "q_id", "vec_id")
+    )
+    exact = (
+        _fan(ebase)
+        .withColumn("rk", F.row_number().over(wsq))
+        .filter(F.col("rk") <= FANN_TOPK)
+        .select("sel", "q_id", "vec_id")
+    )
+    n_cand = cscored.groupBy("sel", "q_id").agg(
+        F.count(F.lit(1)).alias("n_cand")
+    )
+    hits = (
+        approx.join(exact, ["sel", "q_id", "vec_id"])
+        .groupBy("sel", "q_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    sels = spark.createDataFrame(
+        [(s,) for s in SEL_LEVELS], "sel string"
+    )
+    return (
+        queries.select("q_id")
+        .crossJoin(sels)
+        .join(n_cand, ["sel", "q_id"], "left")
+        .join(hits, ["sel", "q_id"], "left")
+        .select(
+            "sel",
+            "q_id",
+            F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_cand"),
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.round(
+                F.coalesce("hits", F.lit(0)).cast("double")
+                / F.lit(float(FANN_TOPK)),
+                6,
+            ).alias("recall_at_k"),
+        )
+        .orderBy("sel", "q_id")
+    )
+
+
+def _x218_sql() -> str:
+    sel_case = (
+        "CASE s.sel WHEN 'all' THEN TRUE "
+        "WHEN 'half' THEN b.label % 2 = b.q_label % 2 "
+        "ELSE b.label = b.q_label END"
+    )
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 CAST(label AS BIGINT) AS label
+          FROM embeddings),
+        cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e
+                 WHERE vec_id < {SQL_IVF_NLIST}),
+        {SQL_TWO_LEVEL_LISTS},
+        qdist AS (
+          SELECT e.vec_id, c.c_id,
+                 ROUND(sqrt(list_sum(list_transform(
+                     list_zip(e.v, c.c_vec),
+                     p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS dist
+          FROM e CROSS JOIN cent c WHERE e.vec_id < {N_QUERY_VECS}),
+        probes AS (
+          SELECT vec_id AS q_id, c_id AS probe_c FROM qdist
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, c_id) <= {IVF_N_PROBE}),
+        qs AS (SELECT vec_id AS q_id, v AS q_vec, label AS q_label FROM e
+               WHERE vec_id < {N_QUERY_VECS}),
+        sels AS (SELECT unnest(['all', 'half', 'tenth']) AS sel),
+        cbase AS MATERIALIZED (
+          SELECT p.q_id, e.vec_id, e.label, q.q_label,
+                 ROUND(list_dot_product(q.q_vec, e.v)
+                       / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                          * sqrt(list_dot_product(e.v, e.v))), 6) AS cos_sim
+          FROM e
+          JOIN lists l ON e.vec_id = l.vec_id
+          JOIN probes p ON l.list_c = p.probe_c
+          JOIN qs q ON p.q_id = q.q_id
+          WHERE e.vec_id != p.q_id),
+        ebase AS MATERIALIZED (
+          SELECT q.q_id, e.vec_id, e.label, q.q_label,
+                 ROUND(list_dot_product(q.q_vec, e.v)
+                       / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                          * sqrt(list_dot_product(e.v, e.v))), 6) AS cos_sim
+          FROM e CROSS JOIN qs q
+          WHERE e.vec_id != q.q_id),
+        cscored AS MATERIALIZED (
+          SELECT s.sel, b.q_id, b.vec_id, b.cos_sim
+          FROM cbase b CROSS JOIN sels s WHERE {sel_case}),
+        escored AS (
+          SELECT s.sel, b.q_id, b.vec_id, b.cos_sim
+          FROM ebase b CROSS JOIN sels s WHERE {sel_case}),
+        approx AS (
+          SELECT sel, q_id, vec_id FROM cscored
+          QUALIFY row_number() OVER (PARTITION BY sel, q_id
+              ORDER BY cos_sim DESC, vec_id ASC) <= {FANN_TOPK}),
+        exact AS (
+          SELECT sel, q_id, vec_id FROM escored
+          QUALIFY row_number() OVER (PARTITION BY sel, q_id
+              ORDER BY cos_sim DESC, vec_id ASC) <= {FANN_TOPK}),
+        ncand AS (SELECT sel, q_id, COUNT(*) AS n_cand
+                  FROM cscored GROUP BY sel, q_id),
+        hits AS (
+          SELECT a.sel, a.q_id, COUNT(*) AS hits
+          FROM approx a JOIN exact x
+            ON a.sel = x.sel AND a.q_id = x.q_id AND a.vec_id = x.vec_id
+          GROUP BY a.sel, a.q_id)
+        SELECT s.sel, q.q_id,
+               CAST(COALESCE(n.n_cand, 0) AS BIGINT) AS n_cand,
+               CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+               ROUND(CAST(COALESCE(h.hits, 0) AS DOUBLE) / {FANN_TOPK},
+                     6) AS recall_at_k
+        FROM qs q CROSS JOIN sels s
+        LEFT JOIN ncand n ON s.sel = n.sel AND q.q_id = n.q_id
+        LEFT JOIN hits h ON s.sel = h.sel AND q.q_id = h.q_id
+        ORDER BY s.sel, q.q_id
+        """
+
+
+register(
+    QuerySpec(
+        "x218_filtered_ann_sweep",
+        x218_filtered_ann_sweep,
+        _x218_sql(),
+        "filtered-ANN recall/candidate sweep across three predicate selectivities",
     )
 )

@@ -75,6 +75,8 @@ PROBE = [
     "x21_ivf_ann",               # IVF coarse-quantized ANN (sqrt(n) cells, r8)
     "x215_filtered_ann",         # predicate inside the IVF candidate scan
     "x216_binary_quant_rescore", # packed-sign hamming scan + cosine rescore
+    "x217_two_level_router",     # two-level routing rollup (~n^1.25)
+    "x218_filtered_ann_sweep",   # 3-selectivity fan over the probed base
 ]
 
 

@@ -190,6 +190,8 @@ _BNLJ_ALLOWED = {
     "x213_temperature_fit",  # 1-row total-count frame broadcast
     "x215_filtered_ann",  # query-vec/probe-set broadcasts (the x21 shapes)
     "x216_binary_quant_rescore",  # N_QUERY_VECS-row signature broadcast
+    "x217_two_level_router",  # K0/nlist-row frames (the two-level quantizer)
+    "x218_filtered_ann_sweep",  # sel-spine/query-vec broadcasts (x215 shapes)
 }
 
 
@@ -447,3 +449,28 @@ def test_x214_pair_stage_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x214_semdedup_capacity")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_x217_bounded_broadcasts_both_levels(spark, sf_dir):
+    """The two-level quantizer composition (VERDICT r7 ask #6): every
+    nested-loop broadcast must build a bounded side — the K0 = max(4,
+    ⌈n^¼⌉) super-cell frame (scan bound pushed) at level 0 and the
+    nlist = max(16, ⌈√n⌉) centroid frame at level 1 (a hash join keyed
+    on s_id, never a nested loop) — and no cartesian anywhere."""
+    import math
+
+    import duckdb
+
+    from json_to_parquet_spark.queries.similarity import ivf_k0
+
+    (n,) = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()
+    k0 = ivf_k0(spark, sf_dir)
+    assert k0 == max(4, math.ceil(math.sqrt(math.sqrt(float(n)))))
+    plan = _plan(spark, sf_dir, "x217_two_level_router")
+    # exactly the three bounded K0 crosses (routing + the two inside
+    # two_level_lists' super-cell assignment), nothing corpus-sized
+    assert plan.count("BroadcastNestedLoopJoin") == 3
+    assert "CartesianProduct" not in plan
+    assert re.search(rf"LessThan\(vec_id,{k0}\)", plan), plan[:800]

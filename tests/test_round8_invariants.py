@@ -1,0 +1,66 @@
+"""Semantic invariants for the round-8 additions (beyond oracle parity).
+
+VERDICT r7 asked for the √n cell-count rule family-wide (ask #4), a
+registered two-level quantizer composition (ask #6), and a selectivity
+sweep for the filtered-ANN shape (ask #5); these tests pin the
+structural facts the oracles can't express — conservation laws of the
+two-level routing and the nestedness of the selectivity levels.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from json_to_parquet_spark.queries import registry
+
+
+def test_x217_routing_conservation(spark, sf_dir):
+    """Every fine cell is routed to exactly one super-cell and every
+    corpus vector lands in exactly one fine cell: sum(n_cells) == nlist
+    and sum(n_vecs) == n over the per-super rollup."""
+    from json_to_parquet_spark.queries.similarity import ivf_k0, ivf_nlist
+
+    rows = registry()["x217_two_level_router"].spark(spark, sf_dir).collect()
+    (n,) = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()
+    assert len(rows) == ivf_k0(spark, sf_dir)
+    assert sum(r.n_cells for r in rows) == ivf_nlist(spark, sf_dir)
+    assert sum(r.n_vecs for r in rows) == n
+    for r in rows:
+        assert 0 <= r.min_cell_pop <= r.max_cell_pop <= r.n_vecs
+
+
+def test_x218_selectivity_levels_are_nested(spark, sf_dir):
+    """'tenth' (label equality) implies 'half' (label parity) implies
+    'all', so per query the candidate pool must shrink monotonically as
+    the predicate tightens, and hits never exceed the top-k."""
+    from json_to_parquet_spark.queries.similarity import FANN_TOPK, SEL_LEVELS
+
+    rows = registry()["x218_filtered_ann_sweep"].spark(spark, sf_dir).collect()
+    assert {r.sel for r in rows} == set(SEL_LEVELS)
+    by_q: dict[int, dict[str, int]] = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, {})[r.sel] = r.n_cand
+        assert 0 <= r.hits <= FANN_TOPK
+        assert abs(r.recall_at_k - r.hits / FANN_TOPK) < 1e-9
+    for q_id, cands in by_q.items():
+        assert cands["tenth"] <= cands["half"] <= cands["all"], (q_id, cands)
+
+
+def test_two_level_lists_cover_corpus_once(spark, sf_dir):
+    """The shared two-level assignment is a partition of the corpus:
+    one list id per vector, list ids drawn from the first-nlist block."""
+    from json_to_parquet_spark.queries.similarity import (
+        ivf_nlist,
+        two_level_lists,
+    )
+
+    rows = two_level_lists(spark, sf_dir).collect()
+    (n,) = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()
+    assert len(rows) == n
+    assert len({r.vec_id for r in rows}) == n
+    nlist = ivf_nlist(spark, sf_dir)
+    assert all(0 <= r.list_c < nlist for r in rows)
