@@ -223,14 +223,41 @@ def _x103_gram_partials(batches):
     the expression path (asserted by tests/test_round7_invariants.py),
     so the DuckDB oracle is untouched.
 
-    Rounding: numpy's copysign(floor(abs+0.5)) is half-away-from-zero on
-    doubles — the same function Spark's ROUND and DuckDB's ROUND apply.
-    Arrow-batched (mapInPandas), never row-at-a-time Python."""
+    Rounding: numpy's copysign(floor(abs+0.5)) is half-away-from-zero,
+    but for |t| < 1 the float add abs(t)+0.5 can land on a coarser grid
+    and round up across the integer (0.49999999999999994 → 1), whereas
+    Spark's ROUND is decimal HALF_UP on the shortest round-trip repr.
+    Rare but real at the 100 TB design point (~1e13 products), so
+    fractions inside a 2-ulp guard band around .5 are re-rounded
+    through decimal repr (exactly BigDecimal.valueOf's semantics, i.e.
+    what Spark and DuckDB apply); for |t| ≥ 1 the formula is provably
+    exact (t+0.5 stays on t's grid).  Arrow-batched (mapInPandas),
+    never row-at-a-time Python."""
     import numpy as np
     import pandas as pd
 
     def _half_up(t):
-        return np.copysign(np.floor(np.abs(t) + 0.5), t).astype(np.int64)
+        # floor(abs+0.5) can only mis-round when |t| < 1 (the t+0.5 sum
+        # leaves t's grid: e.g. 0.49999999999999994 -> 1) — for |t| >= 1
+        # the sum is exactly representable, so the formula is exact.
+        # Guard band = 2 ulp around .5, magnitude-relative: anything it
+        # flags is re-rounded through decimal repr (exactly
+        # BigDecimal.valueOf semantics), so flagged-but-fine values just
+        # take the slow path.
+        r = np.copysign(np.floor(np.abs(t) + 0.5), t)
+        frac = np.abs(t) % 1.0
+        sus = (frac != 0.0) & (
+            np.abs(frac - 0.5) <= 2.0 * np.spacing(np.abs(t))
+        )
+        if sus.any():  # rare: decimal-repr HALF_UP, the treaty rounding
+            from decimal import ROUND_HALF_UP, Decimal
+
+            one = Decimal("1")
+            r[sus] = [
+                float(Decimal(repr(v)).quantize(one, rounding=ROUND_HALF_UP))
+                for v in np.asarray(t, dtype=np.float64)[sus]
+            ]
+        return r.astype(np.int64)
 
     gram = None
     first = None
