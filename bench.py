@@ -137,6 +137,7 @@ HEADLINE = [
     "x216_binary_quant_rescore",
     "x217_two_level_router",
     "x218_filtered_ann_sweep",
+    "x219_nprobe_sweep",
 ]
 
 CONVERT_RECORDS = 100_000

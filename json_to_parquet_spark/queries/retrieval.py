@@ -615,58 +615,34 @@ def x196_ivf_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cell count: nlist = max(16, ceil(√n)) GROWS with the corpus — the
     FAISS sizing rule.  A FIXED cell count makes per-cell population ∝
     n and the cell join quadratic (the r7 sfx1 probe measured 11.6× at
-    10× data before this change); √n cells cap the expected per-source
-    candidate count at probe·√n, i.e. total mining work ~ n^1.5 — the
-    inherent flat-IVF law for full-corpus kNN (sub-quadratic; FAISS
-    accepts the same).  The centroid broadcast is √n-sized; past the
-    point where that broadcast hurts, production swaps in a two-level
-    coarse quantizer (assign to √√n super-cells first), which this
-    composition admits without changing the join shapes."""
-    from .similarity import IVF_N_PROBE, ivf_nlist
+    10× data before this change).  BOTH corpus halves are corpus-sized
+    here, so the assignment pass itself must not be the flat n×√n =
+    n^1.5 scoring (measured 4.1× at 10× data as the r7 "inherent flat-
+    IVF law") — since round 8 both sides route through the family's
+    shared TWO-LEVEL quantizer (`two_level_assign`: ⌈n^¼⌉ super-cells
+    first, ~n^1.25 work, bounded broadcasts at both levels).  Sources
+    multi-probe WITHIN their routed super-cell — the standard IMI
+    recall trade (FAISS's inverted multi-index makes the same one)."""
+    from .similarity import IVF_N_PROBE, two_level_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
-    nlist = ivf_nlist(spark, sf_dir)  # max(16, ceil(sqrt(n))), memoized
-    cent = emb.filter(F.col("vec_id") < nlist).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
-    )
-
-    def assign(df: DataFrame, id_col: str, n_keep: int) -> DataFrame:
-        """nearest-centroid cells (euclidean, rounded, id tie-break) —
-        x21's quantizer shape: broadcast the bounded centroid frame."""
-        scored = df.crossJoin(F.broadcast(cent)).select(
-            id_col,
-            "c_id",
-            F.round(
-                F.sqrt(
-                    F.aggregate(
-                        F.zip_with(
-                            "embedding",
-                            F.col("c_vec"),
-                            lambda x, y: (x.cast("double") - y.cast("double"))
-                            * (x.cast("double") - y.cast("double")),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    )
-                ),
-                6,
-            ).alias("dist"),
-        )
-        w = Window.partitionBy(id_col).orderBy(F.asc("dist"), F.asc("c_id"))
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= n_keep)
-            .select(id_col, F.col("c_id").alias("cell"))
-        )
-
     src = emb.filter(F.col("label") == SRC_LABEL).select(
         F.col("vec_id").alias("src_id"), "embedding"
     )
     tgt = emb.filter(F.col("label") == TGT_LABEL).select(
         F.col("vec_id").alias("tgt_id"), "embedding"
     )
-    probes = assign(src, "src_id", IVF_N_PROBE)
-    lists = assign(tgt, "tgt_id", 1)
+    # ONE two-level assignment pass serves both halves: sources keep
+    # their IVF_N_PROBE nearest within-super cells, targets their rank-1
+    assigns = two_level_assign(spark, sf_dir, IVF_N_PROBE)
+    probes = assigns.join(
+        src.select("src_id"), assigns.vec_id == F.col("src_id")
+    ).select("src_id", F.col("c_id").alias("cell"))
+    lists = (
+        assigns.filter(F.col("crank") == 1)
+        .join(tgt.select("tgt_id"), assigns.vec_id == F.col("tgt_id"))
+        .select("tgt_id", F.col("c_id").alias("cell"))
+    )
     # id-only cell join (narrow shuffle rows), vectors rejoin by key after
     cand = probes.join(lists, "cell").select("src_id", "tgt_id")
     sv = src.select("src_id", F.col("embedding").alias("src_vec"))
@@ -713,7 +689,11 @@ def x196_ivf_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _x196_sql() -> str:
-    from .similarity import IVF_N_PROBE, SQL_IVF_NLIST
+    from .similarity import (
+        IVF_N_PROBE,
+        SQL_IVF_NLIST,
+        sql_two_level_assign,
+    )
 
     return f"""
         WITH e AS (
@@ -723,26 +703,14 @@ def _x196_sql() -> str:
                  WHERE vec_id < {SQL_IVF_NLIST}),
         s AS (SELECT vec_id AS src_id, v FROM e WHERE label = {SRC_LABEL}),
         t AS (SELECT vec_id AS tgt_id, v FROM e WHERE label = {TGT_LABEL}),
-        sdist AS (
-          SELECT s.src_id, c.c_id,
-                 ROUND(sqrt(list_sum(list_transform(
-                     list_zip(s.v, c.c_vec),
-                     p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS dist
-          FROM s CROSS JOIN cent c),
+        {sql_two_level_assign(IVF_N_PROBE)},
         probes AS (
-          SELECT src_id, c_id AS cell FROM sdist
-          QUALIFY row_number() OVER (PARTITION BY src_id ORDER BY dist, c_id)
-                  <= {IVF_N_PROBE}),
-        tdist AS (
-          SELECT t.tgt_id, c.c_id,
-                 ROUND(sqrt(list_sum(list_transform(
-                     list_zip(t.v, c.c_vec),
-                     p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS dist
-          FROM t CROSS JOIN cent c),
+          SELECT s.src_id, a.c_id AS cell
+          FROM assigns a JOIN s ON a.vec_id = s.src_id),
         lists AS (
-          SELECT tgt_id, c_id AS cell FROM tdist
-          QUALIFY row_number() OVER (PARTITION BY tgt_id ORDER BY dist, c_id)
-                  = 1),
+          SELECT t.tgt_id, a.c_id AS cell
+          FROM assigns a JOIN t ON a.vec_id = t.tgt_id
+          WHERE a.crank = 1),
         scored AS (
           SELECT p.src_id, l.tgt_id,
                  {_SQL_COS.format(a="s.v", b="t.v")} AS cos

@@ -432,13 +432,18 @@ def two_level_cent_sup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def two_level_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, list_c) — every corpus vector's inverted-list id under
-    the two-level quantizer (see the block comment above).  Plan shape:
-    two bounded nested-loop broadcasts (the K0-row super-cell frame,
-    scan bounds pushed) plus one bounded BroadcastHashJoin (the
-    nlist-row cent_sup frame keyed on super-cell); no corpus-sized
-    broadcast, no corpus-wide window over more than ~n·n^¼ rows."""
+def two_level_assign(
+    spark: SparkSession, sf_dir: str, n_keep: int = 1
+) -> DataFrame:
+    """(vec_id, c_id, crank) — each corpus vector's n_keep nearest fine
+    centroids WITHIN its routed super-cell, under the two-level
+    quantizer (see the block comment above).  Plan shape: two bounded
+    nested-loop broadcasts (the K0-row super-cell frame, scan bounds
+    pushed) plus one bounded BroadcastHashJoin (the nlist-row cent_sup
+    frame keyed on super-cell); no corpus-sized broadcast, no
+    corpus-wide window over more than ~n·n^¼ rows.  n_keep > 1 is the
+    corpus-sized multi-probe case (x196): probing stays within the
+    routed super-cell — the standard IMI recall trade."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     k0 = ivf_k0(spark, sf_dir)
     sup = emb.filter(F.col("vec_id") < k0).select(
@@ -464,8 +469,53 @@ def two_level_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sq_dist(F.col("embedding"), F.col("c_vec")).alias("d"),
         )
         .withColumn("crank", F.row_number().over(wv))
-        .filter(F.col("crank") == 1)
-        .select("vec_id", F.col("c_id").alias("list_c"))
+        .filter(F.col("crank") <= n_keep)
+        .select("vec_id", "c_id", "crank")
+    )
+
+
+def sql_two_level_assign(n_keep: int) -> str:
+    """SQL twin of two_level_assign: CTE block assuming ``e(vec_id, v)``
+    and ``cent(c_id, c_vec)``; yields ``assigns(vec_id, c_id, crank)``."""
+    return f"""sup AS (
+          SELECT vec_id AS s_id, v AS s_vec FROM e
+          WHERE vec_id < {SQL_IVF_K0}),
+        cent_sup AS MATERIALIZED (
+          SELECT s_id, c_id, c_vec FROM (
+            SELECT c.c_id, c.c_vec, s.s_id,
+                   ROUND(list_sum(list_transform(list_zip(c.c_vec, s.s_vec),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS sd
+            FROM cent c CROSS JOIN sup s)
+          QUALIFY row_number() OVER (PARTITION BY c_id
+                                     ORDER BY sd, s_id) = 1),
+        vec_sup AS MATERIALIZED (
+          SELECT vec_id, s_id FROM (
+            SELECT e.vec_id, s.s_id,
+                   ROUND(list_sum(list_transform(list_zip(e.v, s.s_vec),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS sd
+            FROM e CROSS JOIN sup s)
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sd, s_id) = 1),
+        assigns AS MATERIALIZED (
+          SELECT vec_id, c_id, crank FROM (
+            SELECT e.vec_id, cs.c_id,
+                   ROUND(list_sum(list_transform(list_zip(e.v, cs.c_vec),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS d,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY ROUND(list_sum(list_transform(
+                           list_zip(e.v, cs.c_vec),
+                           p -> (p[1] - p[2]) * (p[1] - p[2]))), 6),
+                           cs.c_id) AS crank
+            FROM e JOIN vec_sup vs USING (vec_id)
+                   JOIN cent_sup cs ON vs.s_id = cs.s_id)
+          WHERE crank <= {n_keep})"""
+
+
+def two_level_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, list_c) — rank-1 restriction of two_level_assign: every
+    corpus vector's single inverted-list id."""
+    return two_level_assign(spark, sf_dir, 1).select(
+        "vec_id", F.col("c_id").alias("list_c")
     )
 
 
@@ -1898,5 +1948,212 @@ register(
         x218_filtered_ann_sweep,
         _x218_sql(),
         "filtered-ANN recall/candidate sweep across three predicate selectivities",
+    )
+)
+
+
+# --- x219: nprobe sweep — the IVF quality/cost tuning curve --------------------
+NPROBE_LEVELS = (1, 2, 4)
+
+
+def x219_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 and candidate volume at nprobe ∈ {1, 2, 4} — the curve
+    an index operator actually tunes before shipping an IVF layout
+    (FAISS's nprobe knob): more probed lists buy recall linearly in
+    scan cost.  A corpus vector lives in exactly ONE list, so each
+    (query, vector) candidate carries the rank of its list in the
+    query's probe order ("via_crank"), and the nprobe=p candidate set
+    is just via_crank ≤ p — the three levels are filters over ONE
+    probed base, never three corpus rescans.  Candidate sets are nested
+    by construction, and recall is provably non-decreasing in nprobe: a
+    new candidate can displace a true top-k hit only by out-ranking it
+    on cosine, which would make the new candidate a true top-k member
+    itself.  Invariant-tested; exact truth is x11's brute-force top-5
+    (bounded: N_QUERY_VECS × corpus, query side broadcast)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = emb.filter(F.col("vec_id") < ivf_nlist(spark, sf_dir)).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    max_p = max(NPROBE_LEVELS)
+    qdist = queries.crossJoin(F.broadcast(cent)).select(
+        "q_id",
+        "c_id",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("q_vec"),
+                        F.col("c_vec"),
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ),
+            6,
+        ).alias("dist"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("c_id"))
+    probes = (
+        qdist.withColumn("via_crank", F.row_number().over(wq))
+        .filter(F.col("via_crank") <= max_p)
+        .select("q_id", F.col("c_id").alias("probe_c"), "via_crank")
+    )
+    corpus = emb.join(two_level_lists(spark, sf_dir), "vec_id")
+    cbase = (
+        corpus.join(F.broadcast(probes), corpus.list_c == probes.probe_c)
+        .join(F.broadcast(queries), "q_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "via_crank",
+            cosine(F.col("q_vec"), F.col("embedding")).alias("cos_sim"),
+        )
+        .localCheckpoint()  # narrow scalars; three level-filters share it
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(F.col("q_vec"), F.col("embedding")).alias("cos_sim"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.desc("cos_sim"), F.asc("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= FANN_TOPK)
+        .select("q_id", "vec_id")
+    )
+    levels = spark.createDataFrame(
+        [(p,) for p in NPROBE_LEVELS], "nprobe long"
+    )
+    fanned = cbase.crossJoin(F.broadcast(levels)).filter(
+        F.col("via_crank") <= F.col("nprobe")
+    )
+    wnq = Window.partitionBy("nprobe", "q_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    approx = (
+        fanned.withColumn("rk", F.row_number().over(wnq))
+        .filter(F.col("rk") <= FANN_TOPK)
+        .select("nprobe", "q_id", "vec_id")
+    )
+    n_cand = fanned.groupBy("nprobe", "q_id").agg(
+        F.count(F.lit(1)).alias("n_cand")
+    )
+    hits = (
+        approx.join(exact, ["q_id", "vec_id"])
+        .groupBy("nprobe", "q_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        queries.select("q_id")
+        .crossJoin(levels)
+        .join(n_cand, ["nprobe", "q_id"], "left")
+        .join(hits, ["nprobe", "q_id"], "left")
+        .select(
+            "nprobe",
+            "q_id",
+            F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_cand"),
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.round(
+                F.coalesce("hits", F.lit(0)).cast("double")
+                / F.lit(float(FANN_TOPK)),
+                6,
+            ).alias("recall_at_k"),
+        )
+        .orderBy("nprobe", "q_id")
+    )
+
+
+def _x219_sql() -> str:
+    max_p = max(NPROBE_LEVELS)
+    levels = ", ".join(f"({p})" for p in NPROBE_LEVELS)
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e
+                 WHERE vec_id < {SQL_IVF_NLIST}),
+        {SQL_TWO_LEVEL_LISTS},
+        qdist AS (
+          SELECT e.vec_id, c.c_id,
+                 ROUND(sqrt(list_sum(list_transform(
+                     list_zip(e.v, c.c_vec),
+                     p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS dist
+          FROM e CROSS JOIN cent c WHERE e.vec_id < {N_QUERY_VECS}),
+        probes AS (
+          SELECT vec_id AS q_id, c_id AS probe_c,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dist, c_id) AS via_crank
+          FROM qdist
+          QUALIFY via_crank <= {max_p}),
+        qs AS (SELECT vec_id AS q_id, v AS q_vec FROM e
+               WHERE vec_id < {N_QUERY_VECS}),
+        cbase AS MATERIALIZED (
+          SELECT p.q_id, e.vec_id, p.via_crank,
+                 ROUND(list_dot_product(q.q_vec, e.v)
+                       / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                          * sqrt(list_dot_product(e.v, e.v))), 6) AS cos_sim
+          FROM e
+          JOIN lists l ON e.vec_id = l.vec_id
+          JOIN probes p ON l.list_c = p.probe_c
+          JOIN qs q ON p.q_id = q.q_id
+          WHERE e.vec_id != p.q_id),
+        exact AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q.q_id, e.vec_id,
+                   ROUND(list_dot_product(q.q_vec, e.v)
+                         / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                            * sqrt(list_dot_product(e.v, e.v)))
+                         , 6) AS cos_sim
+            FROM e CROSS JOIN qs q WHERE e.vec_id != q.q_id)
+          QUALIFY row_number() OVER (PARTITION BY q_id
+              ORDER BY cos_sim DESC, vec_id ASC) <= {FANN_TOPK}),
+        levels AS (SELECT * FROM (VALUES {levels}) AS t(nprobe)),
+        fanned AS MATERIALIZED (
+          SELECT lv.nprobe, b.q_id, b.vec_id, b.cos_sim
+          FROM cbase b CROSS JOIN levels lv
+          WHERE b.via_crank <= lv.nprobe),
+        approx AS (
+          SELECT nprobe, q_id, vec_id FROM fanned
+          QUALIFY row_number() OVER (PARTITION BY nprobe, q_id
+              ORDER BY cos_sim DESC, vec_id ASC) <= {FANN_TOPK}),
+        ncand AS (SELECT nprobe, q_id, COUNT(*) AS n_cand
+                  FROM fanned GROUP BY nprobe, q_id),
+        hits AS (
+          SELECT a.nprobe, a.q_id, COUNT(*) AS hits
+          FROM approx a JOIN exact x
+            ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+          GROUP BY a.nprobe, a.q_id)
+        SELECT CAST(lv.nprobe AS BIGINT) AS nprobe,
+               q.q_id AS q_id,
+               CAST(COALESCE(n.n_cand, 0) AS BIGINT) AS n_cand,
+               CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+               ROUND(CAST(COALESCE(h.hits, 0) AS DOUBLE) / {FANN_TOPK},
+                     6) AS recall_at_k
+        FROM qs q CROSS JOIN levels lv
+        LEFT JOIN ncand n ON lv.nprobe = n.nprobe AND q.q_id = n.q_id
+        LEFT JOIN hits h ON lv.nprobe = h.nprobe AND q.q_id = h.q_id
+        ORDER BY nprobe, q.q_id
+        """
+
+
+register(
+    QuerySpec(
+        "x219_nprobe_sweep",
+        x219_nprobe_sweep,
+        _x219_sql(),
+        "IVF nprobe tuning curve: recall@5 and candidate volume at 1/2/4 probes",
     )
 )

@@ -77,6 +77,7 @@ PROBE = [
     "x216_binary_quant_rescore", # packed-sign hamming scan + cosine rescore
     "x217_two_level_router",     # two-level routing rollup (~n^1.25)
     "x218_filtered_ann_sweep",   # 3-selectivity fan over the probed base
+    "x219_nprobe_sweep",         # 3-level fan over one probed base
 ]
 
 

@@ -192,6 +192,7 @@ _BNLJ_ALLOWED = {
     "x216_binary_quant_rescore",  # N_QUERY_VECS-row signature broadcast
     "x217_two_level_router",  # K0/nlist-row frames (the two-level quantizer)
     "x218_filtered_ann_sweep",  # sel-spine/query-vec broadcasts (x215 shapes)
+    "x219_nprobe_sweep",  # level-spine/query-vec/exact-truth broadcasts
 }
 
 

@@ -64,3 +64,24 @@ def test_two_level_lists_cover_corpus_once(spark, sf_dir):
     assert len({r.vec_id for r in rows}) == n
     nlist = ivf_nlist(spark, sf_dir)
     assert all(0 <= r.list_c < nlist for r in rows)
+
+
+def test_x219_recall_monotone_in_nprobe(spark, sf_dir):
+    """Candidate sets are nested in nprobe (a vector's list either is or
+    isn't among the top-p probes), so n_cand is non-decreasing — and so
+    is recall@k: a new candidate displaces a true top-k hit only by
+    out-ranking it on cosine, making the new candidate a true top-k
+    member itself."""
+    from json_to_parquet_spark.queries.similarity import NPROBE_LEVELS
+
+    rows = registry()["x219_nprobe_sweep"].spark(spark, sf_dir).collect()
+    assert {r.nprobe for r in rows} == set(NPROBE_LEVELS)
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q_id, rs in by_q.items():
+        rs.sort(key=lambda r: r.nprobe)
+        cands = [r.n_cand for r in rs]
+        recalls = [r.recall_at_k for r in rs]
+        assert cands == sorted(cands), (q_id, cands)
+        assert recalls == sorted(recalls), (q_id, recalls)
