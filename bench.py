@@ -138,6 +138,8 @@ HEADLINE = [
     "x217_two_level_router",
     "x218_filtered_ann_sweep",
     "x219_nprobe_sweep",
+    "x220_ivf_incremental_maintenance",
+    "x221_zorder_pruning",
 ]
 
 CONVERT_RECORDS = 100_000

@@ -1025,3 +1025,198 @@ register(
         "footer-stats manifest pruning decisions vs actual matched rows",
     )
 )
+
+
+# --- x221: Z-order clustering vs linear sort — pruning effectiveness ----------
+# Multi-dimensional clustering is how a 100 TB table serves range
+# predicates on MORE THAN ONE column: interleaving the bits of two keys
+# (the Z-order / Morton curve, the public Delta/Iceberg OPTIMIZE ZORDER
+# technique) gives every file a tight min/max envelope on BOTH keys,
+# where a linear sort gives tight stats on the first key only.  This
+# operator SIMULATES both layouts over the same rows — 64 equal-width
+# z-range files vs 64 first-key-sort files — computes the per-file
+# footer stats a scan would prune on, and scores both against a 4×4
+# grid of two-dimensional range predicates: files that must be read
+# (stat envelopes intersecting the predicate box) and the true matched
+# rows.  All arithmetic is integer (bucket widths and quartiles derived
+# from the data via shared expressions), so the oracle is exact.
+ZO_BITS = 6   # 64 buckets per key → 12-bit z-value
+ZO_FILES_SHIFT = ZO_BITS  # top 6 z bits → 64 files
+ZO_GRID = 4   # 4×4 predicate grid (quartile boxes)
+
+
+def _zo_widths(spark: SparkSession, sf_dir: str) -> tuple[int, int, int, int]:
+    """(bucket width, quartile width) per key — one bounded max agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mx_pk, mx_sk = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
+    import math
+
+    nb = 1 << ZO_BITS
+    return (
+        math.ceil((mx_pk + 1) / nb),
+        math.ceil((mx_sk + 1) / nb),
+        math.ceil((mx_pk + 1) / ZO_GRID),
+        math.ceil((mx_sk + 1) / ZO_GRID),
+    )
+
+
+def _interleave(kb, sb):
+    """12-bit Morton code from two 6-bit buckets (unrolled, JVM-side)."""
+    z = F.lit(0)
+    for i in range(ZO_BITS):
+        z = z + F.shiftleft(
+            F.shiftright(kb, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        ) + F.shiftleft(
+            F.shiftright(sb, i).bitwiseAND(F.lit(1)), 2 * i
+        )
+    return z
+
+
+def x221_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per predicate box (pk quarter × sk quarter): files a stats-pruned
+    scan must read under the z-order layout vs the linear (partkey-sort)
+    layout, plus the true matched row count.  Scale shapes: one scan
+    computes both file ids row-locally (pure integer expressions, no
+    shuffle); per-file stats are a key-shuffle agg (≤64 groups per
+    layout); the predicate spine is a 16-row literal frame; row counts
+    come from ONE grid-cell agg because the quartile boxes partition the
+    key space — no per-predicate rescan."""
+    wk, ws, qk, qs = _zo_widths(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    kb = (F.col("l_partkey") / wk).cast("long")
+    sb = (F.col("l_suppkey") / ws).cast("long")
+    tagged = li.select(
+        "l_partkey",
+        "l_suppkey",
+        F.shiftright(_interleave(kb, sb), ZO_FILES_SHIFT).alias("file_z"),
+        kb.alias("file_lin"),
+        (F.col("l_partkey") / qk).cast("long").alias("qi"),
+        (F.col("l_suppkey") / qs).cast("long").alias("qj"),
+    ).localCheckpoint()  # narrow scalars; three rollups share one scan
+
+    def stats(file_col: str) -> DataFrame:
+        return tagged.groupBy(file_col).agg(
+            F.min("l_partkey").alias("pk_lo"),
+            F.max("l_partkey").alias("pk_hi"),
+            F.min("l_suppkey").alias("sk_lo"),
+            F.max("l_suppkey").alias("sk_hi"),
+        )
+
+    preds = spark.createDataFrame(
+        [(i, j) for i in range(ZO_GRID) for j in range(ZO_GRID)],
+        "qi long, qj long",
+    ).select(
+        "qi",
+        "qj",
+        (F.col("qi") * qk).alias("p_lo"),
+        ((F.col("qi") + 1) * qk - 1).alias("p_hi"),
+        (F.col("qj") * qs).alias("s_lo"),
+        ((F.col("qj") + 1) * qs - 1).alias("s_hi"),
+    )
+
+    def files_read(st: DataFrame, out: str) -> DataFrame:
+        hit = (
+            (F.col("pk_lo") <= F.col("p_hi"))
+            & (F.col("pk_hi") >= F.col("p_lo"))
+            & (F.col("sk_lo") <= F.col("s_hi"))
+            & (F.col("sk_hi") >= F.col("s_lo"))
+        )
+        return (
+            st.crossJoin(F.broadcast(preds))
+            .filter(hit)
+            .groupBy("qi", "qj")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    rows = tagged.groupBy("qi", "qj").agg(
+        F.count(F.lit(1)).alias("rows_matched")
+    )
+    return (
+        preds.select("qi", "qj")
+        .join(files_read(stats("file_z"), "files_read_z"), ["qi", "qj"], "left")
+        .join(
+            files_read(stats("file_lin"), "files_read_lin"), ["qi", "qj"], "left"
+        )
+        .join(rows, ["qi", "qj"], "left")
+        .select(
+            F.col("qi").cast("long").alias("qi"),
+            F.col("qj").cast("long").alias("qj"),
+            F.coalesce("files_read_z", F.lit(0)).cast("long").alias("files_read_z"),
+            F.coalesce("files_read_lin", F.lit(0))
+            .cast("long")
+            .alias("files_read_lin"),
+            F.coalesce("rows_matched", F.lit(0))
+            .cast("long")
+            .alias("rows_matched"),
+        )
+        .orderBy("qi", "qj")
+    )
+
+
+def _x221_sql() -> str:
+    nb = 1 << ZO_BITS
+    z_terms = " + ".join(
+        f"((((l_partkey // wk) >> {i}) & 1) << {2 * i + 1})"
+        f" + ((((l_suppkey // ws) >> {i}) & 1) << {2 * i})"
+        for i in range(ZO_BITS)
+    )
+    return f"""
+        WITH w AS (
+          SELECT CAST(CEIL((MAX(l_partkey) + 1) / {nb}.0) AS BIGINT) AS wk,
+                 CAST(CEIL((MAX(l_suppkey) + 1) / {nb}.0) AS BIGINT) AS ws,
+                 CAST(CEIL((MAX(l_partkey) + 1) / {ZO_GRID}.0) AS BIGINT) AS qk,
+                 CAST(CEIL((MAX(l_suppkey) + 1) / {ZO_GRID}.0) AS BIGINT) AS qs
+          FROM lineitem),
+        tagged AS MATERIALIZED (
+          SELECT l_partkey, l_suppkey,
+                 ({z_terms}) >> {ZO_FILES_SHIFT} AS file_z,
+                 l_partkey // wk AS file_lin,
+                 l_partkey // qk AS qi,
+                 l_suppkey // qs AS qj
+          FROM lineitem, w),
+        stz AS (SELECT file_z, MIN(l_partkey) AS pk_lo, MAX(l_partkey) AS pk_hi,
+                       MIN(l_suppkey) AS sk_lo, MAX(l_suppkey) AS sk_hi
+                FROM tagged GROUP BY file_z),
+        stl AS (SELECT file_lin, MIN(l_partkey) AS pk_lo, MAX(l_partkey) AS pk_hi,
+                       MIN(l_suppkey) AS sk_lo, MAX(l_suppkey) AS sk_hi
+                FROM tagged GROUP BY file_lin),
+        preds AS (
+          SELECT g.qi, g.qj, g.qi * qk AS p_lo, (g.qi + 1) * qk - 1 AS p_hi,
+                 g.qj * qs AS s_lo, (g.qj + 1) * qs - 1 AS s_hi
+          FROM (SELECT a.i AS qi, b.i AS qj
+                FROM (SELECT unnest(range(0, {ZO_GRID})) AS i) a,
+                     (SELECT unnest(range(0, {ZO_GRID})) AS i) b) g, w),
+        fz AS (SELECT p.qi, p.qj, COUNT(*) AS files_read_z
+               FROM stz s JOIN preds p
+                 ON s.pk_lo <= p.p_hi AND s.pk_hi >= p.p_lo
+                AND s.sk_lo <= p.s_hi AND s.sk_hi >= p.s_lo
+               GROUP BY p.qi, p.qj),
+        fl AS (SELECT p.qi, p.qj, COUNT(*) AS files_read_lin
+               FROM stl s JOIN preds p
+                 ON s.pk_lo <= p.p_hi AND s.pk_hi >= p.p_lo
+                AND s.sk_lo <= p.s_hi AND s.sk_hi >= p.s_lo
+               GROUP BY p.qi, p.qj),
+        rc AS (SELECT qi, qj, COUNT(*) AS rows_matched
+               FROM tagged GROUP BY qi, qj)
+        SELECT p.qi, p.qj,
+               CAST(COALESCE(fz.files_read_z, 0) AS BIGINT) AS files_read_z,
+               CAST(COALESCE(fl.files_read_lin, 0) AS BIGINT) AS files_read_lin,
+               CAST(COALESCE(rc.rows_matched, 0) AS BIGINT) AS rows_matched
+        FROM preds p
+        LEFT JOIN fz ON p.qi = fz.qi AND p.qj = fz.qj
+        LEFT JOIN fl ON p.qi = fl.qi AND p.qj = fl.qj
+        LEFT JOIN rc ON p.qi = rc.qi AND p.qj = rc.qj
+        ORDER BY p.qi, p.qj
+        """
+
+
+register(
+    QuerySpec(
+        "x221_zorder_pruning",
+        x221_zorder_pruning,
+        _x221_sql(),
+        "Z-order vs linear-sort layout: stats-pruned files per 2-D predicate box",
+    )
+)

@@ -2157,3 +2157,182 @@ register(
         "IVF nprobe tuning curve: recall@5 and candidate volume at 1/2/4 probes",
     )
 )
+
+
+# --- x220: incremental IVF maintenance (index CDC) -----------------------------
+# A production ANN index is never rebuilt per batch: new vectors are
+# assigned to the FROZEN quantizer's cells, and cells that overflow are
+# split in place (FAISS add + rebalance).  Batch membership is
+# deterministic (vec_id % 10 == 9, ~10% adds); the split threshold is
+# data-derived as 2× the average cell population so the op exercises at
+# every SF, shared with the oracle via _SPLIT_T_SQL.
+ADD_MOD = 10  # vec_id % ADD_MOD == ADD_MOD-1 → the "new batch"
+_SPLIT_T_SQL = (
+    "(SELECT 2 * CAST(CEIL(COUNT(*) * 1.0 / "
+    f"{SQL_IVF_NLIST}) AS BIGINT) FROM embeddings)"
+)
+
+
+def x220_ivf_incremental_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Index CDC: assign the new batch to the frozen two-level
+    quantizer's cells, then split any cell whose merged population
+    exceeds 2× the average — members re-route to the cell's two
+    lowest-id vectors as sub-centroids (deterministic, nearest-of-2
+    with rounded-distance/id tie-break).  Output: one row per
+    (cell, sub) with base/added/total populations — the maintenance
+    ledger an index build job would write.
+
+    Scale shapes: ONE shared assignment pass (~n^1.25) covers base and
+    batch (the quantizer is frozen — that is the point of incremental
+    maintenance); populations are a key-shuffle agg; the sub-centroid
+    frame is ≤ 2·nlist rows and broadcasts; the re-route join fans each
+    hot-cell member across exactly 2 candidates."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = load_table(spark, sf_dir, "embeddings").count()
+    nlist = ivf_nlist(spark, sf_dir)
+    split_t = 2 * math.ceil(n / nlist)
+    placed = (
+        emb.select(
+            "vec_id",
+            (F.col("vec_id") % ADD_MOD == ADD_MOD - 1).alias("is_add"),
+        )
+        .join(two_level_lists(spark, sf_dir), "vec_id")
+        .select("vec_id", "is_add", F.col("list_c").alias("cell"))
+        # narrow scalars; pop/hot/members/rerouted all consume it — pay
+        # the ~n^1.25 assignment once (the x214 materialization lesson)
+        .localCheckpoint()
+    )
+    pop = placed.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("is_add").cast("long")).alias("n_added"),
+    )
+    hot = pop.filter(F.col("n_total") > split_t).select("cell")
+    cold = (
+        pop.join(hot, "cell", "left_anti")
+        .select(
+            "cell",
+            F.lit(0).alias("sub"),
+            (F.col("n_total") - F.col("n_added")).alias("n_base"),
+            "n_added",
+            "n_total",
+        )
+    )
+    members = placed.join(hot, "cell")
+    wm = Window.partitionBy("cell").orderBy(F.asc("vec_id"))
+    subc = (
+        members.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= 2)
+        .join(emb, "vec_id")
+        .select(
+            "cell",
+            (F.col("rn") - 1).alias("sc_sub"),
+            F.col("vec_id").alias("sc_id"),
+            F.col("embedding").alias("sc_vec"),
+        )
+    )
+    wr = Window.partitionBy("vec_id").orderBy(
+        F.asc("d"), F.asc("sc_id")
+    )
+    rerouted = (
+        members.join(emb, "vec_id")
+        .join(F.broadcast(subc), "cell")
+        .select(
+            "cell",
+            "vec_id",
+            "is_add",
+            "sc_sub",
+            "sc_id",
+            _sq_dist(F.col("embedding"), F.col("sc_vec")).alias("d"),
+        )
+        .withColumn("pick", F.row_number().over(wr))
+        .filter(F.col("pick") == 1)
+    )
+    split = rerouted.groupBy("cell", "sc_sub").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("is_add").cast("long")).alias("n_added"),
+    ).select(
+        "cell",
+        (F.col("sc_sub") + 1).alias("sub"),  # 1/2 = split halves, 0 = unsplit
+        (F.col("n_total") - F.col("n_added")).alias("n_base"),
+        "n_added",
+        "n_total",
+    )
+    return (
+        cold.unionAll(split)
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("sub").cast("long").alias("sub"),
+            F.col("n_base").cast("long").alias("n_base"),
+            F.col("n_added").cast("long").alias("n_added"),
+            F.col("n_total").cast("long").alias("n_total"),
+        )
+        .orderBy("cell", "sub")
+    )
+
+
+def _x220_sql() -> str:
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e
+                 WHERE vec_id < {SQL_IVF_NLIST}),
+        {SQL_TWO_LEVEL_LISTS},
+        placed AS MATERIALIZED (
+          SELECT l.vec_id, l.list_c AS cell,
+                 (l.vec_id % {ADD_MOD} = {ADD_MOD - 1}) AS is_add
+          FROM lists l),
+        pop AS (
+          SELECT cell, COUNT(*) AS n_total,
+                 SUM(CASE WHEN is_add THEN 1 ELSE 0 END) AS n_added
+          FROM placed GROUP BY cell),
+        hot AS (SELECT cell FROM pop WHERE n_total > {_SPLIT_T_SQL}),
+        cold AS (
+          SELECT p.cell, 0 AS sub, p.n_total - p.n_added AS n_base,
+                 p.n_added, p.n_total
+          FROM pop p ANTI JOIN hot h ON p.cell = h.cell),
+        members AS (SELECT p.* FROM placed p JOIN hot USING (cell)),
+        subc AS (
+          SELECT m.cell, m.rn - 1 AS sc_sub, m.vec_id AS sc_id, e.v AS sc_vec
+          FROM (SELECT cell, vec_id,
+                       row_number() OVER (PARTITION BY cell
+                                          ORDER BY vec_id) AS rn
+                FROM members) m
+          JOIN e ON m.vec_id = e.vec_id
+          WHERE m.rn <= 2),
+        rerouted AS (
+          SELECT cell, vec_id, is_add, sc_sub FROM (
+            SELECT m.cell, m.vec_id, m.is_add, s.sc_sub, s.sc_id,
+                   ROUND(list_sum(list_transform(list_zip(e.v, s.sc_vec),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS d
+            FROM members m
+            JOIN e ON m.vec_id = e.vec_id
+            JOIN subc s ON m.cell = s.cell)
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d, sc_id) = 1),
+        split AS (
+          SELECT cell, sc_sub + 1 AS sub,
+                 COUNT(*) - SUM(CASE WHEN is_add THEN 1 ELSE 0 END) AS n_base,
+                 SUM(CASE WHEN is_add THEN 1 ELSE 0 END) AS n_added,
+                 COUNT(*) AS n_total
+          FROM rerouted GROUP BY cell, sc_sub)
+        SELECT CAST(cell AS BIGINT) AS cell, CAST(sub AS BIGINT) AS sub,
+               CAST(n_base AS BIGINT) AS n_base,
+               CAST(n_added AS BIGINT) AS n_added,
+               CAST(n_total AS BIGINT) AS n_total
+        FROM (SELECT * FROM cold UNION ALL SELECT * FROM split)
+        ORDER BY cell, sub
+        """
+
+
+register(
+    QuerySpec(
+        "x220_ivf_incremental_maintenance",
+        x220_ivf_incremental_maintenance,
+        _x220_sql(),
+        "index CDC: frozen-quantizer batch adds + deterministic overflow cell splits",
+    )
+)

@@ -78,6 +78,8 @@ PROBE = [
     "x217_two_level_router",     # two-level routing rollup (~n^1.25)
     "x218_filtered_ann_sweep",   # 3-selectivity fan over the probed base
     "x219_nprobe_sweep",         # 3-level fan over one probed base
+    "x220_ivf_incremental_maintenance",  # index CDC: adds + cell splits
+    "x221_zorder_pruning",       # Morton tagging + 64-file stats rollups
 ]
 
 

@@ -193,6 +193,7 @@ _BNLJ_ALLOWED = {
     "x217_two_level_router",  # K0/nlist-row frames (the two-level quantizer)
     "x218_filtered_ann_sweep",  # sel-spine/query-vec broadcasts (x215 shapes)
     "x219_nprobe_sweep",  # level-spine/query-vec/exact-truth broadcasts
+    "x221_zorder_pruning",  # 16-row predicate-spine broadcasts
 }
 
 

@@ -85,3 +85,64 @@ def test_x219_recall_monotone_in_nprobe(spark, sf_dir):
         recalls = [r.recall_at_k for r in rs]
         assert cands == sorted(cands), (q_id, cands)
         assert recalls == sorted(recalls), (q_id, recalls)
+
+
+def test_x220_maintenance_ledger_conserves(spark, sf_dir):
+    """The maintenance ledger is a partition of the corpus: totals sum
+    to n, added sums to the deterministic batch size, every row balances
+    base+added=total, and every split cell contributes exactly two sub
+    rows whose merged population exceeded the split threshold."""
+    import math
+
+    from json_to_parquet_spark.queries.similarity import (
+        ADD_MOD,
+        ivf_nlist,
+    )
+
+    rows = (
+        registry()["x220_ivf_incremental_maintenance"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    (n,) = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()
+    (n_add,) = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet' "
+        f"WHERE vec_id % {ADD_MOD} = {ADD_MOD - 1}"
+    ).fetchone()
+    split_t = 2 * math.ceil(n / ivf_nlist(spark, sf_dir))
+    assert sum(r.n_total for r in rows) == n
+    assert sum(r.n_added for r in rows) == n_add
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        assert r.n_base + r.n_added == r.n_total
+        by_cell.setdefault(r.cell, []).append(r)
+    for cell, rs in by_cell.items():
+        subs = sorted(r.sub for r in rs)
+        if subs == [0]:
+            assert rs[0].n_total <= split_t
+        else:
+            assert subs == [1, 2], (cell, subs)
+            assert sum(r.n_total for r in rs) > split_t
+
+
+def test_x221_zorder_beats_linear_on_2d_boxes(spark, sf_dir):
+    """Conservation: the quartile boxes partition the key space, so
+    matched rows sum to the table; per box a stats-pruned scan reads
+    between 1 and 64 files when rows match; and across the whole grid
+    the z-order layout must read FEWER file envelopes than the linear
+    sort — the property the layout exists to buy (tight min/max on both
+    keys instead of one)."""
+    rows = registry()["x221_zorder_pruning"].spark(spark, sf_dir).collect()
+    (n,) = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchone()
+    assert sum(r.rows_matched for r in rows) == n
+    for r in rows:
+        if r.rows_matched:
+            assert 1 <= r.files_read_z <= 64
+            assert 1 <= r.files_read_lin <= 64
+    assert sum(r.files_read_z for r in rows) < sum(
+        r.files_read_lin for r in rows
+    )
