@@ -140,6 +140,7 @@ HEADLINE = [
     "x219_nprobe_sweep",
     "x220_ivf_incremental_maintenance",
     "x221_zorder_pruning",
+    "x222_chunk_dedup_rebuild",
 ]
 
 CONVERT_RECORDS = 100_000

@@ -1721,3 +1721,122 @@ register(
         "Gopher quality-rule battery: five per-doc rules, per-source pass rates",
     )
 )
+
+
+# --- x222: global chunk-level dedup with document reconstruction ---------------
+# The CCNet/RefinedWeb curation shape the corpus-level near-dup passes
+# (x09/x26/x33) don't cover: duplication lives INSIDE documents — shared
+# boilerplate paragraphs — so the unit of dedup is the paragraph and the
+# output is each document REBUILT from its surviving paragraphs.  The
+# synthetic corpus has no paragraph breaks, so the unit is a fixed
+# CHUNK_W-word window (the unit definition is corpus-specific; the
+# operator shape — explode, global keep-first, reconstruct in order —
+# is the production one).
+CHUNK_W = 8
+
+
+def x222_chunk_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global keep-first chunk dedup: every CHUNK_W-word chunk keeps its
+    first occurrence in (doc_id, position) order and every later copy is
+    dropped; each document is rebuilt from its surviving chunks in
+    position order.  Output per doc: chunk counts before/after and the
+    md5 of the rebuilt text (the value check that the reconstruction —
+    not just the counts — is right).
+
+    Scale shapes: explode to one narrow row per chunk (~n·len/W rows);
+    the keep-first decision is ONE window ranked by (doc_id, pos) per
+    chunk hash — a key-shuffle on the chunk's md5, never content; the
+    rebuild is a per-doc ordered string_agg (key-shuffle on doc_id).
+    At 100 TB both shuffles carry (hash, ids) rows, with text only in
+    the final per-doc agg."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.lower("text"), " ")
+    nch = F.ceil(F.size(toks) / F.lit(CHUNK_W)).cast("int")
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, ceil(size(split(lower(text), ' ')) "
+                f"/ {CHUNK_W}) - 1), i -> array_join(slice(split(lower(text),"
+                f" ' '), i * {CHUNK_W} + 1, {CHUNK_W}), ' '))"
+            )
+        ).alias("pos", "chunk"),
+    ).select("doc_id", "pos", F.md5("chunk").alias("h"), "chunk")
+    wfirst = Window.partitionBy("h").orderBy(F.asc("doc_id"), F.asc("pos"))
+    kept = (
+        chunks.withColumn("rn", F.row_number().over(wfirst))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "pos", "chunk")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "chunk"))
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            )
+        ).alias("kept_md5"),
+    )
+    totals = docs.select("doc_id", nch.alias("n_chunks"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _x222_sql() -> str:
+    return f"""
+        WITH docs AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS toks
+          FROM documents),
+        chunks AS MATERIALIZED (
+          SELECT doc_id, t.i AS pos,
+                 md5(array_to_string(
+                     toks[t.i * {CHUNK_W} + 1 : (t.i + 1) * {CHUNK_W}],
+                     ' ')) AS h,
+                 array_to_string(
+                     toks[t.i * {CHUNK_W} + 1 : (t.i + 1) * {CHUNK_W}],
+                     ' ') AS chunk
+          FROM docs, LATERAL (
+            SELECT unnest(range(0,
+                CAST(CEIL(len(toks) * 1.0 / {CHUNK_W}) AS BIGINT))) AS i) t),
+        kept AS (
+          SELECT doc_id, pos, chunk FROM chunks
+          QUALIFY row_number() OVER (PARTITION BY h
+                                     ORDER BY doc_id, pos) = 1),
+        rebuilt AS (
+          SELECT doc_id, COUNT(*) AS n_kept,
+                 md5(string_agg(chunk, ' ' ORDER BY pos)) AS kept_md5
+          FROM kept GROUP BY doc_id),
+        totals AS (
+          SELECT doc_id,
+                 CAST(CEIL(len(toks) * 1.0 / {CHUNK_W}) AS BIGINT) AS n_chunks
+          FROM docs)
+        SELECT t.doc_id,
+               t.n_chunks,
+               CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+               COALESCE(r.kept_md5, md5('')) AS kept_md5
+        FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+        ORDER BY t.doc_id
+        """
+
+
+register(
+    QuerySpec(
+        "x222_chunk_dedup_rebuild",
+        x222_chunk_dedup_rebuild,
+        _x222_sql(),
+        "global keep-first chunk dedup + per-document reconstruction digest",
+    )
+)

@@ -449,10 +449,20 @@ def two_level_assign(
     sup = emb.filter(F.col("vec_id") < k0).select(
         F.col("vec_id").alias("s_id"), F.col("embedding").alias("s_vec")
     )
-    cent_sup = two_level_cent_sup(spark, sf_dir)
+    return route_two_level(
+        emb, sup, two_level_cent_sup(spark, sf_dir), n_keep
+    )
+
+
+def route_two_level(
+    df: DataFrame, sup: DataFrame, cent_sup: DataFrame, n_keep: int = 1
+) -> DataFrame:
+    """The routing core, factored so a STREAMING micro-batch (x223) can
+    assign its rows against the same frozen quantizer frames with
+    bit-identical tie/rounding semantics.  df: (vec_id, embedding)."""
     wvs = Window.partitionBy("vec_id").orderBy(F.asc("sd"), F.asc("s_id"))
     vec_sup = (
-        emb.crossJoin(F.broadcast(sup))
+        df.crossJoin(F.broadcast(sup))
         .select(
             "vec_id", "embedding", "s_id",
             _sq_dist(F.col("embedding"), F.col("s_vec")).alias("sd"),
@@ -2189,12 +2199,7 @@ def x220_ivf_incremental_maintenance(
     maintenance); populations are a key-shuffle agg; the sub-centroid
     frame is ≤ 2·nlist rows and broadcasts; the re-route join fans each
     hot-cell member across exactly 2 candidates."""
-    import math
-
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n = load_table(spark, sf_dir, "embeddings").count()
-    nlist = ivf_nlist(spark, sf_dir)
-    split_t = 2 * math.ceil(n / nlist)
     placed = (
         emb.select(
             "vec_id",
@@ -2206,6 +2211,22 @@ def x220_ivf_incremental_maintenance(
         # the ~n^1.25 assignment once (the x214 materialization lesson)
         .localCheckpoint()
     )
+    return maintenance_ledger(spark, sf_dir, placed)
+
+
+def maintenance_ledger(
+    spark: SparkSession, sf_dir: str, placed: DataFrame
+) -> DataFrame:
+    """x220's ledger stage, factored so the streaming twin (x223) can
+    drain its per-micro-batch assignments into the SAME split logic and
+    reuse x220's registered oracle verbatim.  placed: (vec_id, is_add,
+    cell), already materialized by the caller."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = load_table(spark, sf_dir, "embeddings").count()
+    nlist = ivf_nlist(spark, sf_dir)
+    split_t = 2 * math.ceil(n / nlist)
     pop = placed.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_total"),
         F.sum(F.col("is_add").cast("long")).alias("n_added"),

@@ -1304,3 +1304,81 @@ def _register_x212() -> None:
 
 
 _register_x212()
+
+
+# --- x223: streaming index CDC — micro-batch adds into the frozen quantizer ----
+def x223_stream_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of x220's incremental index maintenance: the base
+    corpus's assignments are written once (the index build job), the
+    ~10% add-batch arrives as a file-source stream, and every
+    micro-batch routes its vectors against the SAME frozen quantizer
+    frames (`route_two_level` — bit-identical tie/rounding semantics)
+    and appends its narrow (vec_id, is_add, cell) partials; the drained
+    union feeds the identical split logic, so x220's REGISTERED oracle
+    is reused verbatim (the x172/x212 anti-drift pattern applied to the
+    index layer).  This is the shape a continuously-ingesting vector
+    store actually runs: per-slice assignment partials appended to the
+    placement ledger, splits decided at compaction time, no re-route of
+    history."""
+    from .similarity import (
+        ADD_MOD,
+        ivf_k0,
+        maintenance_ledger,
+        route_two_level,
+        two_level_cent_sup,
+    )
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(GATE_DIR, f"src_x223_{sf_tag}")
+    dest = os.path.join(GATE_DIR, f"out_x223_{sf_tag}")
+    ckpt = os.path.join(GATE_DIR, f"ckpt_x223_{sf_tag}")
+    _fresh(src, dest, ckpt)
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_add = F.col("vec_id") % ADD_MOD == ADD_MOD - 1
+    sup = emb.filter(F.col("vec_id") < ivf_k0(spark, sf_dir)).select(
+        F.col("vec_id").alias("s_id"), F.col("embedding").alias("s_vec")
+    )
+    cent_sup = two_level_cent_sup(spark, sf_dir).localCheckpoint()
+    # the index BUILD job's output: base assignments, written once
+    route_two_level(emb.filter(~is_add), sup, cent_sup).select(
+        "vec_id", F.lit(False).alias("is_add"), F.col("c_id").alias("cell")
+    ).write.parquet(dest)
+    # the add stream: 4 files → 4 micro-batches
+    emb.filter(is_add).repartition(4, "vec_id").write.parquet(src)
+
+    def handle_batch(bdf: DataFrame, _bid: int) -> None:
+        route_two_level(bdf, sup, cent_sup).select(
+            "vec_id", F.lit(True).alias("is_add"), F.col("c_id").alias("cell")
+        ).write.mode("append").parquet(dest)
+
+    q = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    placed = spark.read.parquet(dest).localCheckpoint()
+    return maintenance_ledger(spark, sf_dir, placed)
+
+
+def _register_x223() -> None:
+    # Anti-drift: gated against x220's batch oracle VERBATIM (similarity
+    # registers before this module in registry()'s import order).
+    from . import _REGISTRY
+
+    register(
+        QuerySpec(
+            "x223_stream_index_cdc",
+            x223_stream_index_cdc,
+            _REGISTRY["x220_ivf_incremental_maintenance"].oracle,
+            "streaming index CDC: per-micro-batch frozen-quantizer adds == batch ledger",
+        )
+    )
+
+
+_register_x223()

@@ -80,6 +80,8 @@ PROBE = [
     "x219_nprobe_sweep",         # 3-level fan over one probed base
     "x220_ivf_incremental_maintenance",  # index CDC: adds + cell splits
     "x221_zorder_pruning",       # Morton tagging + 64-file stats rollups
+    "x222_chunk_dedup_rebuild",  # chunk explode + hash-keyed keep-first
+    "x223_stream_index_cdc",     # streaming adds vs the frozen quantizer
 ]
 
 

@@ -146,3 +146,23 @@ def test_x221_zorder_beats_linear_on_2d_boxes(spark, sf_dir):
     assert sum(r.files_read_z for r in rows) < sum(
         r.files_read_lin for r in rows
     )
+
+
+def test_x222_keeps_exactly_the_distinct_chunks(spark, sf_dir):
+    """Keep-first is a bijection onto the distinct chunk set: the kept
+    total must equal the number of DISTINCT chunk strings in the corpus
+    (computed independently here), and no doc keeps more than it had."""
+    from json_to_parquet_spark.queries.curation import CHUNK_W
+
+    rows = registry()["x222_chunk_dedup_rebuild"].spark(spark, sf_dir).collect()
+    (n_distinct,) = duckdb.sql(f"""
+        SELECT COUNT(DISTINCT array_to_string(
+                   toks[t.i * {CHUNK_W} + 1 : (t.i + 1) * {CHUNK_W}], ' '))
+        FROM (SELECT string_split(lower(text), ' ') AS toks
+              FROM '{sf_dir}/documents.parquet') d,
+             LATERAL (SELECT unnest(range(0,
+                 CAST(CEIL(len(toks) * 1.0 / {CHUNK_W}) AS BIGINT))) AS i) t
+        """).fetchone()
+    assert sum(r.n_kept for r in rows) == n_distinct
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_chunks
