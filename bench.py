@@ -141,6 +141,7 @@ HEADLINE = [
     "x220_ivf_incremental_maintenance",
     "x221_zorder_pruning",
     "x222_chunk_dedup_rebuild",
+    "x225_doremi_mix",
 ]
 
 CONVERT_RECORDS = 100_000

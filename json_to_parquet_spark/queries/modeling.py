@@ -801,3 +801,144 @@ register(
         "portable HyperLogLog: exact-integer harmonic sum, estimate value-checked",
     )
 )
+
+
+# --- x225: DoReMi-style domain mixture reweighting ------------------------------
+# Domain mixing is the knob that decides what a 100 TB corpus actually
+# teaches: DoReMi (Xie et al. 2023) learns domain weights with a
+# Group-DRO multiplicative-weights loop that upweights domains whose
+# loss EXCEEDS the current mixture's weighted mean.  The loop here runs
+# in FIXED-POINT integer micro-units (the x45 treaty: no float, no exp —
+# the first-order MWU update w·(1 + η·excess) replaces Hedge's
+# w·exp(η·excess), the standard small-η equivalence), so every
+# iteration is bit-exact on any engine and the oracle unrolls the same
+# recurrence as chained CTEs.  Per-doc loss proxy: ln is NOT used —
+# loss_d = the domain's mean token count in micro-units (an exact
+# integer), the deterministic stand-in for a reference-model loss.
+DOREMI_ITERS = 8
+DOREMI_SCALE = 1_000_000
+DOREMI_ETA_NUM, DOREMI_ETA_DEN = 2, 1  # η = 2 on micro-relative excess
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — DuckDB's ``//`` and
+    Spark's DIV semantics (Python's ``//`` floors, which diverges on
+    negative excess)."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def x225_doremi_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per domain (documents.source): the micro-unit loss proxy, the
+    final multiplicative-weights mixture weight, and DoReMi's returned
+    average weight across steps.  One distributed corpus pass computes
+    the per-domain token means; the T=8 MWU rounds then run DRIVER-SIDE
+    on the collected ≤|domains|-row frame (the x45/x179 bounded-matrix
+    pattern) in exact integers:
+
+      m_t      = Σ_d w_d·loss_d / SCALE            (mixture mean)
+      excess_d = (loss_d − m_t)·SCALE / m_t        (micro-relative)
+      w'_d     = w_d + w_d·η·excess_d / SCALE      (first-order MWU)
+      w_d      = w'_d·SCALE / Σ w'_d               (renormalize)
+
+    all divisions truncating toward zero (DuckDB's ``//``), so the
+    unrolled-CTE oracle reproduces every bit.  Scale shape: the corpus
+    pass is one groupBy(source) agg of (token_count) longs; the loop
+    state is |domains| rows — bounded at any corpus size by the domain
+    taxonomy, exactly DoReMi's own regime (~20 Pile domains)."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    per = (
+        docs.select(
+            "source",
+            F.size(F.split(F.lower("text"), " ")).cast("long").alias("tok"),
+        )
+        .groupBy("source")
+        .agg(F.sum("tok").alias("tok_sum"), F.count(F.lit(1)).alias("cnt"))
+        .collect()  # bounded: one row per domain
+    )
+    loss = {
+        r.source: _tdiv(r.tok_sum * DOREMI_SCALE, r.cnt) for r in per
+    }
+    domains = sorted(loss)
+    w = {d: _tdiv(DOREMI_SCALE, len(domains)) for d in domains}
+    acc = {d: 0 for d in domains}
+    for _ in range(DOREMI_ITERS):
+        m = _tdiv(sum(w[d] * loss[d] for d in domains), DOREMI_SCALE)
+        pre = {
+            d: w[d]
+            + _tdiv(
+                w[d]
+                * DOREMI_ETA_NUM
+                * _tdiv((loss[d] - m) * DOREMI_SCALE, m),
+                DOREMI_ETA_DEN * DOREMI_SCALE,
+            )
+            for d in domains
+        }
+        s = sum(pre.values())
+        w = {d: _tdiv(pre[d] * DOREMI_SCALE, s) for d in domains}
+        for d in domains:
+            acc[d] += w[d]
+    return spark.createDataFrame(
+        [
+            (
+                d,
+                int(loss[d]),
+                int(w[d]),
+                int(_tdiv(acc[d], DOREMI_ITERS)),
+            )
+            for d in domains
+        ],
+        "source string, loss_micro long, w_final_micro long, w_avg_micro long",
+    ).orderBy("source")
+
+
+def _x225_sql() -> str:
+    scale = DOREMI_SCALE
+    ctes = [
+        f"""per AS MATERIALIZED (
+          SELECT source,
+                 (SUM(len(string_split(lower(text), ' '))) * {scale})
+                   // COUNT(*) AS loss_u,
+                 COUNT(*) AS cnt
+          FROM documents GROUP BY source),
+        nd AS (SELECT COUNT(*) AS k FROM per),
+        w0 AS MATERIALIZED (SELECT source, loss_u, {scale} // k AS w,
+                      CAST(0 AS BIGINT) AS acc
+               FROM per, nd)"""
+    ]
+    for t in range(1, DOREMI_ITERS + 1):
+        p = t - 1
+        ctes.append(
+            f"""m{t} AS MATERIALIZED (
+          SELECT SUM(w * loss_u) // {scale} AS m FROM w{p}),
+        p{t} AS MATERIALIZED (SELECT source, loss_u, acc,
+                        w + (w * {DOREMI_ETA_NUM}
+                             * (((loss_u - m) * {scale}) // m))
+                          // ({DOREMI_ETA_DEN} * {scale}) AS w
+                 FROM w{p}, m{t}),
+        s{t} AS MATERIALIZED (SELECT SUM(w) AS s FROM p{t}),
+        w{t} AS MATERIALIZED (SELECT source, loss_u,
+                        (w * {scale}) // s AS w,
+                        acc + (w * {scale}) // s AS acc
+                 FROM p{t}, s{t})"""
+        )
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT source,
+               CAST(loss_u AS BIGINT) AS loss_micro,
+               CAST(w AS BIGINT) AS w_final_micro,
+               CAST(acc // {DOREMI_ITERS} AS BIGINT) AS w_avg_micro
+        FROM w{DOREMI_ITERS}
+        ORDER BY source
+        """
+
+
+register(
+    QuerySpec(
+        "x225_doremi_mix",
+        x225_doremi_mix,
+        _x225_sql(),
+        "DoReMi domain mixture: fixed-point Group-DRO multiplicative weights",
+    )
+)

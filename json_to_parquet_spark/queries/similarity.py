@@ -2357,3 +2357,96 @@ register(
         "index CDC: frozen-quantizer batch adds + deterministic overflow cell splits",
     )
 )
+
+
+# --- x224: tombstone-aware index compaction planning ----------------------------
+# Deletes in a vector store are tombstones, not rewrites: search filters
+# them out (exactly x215's predicate-inside-the-scan shape) and a
+# compaction job rewrites only the inverted lists whose dead fraction
+# crossed a threshold.  This is the planning ledger that job consumes —
+# the delete-side completion of the build (x21/x121) → add/split (x220)
+# → stream (x223) index lifecycle.
+TOMB_MOD = 7       # vec_id % TOMB_MOD == 2 → tombstoned (~14.3%)
+TOMB_PCT = 15      # compact when dead fraction exceeds 15% (integer %)
+
+
+def x224_tombstone_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per inverted list: live/dead populations, the compaction decision
+    (dead% > TOMB_PCT, pure integer arithmetic so the oracle is exact),
+    and the rows a compaction rewrite would reclaim.  Scale shapes: the
+    ~n^1.25 two-level assignment feeds ONE key-shuffle agg of narrow
+    (cell, flag) rows; the decision is row-local on the ≤nlist-row
+    rollup."""
+    placed = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            (F.col("vec_id") % TOMB_MOD == 2).alias("dead"),
+        )
+        .join(two_level_lists(spark, sf_dir), "vec_id")
+    )
+    return (
+        placed.groupBy(F.col("list_c").alias("cell"))
+        .agg(
+            F.sum((~F.col("dead")).cast("long")).alias("n_live"),
+            F.sum(F.col("dead").cast("long")).alias("n_dead"),
+        )
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "n_live",
+            "n_dead",
+            (
+                F.col("n_dead") * 100
+                > (F.col("n_live") + F.col("n_dead")) * TOMB_PCT
+            )
+            .cast("long")
+            .alias("needs_compact"),
+            F.when(
+                F.col("n_dead") * 100
+                > (F.col("n_live") + F.col("n_dead")) * TOMB_PCT,
+                F.col("n_dead"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("reclaimed"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _x224_sql() -> str:
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e
+                 WHERE vec_id < {SQL_IVF_NLIST}),
+        {SQL_TWO_LEVEL_LISTS},
+        placed AS (
+          SELECT l.list_c AS cell,
+                 (l.vec_id % {TOMB_MOD} = 2) AS dead
+          FROM lists l),
+        roll AS (
+          SELECT cell,
+                 SUM(CASE WHEN dead THEN 0 ELSE 1 END) AS n_live,
+                 SUM(CASE WHEN dead THEN 1 ELSE 0 END) AS n_dead
+          FROM placed GROUP BY cell)
+        SELECT CAST(cell AS BIGINT) AS cell,
+               CAST(n_live AS BIGINT) AS n_live,
+               CAST(n_dead AS BIGINT) AS n_dead,
+               CAST(CASE WHEN n_dead * 100 > (n_live + n_dead) * {TOMB_PCT}
+                    THEN 1 ELSE 0 END AS BIGINT) AS needs_compact,
+               CAST(CASE WHEN n_dead * 100 > (n_live + n_dead) * {TOMB_PCT}
+                    THEN n_dead ELSE 0 END AS BIGINT) AS reclaimed
+        FROM roll
+        ORDER BY cell
+        """
+
+
+register(
+    QuerySpec(
+        "x224_tombstone_compaction",
+        x224_tombstone_compaction,
+        _x224_sql(),
+        "tombstone ledger: per-list live/dead counts and the compaction decision",
+    )
+)

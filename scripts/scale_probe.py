@@ -82,6 +82,8 @@ PROBE = [
     "x221_zorder_pruning",       # Morton tagging + 64-file stats rollups
     "x222_chunk_dedup_rebuild",  # chunk explode + hash-keyed keep-first
     "x223_stream_index_cdc",     # streaming adds vs the frozen quantizer
+    "x224_tombstone_compaction", # assignment + narrow live/dead rollup
+    "x225_doremi_mix",           # one corpus agg + bounded driver MWU loop
 ]
 
 

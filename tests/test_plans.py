@@ -194,6 +194,7 @@ _BNLJ_ALLOWED = {
     "x218_filtered_ann_sweep",  # sel-spine/query-vec broadcasts (x215 shapes)
     "x219_nprobe_sweep",  # level-spine/query-vec/exact-truth broadcasts
     "x221_zorder_pruning",  # 16-row predicate-spine broadcasts
+    "x224_tombstone_compaction",  # K0/nlist frames (the two-level quantizer)
 }
 
 

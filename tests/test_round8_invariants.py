@@ -166,3 +166,40 @@ def test_x222_keeps_exactly_the_distinct_chunks(spark, sf_dir):
     assert sum(r.n_kept for r in rows) == n_distinct
     for r in rows:
         assert 0 <= r.n_kept <= r.n_chunks
+
+
+def test_x224_tombstone_ledger_conserves(spark, sf_dir):
+    """live+dead partitions the corpus; dead total equals the
+    deterministic tombstone-set size; reclaimed is exactly the dead rows
+    of compacting cells."""
+    from json_to_parquet_spark.queries.similarity import TOMB_MOD, TOMB_PCT
+
+    rows = registry()["x224_tombstone_compaction"].spark(spark, sf_dir).collect()
+    (n,) = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()
+    (n_dead,) = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet' "
+        f"WHERE vec_id % {TOMB_MOD} = 2"
+    ).fetchone()
+    assert sum(r.n_live + r.n_dead for r in rows) == n
+    assert sum(r.n_dead for r in rows) == n_dead
+    for r in rows:
+        expect = r.n_dead * 100 > (r.n_live + r.n_dead) * TOMB_PCT
+        assert r.needs_compact == int(expect)
+        assert r.reclaimed == (r.n_dead if expect else 0)
+
+
+def test_x225_mwu_weights_monotone_in_loss(spark, sf_dir):
+    """The MWU update is order-preserving: a domain with strictly higher
+    loss can never end with a lower weight; the renormalized weights sum
+    to SCALE within the |domains|-ulp floor drift."""
+    from json_to_parquet_spark.queries.modeling import DOREMI_SCALE
+
+    rows = registry()["x225_doremi_mix"].spark(spark, sf_dir).collect()
+    total = sum(r.w_final_micro for r in rows)
+    assert DOREMI_SCALE - len(rows) <= total <= DOREMI_SCALE
+    by_loss = sorted(rows, key=lambda r: (r.loss_micro, r.source))
+    for a, b in zip(by_loss, by_loss[1:]):
+        if b.loss_micro > a.loss_micro:
+            assert b.w_final_micro >= a.w_final_micro, (a, b)
