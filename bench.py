@@ -142,6 +142,7 @@ HEADLINE = [
     "x221_zorder_pruning",
     "x222_chunk_dedup_rebuild",
     "x225_doremi_mix",
+    "x226_incremental_view_maintenance",
 ]
 
 CONVERT_RECORDS = 100_000

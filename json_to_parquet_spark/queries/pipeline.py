@@ -1254,3 +1254,114 @@ register(
         "TextRank keywords: fixed-point PageRank over the co-occurrence graph",
     )
 )
+
+
+# --- x226: incremental materialized-view maintenance ---------------------------
+# The warehouse shape x41's row-level CDC merge doesn't cover: keeping an
+# AGGREGATE view current under a change batch WITHOUT rescanning the
+# base.  Deltas for SUM/COUNT are additive (+insert, -delete,
+# +(new-old) for updates), so the refreshed view is base_view ⊕ delta —
+# at 100 TB that's the difference between touching the batch and
+# re-scanning the fact table per refresh.  The gate makes the algebra
+# the thing under test: Spark maintains INCREMENTALLY while the oracle
+# RECOMPUTES from the merged final state — a hash match proves the IVM
+# identity, not just both engines agreeing on one plan.
+IVM_INS_MOD = 10   # l_orderkey % 10 == 7 → the insert batch
+IVM_DEL_MOD = 13   # base rows with % 13 == 4 → deletes
+IVM_UPD_MOD = 13   # base rows with % 13 == 5 → quantity += 1
+
+
+def x226_incremental_view_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per (l_returnflag, l_linestatus): exact-decimal quantity sum and
+    row count of the POST-CHANGE state, computed as stored-view ⊕
+    change-batch deltas.  All arithmetic stays DECIMAL(30,10) until the
+    final double cast (helpers rules 1-2), so the incremental path is
+    bit-identical to a recompute — which is exactly what the oracle
+    does.  Scale shapes: the view and delta aggregations are key-shuffle
+    aggs (view-group cardinality is tiny); the merge is a group-keyed
+    outer join of two view-sized frames; the base scan here stands in
+    for the STORED view a deployment would read."""
+    from .helpers import DEC
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    is_ins = F.col("l_orderkey") % IVM_INS_MOD == 7
+    base = li.filter(~is_ins)
+    keys = ["l_returnflag", "l_linestatus"]
+    base_view = base.groupBy(*keys).agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("bsum"),
+        F.count(F.lit(1)).alias("bcnt"),
+    )
+    ins = li.filter(is_ins).select(
+        *keys,
+        F.col("l_quantity").cast(DEC).alias("qd"),
+        F.lit(1).alias("cd"),
+    )
+    dele = base.filter(F.col("l_orderkey") % IVM_DEL_MOD == 4).select(
+        *keys,
+        (-F.col("l_quantity")).cast(DEC).alias("qd"),
+        F.lit(-1).alias("cd"),
+    )
+    upd = base.filter(F.col("l_orderkey") % IVM_UPD_MOD == 5).select(
+        *keys,
+        F.lit(1.0).cast(DEC).alias("qd"),  # new − old = +1 per row
+        F.lit(0).alias("cd"),
+    )
+    delta = (
+        ins.unionAll(dele)
+        .unionAll(upd)
+        .groupBy(*keys)
+        .agg(F.sum("qd").alias("dsum"), F.sum("cd").alias("dcnt"))
+    )
+    zero = F.lit(0).cast(DEC)
+    return (
+        base_view.join(delta, keys, "full_outer")
+        .select(
+            *keys,
+            (F.coalesce("bsum", zero) + F.coalesce("dsum", zero))
+            .cast("double")
+            .alias("sum_qty"),
+            (F.coalesce("bcnt", F.lit(0)) + F.coalesce("dcnt", F.lit(0)))
+            .cast("long")
+            .alias("n_rows"),
+        )
+        .filter(F.col("n_rows") > 0)
+        .orderBy(*keys)
+    )
+
+
+def _x226_sql() -> str:
+    # The oracle RECOMPUTES from the merged final state — the IVM
+    # identity (incremental == recompute) is what the hash match proves.
+    from .helpers import SQL_DEC_SUM
+
+    return f"""
+        WITH final AS (
+          SELECT l_returnflag, l_linestatus,
+                 CASE WHEN l_orderkey % {IVM_INS_MOD} != 7
+                       AND l_orderkey % {IVM_UPD_MOD} = 5
+                      THEN l_quantity + 1 ELSE l_quantity END AS q
+          FROM lineitem
+          WHERE l_orderkey % {IVM_INS_MOD} = 7
+             OR (l_orderkey % {IVM_INS_MOD} != 7
+                 AND l_orderkey % {IVM_DEL_MOD} != 4))
+        SELECT l_returnflag, l_linestatus,
+               {SQL_DEC_SUM.format(x="q")} AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM final
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+
+
+register(
+    QuerySpec(
+        "x226_incremental_view_maintenance",
+        x226_incremental_view_maintenance,
+        _x226_sql(),
+        "aggregate-view IVM: base ⊕ additive CDC deltas == full recompute (the oracle)",
+    )
+)

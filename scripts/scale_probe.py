@@ -84,6 +84,7 @@ PROBE = [
     "x223_stream_index_cdc",     # streaming adds vs the frozen quantizer
     "x224_tombstone_compaction", # assignment + narrow live/dead rollup
     "x225_doremi_mix",           # one corpus agg + bounded driver MWU loop
+    "x226_incremental_view_maintenance",  # view + delta aggs, group-keyed merge
 ]
 
 

@@ -203,3 +203,27 @@ def test_x225_mwu_weights_monotone_in_loss(spark, sf_dir):
     for a, b in zip(by_loss, by_loss[1:]):
         if b.loss_micro > a.loss_micro:
             assert b.w_final_micro >= a.w_final_micro, (a, b)
+
+
+def test_x226_ivm_matches_final_state_cardinality(spark, sf_dir):
+    """The incremental view's row total must equal the merged final
+    state's cardinality (base − deletes + inserts), computed
+    independently here; the oracle hash match proves the sums."""
+    from json_to_parquet_spark.queries.pipeline import (
+        IVM_DEL_MOD,
+        IVM_INS_MOD,
+    )
+
+    rows = (
+        registry()["x226_incremental_view_maintenance"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    (n_final,) = duckdb.sql(
+        f"""SELECT COUNT(*) FROM '{sf_dir}/lineitem.parquet'
+            WHERE l_orderkey % {IVM_INS_MOD} = 7
+               OR (l_orderkey % {IVM_INS_MOD} != 7
+                   AND l_orderkey % {IVM_DEL_MOD} != 4)"""
+    ).fetchone()
+    assert sum(r.n_rows for r in rows) == n_final
+    assert all(r.n_rows > 0 for r in rows)
