@@ -1085,15 +1085,19 @@ def x221_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey"
     )
-    kb = (F.col("l_partkey") / wk).cast("long")
-    sb = (F.col("l_suppkey") / ws).cast("long")
+    # EXACT integer division (`div`), matching the oracle's `//` by
+    # construction — double-divide-then-cast could truncate differently
+    # near representability limits (ADVICE r8).  Keys are non-negative,
+    # so truncation and floor agree in both engines.
+    kb = F.expr(f"l_partkey div {wk}")
+    sb = F.expr(f"l_suppkey div {ws}")
     tagged = li.select(
         "l_partkey",
         "l_suppkey",
         F.shiftright(_interleave(kb, sb), ZO_FILES_SHIFT).alias("file_z"),
         kb.alias("file_lin"),
-        (F.col("l_partkey") / qk).cast("long").alias("qi"),
-        (F.col("l_suppkey") / qs).cast("long").alias("qj"),
+        F.expr(f"l_partkey div {qk}").alias("qi"),
+        F.expr(f"l_suppkey div {qs}").alias("qj"),
     ).localCheckpoint()  # narrow scalars; three rollups share one scan
 
     def stats(file_col: str) -> DataFrame:

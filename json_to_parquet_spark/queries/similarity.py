@@ -1728,7 +1728,18 @@ register(
 # volume at three selectivities — 'all' (no predicate, selectivity 1.0),
 # 'half' (label parity match, ~0.5), 'tenth' (label equality, ~0.1 on the
 # 10-label corpus).  One row per (selectivity, query).
-SEL_LEVELS = ("all", "half", "tenth")
+# name -> predicate over the scored base's (label, q_label) columns.
+# The SAME text is F.expr'd on the Spark side and f-strung into the
+# oracle's CASE arms (and the sels CTE list is built from the keys) —
+# one shared structure feeds both engines, so a retune cannot
+# desynchronize the fan stage from the oracle (ADVICE r8; the
+# shared-constant invariant, same pattern as x219's NPROBE_LEVELS).
+SEL_PREDS: dict[str, str] = {
+    "all": "TRUE",
+    "half": "label % 2 = q_label % 2",
+    "tenth": "label = q_label",
+}
+SEL_LEVELS = tuple(SEL_PREDS)
 
 
 def x218_filtered_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1811,11 +1822,7 @@ def x218_filtered_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _sel_pred(sel: str):
-        if sel == "all":
-            return F.lit(True)
-        if sel == "half":
-            return (F.col("label") % 2) == (F.col("q_label") % 2)
-        return F.col("label") == F.col("q_label")
+        return F.expr(SEL_PREDS[sel])
 
     def _fan(base: DataFrame) -> DataFrame:
         parts = [
@@ -1876,11 +1883,15 @@ def x218_filtered_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _x218_sql() -> str:
+    # CASE arms and the sels list both derive from SEL_PREDS — column
+    # refs resolve to the base alias ``b`` (the only relation carrying
+    # label/q_label in the fan CTEs).
     sel_case = (
-        "CASE s.sel WHEN 'all' THEN TRUE "
-        "WHEN 'half' THEN b.label % 2 = b.q_label % 2 "
-        "ELSE b.label = b.q_label END"
+        "CASE s.sel "
+        + " ".join(f"WHEN '{s}' THEN {p}" for s, p in SEL_PREDS.items())
+        + " END"
     )
+    sels_list = ", ".join(f"'{s}'" for s in SEL_LEVELS)
     return f"""
         WITH e AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -1901,7 +1912,7 @@ def _x218_sql() -> str:
                                      ORDER BY dist, c_id) <= {IVF_N_PROBE}),
         qs AS (SELECT vec_id AS q_id, v AS q_vec, label AS q_label FROM e
                WHERE vec_id < {N_QUERY_VECS}),
-        sels AS (SELECT unnest(['all', 'half', 'tenth']) AS sel),
+        sels AS (SELECT unnest([{sels_list}]) AS sel),
         cbase AS MATERIALIZED (
           SELECT p.q_id, e.vec_id, e.label, q.q_label,
                  ROUND(list_dot_product(q.q_vec, e.v)
