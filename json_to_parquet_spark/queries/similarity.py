@@ -450,16 +450,44 @@ def two_level_assign(
         F.col("vec_id").alias("s_id"), F.col("embedding").alias("s_vec")
     )
     return route_two_level(
-        emb, sup, two_level_cent_sup(spark, sf_dir), n_keep
+        emb,
+        sup,
+        two_level_cent_sup(spark, sf_dir),
+        n_keep,
+        cent_rows=ivf_nlist(spark, sf_dir),
     )
 
 
+# Broadcast ceiling for the fine-centroid (cent_sup) frame in the
+# two-level router's second hop (VERDICT r8 ask #3).  cent_sup is nlist
+# = ⌈√n⌉ rows of 64 doubles (~0.6 KB/row with overhead): ~16 MB at
+# n=10⁹, ~60 MB at n=10¹⁰, ~0.3 GB at n=10¹² — a broadcast is the
+# right shape until roughly the half-GB mark, past which every executor
+# paying the full copy beats the alternative no longer.  Past the
+# ceiling the second hop becomes a shuffle-hash join keyed on s_id:
+# vec_sup is already narrow (vec_id, embedding, s_id) and the join key
+# has K0 = ⌈n^¼⌉ distinct values spread by Spark's hash partitioning,
+# so the shuffle moves each side once and builds per-partition hash
+# tables from the √n-row side.  Crossed at n ≈ 2.5·10¹¹ vectors under
+# the √n rule.  The routing OUTPUT is identical either way (join shape
+# only), so no oracle changes; tests/test_round9_invariants.py asserts
+# both plan shapes.
+TWO_LEVEL_BCAST_MAX_ROWS = 500_000
+
+
 def route_two_level(
-    df: DataFrame, sup: DataFrame, cent_sup: DataFrame, n_keep: int = 1
+    df: DataFrame,
+    sup: DataFrame,
+    cent_sup: DataFrame,
+    n_keep: int = 1,
+    cent_rows: int | None = None,
 ) -> DataFrame:
     """The routing core, factored so a STREAMING micro-batch (x223) can
     assign its rows against the same frozen quantizer frames with
-    bit-identical tie/rounding semantics.  df: (vec_id, embedding)."""
+    bit-identical tie/rounding semantics.  df: (vec_id, embedding).
+    cent_rows (when the caller knows it — nlist for the standard
+    quantizer) picks the second-hop join shape: broadcast below
+    TWO_LEVEL_BCAST_MAX_ROWS, s_id-keyed shuffle-hash above."""
     wvs = Window.partitionBy("vec_id").orderBy(F.asc("sd"), F.asc("s_id"))
     vec_sup = (
         df.crossJoin(F.broadcast(sup))
@@ -472,8 +500,12 @@ def route_two_level(
         .select("vec_id", "embedding", "s_id")
     )
     wv = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("c_id"))
+    if cent_rows is not None and cent_rows > TWO_LEVEL_BCAST_MAX_ROWS:
+        hop2 = vec_sup.join(cent_sup.hint("shuffle_hash"), "s_id")
+    else:
+        hop2 = vec_sup.join(F.broadcast(cent_sup), "s_id")
     return (
-        vec_sup.join(F.broadcast(cent_sup), "s_id")
+        hop2
         .select(
             "vec_id", "c_id",
             _sq_dist(F.col("embedding"), F.col("c_vec")).alias("d"),

@@ -1323,6 +1323,7 @@ def x223_stream_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import (
         ADD_MOD,
         ivf_k0,
+        ivf_nlist,
         maintenance_ledger,
         route_two_level,
         two_level_cent_sup,
@@ -1340,15 +1341,18 @@ def x223_stream_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("s_id"), F.col("embedding").alias("s_vec")
     )
     cent_sup = two_level_cent_sup(spark, sf_dir).localCheckpoint()
+    nlist = ivf_nlist(spark, sf_dir)
     # the index BUILD job's output: base assignments, written once
-    route_two_level(emb.filter(~is_add), sup, cent_sup).select(
+    route_two_level(
+        emb.filter(~is_add), sup, cent_sup, cent_rows=nlist
+    ).select(
         "vec_id", F.lit(False).alias("is_add"), F.col("c_id").alias("cell")
     ).write.parquet(dest)
     # the add stream: 4 files → 4 micro-batches
     emb.filter(is_add).repartition(4, "vec_id").write.parquet(src)
 
     def handle_batch(bdf: DataFrame, _bid: int) -> None:
-        route_two_level(bdf, sup, cent_sup).select(
+        route_two_level(bdf, sup, cent_sup, cent_rows=nlist).select(
             "vec_id", F.lit(True).alias("is_add"), F.col("c_id").alias("cell")
         ).write.mode("append").parquet(dest)
 
