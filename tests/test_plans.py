@@ -195,6 +195,7 @@ _BNLJ_ALLOWED = {
     "x219_nprobe_sweep",  # level-spine/query-vec/exact-truth broadcasts
     "x221_zorder_pruning",  # 16-row predicate-spine broadcasts
     "x224_tombstone_compaction",  # K0/nlist frames (the two-level quantizer)
+    "x227_compaction_execute",  # K0/nlist frames + Nq-row query probe
 }
 
 

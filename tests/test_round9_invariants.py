@@ -70,3 +70,54 @@ def test_route_two_level_shuffles_above_ceiling(spark, sf_dir):
     assert sorted(map(tuple, shuffled.collect())) == sorted(
         map(tuple, bcast.collect())
     )
+
+
+def test_x227_compaction_physically_rewrites(spark, sf_dir):
+    """The gate query alone can't distinguish a physical rewrite from a
+    pure filter (that equivalence is exactly what it proves) — so pin
+    the physical facts: hot cells (dead% > TOMB_PCT) contain ZERO dead
+    rows on disk, cold cells still carry their tombstones, and no live
+    row was lost."""
+    from json_to_parquet_spark.queries.similarity import (
+        TOMB_MOD,
+        TOMB_PCT,
+        tomb_index_path,
+        two_level_lists,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    placed = emb.join(two_level_lists(spark, sf_dir), "vec_id").select(
+        "vec_id",
+        (F.col("vec_id") % TOMB_MOD == 2).alias("dead"),
+        F.col("list_c").alias("cell"),
+    )
+    pre = {
+        r.cell: (r.n_dead, r.n_total)
+        for r in placed.groupBy("cell")
+        .agg(
+            F.sum(F.col("dead").cast("long")).alias("n_dead"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .collect()
+    }
+    hot = {c for c, (d, t) in pre.items() if d * 100 > t * TOMB_PCT}
+    assert hot, "fixture never triggers a compaction — test is vacuous"
+    assert set(pre) - hot, "every cell compacts — cold-path untested"
+
+    idx = spark.read.parquet(tomb_index_path(spark, sf_dir))
+    post = {
+        r.cell: (r.n_dead, r.n_total)
+        for r in idx.groupBy("cell")
+        .agg(
+            F.sum(F.col("dead").cast("long")).alias("n_dead"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .collect()
+    }
+    for cell, (d, t) in pre.items():
+        pd_, pt = post[cell]
+        if cell in hot:
+            assert pd_ == 0, (cell, post[cell])  # dead rows physically gone
+            assert pt == t - d  # every live row survived
+        else:
+            assert (pd_, pt) == (d, t)  # cold cells untouched
