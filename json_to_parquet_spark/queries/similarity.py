@@ -406,19 +406,11 @@ SQL_TWO_LEVEL_LISTS = f"""sup AS (
                                      ORDER BY d, c_id) = 1)"""
 
 
-def two_level_cent_sup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(s_id, c_id, c_vec) — each of the nlist fine centroids routed to
-    its nearest of the K0 super-cells (nlist×K0 scoring: bounded both
-    sides, a tiny broadcast subtree)."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    nlist = ivf_nlist(spark, sf_dir)
-    k0 = ivf_k0(spark, sf_dir)
-    sup = emb.filter(F.col("vec_id") < k0).select(
-        F.col("vec_id").alias("s_id"), F.col("embedding").alias("s_vec")
-    )
-    cent = emb.filter(F.col("vec_id") < nlist).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
-    )
+def cent_sup_for(cent: DataFrame, sup: DataFrame) -> DataFrame:
+    """(s_id, c_id, c_vec) — each fine centroid of ``cent`` routed to
+    its nearest super-cell of ``sup`` (nlist×K0 scoring: bounded both
+    sides, a tiny broadcast subtree).  Factored so x228's Lloyd-refined
+    centroid frame routes through the identical tie/rounding rules."""
     wcs = Window.partitionBy("c_id").orderBy(F.asc("sd"), F.asc("s_id"))
     return (
         cent.crossJoin(F.broadcast(sup))
@@ -430,6 +422,21 @@ def two_level_cent_sup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("srank") == 1)
         .select("s_id", "c_id", "c_vec")
     )
+
+
+def two_level_cent_sup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cent_sup_for() over the standard deterministic frames: fine
+    centroids = first nlist corpus vectors, super-cells = first K0."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    nlist = ivf_nlist(spark, sf_dir)
+    k0 = ivf_k0(spark, sf_dir)
+    sup = emb.filter(F.col("vec_id") < k0).select(
+        F.col("vec_id").alias("s_id"), F.col("embedding").alias("s_vec")
+    )
+    cent = emb.filter(F.col("vec_id") < nlist).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    return cent_sup_for(cent, sup)
 
 
 def two_level_assign(
@@ -481,13 +488,16 @@ def route_two_level(
     cent_sup: DataFrame,
     n_keep: int = 1,
     cent_rows: int | None = None,
+    include_dist: bool = False,
 ) -> DataFrame:
     """The routing core, factored so a STREAMING micro-batch (x223) can
     assign its rows against the same frozen quantizer frames with
     bit-identical tie/rounding semantics.  df: (vec_id, embedding).
     cent_rows (when the caller knows it — nlist for the standard
     quantizer) picks the second-hop join shape: broadcast below
-    TWO_LEVEL_BCAST_MAX_ROWS, s_id-keyed shuffle-hash above."""
+    TWO_LEVEL_BCAST_MAX_ROWS, s_id-keyed shuffle-hash above.
+    include_dist adds the rounded squared distance column ``d`` (x228's
+    quantization-error rollup needs it)."""
     wvs = Window.partitionBy("vec_id").orderBy(F.asc("sd"), F.asc("s_id"))
     vec_sup = (
         df.crossJoin(F.broadcast(sup))
@@ -512,7 +522,12 @@ def route_two_level(
         )
         .withColumn("crank", F.row_number().over(wv))
         .filter(F.col("crank") <= n_keep)
-        .select("vec_id", "c_id", "crank")
+        .select(
+            "vec_id",
+            "c_id",
+            "crank",
+            *(["d"] if include_dist else []),
+        )
     )
 
 
@@ -2662,5 +2677,447 @@ register(
         x227_compaction_execute,
         _x227_sql(),
         "compaction executed: probed search over the rewritten lists == uncompacted answer",
+    )
+)
+
+
+# --- x228/x229: Lloyd-refined coarse quantizer (optional, measured) -----------
+# The family default quantizer is deterministic (centroids = first nlist
+# corpus vectors) — oracle-able and balanced on uniform fixtures, but on
+# REAL embedding corpora (clustered, skewed — the shape
+# tests/clustered_fixture.py builds) first-n-vectors centroids track the
+# data distribution badly: populous blobs hoard vectors per cell and the
+# n^1.25 routing bound degrades toward n^1.5 (VERDICT r8 ask #1).  The
+# standard fix is k-means refinement of the coarse quantizer (FAISS
+# trains IVF coarse centroids with Lloyd iterations on a bounded sample;
+# Jégou et al. 2011) — composed here from x49's existing loop: a few
+# rounds over a ~LLOYD_SAMPLE_PER_CELL·nlist deterministic sample
+# (linear total work: sample×nlist = c·n per round), decimal-exact
+# means, so the refined centroids are bit-identical in the SQL twin and
+# the whole comparison stays oracle-able.  The deterministic quantizer
+# REMAINS the family default; x228/x229 register the refined variant
+# and its balance/recall delta as gate queries.
+LLOYD_ROUNDS = 2
+LLOYD_SAMPLE_PER_CELL = 32  # FAISS-ish train-points-per-centroid budget
+
+# Deterministic sample: every SAMP_MOD-th vec_id, SAMP_MOD = max(1,
+# n // (32·nlist)) — both engines derive it from the same COUNT(*)
+# (the shared-constant invariant).  Integer division: `//` in DuckDB
+# truncates, Python // floors — equal on the non-negative operands here.
+SQL_SAMP_MOD = (
+    "GREATEST(1, (SELECT COUNT(*) FROM embeddings) // "
+    f"({LLOYD_SAMPLE_PER_CELL} * {SQL_IVF_NLIST}))"
+)
+
+
+def _samp_mod(spark: SparkSession, sf_dir: str) -> int:
+    n = load_table(spark, sf_dir, "embeddings").count()
+    return max(1, n // (LLOYD_SAMPLE_PER_CELL * ivf_nlist(spark, sf_dir)))
+
+
+def lloyd_refine(samp: DataFrame, cent: DataFrame, rounds: int) -> DataFrame:
+    """x49's Lloyd update applied to the coarse-quantizer frame:
+    ``rounds`` iterations of assign-to-nearest + decimal-exact
+    per-(cluster, dim) mean over the SAMPLE ``samp(vec_id, v)``,
+    starting from ``cent(c_id, c_vec)``.  Empty clusters keep their
+    previous centroid (left-join coalesce).  Per round: sample ×
+    broadcast(nlist) scoring (~32·n flops total — linear) + an
+    (n_samp·d)-row map-side-combined mean."""
+    for _ in range(rounds):
+        scored = samp.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "v", "c_id", _sq_dist(F.col("v"), F.col("c_vec")).alias("d")
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("c_id"))
+        assign = (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("vec_id", "v", F.col("c_id").alias("cluster"))
+        )
+        dims = assign.select("cluster", F.posexplode("v").alias("dim", "val"))
+        means = dims.groupBy("cluster", "dim").agg(
+            (
+                F.sum(F.col("val").cast("decimal(30,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        packed = means.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s.m,
+            ).alias("new_vec")
+        )
+        cent = cent.join(
+            F.broadcast(packed), cent.c_id == packed.cluster, "left"
+        ).select(
+            "c_id", F.coalesce(F.col("new_vec"), F.col("c_vec")).alias("c_vec")
+        )
+    return cent
+
+
+def _quantizer_frames(spark: SparkSession, sf_dir: str):
+    """(corpus, sup, cent_seed, cent_lloyd, nlist) — the shared x228/x229
+    setup.  All vectors widened to array<double> up front so the Lloyd
+    means see the exact values the oracle's CAST(embedding AS DOUBLE[])
+    sees."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    nlist = ivf_nlist(spark, sf_dir)
+    k0 = ivf_k0(spark, sf_dir)
+    cent_seed = emb.filter(F.col("vec_id") < nlist).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("c_vec")
+    )
+    samp = emb.filter(
+        F.col("vec_id") % _samp_mod(spark, sf_dir) == 0
+    ).select("vec_id", "v")
+    cent_lloyd = lloyd_refine(samp, cent_seed, LLOYD_ROUNDS)
+    sup = emb.filter(F.col("vec_id") < k0).select(
+        F.col("vec_id").alias("s_id"), F.col("v").alias("s_vec")
+    )
+    corpus = emb.select("vec_id", F.col("v").alias("embedding"))
+    return corpus, sup, cent_seed, cent_lloyd, nlist
+
+
+def x228_refined_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balance/quantization-error comparison of the deterministic seed
+    quantizer vs its Lloyd refinement, one row per quantizer: cells
+    actually used, max/min cell population, vectors routed (always n —
+    the conservation check), and the decimal-exact sum of rounded
+    squared quantization errors.  On clustered corpora the refined row
+    shows the lower max_pop and sq_err — the robustness evidence the
+    first-n-vectors trick alone cannot provide.
+
+    Scale shapes: Lloyd rounds are sample×broadcast(nlist) = ~32·n
+    flops each; both corpus assignments route two-level (~n^1.25,
+    broadcasts bounded at K0 then nlist with the 500k-row ceiling);
+    stats are one key-shuffle agg per quantizer over narrow rows."""
+    corpus, sup, cent_seed, cent_lloyd, nlist = _quantizer_frames(
+        spark, sf_dir
+    )
+
+    def quant_stats(cent: DataFrame, tag: str) -> DataFrame:
+        asn = route_two_level(
+            corpus,
+            sup,
+            cent_sup_for(cent, sup),
+            cent_rows=nlist,
+            include_dist=True,
+        )
+        pops = asn.groupBy("c_id").agg(
+            F.count(F.lit(1)).alias("pop"),
+            F.sum(F.col("d").cast("decimal(30,10)")).alias("errsum"),
+        )
+        return pops.agg(
+            F.count(F.lit(1)).alias("n_cells_used"),
+            F.max("pop").alias("max_pop"),
+            F.min("pop").alias("min_pop"),
+            F.sum("pop").alias("n_vecs"),
+            F.round(F.sum("errsum").cast("double"), 6).alias("sq_err"),
+        ).select(
+            F.lit(tag).alias("quantizer"),
+            F.col("n_cells_used").cast("long").alias("n_cells_used"),
+            F.col("max_pop").cast("long").alias("max_pop"),
+            F.col("min_pop").cast("long").alias("min_pop"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            "sq_err",
+        )
+
+    return (
+        quant_stats(cent_seed, "seed")
+        .unionAll(quant_stats(cent_lloyd, "lloyd"))
+        .orderBy("quantizer")
+    )
+
+
+_SQD = (
+    "ROUND(list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)"
+)
+
+
+def _lloyd_sql_steps() -> str:
+    """CTE chain lcent0 → lcent{LLOYD_ROUNDS}: x49's decimal-exact Lloyd
+    update over ``samp``, seeded from ``cent_seed``.  lassign is
+    MATERIALIZED (the x225 lesson: chained CTEs inline exponentially)."""
+    steps = ["lcent0 AS (SELECT c_id, c_vec FROM cent_seed)"]
+    for i in range(LLOYD_ROUNDS):
+        steps.append(f"""lassign{i} AS MATERIALIZED (
+          SELECT vec_id, v, c_id AS cluster FROM (
+            SELECT s.vec_id, s.v, c.c_id,
+                   {_SQD.format(a="s.v", b="c.c_vec")} AS d
+            FROM samp s CROSS JOIN lcent{i} c)
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d, c_id) = 1),
+        lmeans{i} AS (
+          SELECT cluster, dim,
+                 CAST(CAST(SUM(CAST(val AS DECIMAL(30,10))) AS VARCHAR)
+                      AS DOUBLE) / COUNT(*) AS m
+          FROM (SELECT cluster,
+                       generate_subscripts(v, 1) - 1 AS dim,
+                       unnest(v) AS val
+                FROM lassign{i})
+          GROUP BY cluster, dim),
+        lpacked{i} AS (
+          SELECT cluster, list(m ORDER BY dim) AS new_vec
+          FROM lmeans{i} GROUP BY cluster),
+        lcent{i + 1} AS MATERIALIZED (
+          SELECT c.c_id, COALESCE(p.new_vec, c.c_vec) AS c_vec
+          FROM lcent{i} c LEFT JOIN lpacked{i} p ON c.c_id = p.cluster)""")
+    return ",\n        ".join(steps)
+
+
+# sup + shared vector→super-cell routing (quantizer-independent: the
+# super-cells are corpus vectors, not fine centroids)
+_SQL_SUP_VECSUP = f"""sup AS (
+          SELECT vec_id AS s_id, v AS s_vec FROM e
+          WHERE vec_id < {SQL_IVF_K0}),
+        vec_sup AS MATERIALIZED (
+          SELECT vec_id, s_id FROM (
+            SELECT e.vec_id, s.s_id,
+                   {_SQD.format(a="e.v", b="s.s_vec")} AS sd
+            FROM e CROSS JOIN sup s)
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sd, s_id) = 1)"""
+
+
+def _sql_cs(cent_cte: str, out: str) -> str:
+    """cent_sup_for()'s twin: route ``cent_cte``'s fine centroids to sup."""
+    return f"""{out} AS MATERIALIZED (
+          SELECT s_id, c_id, c_vec FROM (
+            SELECT c.c_id, c.c_vec, s.s_id,
+                   {_SQD.format(a="c.c_vec", b="s.s_vec")} AS sd
+            FROM {cent_cte} c CROSS JOIN sup s)
+          QUALIFY row_number() OVER (PARTITION BY c_id
+                                     ORDER BY sd, s_id) = 1)"""
+
+
+def _sql_asn(cs_cte: str, out: str) -> str:
+    """route_two_level()'s second-hop twin with the distance kept."""
+    return f"""{out} AS MATERIALIZED (
+          SELECT vec_id, c_id, d FROM (
+            SELECT e.vec_id, cs.c_id,
+                   {_SQD.format(a="e.v", b="cs.c_vec")} AS d
+            FROM e JOIN vec_sup vs USING (vec_id)
+                   JOIN {cs_cte} cs ON vs.s_id = cs.s_id)
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d, c_id) = 1)"""
+
+
+def _x228_sql() -> str:
+    def stats(asn_cte: str, tag: str) -> str:
+        return f"""SELECT '{tag}' AS quantizer,
+                 CAST(COUNT(*) AS BIGINT) AS n_cells_used,
+                 CAST(MAX(pop) AS BIGINT) AS max_pop,
+                 CAST(MIN(pop) AS BIGINT) AS min_pop,
+                 CAST(SUM(pop) AS BIGINT) AS n_vecs,
+                 ROUND(CAST(CAST(SUM(errsum) AS VARCHAR) AS DOUBLE), 6)
+                     AS sq_err
+          FROM (SELECT c_id, COUNT(*) AS pop,
+                       SUM(CAST(d AS DECIMAL(30,10))) AS errsum
+                FROM {asn_cte} GROUP BY c_id)"""
+
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent_seed AS (SELECT vec_id AS c_id, v AS c_vec FROM e
+                      WHERE vec_id < {SQL_IVF_NLIST}),
+        samp AS MATERIALIZED (
+          SELECT vec_id, v FROM e WHERE vec_id % {SQL_SAMP_MOD} = 0),
+        {_lloyd_sql_steps()},
+        {_SQL_SUP_VECSUP},
+        {_sql_cs("cent_seed", "cs_seed")},
+        {_sql_cs(f"lcent{LLOYD_ROUNDS}", "cs_lloyd")},
+        {_sql_asn("cs_seed", "asn_seed")},
+        {_sql_asn("cs_lloyd", "asn_lloyd")}
+        SELECT * FROM ({stats("asn_seed", "seed")}
+                       UNION ALL
+                       {stats("asn_lloyd", "lloyd")})
+        ORDER BY quantizer
+        """
+
+
+register(
+    QuerySpec(
+        "x228_refined_quantizer",
+        x228_refined_quantizer,
+        _x228_sql(),
+        "Lloyd-refined vs seed coarse quantizer: balance + quantization error, per quantizer",
+    )
+)
+
+
+def x229_refined_quantizer_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 delta of the Lloyd-refined quantizer vs the seed
+    quantizer, per query: the IVF search (IVF_N_PROBE probed lists,
+    exact cosine rerank) runs under BOTH quantizers against ONE shared
+    brute-force truth.  The production question this answers: does
+    refining the coarse quantizer buy recall at equal probe budget?
+
+    Scale shapes: one exact-truth pass (bounded: N_QUERY_VECS ×
+    corpus, query side broadcast, k-capped before the hit join); per
+    quantizer, a two-level corpus assignment (~n^1.25) and a
+    probes·~√n candidate scan."""
+    corpus, sup, cent_seed, cent_lloyd, nlist = _quantizer_frames(
+        spark, sf_dir
+    )
+    queries = corpus.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    exact = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(F.col("q_vec"), F.col("embedding")).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= FANN_TOPK)
+        .select("q_id", "vec_id")
+        .localCheckpoint()  # narrow (q_id, vec_id); both sides consume it
+    )
+
+    def hits_for(cent: DataFrame, col: str) -> DataFrame:
+        lists = route_two_level(
+            corpus, sup, cent_sup_for(cent, sup), cent_rows=nlist
+        ).select("vec_id", F.col("c_id").alias("list_c"))
+        qd = queries.crossJoin(F.broadcast(cent)).select(
+            "q_id",
+            "c_id",
+            _sq_dist(F.col("q_vec"), F.col("c_vec")).alias("d"),
+        )
+        wp = Window.partitionBy("q_id").orderBy(F.asc("d"), F.asc("c_id"))
+        probes = (
+            qd.withColumn("crank", F.row_number().over(wp))
+            .filter(F.col("crank") <= IVF_N_PROBE)
+            .select("q_id", F.col("c_id").alias("probe_c"))
+        )
+        cand = (
+            corpus.join(lists, "vec_id")
+            .join(F.broadcast(probes), F.col("list_c") == F.col("probe_c"))
+            .join(F.broadcast(queries), "q_id")
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select(
+                "q_id",
+                "vec_id",
+                cosine(F.col("q_vec"), F.col("embedding")).alias("cos_sim"),
+            )
+        )
+        approx = (
+            cand.withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= FANN_TOPK)
+            .select("q_id", "vec_id")
+        )
+        return (
+            approx.join(exact, ["q_id", "vec_id"])
+            .groupBy("q_id")
+            .agg(F.count(F.lit(1)).alias(col))
+        )
+
+    return (
+        queries.select("q_id")
+        .join(hits_for(cent_seed, "hits_seed"), "q_id", "left")
+        .join(hits_for(cent_lloyd, "hits_lloyd"), "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("hits_seed", F.lit(0)).cast("long").alias("hits_seed"),
+            F.coalesce("hits_lloyd", F.lit(0))
+            .cast("long")
+            .alias("hits_lloyd"),
+            F.round(
+                F.coalesce("hits_seed", F.lit(0)).cast("double")
+                / F.lit(float(FANN_TOPK)),
+                6,
+            ).alias("recall_seed"),
+            F.round(
+                F.coalesce("hits_lloyd", F.lit(0)).cast("double")
+                / F.lit(float(FANN_TOPK)),
+                6,
+            ).alias("recall_lloyd"),
+        )
+        .orderBy("q_id")
+    )
+
+
+def _x229_sql() -> str:
+    cos = (
+        "ROUND(list_dot_product({q}, {v})"
+        " / (sqrt(list_dot_product({q}, {q}))"
+        " * sqrt(list_dot_product({v}, {v}))), 6)"
+    )
+
+    def search(cent_cte: str, asn_cte: str, tag: str) -> str:
+        return f"""probes_{tag} AS (
+          SELECT q_id, c_id AS probe_c FROM (
+            SELECT e.vec_id AS q_id, c.c_id,
+                   {_SQD.format(a="e.v", b="c.c_vec")} AS d
+            FROM e CROSS JOIN {cent_cte} c
+            WHERE e.vec_id < {N_QUERY_VECS})
+          QUALIFY row_number() OVER (PARTITION BY q_id
+                                     ORDER BY d, c_id) <= {IVF_N_PROBE}),
+        approx_{tag} AS (
+          SELECT q_id, vec_id FROM (
+            SELECT p.q_id, a.vec_id,
+                   {cos.format(q="q.q_vec", v="e.v")} AS cos_sim
+            FROM {asn_cte} a
+            JOIN e ON a.vec_id = e.vec_id
+            JOIN probes_{tag} p ON a.c_id = p.probe_c
+            JOIN qs q ON p.q_id = q.q_id
+            WHERE a.vec_id != p.q_id)
+          QUALIFY row_number() OVER (PARTITION BY q_id
+              ORDER BY cos_sim DESC, vec_id ASC) <= {FANN_TOPK}),
+        hits_{tag} AS (
+          SELECT a.q_id, COUNT(*) AS hits
+          FROM approx_{tag} a JOIN exact x
+            ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+          GROUP BY a.q_id)"""
+
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent_seed AS (SELECT vec_id AS c_id, v AS c_vec FROM e
+                      WHERE vec_id < {SQL_IVF_NLIST}),
+        samp AS MATERIALIZED (
+          SELECT vec_id, v FROM e WHERE vec_id % {SQL_SAMP_MOD} = 0),
+        {_lloyd_sql_steps()},
+        {_SQL_SUP_VECSUP},
+        {_sql_cs("cent_seed", "cs_seed")},
+        {_sql_cs(f"lcent{LLOYD_ROUNDS}", "cs_lloyd")},
+        {_sql_asn("cs_seed", "asn_seed")},
+        {_sql_asn("cs_lloyd", "asn_lloyd")},
+        qs AS (SELECT vec_id AS q_id, v AS q_vec FROM e
+               WHERE vec_id < {N_QUERY_VECS}),
+        exact AS MATERIALIZED (
+          SELECT q_id, vec_id FROM (
+            SELECT q.q_id, e.vec_id,
+                   {cos.format(q="q.q_vec", v="e.v")} AS cos_sim
+            FROM e CROSS JOIN qs q WHERE e.vec_id != q.q_id)
+          QUALIFY row_number() OVER (PARTITION BY q_id
+              ORDER BY cos_sim DESC, vec_id ASC) <= {FANN_TOPK}),
+        {search("cent_seed", "asn_seed", "seed")},
+        {search(f"lcent{LLOYD_ROUNDS}", "asn_lloyd", "lloyd")}
+        SELECT q.q_id,
+               CAST(COALESCE(hs.hits, 0) AS BIGINT) AS hits_seed,
+               CAST(COALESCE(hl.hits, 0) AS BIGINT) AS hits_lloyd,
+               ROUND(CAST(COALESCE(hs.hits, 0) AS DOUBLE) / {FANN_TOPK},
+                     6) AS recall_seed,
+               ROUND(CAST(COALESCE(hl.hits, 0) AS DOUBLE) / {FANN_TOPK},
+                     6) AS recall_lloyd
+        FROM qs q
+        LEFT JOIN hits_seed hs ON q.q_id = hs.q_id
+        LEFT JOIN hits_lloyd hl ON q.q_id = hl.q_id
+        ORDER BY q.q_id
+        """
+
+
+register(
+    QuerySpec(
+        "x229_refined_quantizer_recall",
+        x229_refined_quantizer_recall,
+        _x229_sql(),
+        "recall@5 under the Lloyd-refined vs seed quantizer, shared exact truth",
     )
 )

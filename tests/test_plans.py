@@ -196,6 +196,8 @@ _BNLJ_ALLOWED = {
     "x221_zorder_pruning",  # 16-row predicate-spine broadcasts
     "x224_tombstone_compaction",  # K0/nlist frames (the two-level quantizer)
     "x227_compaction_execute",  # K0/nlist frames + Nq-row query probe
+    "x228_refined_quantizer",  # K0/nlist frames + nlist-centroid Lloyd sample scoring
+    "x229_refined_quantizer_recall",  # same + Nq-row query/exact-truth broadcasts
 }
 
 
