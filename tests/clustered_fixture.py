@@ -1,0 +1,62 @@
+"""Clustered embedding fixture — the shape of REAL embedding corpora.
+
+The driver's synthetic embeddings are near-uniform, on which the IVF
+family's deterministic first-n-vectors coarse quantizer is naturally
+balanced (x217's conservation/balance invariants pass trivially).  Real
+embedding corpora are CLUSTERED and SKEWED: a few dominant modes (one
+crawl source, one language, one template family) plus a long tail.
+VERDICT r8 ask #1: measure the seed quantizer's degradation on that
+shape, and the Lloyd refinement's (x228/x229) recovery.
+
+Deterministic throughout (seeded NumPy Philox), schema identical to the
+driver's embeddings table (vec_id BIGINT, embedding FLOAT[], label
+INTEGER), vec_id a seeded shuffle so the first-n "sample" is ingestion-
+order realistic rather than blob-sorted.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+DIM = 64
+# heavily skewed blob weights — one dominant mode + a tail, the
+# empirically common corpus shape (power-law-ish source mix)
+BLOB_WEIGHTS = (0.50, 0.20, 0.10, 0.08, 0.05, 0.03, 0.02, 0.02)
+CENTER_SPREAD = 5.0  # blob centers ~ N(0, 5) per dim: well-separated
+WITHIN_STD = 0.5     # tight blobs: 10:1 separation-to-spread
+
+
+def write_clustered_embeddings(dest_dir: str, n: int = 2000, seed: int = 9) -> str:
+    """Write ``dest_dir``/embeddings.parquet with ``n`` vectors drawn
+    from skewed Gaussian blobs; returns ``dest_dir``.  Idempotent per
+    (dest_dir) — rebuilds only if the file is missing."""
+    path = os.path.join(dest_dir, "embeddings.parquet")
+    if os.path.exists(path):
+        return dest_dir
+    os.makedirs(dest_dir, exist_ok=True)
+    rng = np.random.Generator(np.random.Philox(seed))
+    k = len(BLOB_WEIGHTS)
+    centers = rng.normal(0.0, CENTER_SPREAD, size=(k, DIM))
+    counts = rng.multinomial(n, BLOB_WEIGHTS)
+    labels = np.repeat(np.arange(k), counts)
+    points = centers[labels] + rng.normal(0.0, WITHIN_STD, size=(n, DIM))
+    order = rng.permutation(n)  # ingestion shuffle: vec_id ⊥ blob
+    points, labels = points[order], labels[order]
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(
+                [row for row in points.astype(np.float32)],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(labels.astype(np.int32), pa.int32()),
+        }
+    )
+    pq.write_table(table, path)
+    return dest_dir

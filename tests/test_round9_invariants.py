@@ -121,3 +121,55 @@ def test_x227_compaction_physically_rewrites(spark, sf_dir):
             assert pt == t - d  # every live row survived
         else:
             assert (pd_, pt) == (d, t)  # cold cells untouched
+
+
+def _clustered_dir(tmp_path_factory=None):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from clustered_fixture import write_clustered_embeddings
+
+    return write_clustered_embeddings("/tmp/clustered_fx", n=2000)
+
+
+def test_seed_quantizer_degrades_on_clustered_data(spark):
+    """The measured fact behind x228 (VERDICT r8 ask #1): on skewed
+    Gaussian blobs the first-n-vectors quantizer's largest cell hoards
+    >4× the balanced average (uniform sf0.1 sits at ~3.7×; the
+    clustered fixture at ~7.8×) — the degradation-toward-n^1.5 the
+    two-level router cannot fix alone, because it is the CELL layout
+    that is skewed, not the routing."""
+    rows = registry()["x228_refined_quantizer"].spark(spark, _clustered_dir()).collect()
+    by_q = {r.quantizer: r for r in rows}
+    n = by_q["seed"].n_vecs
+    nlist = by_q["seed"].n_cells_used
+    balanced = n / nlist
+    assert by_q["seed"].max_pop > 4 * balanced, (by_q["seed"], balanced)
+
+
+def test_lloyd_refinement_recovers_balance_and_error(spark):
+    """On the clustered fixture the Lloyd-refined quantizer must beat
+    the seed quantizer on BOTH axes x228 reports: smaller largest cell
+    (measured 345 → 211) and lower total quantization error (measured
+    ~130k → ~110k) — while conserving every vector (n_vecs == n for
+    both rows)."""
+    rows = registry()["x228_refined_quantizer"].spark(spark, _clustered_dir()).collect()
+    by_q = {r.quantizer: r for r in rows}
+    assert by_q["lloyd"].max_pop < by_q["seed"].max_pop
+    assert by_q["lloyd"].sq_err < by_q["seed"].sq_err
+    assert by_q["lloyd"].n_vecs == by_q["seed"].n_vecs == 2000
+
+
+def test_refined_recall_holds_on_clustered_data(spark):
+    """Refinement must not buy balance by giving up recall: mean
+    recall@5 under BOTH quantizers stays high on the clustered fixture
+    (measured 1.0 / 1.0 — tight blobs, 2 probes)."""
+    rows = (
+        registry()["x229_refined_quantizer_recall"]
+        .spark(spark, _clustered_dir())
+        .collect()
+    )
+    mean_seed = sum(r.recall_seed for r in rows) / len(rows)
+    mean_lloyd = sum(r.recall_lloyd for r in rows) / len(rows)
+    assert mean_lloyd >= 0.8
+    assert mean_lloyd >= mean_seed - 0.2  # no recall collapse vs seed
