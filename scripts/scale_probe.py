@@ -85,13 +85,18 @@ PROBE = [
     "x224_tombstone_compaction", # assignment + narrow live/dead rollup
     "x225_doremi_mix",           # one corpus agg + bounded driver MWU loop
     "x226_incremental_view_maintenance",  # view + delta aggs, group-keyed merge
+    # round-9 additions (VERDICT r8 asks #1/#4): quantizer refinement +
+    # compaction execution
+    "x227_compaction_execute",   # list rewrite + probed search over it
+    "x228_refined_quantizer",    # Lloyd rounds on sample + 2 assignments
+    "x229_refined_quantizer_recall",  # 2 searches + shared exact truth
 ]
 
 
-def build() -> None:
+def build(dest: str = DEST, factor: int = FACTOR) -> None:
     import duckdb
 
-    os.makedirs(DEST, exist_ok=True)
+    os.makedirs(dest, exist_ok=True)
     con = duckdb.connect()
     tables = [
         f[: -len(".parquet")]
@@ -102,10 +107,10 @@ def build() -> None:
         src = os.path.join(SRC, f"{t}.parquet")
         cols = [r[0] for r in con.sql(f"DESCRIBE SELECT * FROM '{src}'").fetchall()]
         if t in ("region", "nation"):  # fixed dims: never replicated
-            con.sql(f"COPY (SELECT * FROM '{src}') TO '{DEST}/{t}.parquet'")
+            con.sql(f"COPY (SELECT * FROM '{src}') TO '{dest}/{t}.parquet'")
             continue
         parts = []
-        for r in range(FACTOR):
+        for r in range(factor):
             sel = []
             for c in cols:
                 if c in KEY_OFFSETS:
@@ -122,13 +127,18 @@ def build() -> None:
                     sel.append(c)
             parts.append(f"SELECT {', '.join(sel)} FROM '{src}'")
         con.sql(
-            f"COPY ({' UNION ALL '.join(parts)}) TO '{DEST}/{t}.parquet'"
+            f"COPY ({' UNION ALL '.join(parts)}) TO '{dest}/{t}.parquet'"
         )
-        n = con.sql(f"SELECT COUNT(*) FROM '{DEST}/{t}.parquet'").fetchone()[0]
+        n = con.sql(f"SELECT COUNT(*) FROM '{dest}/{t}.parquet'").fetchone()[0]
         print(f"built {t}: {n} rows", file=sys.stderr)
 
 
-def run(runs: int, only: list[str] | None = None) -> None:
+def run(
+    runs: int,
+    only: list[str] | None = None,
+    pairs: "list[tuple[str, str]] | None" = None,
+    factor: int = FACTOR,
+) -> None:
     from json_to_parquet_spark.queries import registry
     from json_to_parquet_spark.session import build_session
 
@@ -139,7 +149,8 @@ def run(runs: int, only: list[str] | None = None) -> None:
     reg = registry()
     out: dict[str, dict[str, float]] = {}
     probe = [n for n in PROBE if not only or n in only]
-    for sf_name, sf_dir in (("sf0.1", SRC), ("sfx1", DEST)):
+    lo, hi = pairs if pairs else [("sf0.1", SRC), ("sfx1", DEST)]
+    for sf_name, sf_dir in (lo, hi):
         for name in probe:
             best = None
             for _ in range(runs):
@@ -150,8 +161,8 @@ def run(runs: int, only: list[str] | None = None) -> None:
             out.setdefault(name, {})[sf_name] = round(best, 3)
             print(f"{sf_name} {name}: {best:.3f}s", file=sys.stderr)
     for name, row in out.items():
-        row["ratio"] = round(row["sfx1"] / row["sf0.1"], 2)
-    print(json.dumps({"factor": FACTOR, "runs": runs, "queries": out}))
+        row["ratio"] = round(row[hi[0]] / row[lo[0]], 2)
+    print(json.dumps({"factor": factor, "runs": runs, "queries": out}))
     spark.stop()
 
 
@@ -161,8 +172,24 @@ if __name__ == "__main__":
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--only", type=str, default=None,
                     help="comma-separated subset of PROBE entries")
+    ap.add_argument("--factor", type=int, default=FACTOR,
+                    help="replication factor for --build (and the label "
+                         "recorded by a --pair run)")
+    ap.add_argument("--dest", type=str, default=DEST,
+                    help="fixture directory for --build")
+    ap.add_argument("--pair", type=str, default=None,
+                    help="run comparison 'loname=lodir,hiname=hidir' "
+                         "instead of the default sf0.1-vs-sfx1 "
+                         "(e.g. the sfx1-vs-sfx10 second decade)")
     args = ap.parse_args()
     if args.build:
-        build()
+        build(args.dest, args.factor)
     else:
-        run(args.runs, args.only.split(",") if args.only else None)
+        pairs = None
+        if args.pair:
+            pairs = [
+                tuple(part.split("=", 1)) for part in args.pair.split(",")
+            ]
+            assert len(pairs) == 2, "--pair needs exactly two name=dir items"
+        run(args.runs, args.only.split(",") if args.only else None,
+            pairs, args.factor)
