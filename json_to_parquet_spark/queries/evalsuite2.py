@@ -243,20 +243,32 @@ def _x103_gram_partials(batches):
         # Guard band = 2 ulp around .5, magnitude-relative: anything it
         # flags is re-rounded through decimal repr (exactly
         # BigDecimal.valueOf semantics), so flagged-but-fine values just
-        # take the slow path.
-        r = np.copysign(np.floor(np.abs(t) + 0.5), t)
-        frac = np.abs(t) % 1.0
-        sus = (frac != 0.0) & (
-            np.abs(frac - 0.5) <= 2.0 * np.spacing(np.abs(t))
-        )
-        if sus.any():  # rare: decimal-repr HALF_UP, the treaty rounding
-            from decimal import ROUND_HALF_UP, Decimal
+        # take the slow path.  The guard is COMPUTED only on the |t| < 1
+        # slice: for |t| >= 1 the fast formula is provably exact (above),
+        # so re-rounding there can never change a value — and skipping
+        # the frac/spacing full-array passes matters, because each pass
+        # over a d²-sized slab is a real cost in the partial-Gram hot
+        # loop (x103's sf0.1 constant, VERDICT r8 nit #1; output
+        # bit-identical, asserted by tests/test_round7_invariants.py).
+        at = np.abs(t)
+        r = np.copysign(np.floor(at + 0.5), t)
+        small = at < 1.0
+        if small.any():
+            ts = np.asarray(t, dtype=np.float64)[small]
+            ats = at[small]
+            sus = (ats != 0.0) & (np.abs(ats - 0.5) <= 2.0 * np.spacing(ats))
+            if sus.any():  # rare: decimal-repr HALF_UP, the treaty rounding
+                from decimal import ROUND_HALF_UP, Decimal
 
-            one = Decimal("1")
-            r[sus] = [
-                float(Decimal(repr(v)).quantize(one, rounding=ROUND_HALF_UP))
-                for v in np.asarray(t, dtype=np.float64)[sus]
-            ]
+                one = Decimal("1")
+                rs = r[small]
+                rs[sus] = [
+                    float(
+                        Decimal(repr(v)).quantize(one, rounding=ROUND_HALF_UP)
+                    )
+                    for v in ts[sus]
+                ]
+                r[small] = rs
         return r.astype(np.int64)
 
     gram = None
