@@ -29,13 +29,21 @@ WITHIN_STD = 0.5     # tight blobs: 10:1 separation-to-spread
 
 
 def write_clustered_embeddings(dest_dir: str, n: int = 2000, seed: int = 9) -> str:
-    """Write ``dest_dir``/embeddings.parquet with ``n`` vectors drawn
-    from skewed Gaussian blobs; returns ``dest_dir``.  Idempotent per
-    (dest_dir) — rebuilds only if the file is missing."""
-    path = os.path.join(dest_dir, "embeddings.parquet")
+    """Write ``<dest_dir>/<params>/embeddings.parquet`` with ``n``
+    vectors drawn from skewed Gaussian blobs; returns the params-keyed
+    directory.  The key encodes EVERY generation parameter (n, seed,
+    dim, and a digest of the blob-shape constants) so a later-round
+    change to any of them forces a rebuild instead of silently reusing
+    a stale cached parquet (ADVICE r9)."""
+    import hashlib
+
+    shape = repr((DIM, BLOB_WEIGHTS, CENTER_SPREAD, WITHIN_STD))
+    token = hashlib.sha256(shape.encode()).hexdigest()[:8]
+    keyed = os.path.join(dest_dir, f"n{n}_seed{seed}_{token}")
+    path = os.path.join(keyed, "embeddings.parquet")
     if os.path.exists(path):
-        return dest_dir
-    os.makedirs(dest_dir, exist_ok=True)
+        return keyed
+    os.makedirs(keyed, exist_ok=True)
     rng = np.random.Generator(np.random.Philox(seed))
     k = len(BLOB_WEIGHTS)
     centers = rng.normal(0.0, CENTER_SPREAD, size=(k, DIM))
@@ -59,4 +67,4 @@ def write_clustered_embeddings(dest_dir: str, n: int = 2000, seed: int = 9) -> s
         }
     )
     pq.write_table(table, path)
-    return dest_dir
+    return keyed

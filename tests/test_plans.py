@@ -198,6 +198,7 @@ _BNLJ_ALLOWED = {
     "x227_compaction_execute",  # K0/nlist frames + Nq-row query probe
     "x228_refined_quantizer",  # K0/nlist frames + nlist-centroid Lloyd sample scoring
     "x229_refined_quantizer_recall",  # same + Nq-row query/exact-truth broadcasts
+    "x230_refined_ivf_search",  # K0/nlist frames + Nq-row query probe (x21 shape over cent_lloyd)
 }
 
 
