@@ -143,6 +143,12 @@ HEADLINE = [
     "x222_chunk_dedup_rebuild",
     "x225_doremi_mix",
     "x226_incremental_view_maintenance",
+    # round-10 additions: the executed-compaction search (two-phase
+    # incremental rewrite + probed scan, built once then cached) and the
+    # Lloyd-refined production search (x21's shape over cent_lloyd,
+    # including the sample-bounded Lloyd training it pays per run)
+    "x227_compaction_execute",
+    "x230_refined_ivf_search",
 ]
 
 CONVERT_RECORDS = 100_000

@@ -90,6 +90,9 @@ PROBE = [
     "x227_compaction_execute",   # list rewrite + probed search over it
     "x228_refined_quantizer",    # Lloyd rounds on sample + 2 assignments
     "x229_refined_quantizer_recall",  # 2 searches + shared exact truth
+    # round-10 addition (VERDICT r9 ask #1): the refined-quantizer
+    # production search — Lloyd training + two-level assignment + search
+    "x230_refined_ivf_search",
 ]
 
 
@@ -172,9 +175,10 @@ if __name__ == "__main__":
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--only", type=str, default=None,
                     help="comma-separated subset of PROBE entries")
-    ap.add_argument("--factor", type=int, default=FACTOR,
-                    help="replication factor for --build (and the label "
-                         "recorded by a --pair run)")
+    ap.add_argument("--factor", type=int, default=None,
+                    help=f"replication factor for --build (default {FACTOR}); "
+                         "for --pair runs this is REQUIRED and records the "
+                         "actual growth factor between the two fixture dirs")
     ap.add_argument("--dest", type=str, default=DEST,
                     help="fixture directory for --build")
     ap.add_argument("--pair", type=str, default=None,
@@ -183,13 +187,21 @@ if __name__ == "__main__":
                          "(e.g. the sfx1-vs-sfx10 second decade)")
     args = ap.parse_args()
     if args.build:
-        build(args.dest, args.factor)
+        build(args.dest, args.factor or FACTOR)
     else:
         pairs = None
+        factor = args.factor if args.factor is not None else FACTOR
         if args.pair:
-            pairs = [
-                tuple(part.split("=", 1)) for part in args.pair.split(",")
-            ]
-            assert len(pairs) == 2, "--pair needs exactly two name=dir items"
+            parts = args.pair.split(",")
+            assert len(parts) == 2 and all("=" in p for p in parts), (
+                "--pair needs exactly two name=dir items"
+            )
+            pairs = [tuple(p.split("=", 1)) for p in parts]
+            assert args.factor is not None, (
+                "--pair runs must pass --factor explicitly: the recorded "
+                "provenance is the growth factor between the two dirs, "
+                "not the default build factor"
+            )
+            factor = args.factor
         run(args.runs, args.only.split(",") if args.only else None,
-            pairs, args.factor)
+            pairs, factor)
