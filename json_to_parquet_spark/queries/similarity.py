@@ -3338,3 +3338,167 @@ register(
         "IVF top-k searched through the Lloyd-refined coarse quantizer (x228's production consumer)",
     )
 )
+
+
+# --- x231: quantizer selection policy ------------------------------------------
+# x228 measures both quantizers; x230 searches through the refined one.
+# The missing piece of a production index build is the DECISION: which
+# quantizer does the build adopt?  The policy is the integer-exact rule
+# the clustered probe motivates — adopt the Lloyd refinement iff it
+# strictly shrinks the largest inverted list (the quantity that bounds
+# worst-case candidate-scan I/O per probe; CLUSTERED_PROBE.json measures
+# sq_err moving the other way at n=20k, so max-pop is deliberately the
+# ONLY criterion).  Pure BIGINT comparison on x228's stats rows, so the
+# oracle is exact.
+
+
+def x231_quantizer_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: both quantizers' largest-cell populations and the
+    adopted quantizer under the max-pop policy.  Scale shapes: exactly
+    x228's (two ~n^1.25 assignments + two narrow rollups) followed by a
+    2-row pivot."""
+    stats = x228_refined_quantizer(spark, sf_dir)
+    pivoted = stats.groupBy().agg(
+        F.max(
+            F.when(F.col("quantizer") == "seed", F.col("max_pop"))
+        ).alias("seed_max_pop"),
+        F.max(
+            F.when(F.col("quantizer") == "lloyd", F.col("max_pop"))
+        ).alias("lloyd_max_pop"),
+    )
+    return pivoted.select(
+        F.col("seed_max_pop").cast("long").alias("seed_max_pop"),
+        F.col("lloyd_max_pop").cast("long").alias("lloyd_max_pop"),
+        F.when(
+            F.col("lloyd_max_pop") < F.col("seed_max_pop"), F.lit("lloyd")
+        )
+        .otherwise(F.lit("seed"))
+        .alias("chosen_quantizer"),
+    )
+
+
+def _x231_sql() -> str:
+    return f"""
+        SELECT CAST(seed_max_pop AS BIGINT) AS seed_max_pop,
+               CAST(lloyd_max_pop AS BIGINT) AS lloyd_max_pop,
+               CASE WHEN lloyd_max_pop < seed_max_pop
+                    THEN 'lloyd' ELSE 'seed' END AS chosen_quantizer
+        FROM (
+          SELECT MAX(CASE WHEN quantizer = 'seed' THEN max_pop END)
+                     AS seed_max_pop,
+                 MAX(CASE WHEN quantizer = 'lloyd' THEN max_pop END)
+                     AS lloyd_max_pop
+          FROM ({_x228_sql()}) stats)
+        """
+
+
+register(
+    QuerySpec(
+        "x231_quantizer_policy",
+        x231_quantizer_policy,
+        _x231_sql(),
+        "index-build quantizer decision: adopt Lloyd iff it shrinks the largest inverted list",
+    )
+)
+
+
+# --- x232: incremental-compaction I/O plan --------------------------------------
+# x224 emits the per-list compaction decision and x227 executes it
+# incrementally; this quantifies WHY incremental is the 100 TB shape:
+# the rows a dynamic-partition-overwrite compactor physically rewrites
+# (hot cells' live rows) vs the rows it leaves in place (cold cells'
+# files, byte-untouched) vs the rows it reclaims (hot cells' dead
+# rows).  io_saved_pct is the fraction of the index a FULL rewrite
+# would have copied needlessly — integer arithmetic end-to-end
+# (truncating division matches across engines on non-negative
+# operands), so the oracle is exact.
+
+
+def x232_compaction_io_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: hot/cold cell counts, rows rewritten / reclaimed /
+    preserved-in-place by the incremental compaction, and the integer
+    percentage of index rows a full-layout rewrite would have copied
+    needlessly.  Scale shapes: one ~n^1.25 assignment feeding one
+    key-shuffle rollup of narrow (cell, flag) rows; everything after is
+    a ≤nlist-row aggregate."""
+    placed = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            (F.col("vec_id") % TOMB_MOD == 2).alias("dead"),
+        )
+        .join(two_level_lists(spark, sf_dir), "vec_id")
+    )
+    roll = placed.groupBy(F.col("list_c").alias("cell")).agg(
+        F.sum(F.col("dead").cast("long")).alias("n_dead"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    hot = (F.col("n_dead") * 100 > F.col("n_total") * TOMB_PCT).cast("long")
+    per_cell = roll.select(
+        hot.alias("is_hot"),
+        "n_dead",
+        "n_total",
+    )
+    totals = per_cell.agg(
+        F.sum("is_hot").alias("n_cells_hot"),
+        F.sum(1 - F.col("is_hot")).alias("n_cells_cold"),
+        F.sum(
+            F.col("is_hot") * (F.col("n_total") - F.col("n_dead"))
+        ).alias("rows_rewritten"),
+        F.sum(F.col("is_hot") * F.col("n_dead")).alias("rows_reclaimed"),
+        F.sum((1 - F.col("is_hot")) * F.col("n_total")).alias(
+            "rows_preserved"
+        ),
+        F.sum("n_total").alias("n_rows"),
+    )
+    return totals.select(
+        F.col("n_cells_hot").cast("long").alias("n_cells_hot"),
+        F.col("n_cells_cold").cast("long").alias("n_cells_cold"),
+        F.col("rows_rewritten").cast("long").alias("rows_rewritten"),
+        F.col("rows_reclaimed").cast("long").alias("rows_reclaimed"),
+        F.col("rows_preserved").cast("long").alias("rows_preserved"),
+        F.expr("rows_preserved * 100 div n_rows")
+        .cast("long")
+        .alias("io_saved_pct"),
+    )
+
+
+def _x232_sql() -> str:
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e
+                 WHERE vec_id < {SQL_IVF_NLIST}),
+        {SQL_TWO_LEVEL_LISTS},
+        roll AS (
+          SELECT l.list_c AS cell,
+                 SUM(CASE WHEN l.vec_id % {TOMB_MOD} = 2
+                     THEN 1 ELSE 0 END) AS n_dead,
+                 COUNT(*) AS n_total
+          FROM lists l GROUP BY l.list_c),
+        per_cell AS (
+          SELECT CASE WHEN n_dead * 100 > n_total * {TOMB_PCT}
+                 THEN 1 ELSE 0 END AS is_hot,
+                 n_dead, n_total
+          FROM roll)
+        SELECT CAST(SUM(is_hot) AS BIGINT) AS n_cells_hot,
+               CAST(SUM(1 - is_hot) AS BIGINT) AS n_cells_cold,
+               CAST(SUM(is_hot * (n_total - n_dead)) AS BIGINT)
+                   AS rows_rewritten,
+               CAST(SUM(is_hot * n_dead) AS BIGINT) AS rows_reclaimed,
+               CAST(SUM((1 - is_hot) * n_total) AS BIGINT)
+                   AS rows_preserved,
+               CAST(SUM((1 - is_hot) * n_total) * 100
+                    // SUM(n_total) AS BIGINT) AS io_saved_pct
+        FROM per_cell
+        """
+
+
+register(
+    QuerySpec(
+        "x232_compaction_io_plan",
+        x232_compaction_io_plan,
+        _x232_sql(),
+        "incremental vs full compaction I/O: rows rewritten / reclaimed / preserved in place",
+    )
+)

@@ -199,6 +199,8 @@ _BNLJ_ALLOWED = {
     "x228_refined_quantizer",  # K0/nlist frames + nlist-centroid Lloyd sample scoring
     "x229_refined_quantizer_recall",  # same + Nq-row query/exact-truth broadcasts
     "x230_refined_ivf_search",  # K0/nlist frames + Nq-row query probe (x21 shape over cent_lloyd)
+    "x231_quantizer_policy",  # x228's K0/nlist frames + 2-row pivot
+    "x232_compaction_io_plan",  # K0/nlist frames (the two-level quantizer)
 }
 
 
