@@ -149,6 +149,8 @@ HEADLINE = [
     # including the sample-bounded Lloyd training it pays per run)
     "x227_compaction_execute",
     "x230_refined_ivf_search",
+    # the capacity-capped bitext miner: x196's linear-pair-volume twin
+    "x233_bitext_mine_capped",
 ]
 
 CONVERT_RECORDS = 100_000

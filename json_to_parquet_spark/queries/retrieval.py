@@ -749,3 +749,237 @@ register(
         "full-corpus margin mining through the IVF cell restriction (no broadcast corpus)",
     )
 )
+
+
+# --- x233: capacity-capped full-corpus bitext mining ----------------------------
+# x196 is the exact-probed-IVF reference shape, but its query set is the
+# CORPUS itself, so candidate volume is n_src · probes · (n/nlist) ≈
+# 2·n·√n — an inherent n^1.5 term the two-level router cannot remove
+# (the round-10 sfx10 probe measured 17.7×/decade against the 10×
+# linear wall; ARCHITECTURE §3b names the cause).  This is the LINEAR
+# scale path, x214's SemDeDup capacity trick applied to two-sided
+# mining: rank BOTH corpus halves together within each coarse cell by
+# (rounded centroid distance, vec_id), cut into rings of exactly
+# BMC_CAP rows, and mine each source only against the targets in its
+# ring ± a BMC_OV-row band of the adjacent rings.  True pairs are
+# near-identical vectors → near-equal centroid distance → adjacent
+# ranks → same ring or band (x214's twin argument), and pair volume is
+# ≈ n·(BMC_CAP + 2·BMC_OV)/2 — linear by construction, independent of
+# cell skew.  The recall trade (cross-ring pairs beyond the band are
+# never compared) is the same one SemDeDup documents.
+BMC_CAP = 64   # hard per-ring population cap (the capacity invariant)
+BMC_OV = 16    # boundary band mined across adjacent rings
+
+
+def x233_bitext_mine_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin mining with LINEAR pair volume: top-margin (src → tgt)
+    alignments where each source's candidates are the targets sharing
+    its capacity-capped ring (± the overlap band) inside its two-level-
+    routed coarse cell.
+
+    Scale shapes: one ~n^1.25 two-level assignment (bounded broadcasts
+    at both levels) feeds one per-cell window of ~√n rows per task
+    (parallelism grows with the corpus); ring cutting is row-local
+    integer arithmetic; the pair joins are (cell, ring)-keyed hash
+    joins whose per-key fan-out is capped at BMC_CAP·BMC_CAP/4 rows;
+    the margin tail is x196's (per-source top-K window + one bounded
+    rollup)."""
+    from .similarity import (
+        cent_sup_for,
+        ivf_k0,
+        ivf_nlist,
+        route_two_level,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    nlist = ivf_nlist(spark, sf_dir)
+    k0 = ivf_k0(spark, sf_dir)
+    cent = emb.filter(F.col("vec_id") < nlist).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    sup = emb.filter(F.col("vec_id") < k0).select(
+        F.col("vec_id").alias("s_id"), F.col("embedding").alias("s_vec")
+    )
+    asn = route_two_level(
+        emb.select("vec_id", "embedding"),
+        sup,
+        cent_sup_for(cent, sup),
+        cent_rows=nlist,
+        include_dist=True,
+    )
+    wcell = Window.partitionBy("c_id").orderBy(F.asc("d"), F.asc("vec_id"))
+    # placed is narrow scalars only (vec_id, label, cell, ring, pos) and
+    # feeds both mining sides — localCheckpoint per the x214 precedent
+    # (vectors stay in the parquet scan and rejoin by key below).
+    placed = (
+        asn.join(emb.select("vec_id", "label"), "vec_id")
+        .withColumn("rn0", F.row_number().over(wcell) - 1)
+        .select(
+            "vec_id",
+            "label",
+            F.col("c_id").alias("cell"),
+            F.expr(f"rn0 div {BMC_CAP}").alias("ring"),
+            (F.col("rn0") % BMC_CAP).alias("pos"),
+        )
+        .localCheckpoint()
+    )
+    s = placed.filter(F.col("label") == SRC_LABEL).select(
+        F.col("vec_id").alias("src_id"), "cell", "ring", "pos"
+    )
+    t = placed.filter(F.col("label") == TGT_LABEL).select(
+        F.col("vec_id").alias("tgt_id"), "cell", "ring", "pos"
+    )
+    same = s.join(
+        t.select("tgt_id", "cell", "ring"), ["cell", "ring"]
+    ).select("src_id", "tgt_id")
+    # band: a source near a ring boundary also sees the adjacent ring's
+    # targets on the other side of the cut (both directions — mining is
+    # directional, unlike x214's unordered dedup pairs)
+    up = (
+        s.filter(F.col("pos") >= BMC_CAP - BMC_OV)
+        .join(
+            t.filter(F.col("pos") < BMC_OV).select(
+                "tgt_id", "cell", (F.col("ring") - 1).alias("ring")
+            ),
+            ["cell", "ring"],
+        )
+        .select("src_id", "tgt_id")
+    )
+    down = (
+        s.filter(F.col("pos") < BMC_OV)
+        .join(
+            t.filter(F.col("pos") >= BMC_CAP - BMC_OV).select(
+                "tgt_id", "cell", (F.col("ring") + 1).alias("ring")
+            ),
+            ["cell", "ring"],
+        )
+        .select("src_id", "tgt_id")
+    )
+    cand = same.unionAll(up).unionAll(down)
+    sv = emb.filter(F.col("label") == SRC_LABEL).select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("src_vec")
+    )
+    tv = emb.filter(F.col("label") == TGT_LABEL).select(
+        F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("tgt_vec")
+    )
+    scored = (
+        cand.join(sv, "src_id")
+        .join(tv, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            cosine(F.col("src_vec"), F.col("tgt_vec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("cos"), F.asc("tgt_id"))
+    topk = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= MARGIN_K
+    )
+    denom = topk.groupBy("src_id").agg(
+        (
+            F.sum(F.col("cos").cast("decimal(30,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_topk")
+    )
+    best = topk.filter(F.col("rn") == 1).select("src_id", "tgt_id", "cos")
+    ranked = (
+        best.join(denom, "src_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            "cos",
+            F.round(F.col("cos") / F.col("mean_topk"), 6).alias("margin"),
+        )
+        .orderBy(F.desc("margin"), F.asc("src_id"))
+        .limit(MINE_TOP)
+    )
+    w2 = Window.orderBy(F.desc("margin"), F.asc("src_id"))
+    return ranked.select(
+        F.row_number().over(w2).cast("long").alias("rank"),
+        "src_id",
+        "tgt_id",
+        "cos",
+        "margin",
+    )
+
+
+def _x233_sql() -> str:
+    from .similarity import (
+        SQL_IVF_NLIST,
+        _SQL_SUP_VECSUP,
+        _sql_asn,
+        _sql_cs,
+    )
+
+    return f"""
+        WITH e AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        cent_seed AS (SELECT vec_id AS c_id, v AS c_vec FROM e
+                      WHERE vec_id < {SQL_IVF_NLIST}),
+        {_SQL_SUP_VECSUP},
+        {_sql_cs("cent_seed", "cs")},
+        {_sql_asn("cs", "asn")},
+        placed AS MATERIALIZED (
+          SELECT vec_id, label, cell, rn0 // {BMC_CAP} AS ring,
+                 rn0 % {BMC_CAP} AS pos
+          FROM (
+            SELECT a.vec_id, e.label, a.c_id AS cell,
+                   row_number() OVER (PARTITION BY a.c_id
+                                      ORDER BY a.d, a.vec_id) - 1 AS rn0
+            FROM asn a JOIN e USING (vec_id))),
+        s AS (SELECT vec_id AS src_id, cell, ring, pos FROM placed
+              WHERE label = {SRC_LABEL}),
+        t AS (SELECT vec_id AS tgt_id, cell, ring, pos FROM placed
+              WHERE label = {TGT_LABEL}),
+        cand AS (
+          SELECT s.src_id, t.tgt_id FROM s JOIN t USING (cell, ring)
+          UNION ALL
+          SELECT s.src_id, t.tgt_id FROM s JOIN t
+            ON s.cell = t.cell AND s.ring + 1 = t.ring
+               AND s.pos >= {BMC_CAP - BMC_OV} AND t.pos < {BMC_OV}
+          UNION ALL
+          SELECT s.src_id, t.tgt_id FROM s JOIN t
+            ON s.cell = t.cell AND s.ring = t.ring + 1
+               AND s.pos < {BMC_OV} AND t.pos >= {BMC_CAP - BMC_OV}),
+        scored AS (
+          SELECT c.src_id, c.tgt_id,
+                 {_SQL_COS.format(a="sv.v", b="tv.v")} AS cos
+          FROM cand c JOIN e sv ON sv.vec_id = c.src_id
+               JOIN e tv ON tv.vec_id = c.tgt_id),
+        topk AS (
+          SELECT src_id, tgt_id, cos,
+                 row_number() OVER (PARTITION BY src_id
+                                    ORDER BY cos DESC, tgt_id ASC) AS rn
+          FROM scored QUALIFY rn <= {MARGIN_K}),
+        denom AS (
+          SELECT src_id,
+                 {SQL_DEC_SUM.format(x="cos")} / COUNT(cos) AS mean_topk
+          FROM topk GROUP BY src_id),
+        ranked AS (
+          SELECT b.src_id, b.tgt_id, b.cos,
+                 ROUND(b.cos / d.mean_topk, 6) AS margin
+          FROM topk b JOIN denom d USING (src_id)
+          WHERE b.rn = 1
+          ORDER BY margin DESC, src_id ASC
+          LIMIT {MINE_TOP})
+        SELECT CAST(row_number() OVER (ORDER BY margin DESC, src_id ASC)
+                    AS BIGINT) AS rank,
+               src_id, tgt_id, cos, margin
+        FROM ranked
+        ORDER BY margin DESC, src_id ASC
+        """
+
+
+register(
+    QuerySpec(
+        "x233_bitext_mine_capped",
+        x233_bitext_mine_capped,
+        _x233_sql(),
+        "capacity-capped bitext mining: linear pair volume via x214's ring trick (x196's 100 TB path)",
+    )
+)

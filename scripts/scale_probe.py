@@ -90,9 +90,11 @@ PROBE = [
     "x227_compaction_execute",   # list rewrite + probed search over it
     "x228_refined_quantizer",    # Lloyd rounds on sample + 2 assignments
     "x229_refined_quantizer_recall",  # 2 searches + shared exact truth
-    # round-10 addition (VERDICT r9 ask #1): the refined-quantizer
-    # production search — Lloyd training + two-level assignment + search
+    # round-10 additions (VERDICT r9 asks #1/#4): the refined-quantizer
+    # production search, and the capacity-capped bitext miner (x196's
+    # linear scale path — x196 itself measured 17.7×/decade at sfx10)
     "x230_refined_ivf_search",
+    "x233_bitext_mine_capped",
 ]
 
 
