@@ -771,19 +771,13 @@ BMC_CAP = 64   # hard per-ring population cap (the capacity invariant)
 BMC_OV = 16    # boundary band mined across adjacent rings
 
 
-def x233_bitext_mine_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Margin mining with LINEAR pair volume: top-margin (src → tgt)
-    alignments where each source's candidates are the targets sharing
-    its capacity-capped ring (± the overlap band) inside its two-level-
-    routed coarse cell.
-
-    Scale shapes: one ~n^1.25 two-level assignment (bounded broadcasts
-    at both levels) feeds one per-cell window of ~√n rows per task
-    (parallelism grows with the corpus); ring cutting is row-local
-    integer arithmetic; the pair joins are (cell, ring)-keyed hash
-    joins whose per-key fan-out is capped at BMC_CAP·BMC_CAP/4 rows;
-    the margin tail is x196's (per-source top-K window + one bounded
-    rollup)."""
+def bmc_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_id, tgt_id) — x233's capacity-capped candidate set.
+    Factored out so tests/test_round10_invariants.py can pin the twin
+    law the docstring argues (a true pair's near-identical vectors share
+    a ring or the overlap band, so the pair is ALWAYS a candidate)
+    independently of the margin tail, whose ratio denominator is noisy
+    on weak-signal corpora."""
     from .similarity import (
         cent_sup_for,
         ivf_k0,
@@ -859,7 +853,28 @@ def x233_bitext_mine_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("src_id", "tgt_id")
     )
-    cand = same.unionAll(up).unionAll(down)
+    return same.unionAll(up).unionAll(down)
+
+
+def x233_bitext_mine_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin mining with LINEAR pair volume: top-margin (src → tgt)
+    alignments where each source's candidates are the targets sharing
+    its capacity-capped ring (± the overlap band) inside its two-level-
+    routed coarse cell (see ``bmc_candidates``).
+
+    Scale shapes: one ~n^1.25 two-level assignment (bounded broadcasts
+    at both levels) feeds one per-cell window of ~√n rows per task
+    (parallelism grows with the corpus); ring cutting is row-local
+    integer arithmetic; the pair joins are (cell, ring)-keyed hash
+    joins whose per-key fan-out is capped at BMC_CAP·BMC_CAP/4 rows;
+    the margin tail is x196's (per-source top-K window + one bounded
+    rollup)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    cand = bmc_candidates(spark, sf_dir)
     sv = emb.filter(F.col("label") == SRC_LABEL).select(
         F.col("vec_id").alias("src_id"), F.col("embedding").alias("src_vec")
     )

@@ -199,3 +199,148 @@ def test_x227_compaction_is_incremental(spark, sf_dir, tmp_path):
             assert pd_ == 0 and pt == t - d, (cell, post[cell])
         else:
             assert (pd_, pt) == (d, t), (cell, post[cell])
+
+
+def _fully_dead_fixture(dest_dir):
+    """Embeddings engineered so every tombstoned id (vec_id ≡ 2 mod
+    TOMB_MOD) sits in a far-away blob: ids 2 and 9 are among the first
+    nlist=16 centroids and live in that blob, so ALL dead vectors route
+    to cells {2, 9} and nothing else does — producing cells that are
+    100% dead, the branch dynamic overwrite cannot exercise (no
+    incoming rows → the stale partition must be dropped explicitly)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from json_to_parquet_spark.queries.similarity import TOMB_MOD
+
+    n, dim = 60, 4
+    rng = np.random.Generator(np.random.Philox(7))
+    pts = rng.normal(0.0, 0.5, size=(n, dim))
+    dead = np.arange(n) % TOMB_MOD == 2
+    pts[dead] += 100.0  # the far blob
+    table = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(
+                [row for row in pts.astype(np.float32)],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array((np.arange(n) % 2).astype(np.int32), pa.int32()),
+        }
+    )
+    os.makedirs(dest_dir, exist_ok=True)
+    pq.write_table(table, os.path.join(dest_dir, "embeddings.parquet"))
+    return dest_dir
+
+
+def test_x227_fully_dead_cells_are_dropped(spark, tmp_path):
+    """A hot cell whose rows are ALL dead produces no rows for the
+    dynamic partition overwrite — its stale partition directory must be
+    removed explicitly, and the compacted index must contain no trace
+    of it while cold cells stay intact."""
+    import os
+
+    from json_to_parquet_spark.queries.similarity import (
+        TOMB_MOD,
+        _tomb_compact_hot,
+        _tomb_placed,
+        _tomb_write_base,
+    )
+
+    src = _fully_dead_fixture(str(tmp_path / "src"))
+    dest = str(tmp_path / "idx")
+    _tomb_write_base(spark, src, dest)
+
+    placed = _tomb_placed(spark, src)
+    pre = {
+        r.cell: (r.n_dead, r.n_total)
+        for r in placed.groupBy("cell")
+        .agg(
+            F.sum(F.col("dead").cast("long")).alias("n_dead"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .collect()
+    }
+    fully_dead = {c for c, (d, t) in pre.items() if d == t}
+    assert fully_dead, "fixture failed to produce a fully-dead cell"
+    for c in fully_dead:
+        assert os.path.isdir(os.path.join(dest, f"cell={c}"))
+
+    _tomb_compact_hot(spark, src, dest)
+    for c in fully_dead:
+        assert not os.path.exists(os.path.join(dest, f"cell={c}")), c
+    idx = spark.read.parquet(dest)
+    got = {
+        r.cell: r.cnt
+        for r in idx.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert fully_dead.isdisjoint(got)
+    for c, (d, t) in pre.items():
+        if c not in fully_dead:
+            assert got[c] == t, (c, got.get(c), t)  # cold cells intact
+    # every surviving row is live or a cold-cell tombstone; total conserved
+    assert idx.count() == sum(t for c, (d, t) in pre.items() if c not in fully_dead)
+
+
+def _planted_pairs_fixture(dest_dir, n=6000, n_pairs=20, dim=16, seed=23):
+    """Bitext fixture with PLANTED true pairs: random background split
+    into sources (even vec_id, label 0) and targets (odd, label 1),
+    plus ``n_pairs`` target vectors overwritten as near-copies of a
+    source (cos ≈ 1 — the unambiguous alignment a miner must find).
+    n=6000 puts average cell population (~n/⌈√n⌉ ≈ 77) ABOVE x233's
+    BMC_CAP=64, so the ring cut is actually exercised.  Returns
+    (dir, planted) where planted = {(src_id, tgt_id)}."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.Generator(np.random.Philox(seed))
+    pts = rng.normal(0.0, 1.0, size=(n, dim))
+    # plant: sources at even ids 1000, 1002, ...; twin targets at the
+    # following odd id (same routed cell, near-equal centroid distance)
+    planted = set()
+    for i in range(n_pairs):
+        s, t = 1000 + 2 * i, 1000 + 2 * i + 1
+        pts[t] = pts[s] + rng.normal(0.0, 1e-3, size=dim)
+        planted.add((s, t))
+    table = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(
+                [row for row in pts.astype(np.float32)],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array((np.arange(n) % 2).astype(np.int32), pa.int32()),
+        }
+    )
+    os.makedirs(dest_dir, exist_ok=True)
+    pq.write_table(table, os.path.join(dest_dir, "embeddings.parquet"))
+    return dest_dir, planted
+
+
+def test_x233_ring_cut_keeps_planted_pairs(spark, tmp_path):
+    """The capacity-capped miner's correctness claim (its docstring's
+    twin argument): a true pair's two vectors are near-identical, so
+    they share a routed cell and near-equal centroid distance → same
+    ring or overlap band → the pair survives the ring cut as a
+    CANDIDATE.  Asserted at the candidate level (``bmc_candidates``)
+    because the margin tail's ratio denominator is meaningless on a
+    weak-signal corpus — the ring cut is the lossy step x233 introduces
+    over x196, and it must not lose a single planted pair even with
+    average cell population above BMC_CAP."""
+    from json_to_parquet_spark.queries.retrieval import bmc_candidates
+
+    src, planted = _planted_pairs_fixture(str(tmp_path / "bitext"))
+    cand = {
+        (r.src_id, r.tgt_id) for r in bmc_candidates(spark, src).collect()
+    }
+    missing = planted - cand
+    assert not missing, missing
+    # and the cut is real: the candidate set is a small fraction of the
+    # n_src × n_tgt cross (the linearity this query exists for)
+    assert len(cand) < 3000 * 3000 * 0.05, len(cand)
