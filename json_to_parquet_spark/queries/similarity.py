@@ -2428,23 +2428,13 @@ TOMB_MOD = 7       # vec_id % TOMB_MOD == 2 → tombstoned (~14.3%)
 TOMB_PCT = 15      # compact when dead fraction exceeds 15% (integer %)
 
 
-def x224_tombstone_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per inverted list: live/dead populations, the compaction decision
-    (dead% > TOMB_PCT, pure integer arithmetic so the oracle is exact),
-    and the rows a compaction rewrite would reclaim.  Scale shapes: the
-    ~n^1.25 two-level assignment feeds ONE key-shuffle agg of narrow
-    (cell, flag) rows; the decision is row-local on the ≤nlist-row
-    rollup."""
-    placed = (
-        load_table(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id",
-            (F.col("vec_id") % TOMB_MOD == 2).alias("dead"),
-        )
-        .join(two_level_lists(spark, sf_dir), "vec_id")
-    )
+def tombstone_rollup(placed: DataFrame) -> DataFrame:
+    """x224's ledger tail over narrow (cell, dead) rows — factored so
+    the streaming-delete twin (x234) feeds its drained micro-batch
+    tombstone partials through the IDENTICAL arithmetic (the x223
+    anti-drift pattern on the delete side)."""
     return (
-        placed.groupBy(F.col("list_c").alias("cell"))
+        placed.groupBy("cell")
         .agg(
             F.sum((~F.col("dead")).cast("long")).alias("n_live"),
             F.sum(F.col("dead").cast("long")).alias("n_dead"),
@@ -2470,6 +2460,25 @@ def x224_tombstone_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+def x224_tombstone_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per inverted list: live/dead populations, the compaction decision
+    (dead% > TOMB_PCT, pure integer arithmetic so the oracle is exact),
+    and the rows a compaction rewrite would reclaim.  Scale shapes: the
+    ~n^1.25 two-level assignment feeds ONE key-shuffle agg of narrow
+    (cell, flag) rows; the decision is row-local on the ≤nlist-row
+    rollup."""
+    placed = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            (F.col("vec_id") % TOMB_MOD == 2).alias("dead"),
+        )
+        .join(two_level_lists(spark, sf_dir), "vec_id")
+        .select(F.col("list_c").alias("cell"), "dead")
+    )
+    return tombstone_rollup(placed)
 
 
 def _x224_sql() -> str:

@@ -1386,3 +1386,84 @@ def _register_x223() -> None:
 
 
 _register_x223()
+
+
+# --- x234: streaming DELETE CDC — micro-batch tombstones into the ledger -------
+def x234_stream_tombstone_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of x224's tombstone/compaction ledger — the
+    DELETE-side completion of the index lifecycle's streaming arrows
+    (x223 streams adds; this streams deletes): the index layout
+    (vec_id → cell) is built once, DELETE events arrive as a 4-file
+    micro-batch stream of bare vec_ids, and every batch resolves its
+    ids against the FROZEN layout (one key-equi hash join per batch —
+    how a real vector store turns an id-keyed delete into a list-keyed
+    tombstone) and appends narrow (vec_id, cell) tombstone partials to
+    the delete ledger.  The drained ledger left-joined back to the
+    layout feeds ``tombstone_rollup`` — x224's arithmetic VERBATIM —
+    so x224's REGISTERED oracle gates the whole loop (the x172/x212/
+    x223 anti-drift pattern).
+
+    Scale shapes: base layout is the ~n^1.25 assignment written once;
+    each micro-batch's work is batch-sized (id join against the
+    cell-keyed layout + a narrow append); the final rollup is one
+    key-shuffle agg of (cell, flag) rows."""
+    from .similarity import TOMB_MOD, tombstone_rollup, two_level_lists
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(GATE_DIR, f"src_x234_{sf_tag}")
+    base_dir = os.path.join(GATE_DIR, f"base_x234_{sf_tag}")
+    del_dir = os.path.join(GATE_DIR, f"del_x234_{sf_tag}")
+    ckpt = os.path.join(GATE_DIR, f"ckpt_x234_{sf_tag}")
+    _fresh(src, base_dir, del_dir, ckpt)
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    # the index BUILD job's output: every vector's inverted list, once
+    emb.join(two_level_lists(spark, sf_dir), "vec_id").select(
+        "vec_id", F.col("list_c").alias("cell")
+    ).write.parquet(base_dir)
+    base = spark.read.parquet(base_dir)
+    # the delete feed: bare ids, 4 files -> 4 micro-batches
+    emb.filter(F.col("vec_id") % TOMB_MOD == 2).repartition(
+        4, "vec_id"
+    ).write.parquet(src)
+
+    def handle_batch(bdf: DataFrame, _bid: int) -> None:
+        bdf.join(base, "vec_id").select("vec_id", "cell").write.mode(
+            "append"
+        ).parquet(del_dir)
+
+    q = (
+        spark.readStream.schema("vec_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    drained = spark.read.parquet(del_dir).select(
+        "vec_id", F.lit(True).alias("dead_f")
+    )
+    placed = base.join(drained.select("vec_id", "dead_f"), "vec_id", "left").select(
+        "cell", F.coalesce("dead_f", F.lit(False)).alias("dead")
+    )
+    return tombstone_rollup(placed)
+
+
+def _register_x234() -> None:
+    # Anti-drift: gated against x224's batch oracle VERBATIM (similarity
+    # registers before this module in registry()'s import order).
+    from . import _REGISTRY
+
+    register(
+        QuerySpec(
+            "x234_stream_tombstone_cdc",
+            x234_stream_tombstone_cdc,
+            _REGISTRY["x224_tombstone_compaction"].oracle,
+            "streaming delete CDC: micro-batch tombstones == x224's batch ledger",
+        )
+    )
+
+
+_register_x234()

@@ -95,6 +95,7 @@ PROBE = [
     # linear scale path — x196 itself measured 17.7×/decade at sfx10)
     "x230_refined_ivf_search",
     "x233_bitext_mine_capped",
+    "x234_stream_tombstone_cdc",  # streaming deletes vs the frozen layout
 ]
 
 
