@@ -3255,13 +3255,24 @@ def x230_refined_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, sup, _cent_seed, cent_lloyd, nlist = _quantizer_frames(
         spark, sf_dir
     )
+    return ivf_search_over(corpus, sup, cent_lloyd, nlist)
+
+
+def ivf_search_over(
+    corpus: DataFrame, sup: DataFrame, cent: DataFrame, nlist: int
+) -> DataFrame:
+    """The x21-shape probed search over an ARBITRARY centroid frame:
+    two-level corpus assignment, flat bounded query probing, exact
+    cosine rerank, FANN_TOPK rows per query.  Factored so x230 (always
+    Lloyd) and x235 (policy-chosen) run the identical plan over
+    different centroid values."""
     lists = route_two_level(
-        corpus, sup, cent_sup_for(cent_lloyd, sup), cent_rows=nlist
+        corpus, sup, cent_sup_for(cent, sup), cent_rows=nlist
     ).select("vec_id", F.col("c_id").alias("list_c"))
     queries = corpus.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    qd = queries.crossJoin(F.broadcast(cent_lloyd)).select(
+    qd = queries.crossJoin(F.broadcast(cent)).select(
         "q_id", "c_id", _sq_dist(F.col("q_vec"), F.col("c_vec")).alias("d")
     )
     wp = Window.partitionBy("q_id").orderBy(F.asc("d"), F.asc("c_id"))
@@ -3509,5 +3520,114 @@ register(
         x232_compaction_io_plan,
         _x232_sql(),
         "incremental vs full compaction I/O: rows rewritten / reclaimed / preserved in place",
+    )
+)
+
+
+# --- x235: policy-routed production search --------------------------------------
+# The closed loop: x228 measures both quantizers, x231 decides, x230
+# searches through the refinement — x235 composes them into the single
+# operator an index build actually runs: MEASURE the layouts, ADOPT the
+# quantizer whose largest inverted list is smaller, SEARCH through the
+# adopted centroids.  The decision is one bounded driver scalar (the
+# x225/x45 bounded-decision pattern: a 1-row collect off two ≤nlist-row
+# rollups — never corpus-sized); the oracle makes the identical integer
+# decision in SQL and selects the matching search's rows, so a hash
+# match proves decision AND search agree cross-engine.
+
+
+def x235_policy_routed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x21-shape probed search through the quantizer x231's max-pop
+    policy adopts, with the adopted quantizer named in the output.
+    Scale shapes: two ~n^1.25 assignments for the decision (their
+    rollups are ≤nlist rows; the collect is 1 row), then one assignment
+    + probes·~√n candidate scan for the search — identical cost
+    envelope to x228 followed by x230."""
+    corpus, sup, cent_seed, cent_lloyd, nlist = _quantizer_frames(
+        spark, sf_dir
+    )
+    chosen = (
+        x231_quantizer_policy(spark, sf_dir).collect()[0].chosen_quantizer
+    )
+    cent = cent_lloyd if chosen == "lloyd" else cent_seed
+    return ivf_search_over(corpus, sup, cent, nlist).select(
+        F.lit(chosen).alias("quantizer"),
+        "q_id",
+        "vec_id",
+        "cos_sim",
+        "rank",
+    )
+
+
+def _x235_sql() -> str:
+    cos = (
+        "ROUND(list_dot_product({q}, {v})"
+        " / (sqrt(list_dot_product({q}, {q}))"
+        " * sqrt(list_dot_product({v}, {v}))), 6)"
+    )
+
+    def res(cent_cte: str, asn_cte: str, tag: str) -> str:
+        return f"""probes_{tag} AS (
+          SELECT q_id, c_id AS probe_c FROM (
+            SELECT e.vec_id AS q_id, c.c_id,
+                   {_SQD.format(a="e.v", b="c.c_vec")} AS d
+            FROM e CROSS JOIN {cent_cte} c
+            WHERE e.vec_id < {N_QUERY_VECS})
+          QUALIFY row_number() OVER (PARTITION BY q_id
+                                     ORDER BY d, c_id) <= {IVF_N_PROBE}),
+        res_{tag} AS (
+          SELECT q_id, vec_id, cos_sim,
+                 CAST(row_number() OVER (PARTITION BY q_id
+                     ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank
+          FROM (
+            SELECT p.q_id, a.vec_id,
+                   {cos.format(q="q.q_vec", v="e.v")} AS cos_sim
+            FROM {asn_cte} a
+            JOIN e ON a.vec_id = e.vec_id
+            JOIN probes_{tag} p ON a.c_id = p.probe_c
+            JOIN qs q ON p.q_id = q.q_id
+            WHERE a.vec_id != p.q_id)
+          QUALIFY rank <= {FANN_TOPK})"""
+
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent_seed AS (SELECT vec_id AS c_id, v AS c_vec FROM e
+                      WHERE vec_id < {SQL_IVF_NLIST}),
+        samp AS MATERIALIZED (
+          SELECT vec_id, v FROM e WHERE vec_id % {SQL_SAMP_MOD} = 0),
+        {_lloyd_sql_steps()},
+        {_SQL_SUP_VECSUP},
+        {_sql_cs("cent_seed", "cs_seed")},
+        {_sql_cs(f"lcent{LLOYD_ROUNDS}", "cs_lloyd")},
+        {_sql_asn("cs_seed", "asn_seed")},
+        {_sql_asn("cs_lloyd", "asn_lloyd")},
+        pol AS (
+          SELECT CASE WHEN l.mx < s.mx THEN 'lloyd' ELSE 'seed' END AS chosen
+          FROM (SELECT MAX(pop) AS mx FROM (
+                  SELECT COUNT(*) AS pop FROM asn_seed GROUP BY c_id)) s,
+               (SELECT MAX(pop) AS mx FROM (
+                  SELECT COUNT(*) AS pop FROM asn_lloyd GROUP BY c_id)) l),
+        qs AS (SELECT vec_id AS q_id, v AS q_vec FROM e
+               WHERE vec_id < {N_QUERY_VECS}),
+        {res("cent_seed", "asn_seed", "seed")},
+        {res(f"lcent{LLOYD_ROUNDS}", "asn_lloyd", "lloyd")}
+        SELECT (SELECT chosen FROM pol) AS quantizer,
+               q_id, vec_id, cos_sim, rank
+        FROM res_lloyd WHERE (SELECT chosen FROM pol) = 'lloyd'
+        UNION ALL
+        SELECT (SELECT chosen FROM pol) AS quantizer,
+               q_id, vec_id, cos_sim, rank
+        FROM res_seed WHERE (SELECT chosen FROM pol) = 'seed'
+        ORDER BY q_id, rank
+        """
+
+
+register(
+    QuerySpec(
+        "x235_policy_routed_search",
+        x235_policy_routed_search,
+        _x235_sql(),
+        "measure -> decide -> search: IVF search through the policy-adopted quantizer",
     )
 )

@@ -201,6 +201,7 @@ _BNLJ_ALLOWED = {
     "x230_refined_ivf_search",  # K0/nlist frames + Nq-row query probe (x21 shape over cent_lloyd)
     "x231_quantizer_policy",  # x228's K0/nlist frames + 2-row pivot
     "x232_compaction_io_plan",  # K0/nlist frames (the two-level quantizer)
+    "x235_policy_routed_search",  # x231's decision frames + x230's search broadcasts
 }
 
 
