@@ -2850,11 +2850,56 @@ def lloyd_refine(samp: DataFrame, cent: DataFrame, rounds: int) -> DataFrame:
     return cent
 
 
+def lloyd_cent_path(spark: SparkSession, sf_dir: str) -> str:
+    """Train-once/serve-many for the refined quantizer (what FAISS does:
+    the coarse quantizer is TRAINED once and stored with the index, not
+    re-trained per query): the Lloyd-refined centroid frame is computed
+    once per source state and persisted as an nlist-row parquet.  The
+    decimal-exact training is deterministic, so the persisted values are
+    bit-identical to what the SQL twins recompute inline — and the path
+    embeds the training constants, a routing-rule token, and the source
+    fingerprint, so no rule change or data regeneration can serve a
+    stale quantizer."""
+    import hashlib
+    import os
+
+    from .convert_gate import GATE_DIR
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    nlist = ivf_nlist(spark, sf_dir)
+    sig = repr(
+        ("lloyd-v1", IVF_N_CENTROIDS, IVF_K0_MIN, LLOYD_ROUNDS,
+         LLOYD_SAMPLE_PER_CELL)
+    )
+    token = hashlib.sha256(sig.encode()).hexdigest()[:8]
+    dest = os.path.join(
+        GATE_DIR,
+        f"lloyd_cent_{tag}_nl{nlist}_{token}_d{_data_fingerprint(sf_dir)}",
+    )
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        cent_seed = emb.filter(F.col("vec_id") < nlist).select(
+            F.col("vec_id").alias("c_id"), F.col("v").alias("c_vec")
+        )
+        samp = emb.filter(
+            F.col("vec_id") % _samp_mod(spark, sf_dir) == 0
+        ).select("vec_id", "v")
+        lloyd_refine(samp, cent_seed, LLOYD_ROUNDS).write.mode(
+            "overwrite"
+        ).parquet(dest)
+    return dest
+
+
 def _quantizer_frames(spark: SparkSession, sf_dir: str):
-    """(corpus, sup, cent_seed, cent_lloyd, nlist) — the shared x228/x229
-    setup.  All vectors widened to array<double> up front so the Lloyd
-    means see the exact values the oracle's CAST(embedding AS DOUBLE[])
-    sees."""
+    """(corpus, sup, cent_seed, cent_lloyd, nlist) — the shared setup of
+    the x228-x235 quantizer family.  All vectors widened to
+    array<double> up front so the Lloyd means see the exact values the
+    oracle's CAST(embedding AS DOUBLE[]) sees.  cent_lloyd is served
+    from the persisted train-once store (``lloyd_cent_path``) — an
+    nlist-row parquet scan, so every consumer reuses the same trained
+    quantizer instead of replaying the training lineage."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -2863,15 +2908,7 @@ def _quantizer_frames(spark: SparkSession, sf_dir: str):
     cent_seed = emb.filter(F.col("vec_id") < nlist).select(
         F.col("vec_id").alias("c_id"), F.col("v").alias("c_vec")
     )
-    samp = emb.filter(
-        F.col("vec_id") % _samp_mod(spark, sf_dir) == 0
-    ).select("vec_id", "v")
-    # localCheckpoint: the Lloyd lineage (crossJoin + window + posexplode
-    # per round) would otherwise replay for EVERY consumer — cent_sup_for,
-    # the probe scoring, and the corpus routing each re-derive it.  The
-    # frame is nlist ≈ √n rows, the same bounded size as the x223
-    # cent_sup precedent, so the eager materialization is a constant.
-    cent_lloyd = lloyd_refine(samp, cent_seed, LLOYD_ROUNDS).localCheckpoint()
+    cent_lloyd = spark.read.parquet(lloyd_cent_path(spark, sf_dir))
     sup = emb.filter(F.col("vec_id") < k0).select(
         F.col("vec_id").alias("s_id"), F.col("v").alias("s_vec")
     )
