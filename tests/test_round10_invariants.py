@@ -285,6 +285,41 @@ def test_x227_fully_dead_cells_are_dropped(spark, tmp_path):
     assert idx.count() == sum(t for c, (d, t) in pre.items() if c not in fully_dead)
 
 
+def test_x232_plan_matches_x227_execution(spark, sf_dir):
+    """Plan/execution coherence: x232's I/O ledger (rows rewritten /
+    reclaimed / preserved, computed declaratively) must equal the
+    physical facts of the layout x227 actually built — the count of
+    rows in rewritten (hot) partitions, the dead rows physically gone,
+    and the rows left untouched in cold partitions."""
+    from json_to_parquet_spark.queries.similarity import (
+        TOMB_PCT,
+        tomb_index_path,
+    )
+
+    from json_to_parquet_spark.queries.similarity import TOMB_MOD
+
+    plan = registry()["x232_compaction_io_plan"].spark(spark, sf_dir).collect()[0]
+    idx = spark.read.parquet(tomb_index_path(spark, sf_dir))
+    n_rows, n_dead_left, n_cells = idx.agg(
+        F.count(F.lit(1)),
+        F.sum(F.col("dead").cast("long")),
+        F.countDistinct("cell"),
+    ).first()
+    # reclaimed rows are physically gone; everything else survives
+    assert n_rows == plan.rows_rewritten + plan.rows_preserved
+    # the only tombstones left on disk are the cold cells' share
+    total_dead = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % TOMB_MOD == 2)
+        .count()
+    )
+    assert n_dead_left == total_dead - plan.rows_reclaimed
+    # no cell vanished (no fully-dead list on this fixture) and the
+    # plan's hot/cold split covers the layout exactly
+    assert n_cells == plan.n_cells_hot + plan.n_cells_cold
+    assert TOMB_PCT < 100  # guards the fixture assumption above
+
+
 def _planted_pairs_fixture(dest_dir, n=6000, n_pairs=20, dim=16, seed=23):
     """Bitext fixture with PLANTED true pairs: random background split
     into sources (even vec_id, label 0) and targets (odd, label 1),
