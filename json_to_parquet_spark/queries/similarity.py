@@ -3668,3 +3668,169 @@ register(
         "measure -> decide -> search: IVF search through the policy-adopted quantizer",
     )
 )
+
+
+# --- x236: embedding-distribution drift over the trained quantizer's cells -----
+# The drift monitor a training-data pipeline runs on its VECTOR corpus:
+# x73's PSI watches scalar feature distributions; this watches the
+# EMBEDDING distribution by comparing two ingestion snapshots' occupancy
+# of the trained coarse quantizer's cells (the standard
+# codebook-histogram drift check: a distribution shift in embedding
+# space shows up as cell-population reallocation long before any scalar
+# stat moves).  Third consumer of the persisted Lloyd quantizer
+# (x230/x235 search through it; this monitors with it).  Snapshots are
+# the deterministic vec_id parity halves (two ingestion epochs in a
+# real feed); PSI per SUPER-cell (K0 rows — the routing level an
+# operator would page on), Laplace-smoothed per super-cell so empty
+# cells stay finite, ln terms rounded then decimal-summed (helpers
+# rules 1+3).
+DRIFT_MOD = 2  # snapshot split: vec_id % DRIFT_MOD == 0 -> 'old'
+
+
+def x236_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per super-cell: cells under it, old/new snapshot
+    populations, and the PSI of the two snapshots' smoothed cell-share
+    vectors.  Scale shapes: ONE ~n^1.25 two-level assignment serves
+    both snapshots (the half tag is row-local); the rollup is a
+    key-shuffle of narrow (cell, half) rows; everything after runs on
+    ≤nlist-row frames."""
+    from .helpers import dec_sum
+
+    corpus, sup, _cent_seed, cent_lloyd, nlist = _quantizer_frames(
+        spark, sf_dir
+    )
+    cs = cent_sup_for(cent_lloyd, sup).select("s_id", "c_id")
+    asn = route_two_level(
+        corpus, sup, cent_sup_for(cent_lloyd, sup), cent_rows=nlist
+    )
+    halves = spark.createDataFrame([("old",), ("new",)], ["half"])
+    cnts = (
+        asn.select(
+            "c_id",
+            F.when(F.col("vec_id") % DRIFT_MOD == 0, "old")
+            .otherwise("new")
+            .alias("half"),
+        )
+        .groupBy("c_id", "half")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spine = cs.crossJoin(F.broadcast(halves))
+    dense = (
+        spine.join(cnts, ["c_id", "half"], "left")
+        .fillna(0, subset=["cnt"])
+        .select("s_id", "c_id", "half", "cnt")
+    )
+    totals = dense.groupBy("s_id", "half").agg(
+        F.sum("cnt").alias("n_half"), F.count(F.lit(1)).alias("k_cells")
+    )
+    shares = dense.join(F.broadcast(totals), ["s_id", "half"]).select(
+        "s_id",
+        "c_id",
+        "half",
+        (
+            (F.col("cnt") + 1).cast("double")
+            / (F.col("n_half") + F.col("k_cells")).cast("double")
+        ).alias("share"),
+    )
+    p = shares.filter(F.col("half") == "old").select(
+        "s_id", "c_id", F.col("share").alias("p")
+    )
+    q = shares.filter(F.col("half") == "new").select(
+        "s_id", "c_id", F.col("share").alias("q")
+    )
+    term = F.round(
+        (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 6
+    )
+    pops = totals.groupBy("s_id").agg(
+        F.max(F.when(F.col("half") == "old", F.col("n_half"))).alias("n_old"),
+        F.max(F.when(F.col("half") == "new", F.col("n_half"))).alias("n_new"),
+        F.max("k_cells").alias("n_cells"),
+    )
+    psi = (
+        p.join(q, ["s_id", "c_id"])
+        .select("s_id", term.alias("t"))
+        .groupBy("s_id")
+        .agg(dec_sum("t", "psi"))
+    )
+    return (
+        pops.join(psi, "s_id")
+        .select(
+            F.col("s_id").cast("long").alias("s_id"),
+            F.col("n_cells").cast("long").alias("n_cells"),
+            F.col("n_old").cast("long").alias("n_old"),
+            F.col("n_new").cast("long").alias("n_new"),
+            "psi",
+        )
+        .orderBy("s_id")
+    )
+
+
+def _x236_sql() -> str:
+    from .helpers import SQL_DEC_SUM
+
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent_seed AS (SELECT vec_id AS c_id, v AS c_vec FROM e
+                      WHERE vec_id < {SQL_IVF_NLIST}),
+        samp AS MATERIALIZED (
+          SELECT vec_id, v FROM e WHERE vec_id % {SQL_SAMP_MOD} = 0),
+        {_lloyd_sql_steps()},
+        {_SQL_SUP_VECSUP},
+        {_sql_cs(f"lcent{LLOYD_ROUNDS}", "cs_lloyd")},
+        {_sql_asn("cs_lloyd", "asn")},
+        cnts AS (
+          SELECT a.c_id,
+                 CASE WHEN a.vec_id % {DRIFT_MOD} = 0
+                      THEN 'old' ELSE 'new' END AS half,
+                 COUNT(*) AS cnt
+          FROM asn a GROUP BY 1, 2),
+        spine AS (
+          SELECT cs.c_id, cs.s_id, h.half
+          FROM cs_lloyd cs, (VALUES ('old'), ('new')) AS h(half)),
+        dense AS (
+          SELECT s.s_id, s.c_id, s.half, COALESCE(c.cnt, 0) AS cnt
+          FROM spine s LEFT JOIN cnts c
+            ON c.c_id = s.c_id AND c.half = s.half),
+        totals AS (
+          SELECT s_id, half, SUM(cnt) AS n_half, COUNT(*) AS k_cells
+          FROM dense GROUP BY 1, 2),
+        shares AS (
+          SELECT d.s_id, d.c_id, d.half,
+                 CAST(d.cnt + 1 AS DOUBLE)
+                 / CAST(t.n_half + t.k_cells AS DOUBLE) AS share
+          FROM dense d JOIN totals t
+            ON t.s_id = d.s_id AND t.half = d.half),
+        terms AS (
+          SELECT p.s_id,
+                 ROUND((p.share - q.share) * ln(p.share / q.share), 6) AS t
+          FROM shares p JOIN shares q
+            ON p.s_id = q.s_id AND p.c_id = q.c_id
+           AND p.half = 'old' AND q.half = 'new'),
+        pops AS (
+          SELECT s_id,
+                 MAX(CASE WHEN half = 'old' THEN n_half END) AS n_old,
+                 MAX(CASE WHEN half = 'new' THEN n_half END) AS n_new,
+                 MAX(k_cells) AS n_cells
+          FROM totals GROUP BY s_id),
+        psi AS (
+          SELECT s_id, {SQL_DEC_SUM.format(x="t")} AS psi
+          FROM terms GROUP BY s_id)
+        SELECT CAST(p.s_id AS BIGINT) AS s_id,
+               CAST(p.n_cells AS BIGINT) AS n_cells,
+               CAST(p.n_old AS BIGINT) AS n_old,
+               CAST(p.n_new AS BIGINT) AS n_new,
+               y.psi
+        FROM pops p JOIN psi y ON p.s_id = y.s_id
+        ORDER BY s_id
+        """
+
+
+register(
+    QuerySpec(
+        "x236_embedding_drift",
+        x236_embedding_drift,
+        _x236_sql(),
+        "embedding-space drift: PSI of two snapshots' cell occupancy under the trained quantizer",
+    )
+)
