@@ -96,6 +96,7 @@ PROBE = [
     "x230_refined_ivf_search",
     "x233_bitext_mine_capped",
     "x234_stream_tombstone_cdc",  # streaming deletes vs the frozen layout
+    "x236_embedding_drift",      # snapshot PSI over the trained quantizer
 ]
 
 
