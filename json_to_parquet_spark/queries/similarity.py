@@ -2973,35 +2973,54 @@ _SQD = (
 )
 
 
-def _lloyd_sql_steps() -> str:
-    """CTE chain lcent0 → lcent{LLOYD_ROUNDS}: x49's decimal-exact Lloyd
-    update over ``samp``, seeded from ``cent_seed``.  lassign is
-    MATERIALIZED (the x225 lesson: chained CTEs inline exponentially)."""
-    steps = ["lcent0 AS (SELECT c_id, c_vec FROM cent_seed)"]
+def _lloyd_sql_steps(
+    src: str = "samp", seed: str = "cent_seed", prefix: str = "l"
+) -> str:
+    """CTE chain {prefix}cent0 → {prefix}cent{LLOYD_ROUNDS}: x49's
+    decimal-exact Lloyd update over ``src``, seeded from ``seed``.
+    Parameterized (round 11) so x237's RE-training — Lloyd over the
+    drifted sample seeded from the SERVED quantizer — unrolls with the
+    same factory; defaults keep every pre-existing twin byte-identical.
+    The assign CTE is MATERIALIZED (the x225 lesson: chained CTEs
+    inline exponentially)."""
+    steps = [f"{prefix}cent0 AS (SELECT c_id, c_vec FROM {seed})"]
     for i in range(LLOYD_ROUNDS):
-        steps.append(f"""lassign{i} AS MATERIALIZED (
+        steps.append(f"""{prefix}assign{i} AS MATERIALIZED (
           SELECT vec_id, v, c_id AS cluster FROM (
             SELECT s.vec_id, s.v, c.c_id,
                    {_SQD.format(a="s.v", b="c.c_vec")} AS d
-            FROM samp s CROSS JOIN lcent{i} c)
+            FROM {src} s CROSS JOIN {prefix}cent{i} c)
           QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
                                      ORDER BY d, c_id) = 1),
-        lmeans{i} AS (
+        {prefix}means{i} AS (
           SELECT cluster, dim,
                  CAST(CAST(SUM(CAST(val AS DECIMAL(30,10))) AS VARCHAR)
                       AS DOUBLE) / COUNT(*) AS m
           FROM (SELECT cluster,
                        generate_subscripts(v, 1) - 1 AS dim,
                        unnest(v) AS val
-                FROM lassign{i})
+                FROM {prefix}assign{i})
           GROUP BY cluster, dim),
-        lpacked{i} AS (
+        {prefix}packed{i} AS (
           SELECT cluster, list(m ORDER BY dim) AS new_vec
-          FROM lmeans{i} GROUP BY cluster),
-        lcent{i + 1} AS MATERIALIZED (
+          FROM {prefix}means{i} GROUP BY cluster),
+        {prefix}cent{i + 1} AS MATERIALIZED (
           SELECT c.c_id, COALESCE(p.new_vec, c.c_vec) AS c_vec
-          FROM lcent{i} c LEFT JOIN lpacked{i} p ON c.c_id = p.cluster)""")
+          FROM {prefix}cent{i} c
+          LEFT JOIN {prefix}packed{i} p ON c.c_id = p.cluster)""")
     return ",\n        ".join(steps)
+
+
+def _sql_vecsup(e_cte: str, out: str) -> str:
+    """Vector→super-cell routing twin over an arbitrary corpus CTE
+    (x237 routes the DRIFTED snapshot through the same frozen ``sup``)."""
+    return f"""{out} AS MATERIALIZED (
+          SELECT vec_id, s_id FROM (
+            SELECT {e_cte}.vec_id, s.s_id,
+                   {_SQD.format(a=f"{e_cte}.v", b="s.s_vec")} AS sd
+            FROM {e_cte} CROSS JOIN sup s)
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sd, s_id) = 1)"""
 
 
 # sup + shared vector→super-cell routing (quantizer-independent: the
@@ -3009,13 +3028,7 @@ def _lloyd_sql_steps() -> str:
 _SQL_SUP_VECSUP = f"""sup AS (
           SELECT vec_id AS s_id, v AS s_vec FROM e
           WHERE vec_id < {SQL_IVF_K0}),
-        vec_sup AS MATERIALIZED (
-          SELECT vec_id, s_id FROM (
-            SELECT e.vec_id, s.s_id,
-                   {_SQD.format(a="e.v", b="s.s_vec")} AS sd
-            FROM e CROSS JOIN sup s)
-          QUALIFY row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY sd, s_id) = 1)"""
+        {_sql_vecsup("e", "vec_sup")}"""
 
 
 def _sql_cs(cent_cte: str, out: str) -> str:
@@ -3029,13 +3042,17 @@ def _sql_cs(cent_cte: str, out: str) -> str:
                                      ORDER BY sd, s_id) = 1)"""
 
 
-def _sql_asn(cs_cte: str, out: str) -> str:
-    """route_two_level()'s second-hop twin with the distance kept."""
+def _sql_asn(
+    cs_cte: str, out: str, e_cte: str = "e", vs_cte: str = "vec_sup"
+) -> str:
+    """route_two_level()'s second-hop twin with the distance kept.
+    ``e_cte``/``vs_cte`` select which corpus snapshot is being routed
+    (x237 assigns the drifted snapshot through the frozen quantizer)."""
     return f"""{out} AS MATERIALIZED (
           SELECT vec_id, c_id, d FROM (
-            SELECT e.vec_id, cs.c_id,
-                   {_SQD.format(a="e.v", b="cs.c_vec")} AS d
-            FROM e JOIN vec_sup vs USING (vec_id)
+            SELECT {e_cte}.vec_id, cs.c_id,
+                   {_SQD.format(a=f"{e_cte}.v", b="cs.c_vec")} AS d
+            FROM {e_cte} JOIN {vs_cte} vs USING (vec_id)
                    JOIN {cs_cte} cs ON vs.s_id = cs.s_id)
           QUALIFY row_number() OVER (PARTITION BY vec_id
                                      ORDER BY d, c_id) = 1)"""
@@ -3832,5 +3849,207 @@ register(
         x236_embedding_drift,
         _x236_sql(),
         "embedding-space drift: PSI of two snapshots' cell occupancy under the trained quantizer",
+    )
+)
+
+
+# --- x237: drift-triggered quantizer retraining ---------------------------------
+# The maintenance loop's missing act.  x236 MEASURES embedding drift;
+# x231 DECIDES between quantizers; x230 SERVES the refined one — x237
+# composes detect → decide → retrain → verify into the single operator
+# a production index pipeline actually schedules (FAISS/Milvus-style
+# index rebuild on distribution change): compute the PSI between the
+# serving corpus's and an incoming snapshot's occupancy of the SERVED
+# quantizer's cells; if it exceeds the textbook PSI>0.2 action bar,
+# RE-train the coarse quantizer with Lloyd rounds on a bounded sample
+# of the NEW snapshot (seeded from the served centroids — warm-start,
+# the standard practice); adopt the retrained quantizer iff it shrinks
+# the largest inverted list on the new snapshot (x231's criterion).
+# The incoming snapshot is a deterministic covariate shift of the
+# corpus (per-coordinate affine map v*GAIN+OFFSET — row-local IEEE ops,
+# exactly rounded in both engines, helpers rule 2), so the whole loop
+# — PSI, decision, retraining, adoption — is oracle-able end-to-end.
+DRIFT_GAIN = 1.5     # simulated covariate shift: v' = v*GAIN + OFFSET
+DRIFT_OFFSET = 0.1
+DRIFT_RETRAIN_PSI = 0.2  # industry-standard "significant shift" bar
+
+
+def _drifted(corpus: DataFrame) -> DataFrame:
+    """The incoming snapshot: every coordinate through the affine map."""
+    return corpus.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: x * F.lit(DRIFT_GAIN) + F.lit(DRIFT_OFFSET),
+        ).alias("embedding"),
+    )
+
+
+def x237_drift_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: PSI of serving-vs-incoming cell occupancy under the
+    served quantizer, the retrain decision, and both layouts' largest
+    inverted list on the incoming snapshot, with the adopted quantizer
+    named.  Scale shapes: two ~n^1.25 two-level assignments for the
+    monitor (their per-cell rollups are localCheckpointed ≤nlist-row
+    frames — the corpus is never re-scanned for PSI vs max-pop), one
+    bounded Lloyd retrain (sample×broadcast(nlist) = ~32·n flops per
+    round), one ~n^1.25 verification assignment; the decision is a
+    1-row collect off a checkpointed scalar (x235's bounded-decision
+    pattern)."""
+    from .helpers import dec_sum
+
+    corpus, sup, _cent_seed, cent_lloyd, nlist = _quantizer_frames(
+        spark, sf_dir
+    )
+    drift = _drifted(corpus)
+    cs = cent_sup_for(cent_lloyd, sup)
+    pops_old = (
+        route_two_level(corpus, sup, cs, cent_rows=nlist)
+        .groupBy("c_id")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .localCheckpoint()
+    )
+    pops_new = (
+        route_two_level(drift, sup, cs, cent_rows=nlist)
+        .groupBy("c_id")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .localCheckpoint()
+    )
+    dense = (
+        cent_lloyd.select("c_id")
+        .join(pops_old, "c_id", "left")
+        .join(pops_new, "c_id", "left")
+        .fillna(0, subset=["co", "cn"])
+    )
+    tot = dense.agg(
+        F.sum("co").alias("n_old"),
+        F.sum("cn").alias("n_new"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    shares = dense.crossJoin(F.broadcast(tot)).select(
+        (
+            (F.col("co") + 1).cast("double")
+            / (F.col("n_old") + F.col("k")).cast("double")
+        ).alias("p"),
+        (
+            (F.col("cn") + 1).cast("double")
+            / (F.col("n_new") + F.col("k")).cast("double")
+        ).alias("q"),
+    )
+    term = F.round(
+        (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 6
+    )
+    psi_df = (
+        shares.select(term.alias("t")).agg(dec_sum("t", "psi"))
+        .localCheckpoint()
+    )
+    psi_val = psi_df.collect()[0].psi
+    stale = pops_new.agg(F.max("cn").alias("stale_max_pop"))
+    base = psi_df.crossJoin(stale)
+    if psi_val > DRIFT_RETRAIN_PSI:
+        samp_new = drift.filter(
+            F.col("vec_id") % _samp_mod(spark, sf_dir) == 0
+        ).select("vec_id", F.col("embedding").alias("v"))
+        cent_re = lloyd_refine(
+            samp_new, cent_lloyd, LLOYD_ROUNDS
+        ).localCheckpoint()
+        re_mp = (
+            route_two_level(
+                drift, sup, cent_sup_for(cent_re, sup), cent_rows=nlist
+            )
+            .groupBy("c_id")
+            .agg(F.count(F.lit(1)).alias("cr"))
+            .agg(F.max("cr").alias("retrained_max_pop"))
+        )
+        out = base.crossJoin(re_mp)
+    else:  # hold: the retrain job is never scheduled (the whole point)
+        out = base.withColumn(
+            "retrained_max_pop", F.lit(None).cast("long")
+        )
+    return out.select(
+        "psi",
+        F.when(F.col("psi") > F.lit(DRIFT_RETRAIN_PSI), F.lit("retrain"))
+        .otherwise(F.lit("hold"))
+        .alias("decision"),
+        F.col("stale_max_pop").cast("long").alias("stale_max_pop"),
+        F.col("retrained_max_pop").cast("long").alias("retrained_max_pop"),
+        F.when(
+            (F.col("psi") > F.lit(DRIFT_RETRAIN_PSI))
+            & (F.col("retrained_max_pop") < F.col("stale_max_pop")),
+            F.lit("retrained"),
+        )
+        .otherwise(F.lit("stale"))
+        .alias("adopted"),
+    )
+
+
+def _x237_sql() -> str:
+    from .helpers import SQL_DEC_SUM
+
+    thr = f"CAST({DRIFT_RETRAIN_PSI} AS DOUBLE)"
+    share = (
+        "CAST({c} + 1 AS DOUBLE) / CAST({n} + t.k AS DOUBLE)"
+    )
+    p = share.format(c="d.co", n="t.n_old")
+    q = share.format(c="d.cn", n="t.n_new")
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent_seed AS (SELECT vec_id AS c_id, v AS c_vec FROM e
+                      WHERE vec_id < {SQL_IVF_NLIST}),
+        samp AS MATERIALIZED (
+          SELECT vec_id, v FROM e WHERE vec_id % {SQL_SAMP_MOD} = 0),
+        {_lloyd_sql_steps()},
+        e2 AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(v, x -> x * CAST({DRIFT_GAIN} AS DOUBLE)
+                                        + CAST({DRIFT_OFFSET} AS DOUBLE)) AS v
+          FROM e),
+        {_SQL_SUP_VECSUP},
+        {_sql_vecsup("e2", "vec_sup2")},
+        {_sql_cs(f"lcent{LLOYD_ROUNDS}", "cs_lloyd")},
+        {_sql_asn("cs_lloyd", "asn_old")},
+        {_sql_asn("cs_lloyd", "asn_new", e_cte="e2", vs_cte="vec_sup2")},
+        po AS (SELECT c_id, COUNT(*) AS co FROM asn_old GROUP BY c_id),
+        pn AS (SELECT c_id, COUNT(*) AS cn FROM asn_new GROUP BY c_id),
+        dense AS (
+          SELECT c.c_id, COALESCE(po.co, 0) AS co, COALESCE(pn.cn, 0) AS cn
+          FROM lcent{LLOYD_ROUNDS} c
+          LEFT JOIN po ON po.c_id = c.c_id
+          LEFT JOIN pn ON pn.c_id = c.c_id),
+        tot AS (SELECT SUM(co) AS n_old, SUM(cn) AS n_new,
+                       COUNT(*) AS k
+                FROM dense),
+        terms AS (
+          SELECT ROUND(({p} - {q}) * ln(({p}) / ({q})), 6) AS t
+          FROM dense d, tot t),
+        psi AS (SELECT {SQL_DEC_SUM.format(x="t")} AS psi FROM terms),
+        samp2 AS MATERIALIZED (
+          SELECT vec_id, v FROM e2 WHERE vec_id % {SQL_SAMP_MOD} = 0),
+        {_lloyd_sql_steps(src="samp2", seed=f"lcent{LLOYD_ROUNDS}",
+                          prefix="r")},
+        {_sql_cs(f"rcent{LLOYD_ROUNDS}", "cs_re")},
+        {_sql_asn("cs_re", "asn_re", e_cte="e2", vs_cte="vec_sup2")},
+        stale AS (SELECT MAX(cn) AS mp FROM pn),
+        re AS (SELECT MAX(cr) AS mp FROM (
+                 SELECT COUNT(*) AS cr FROM asn_re GROUP BY c_id))
+        SELECT p.psi AS psi,
+               CASE WHEN p.psi > {thr}
+                    THEN 'retrain' ELSE 'hold' END AS decision,
+               CAST(s.mp AS BIGINT) AS stale_max_pop,
+               CAST(CASE WHEN p.psi > {thr} THEN r.mp END AS BIGINT)
+                   AS retrained_max_pop,
+               CASE WHEN p.psi > {thr} AND r.mp < s.mp
+                    THEN 'retrained' ELSE 'stale' END AS adopted
+        FROM psi p, stale s, re r
+        """
+
+
+register(
+    QuerySpec(
+        "x237_drift_retrain",
+        x237_drift_retrain,
+        _x237_sql(),
+        "drift-triggered retrain: PSI monitor -> retrain decision -> warm-start Lloyd -> adoption gate",
     )
 )
