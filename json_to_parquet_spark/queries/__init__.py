@@ -258,6 +258,7 @@ def registry() -> dict[str, QuerySpec]:
         dedup,
         evalsuite,
         evalsuite2,
+        graph_ssl,
         modeling,
         multimodal,
         pipeline,

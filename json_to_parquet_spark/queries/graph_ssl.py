@@ -1,0 +1,360 @@
+"""Graph-based semi-supervised corpus labeling (SURVEY §2.C X3/X4
+extensions): a capacity-capped k-NN graph over the embedding corpus
+(x238) and frozen label propagation through it (x239) — the standard
+SSL pipeline for spreading a small set of curated labels
+(quality/domain/language tags) across an unlabeled training corpus
+(Zhu & Ghahramani 2002 label propagation; kNN-graph construction
+IVF-bucketed the way FAISS builds knn-graphs, candidate volume capped
+with x214/x233's ring trick so pair volume stays LINEAR in the corpus).
+
+Reference parity: the reference (a 3-file NDJSON→Parquet converter) has
+no graph operators; these extend the engine's LLM-pipeline surface per
+the build charter (SURVEY §2 X3/X4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from . import QuerySpec, register
+from .retrieval import _SQL_COS
+from .similarity import (
+    SQL_IVF_NLIST,
+    _SQL_SUP_VECSUP,
+    _sql_asn,
+    _sql_cs,
+    cent_sup_for,
+    cosine,
+    ivf_k0,
+    ivf_nlist,
+    route_two_level,
+)
+
+# Capacity-capped neighbour generation (x233's ring trick, symmetric
+# variant): every vector's candidates are the members of its ring
+# (≤ KNNG_CAP rows) inside its two-level-routed coarse cell, plus the
+# adjacent rings' boundary bands — so per-vector candidate count is
+# bounded by KNNG_CAP + 2·KNNG_OV regardless of cell population, and
+# total pair volume is ≤ n·(KNNG_CAP + 2·KNNG_OV): linear by
+# construction (the flat per-cell self-join would be Σ pop² ≈ n^1.5
+# under √n cells — x196's measured blow-up).
+KNNG_CAP = 64
+KNNG_OV = 16
+KNNG_K = 4       # out-degree of the graph
+LP_SEED_MOD = 5  # seeds: vec_id % 5 == 0 (a 20% curated-label subset)
+LP_ROUNDS = 3    # frozen-propagation sweeps
+
+
+def _knn_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_id, dst_id, cos) over the capacity-capped candidate set.
+    Scale shapes: one ~n^1.25 two-level assignment; one per-cell window
+    of ~√n rows per task for ring placement; (cell, ring)-keyed hash
+    joins with per-key fan-out ≤ KNNG_CAP²; vectors rejoin by key (the
+    x214 narrow-scalars lesson — the placed frame carries no arrays)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    nlist = ivf_nlist(spark, sf_dir)
+    k0 = ivf_k0(spark, sf_dir)
+    sup = emb.filter(F.col("vec_id") < k0).select(
+        F.col("vec_id").alias("s_id"), F.col("v").alias("s_vec")
+    )
+    cent = emb.filter(F.col("vec_id") < nlist).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("c_vec")
+    )
+    asn = route_two_level(
+        emb.select("vec_id", F.col("v").alias("embedding")),
+        sup,
+        cent_sup_for(cent, sup),
+        cent_rows=nlist,
+        include_dist=True,
+    )
+    wcell = Window.partitionBy("c_id").orderBy(F.asc("d"), F.asc("vec_id"))
+    placed = (
+        asn.withColumn("rn0", F.row_number().over(wcell) - 1)
+        .select(
+            "vec_id",
+            F.col("c_id").alias("cell"),
+            F.expr(f"rn0 div {KNNG_CAP}").alias("ring"),
+            (F.col("rn0") % KNNG_CAP).alias("pos"),
+        )
+        .localCheckpoint()
+    )
+    s = placed.select(
+        F.col("vec_id").alias("src_id"), "cell", "ring", "pos"
+    )
+    t = placed.select(
+        F.col("vec_id").alias("dst_id"), "cell", "ring", "pos"
+    )
+    same = (
+        s.join(t.select("dst_id", "cell", "ring"), ["cell", "ring"])
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select("src_id", "dst_id")
+    )
+    up = (
+        s.filter(F.col("pos") >= KNNG_CAP - KNNG_OV)
+        .join(
+            t.filter(F.col("pos") < KNNG_OV).select(
+                "dst_id", "cell", (F.col("ring") - 1).alias("ring")
+            ),
+            ["cell", "ring"],
+        )
+        .select("src_id", "dst_id")
+    )
+    down = (
+        s.filter(F.col("pos") < KNNG_OV)
+        .join(
+            t.filter(F.col("pos") >= KNNG_CAP - KNNG_OV).select(
+                "dst_id", "cell", (F.col("ring") + 1).alias("ring")
+            ),
+            ["cell", "ring"],
+        )
+        .select("src_id", "dst_id")
+    )
+    cand = same.unionAll(up).unionAll(down)
+    sv = emb.select(F.col("vec_id").alias("src_id"), F.col("v").alias("sv"))
+    tv = emb.select(F.col("vec_id").alias("dst_id"), F.col("v").alias("tv"))
+    return (
+        cand.join(sv, "src_id")
+        .join(tv, "dst_id")
+        .select(
+            "src_id",
+            "dst_id",
+            cosine(F.col("sv"), F.col("tv")).alias("cos_sim"),
+        )
+    )
+
+
+def knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_id, dst_id, rank, cos_sim): each vector's KNNG_K nearest
+    capped-candidate neighbours — the graph x239 propagates over."""
+    w = Window.partitionBy("src_id").orderBy(
+        F.desc("cos_sim"), F.asc("dst_id")
+    )
+    return (
+        _knn_scored(spark, sf_dir)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNNG_K)
+    )
+
+
+def x238_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus kNN graph: (src_id, dst_id, rank, cos_sim), KNNG_K
+    edges per vector, candidates capacity-capped (see module constants).
+    Scale shapes documented on ``_knn_scored``; the top-k pick is one
+    WindowGroupLimit over the linear candidate set."""
+    return knn_edges(spark, sf_dir).select(
+        "src_id",
+        "dst_id",
+        F.col("rank").cast("long").alias("rank"),
+        "cos_sim",
+    ).orderBy("src_id", "rank")
+
+
+def _sql_knn_edges() -> str:
+    """Shared oracle fragment: CTE chain ending in ``edges(src_id,
+    dst_id, rank, cos)``.  Assumes ``e(vec_id, v)`` is defined."""
+    return f"""cent_seed AS (SELECT vec_id AS c_id, v AS c_vec FROM e
+                      WHERE vec_id < {SQL_IVF_NLIST}),
+        {_SQL_SUP_VECSUP},
+        {_sql_cs("cent_seed", "cs")},
+        {_sql_asn("cs", "asn")},
+        placed AS MATERIALIZED (
+          SELECT vec_id, cell, rn0 // {KNNG_CAP} AS ring,
+                 rn0 % {KNNG_CAP} AS pos
+          FROM (
+            SELECT a.vec_id, a.c_id AS cell,
+                   row_number() OVER (PARTITION BY a.c_id
+                                      ORDER BY a.d, a.vec_id) - 1 AS rn0
+            FROM asn a)),
+        cand AS (
+          SELECT s.vec_id AS src_id, t.vec_id AS dst_id
+          FROM placed s JOIN placed t USING (cell, ring)
+          WHERE s.vec_id != t.vec_id
+          UNION ALL
+          SELECT s.vec_id, t.vec_id FROM placed s JOIN placed t
+            ON s.cell = t.cell AND s.ring + 1 = t.ring
+               AND s.pos >= {KNNG_CAP - KNNG_OV} AND t.pos < {KNNG_OV}
+          UNION ALL
+          SELECT s.vec_id, t.vec_id FROM placed s JOIN placed t
+            ON s.cell = t.cell AND s.ring = t.ring + 1
+               AND s.pos < {KNNG_OV} AND t.pos >= {KNNG_CAP - KNNG_OV}),
+        scored AS (
+          SELECT c.src_id, c.dst_id,
+                 {_SQL_COS.format(a="sv.v", b="tv.v")} AS cos
+          FROM cand c JOIN e sv ON sv.vec_id = c.src_id
+               JOIN e tv ON tv.vec_id = c.dst_id),
+        edges AS MATERIALIZED (
+          SELECT src_id, dst_id, rank, cos FROM (
+            SELECT src_id, dst_id, cos,
+                   row_number() OVER (PARTITION BY src_id
+                                      ORDER BY cos DESC, dst_id ASC) AS rank
+            FROM scored)
+          WHERE rank <= {KNNG_K})"""
+
+
+def _x238_sql() -> str:
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        {_sql_knn_edges()}
+        SELECT src_id, dst_id, CAST(rank AS BIGINT) AS rank,
+               cos AS cos_sim
+        FROM edges
+        ORDER BY src_id, rank
+        """
+
+
+register(
+    QuerySpec(
+        "x238_knn_graph",
+        x238_knn_graph,
+        _x238_sql(),
+        "capacity-capped corpus kNN graph: linear pair volume, KNNG_K edges per vector",
+    )
+)
+
+
+def x239_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen label propagation over the x238 graph: vec_id % LP_SEED_MOD
+    seeds reveal their curated label; LP_ROUNDS sweeps assign each
+    still-unlabeled vector the majority label of its labeled
+    out-neighbours (ties: smaller label), and a label once assigned is
+    frozen (the monotone variant — converges, no oscillation, and the
+    per-round frontier shrinks).  Output: one row per TRUE label with
+    node/seed/propagated/propagated-correct counts — on the synthetic
+    corpus labels are geometry-independent so correctness sits at
+    chance; on a clustered corpus (tests/clustered_fixture.py) the same
+    operator recovers blob labels (asserted by the round-11 invariant
+    test).
+
+    Scale shapes: the graph build is x238's (linear pair volume); each
+    sweep is one (dst-keyed) hash join of the n·K edge list against the
+    ≤n-row label frame + one key-shuffle majority vote; the label frame
+    is localCheckpointed per round (bounded lineage, the x179/x125
+    precedent)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    edges = (
+        knn_edges(spark, sf_dir)
+        .select("src_id", "dst_id")
+        .localCheckpoint()
+    )
+    labeled = (
+        emb.filter(F.col("vec_id") % LP_SEED_MOD == 0)
+        .select("vec_id", F.col("label").alias("lab"), F.lit("seed").alias("via"))
+        .localCheckpoint()
+    )
+    for _ in range(LP_ROUNDS):
+        votes = (
+            edges.join(
+                labeled.select(F.col("vec_id").alias("dst_id"), "lab"),
+                "dst_id",
+            )
+            .join(
+                labeled.select(F.col("vec_id").alias("src_id")),
+                "src_id",
+                "left_anti",
+            )
+            .groupBy("src_id", "lab")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("src_id").orderBy(F.desc("cnt"), F.asc("lab"))
+        new = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("src_id").alias("vec_id"),
+                "lab",
+                F.lit("prop").alias("via"),
+            )
+        )
+        labeled = labeled.unionAll(new).localCheckpoint()
+    stats = labeled.join(emb, "vec_id").groupBy(
+        F.col("label")
+    ).agg(
+        F.sum((F.col("via") == "seed").cast("long")).alias("n_seed"),
+        F.sum((F.col("via") == "prop").cast("long")).alias("n_prop"),
+        F.sum(
+            ((F.col("via") == "prop") & (F.col("lab") == F.col("label")))
+            .cast("long")
+        ).alias("n_prop_correct"),
+    )
+    totals = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        totals.join(stats, "label", "left")
+        .fillna(0, subset=["n_seed", "n_prop", "n_prop_correct"])
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_seed").cast("long").alias("n_seed"),
+            F.col("n_prop").cast("long").alias("n_prop"),
+            F.col("n_prop_correct").cast("long").alias("n_prop_correct"),
+        )
+        .orderBy("label")
+    )
+
+
+def _x239_sql() -> str:
+    steps = [
+        f"""lab0 AS MATERIALIZED (
+          SELECT vec_id, label AS lab, 'seed' AS via FROM emb
+          WHERE vec_id % {LP_SEED_MOD} = 0)"""
+    ]
+    for i in range(LP_ROUNDS):
+        steps.append(f"""votes{i} AS MATERIALIZED (
+          SELECT g.src_id, l.lab, COUNT(*) AS cnt
+          FROM edges g
+          JOIN lab{i} l ON g.dst_id = l.vec_id
+          LEFT JOIN lab{i} x ON g.src_id = x.vec_id
+          WHERE x.vec_id IS NULL
+          GROUP BY g.src_id, l.lab),
+        new{i} AS (
+          SELECT src_id AS vec_id, lab, 'prop' AS via FROM (
+            SELECT src_id, lab,
+                   row_number() OVER (PARTITION BY src_id
+                                      ORDER BY cnt DESC, lab ASC) AS rn
+            FROM votes{i})
+          WHERE rn = 1),
+        lab{i + 1} AS MATERIALIZED (
+          SELECT * FROM lab{i} UNION ALL SELECT * FROM new{i})""")
+    chain = ",\n        ".join(steps)
+    last = f"lab{LP_ROUNDS}"
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        emb AS (
+          SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        {_sql_knn_edges()},
+        {chain},
+        stats AS (
+          SELECT m.label,
+                 SUM(CASE WHEN l.via = 'seed' THEN 1 ELSE 0 END) AS n_seed,
+                 SUM(CASE WHEN l.via = 'prop' THEN 1 ELSE 0 END) AS n_prop,
+                 SUM(CASE WHEN l.via = 'prop' AND l.lab = m.label
+                     THEN 1 ELSE 0 END) AS n_prop_correct
+          FROM {last} l JOIN emb m USING (vec_id)
+          GROUP BY m.label)
+        SELECT CAST(t.label AS BIGINT) AS label,
+               CAST(t.n_nodes AS BIGINT) AS n_nodes,
+               CAST(COALESCE(s.n_seed, 0) AS BIGINT) AS n_seed,
+               CAST(COALESCE(s.n_prop, 0) AS BIGINT) AS n_prop,
+               CAST(COALESCE(s.n_prop_correct, 0) AS BIGINT)
+                   AS n_prop_correct
+        FROM (SELECT label, COUNT(*) AS n_nodes FROM emb GROUP BY label) t
+        LEFT JOIN stats s ON s.label = t.label
+        ORDER BY label
+        """
+
+
+register(
+    QuerySpec(
+        "x239_label_propagation",
+        x239_label_propagation,
+        _x239_sql(),
+        "frozen label propagation over the capped kNN graph: SSL labeling from a 20% seed set",
+    )
+)

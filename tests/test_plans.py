@@ -203,6 +203,7 @@ _BNLJ_ALLOWED = {
     "x232_compaction_io_plan",  # K0/nlist frames (the two-level quantizer)
     "x235_policy_routed_search",  # x231's decision frames + x230's search broadcasts
     "x236_embedding_drift",  # K0/nlist frames + 2-row half-spine cross
+    "x237_drift_retrain",  # K0/nlist frames + 1-row psi/max-pop scalar crosses
 }
 
 

@@ -1,0 +1,143 @@
+"""Semantic invariants for the round-11 additions (beyond oracle parity).
+
+x237 closes the index-maintenance loop (x236 measured drift, x231 chose
+quantizers, x230 served — x237 composes detect → decide → retrain →
+adopt).  These tests pin the facts the oracle hash cannot express by
+itself: that BOTH decision branches behave (the oracle only ever sees
+the branch the registered constants trigger), and that the graph-SSL
+pair (x238 kNN graph, x239 label propagation) is structurally sound and
+actually recovers labels on a corpus where geometry carries them (the
+clustered fixture — the synthetic testdata's labels are geometry-free,
+so its gate row proves determinism, not semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from json_to_parquet_spark.queries import registry
+
+
+def _clustered_dir():
+    import sys
+
+    sys.path.insert(0, "tests")
+    from clustered_fixture import write_clustered_embeddings
+
+    return write_clustered_embeddings("/tmp/clustered_fx", n=2000)
+
+
+def test_x237_retrain_branch_fires_and_wins(spark, sf_dir):
+    """On the registered drift (v*1.5 + 0.1) the monitor must cross the
+    PSI bar, schedule the retrain, and the warm-started Lloyd layout
+    must shrink the largest inverted list on the drifted snapshot —
+    the end-to-end loop the operator exists for."""
+    from json_to_parquet_spark.queries.similarity import DRIFT_RETRAIN_PSI
+
+    row = registry()["x237_drift_retrain"].spark(spark, sf_dir).collect()[0]
+    assert row.psi > DRIFT_RETRAIN_PSI, row
+    assert row.decision == "retrain", row
+    assert row.retrained_max_pop is not None
+    assert row.retrained_max_pop < row.stale_max_pop, row
+    assert row.adopted == "retrained", row
+
+
+def test_x237_hold_branch_schedules_nothing(spark, sf_dir, monkeypatch):
+    """Under an identity 'drift' (GAIN=1, OFFSET=0) the snapshots are
+    identical, PSI is exactly 0, and the operator must HOLD: no
+    retrained layout is computed (NULL max-pop) and the stale quantizer
+    stays adopted.  The registered constants always trigger the other
+    branch, so this is the only coverage the hold path gets."""
+    from json_to_parquet_spark.queries import similarity as sim
+
+    monkeypatch.setattr(sim, "DRIFT_GAIN", 1.0)
+    monkeypatch.setattr(sim, "DRIFT_OFFSET", 0.0)
+    row = sim.x237_drift_retrain(spark, sf_dir).collect()[0]
+    assert row.psi == 0.0, row
+    assert row.decision == "hold", row
+    assert row.retrained_max_pop is None, row
+    assert row.adopted == "stale", row
+
+
+def test_x238_graph_structure(spark, sf_dir):
+    """Structural laws of the kNN graph: no self-loops, out-degree is
+    dense-ranked 1..deg ≤ KNNG_K per source, scores are valid cosines,
+    and every source vertex is a corpus vector."""
+    from json_to_parquet_spark.queries.graph_ssl import KNNG_K
+
+    df = registry()["x238_knn_graph"].spark(spark, sf_dir)
+    bad_self = df.filter(F.col("src_id") == F.col("dst_id")).count()
+    assert bad_self == 0
+    per_src = df.groupBy("src_id").agg(
+        F.count(F.lit(1)).alias("deg"),
+        F.max("rank").alias("mx"),
+        F.min("rank").alias("mn"),
+    )
+    bad = per_src.filter(
+        (F.col("deg") > KNNG_K)
+        | (F.col("mx") != F.col("deg"))
+        | (F.col("mn") != 1)
+    ).count()
+    assert bad == 0
+    out_of_range = df.filter(
+        (F.col("cos_sim") > 1.000001) | (F.col("cos_sim") < -1.000001)
+    ).count()
+    assert out_of_range == 0
+
+
+def test_x238_ring_capacity_bounds_candidates(spark, sf_dir):
+    """The linearity-by-construction fact: ring population never exceeds
+    KNNG_CAP, so per-source candidate volume is bounded by
+    KNNG_CAP + 2·KNNG_OV regardless of cell skew (the x196 lesson —
+    without the cap, per-cell self-join volume is Σ pop² ≈ n^1.5)."""
+    from json_to_parquet_spark.queries.graph_ssl import (
+        KNNG_CAP,
+        _knn_scored,
+    )
+
+    deg = (
+        _knn_scored(spark, sf_dir)
+        .groupBy("src_id")
+        .agg(F.count(F.lit(1)).alias("n_cand"))
+        .agg(F.max("n_cand").alias("mx"))
+        .collect()[0]
+        .mx
+    )
+    from json_to_parquet_spark.queries.graph_ssl import KNNG_OV
+
+    assert deg <= KNNG_CAP + 2 * KNNG_OV - 1, deg
+
+
+def test_x239_recovers_labels_on_clustered_corpus(spark):
+    """On the clustered fixture (8 skewed Gaussian blobs, labels = blob
+    ids) frozen propagation from the 20% seed set must label ≥97% of
+    the corpus with ≥95% accuracy on the propagated set (measured:
+    99.45% coverage, 99.6% accuracy).  This is the semantic claim the
+    sf-testdata gate row cannot make — its labels are independent of
+    geometry, so the oracle there proves determinism only."""
+    d = _clustered_dir()
+    rows = registry()["x239_label_propagation"].spark(spark, d).collect()
+    n_nodes = sum(r.n_nodes for r in rows)
+    n_seed = sum(r.n_seed for r in rows)
+    n_prop = sum(r.n_prop for r in rows)
+    n_ok = sum(r.n_prop_correct for r in rows)
+    assert (n_seed + n_prop) / n_nodes >= 0.97, (n_seed, n_prop, n_nodes)
+    assert n_ok / n_prop >= 0.95, (n_ok, n_prop)
+    # conservation: a node is seed or propagated at most once
+    for r in rows:
+        assert r.n_seed + r.n_prop <= r.n_nodes, r
+
+
+def test_x239_seed_set_is_exact(spark, sf_dir):
+    """Seeds are exactly the vec_id % LP_SEED_MOD == 0 subset — the
+    contract the SQL twin derives its lab0 CTE from."""
+    from json_to_parquet_spark.queries.graph_ssl import LP_SEED_MOD
+    from json_to_parquet_spark.sources.catalog import load_table
+
+    rows = registry()["x239_label_propagation"].spark(spark, sf_dir).collect()
+    expected = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % LP_SEED_MOD == 0)
+        .count()
+    )
+    assert sum(r.n_seed for r in rows) == expected
