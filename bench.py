@@ -151,6 +151,13 @@ HEADLINE = [
     "x230_refined_ivf_search",
     # the capacity-capped bitext miner: x196's linear-pair-volume twin
     "x233_bitext_mine_capped",
+    # round-11 additions: the drift-triggered retrain loop (PSI monitor
+    # + warm-start Lloyd + verification assignment — the full index-
+    # maintenance act), the capacity-capped kNN graph, and frozen label
+    # propagation over it (graph build + LP_ROUNDS sweep joins)
+    "x237_drift_retrain",
+    "x238_knn_graph",
+    "x239_label_propagation",
 ]
 
 CONVERT_RECORDS = 100_000

@@ -3885,6 +3885,42 @@ def _drifted(corpus: DataFrame) -> DataFrame:
     )
 
 
+def drift_retrain_cent_path(spark: SparkSession, sf_dir: str) -> str:
+    """Train-once store for the RE-trained quantizer (same economics as
+    ``lloyd_cent_path``: a drift event triggers ONE retrain job, every
+    later invocation serves the stored nlist-row frame).  The path
+    embeds every constant the training depends on (drift map, Lloyd
+    budget, nlist) plus the source fingerprint — the GATE_DIR
+    cache-keying invariant."""
+    import hashlib
+    import os
+
+    from .convert_gate import GATE_DIR
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    nlist = ivf_nlist(spark, sf_dir)
+    sig = repr(
+        ("drift-retrain-v1", DRIFT_GAIN, DRIFT_OFFSET, IVF_N_CENTROIDS,
+         IVF_K0_MIN, LLOYD_ROUNDS, LLOYD_SAMPLE_PER_CELL)
+    )
+    token = hashlib.sha256(sig.encode()).hexdigest()[:8]
+    dest = os.path.join(
+        GATE_DIR,
+        f"drift_recent_{tag}_nl{nlist}_{token}_d{_data_fingerprint(sf_dir)}",
+    )
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        corpus, _sup, _cent_seed, cent_lloyd, _nl = _quantizer_frames(
+            spark, sf_dir
+        )
+        samp_new = _drifted(corpus).filter(
+            F.col("vec_id") % _samp_mod(spark, sf_dir) == 0
+        ).select("vec_id", F.col("embedding").alias("v"))
+        lloyd_refine(samp_new, cent_lloyd, LLOYD_ROUNDS).write.mode(
+            "overwrite"
+        ).parquet(dest)
+    return dest
+
+
 def x237_drift_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row: PSI of serving-vs-incoming cell occupancy under the
     served quantizer, the retrain decision, and both layouts' largest
@@ -3893,9 +3929,9 @@ def x237_drift_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     monitor (their per-cell rollups are localCheckpointed ≤nlist-row
     frames — the corpus is never re-scanned for PSI vs max-pop), one
     bounded Lloyd retrain (sample×broadcast(nlist) = ~32·n flops per
-    round), one ~n^1.25 verification assignment; the decision is a
-    1-row collect off a checkpointed scalar (x235's bounded-decision
-    pattern)."""
+    round, trained ONCE per drift event via the persisted store), one
+    ~n^1.25 verification assignment; the decision is a 1-row collect
+    off a checkpointed scalar (x235's bounded-decision pattern)."""
     from .helpers import dec_sum
 
     corpus, sup, _cent_seed, cent_lloyd, nlist = _quantizer_frames(
@@ -3947,12 +3983,9 @@ def x237_drift_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     stale = pops_new.agg(F.max("cn").alias("stale_max_pop"))
     base = psi_df.crossJoin(stale)
     if psi_val > DRIFT_RETRAIN_PSI:
-        samp_new = drift.filter(
-            F.col("vec_id") % _samp_mod(spark, sf_dir) == 0
-        ).select("vec_id", F.col("embedding").alias("v"))
-        cent_re = lloyd_refine(
-            samp_new, cent_lloyd, LLOYD_ROUNDS
-        ).localCheckpoint()
+        cent_re = spark.read.parquet(
+            drift_retrain_cent_path(spark, sf_dir)
+        )
         re_mp = (
             route_two_level(
                 drift, sup, cent_sup_for(cent_re, sup), cent_rows=nlist
