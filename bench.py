@@ -158,6 +158,12 @@ HEADLINE = [
     "x237_drift_retrain",
     "x238_knn_graph",
     "x239_label_propagation",
+    # the graph-recall audit + one NN-descent round + the streaming
+    # drift monitor (4 micro-batch drains; engine overhead amortizes in
+    # a continuous stream — the x172/x234 reading)
+    "x240_knn_graph_recall",
+    "x241_nn_descent",
+    "x242_stream_drift_monitor",
 ]
 
 CONVERT_RECORDS = 100_000

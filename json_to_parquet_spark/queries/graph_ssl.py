@@ -358,3 +358,209 @@ register(
         "frozen label propagation over the capped kNN graph: SSL labeling from a 20% seed set",
     )
 )
+
+
+# --- x240: kNN-graph recall audit ------------------------------------------------
+# The graph's quality metric (x76's ANN-recall audit lifted to the
+# graph): for a FIXED bounded audit set, the exact top-KNNG_K
+# neighbours are computed brute-force (audit × corpus — linear in the
+# corpus because the audit size is a constant) and compared to the
+# capped graph's edges.  A capacity cut that dropped true neighbours
+# shows up here as recall < 1 — the measurable price of linearity.
+GRA_NQ = 32  # audit set: vec_id < 32 (FIXED size, so the scan is linear)
+
+
+def x240_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per audit vector: exact-top-K hits found by the capped
+    graph and the rounded recall.  Scale shapes: the graph build is
+    x238's (linear); the truth pass is one broadcast(GRA_NQ) × corpus
+    scan + one WindowGroupLimit; the compare is a GRA_NQ·K-row join."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    audit = emb.filter(F.col("vec_id") < GRA_NQ).select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("a_vec")
+    )
+    w = Window.partitionBy("a_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    truth = (
+        emb.crossJoin(F.broadcast(audit))
+        .filter(F.col("vec_id") != F.col("a_id"))
+        .select(
+            "a_id",
+            "vec_id",
+            cosine(F.col("a_vec"), F.col("v")).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KNNG_K)
+        .select("a_id", F.col("vec_id").alias("dst_id"))
+    )
+    got = knn_edges(spark, sf_dir).filter(F.col("src_id") < GRA_NQ).select(
+        F.col("src_id").alias("a_id"), "dst_id", F.lit(1).alias("hit")
+    )
+    per = (
+        truth.join(got, ["a_id", "dst_id"], "left")
+        .groupBy("a_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    return per.select(
+        F.col("a_id").cast("long").alias("a_id"),
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.round(
+            F.col("n_hit").cast("double") / F.col("n_true").cast("double"), 6
+        ).alias("recall"),
+    ).orderBy("a_id")
+
+
+def _x240_sql() -> str:
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        {_sql_knn_edges()},
+        audit AS (SELECT vec_id AS a_id, v AS a_vec FROM e
+                  WHERE vec_id < {GRA_NQ}),
+        truth AS (
+          SELECT a_id, vec_id AS dst_id FROM (
+            SELECT a.a_id, e.vec_id,
+                   {_SQL_COS.format(a="a.a_vec", b="e.v")} AS cos_sim
+            FROM e CROSS JOIN audit a
+            WHERE e.vec_id != a.a_id)
+          QUALIFY row_number() OVER (PARTITION BY a_id
+                                     ORDER BY cos_sim DESC, vec_id ASC)
+                  <= {KNNG_K}),
+        got AS (SELECT src_id AS a_id, dst_id, 1 AS hit FROM edges
+                WHERE src_id < {GRA_NQ})
+        SELECT CAST(t.a_id AS BIGINT) AS a_id,
+               CAST(COUNT(*) AS BIGINT) AS n_true,
+               CAST(SUM(COALESCE(g.hit, 0)) AS BIGINT) AS n_hit,
+               ROUND(CAST(SUM(COALESCE(g.hit, 0)) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+        FROM truth t
+        LEFT JOIN got g ON g.a_id = t.a_id AND g.dst_id = t.dst_id
+        GROUP BY t.a_id
+        ORDER BY a_id
+        """
+
+
+register(
+    QuerySpec(
+        "x240_knn_graph_recall",
+        x240_knn_graph_recall,
+        _x240_sql(),
+        "kNN-graph recall audit: capped-graph edges vs exact top-K on a fixed audit set",
+    )
+)
+
+
+# --- x241: one NN-descent refinement round ---------------------------------------
+# Dong et al. 2011's core observation: a neighbour of a neighbour is
+# likely a neighbour.  One refinement round re-ranks each vector's
+# candidate pool = its current edges ∪ its neighbours' edges ∪ its
+# REVERSE edges (who points at me), and keeps the new top-K.  Candidate
+# volume is n·(K + K² + K) — linear with a constant factor, no ring cut
+# needed — and each round can only improve recall (the old edges stay
+# in the pool).  The invariant test asserts the improvement against
+# x240's baseline through the same audit machinery.
+
+
+def nn_descent_round(edges: DataFrame, emb: DataFrame) -> DataFrame:
+    """One NN-descent sweep over ``edges(src_id, dst_id)`` given
+    ``emb(vec_id, v)``: returns the re-ranked top-KNNG_K graph."""
+    base = edges.select("src_id", "dst_id")
+    hops = (
+        base.alias("a")
+        .join(
+            base.alias("b"),
+            F.col("a.dst_id") == F.col("b.src_id"),
+        )
+        .select(
+            F.col("a.src_id").alias("src_id"),
+            F.col("b.dst_id").alias("dst_id"),
+        )
+        .filter(F.col("src_id") != F.col("dst_id"))
+    )
+    rev = base.select(
+        F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")
+    )
+    cand = base.unionAll(hops).unionAll(rev).distinct()
+    sv = emb.select(F.col("vec_id").alias("src_id"), F.col("v").alias("sv"))
+    tv = emb.select(F.col("vec_id").alias("dst_id"), F.col("v").alias("tv"))
+    w = Window.partitionBy("src_id").orderBy(
+        F.desc("cos_sim"), F.asc("dst_id")
+    )
+    return (
+        cand.join(sv, "src_id")
+        .join(tv, "dst_id")
+        .select(
+            "src_id",
+            "dst_id",
+            cosine(F.col("sv"), F.col("tv")).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNNG_K)
+    )
+
+
+def x241_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The x238 graph after one NN-descent round: (src_id, dst_id, rank,
+    cos_sim).  Scale shapes: the seed graph is x238's; the round is two
+    hash self-joins of the n·K edge list (K²-bounded fan-out) + one
+    distinct + one WindowGroupLimit over ≤(K²+2K)·n rows."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    edges = knn_edges(spark, sf_dir).select("src_id", "dst_id")
+    return nn_descent_round(edges, emb).select(
+        "src_id",
+        "dst_id",
+        F.col("rank").cast("long").alias("rank"),
+        "cos_sim",
+    ).orderBy("src_id", "rank")
+
+
+def _x241_sql() -> str:
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        {_sql_knn_edges()},
+        base AS (SELECT src_id, dst_id FROM edges),
+        hops AS (
+          SELECT a.src_id, b.dst_id
+          FROM base a JOIN base b ON a.dst_id = b.src_id
+          WHERE a.src_id != b.dst_id),
+        rev AS (SELECT dst_id AS src_id, src_id AS dst_id FROM base),
+        pool AS (
+          SELECT DISTINCT src_id, dst_id FROM (
+            SELECT * FROM base
+            UNION ALL SELECT * FROM hops
+            UNION ALL SELECT * FROM rev)),
+        rescored AS (
+          SELECT c.src_id, c.dst_id,
+                 {_SQL_COS.format(a="sv.v", b="tv.v")} AS cos_sim
+          FROM pool c JOIN e sv ON sv.vec_id = c.src_id
+               JOIN e tv ON tv.vec_id = c.dst_id)
+        SELECT src_id, dst_id, CAST(rank AS BIGINT) AS rank, cos_sim
+        FROM (
+          SELECT src_id, dst_id, cos_sim,
+                 row_number() OVER (PARTITION BY src_id
+                                    ORDER BY cos_sim DESC, dst_id ASC)
+                     AS rank
+          FROM rescored)
+        WHERE rank <= {KNNG_K}
+        ORDER BY src_id, rank
+        """
+
+
+register(
+    QuerySpec(
+        "x241_nn_descent",
+        x241_nn_descent,
+        _x241_sql(),
+        "one NN-descent round over the capped kNN graph: neighbour-of-neighbour re-rank",
+    )
+)

@@ -3921,39 +3921,19 @@ def drift_retrain_cent_path(spark: SparkSession, sf_dir: str) -> str:
     return dest
 
 
-def x237_drift_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row: PSI of serving-vs-incoming cell occupancy under the
-    served quantizer, the retrain decision, and both layouts' largest
-    inverted list on the incoming snapshot, with the adopted quantizer
-    named.  Scale shapes: two ~n^1.25 two-level assignments for the
-    monitor (their per-cell rollups are localCheckpointed ≤nlist-row
-    frames — the corpus is never re-scanned for PSI vs max-pop), one
-    bounded Lloyd retrain (sample×broadcast(nlist) = ~32·n flops per
-    round, trained ONCE per drift event via the persisted store), one
-    ~n^1.25 verification assignment; the decision is a 1-row collect
-    off a checkpointed scalar (x235's bounded-decision pattern)."""
+def drift_psi(
+    cells: DataFrame, pops_old: DataFrame, pops_new: DataFrame
+) -> DataFrame:
+    """1-row (psi): Laplace-smoothed PSI of two occupancy vectors over
+    the same ``cells(c_id)`` spine — ``pops_old(c_id, co)`` vs
+    ``pops_new(c_id, cn)``.  Factored so the STREAMING monitor (x242,
+    whose new-snapshot counts arrive as drained micro-batch partials)
+    computes the identical statistic over identical arithmetic as the
+    batch monitor (x237)."""
     from .helpers import dec_sum
 
-    corpus, sup, _cent_seed, cent_lloyd, nlist = _quantizer_frames(
-        spark, sf_dir
-    )
-    drift = _drifted(corpus)
-    cs = cent_sup_for(cent_lloyd, sup)
-    pops_old = (
-        route_two_level(corpus, sup, cs, cent_rows=nlist)
-        .groupBy("c_id")
-        .agg(F.count(F.lit(1)).alias("co"))
-        .localCheckpoint()
-    )
-    pops_new = (
-        route_two_level(drift, sup, cs, cent_rows=nlist)
-        .groupBy("c_id")
-        .agg(F.count(F.lit(1)).alias("cn"))
-        .localCheckpoint()
-    )
     dense = (
-        cent_lloyd.select("c_id")
-        .join(pops_old, "c_id", "left")
+        cells.join(pops_old, "c_id", "left")
         .join(pops_new, "c_id", "left")
         .fillna(0, subset=["co", "cn"])
     )
@@ -3975,10 +3955,40 @@ def x237_drift_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     term = F.round(
         (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 6
     )
-    psi_df = (
-        shares.select(term.alias("t")).agg(dec_sum("t", "psi"))
+    return shares.select(term.alias("t")).agg(dec_sum("t", "psi"))
+
+
+def x237_drift_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: PSI of serving-vs-incoming cell occupancy under the
+    served quantizer, the retrain decision, and both layouts' largest
+    inverted list on the incoming snapshot, with the adopted quantizer
+    named.  Scale shapes: two ~n^1.25 two-level assignments for the
+    monitor (their per-cell rollups are localCheckpointed ≤nlist-row
+    frames — the corpus is never re-scanned for PSI vs max-pop), one
+    bounded Lloyd retrain (sample×broadcast(nlist) = ~32·n flops per
+    round, trained ONCE per drift event via the persisted store), one
+    ~n^1.25 verification assignment; the decision is a 1-row collect
+    off a checkpointed scalar (x235's bounded-decision pattern)."""
+    corpus, sup, _cent_seed, cent_lloyd, nlist = _quantizer_frames(
+        spark, sf_dir
+    )
+    drift = _drifted(corpus)
+    cs = cent_sup_for(cent_lloyd, sup)
+    pops_old = (
+        route_two_level(corpus, sup, cs, cent_rows=nlist)
+        .groupBy("c_id")
+        .agg(F.count(F.lit(1)).alias("co"))
         .localCheckpoint()
     )
+    pops_new = (
+        route_two_level(drift, sup, cs, cent_rows=nlist)
+        .groupBy("c_id")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .localCheckpoint()
+    )
+    psi_df = drift_psi(
+        cent_lloyd.select("c_id"), pops_old, pops_new
+    ).localCheckpoint()
     psi_val = psi_df.collect()[0].psi
     stale = pops_new.agg(F.max("cn").alias("stale_max_pop"))
     base = psi_df.crossJoin(stale)
@@ -4016,17 +4026,17 @@ def x237_drift_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _x237_sql() -> str:
+def _drift_monitor_ctes() -> str:
+    """Oracle twin of the MONITOR half (shared by x237 and the streaming
+    x242): CTE block from ``e`` through ``psi``/``pn``/``stale``."""
     from .helpers import SQL_DEC_SUM
 
-    thr = f"CAST({DRIFT_RETRAIN_PSI} AS DOUBLE)"
     share = (
         "CAST({c} + 1 AS DOUBLE) / CAST({n} + t.k AS DOUBLE)"
     )
     p = share.format(c="d.co", n="t.n_old")
     q = share.format(c="d.cn", n="t.n_new")
-    return f"""
-        WITH e AS (
+    return f"""e AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         cent_seed AS (SELECT vec_id AS c_id, v AS c_vec FROM e
                       WHERE vec_id < {SQL_IVF_NLIST}),
@@ -4057,22 +4067,30 @@ def _x237_sql() -> str:
           SELECT ROUND(({p} - {q}) * ln(({p}) / ({q})), 6) AS t
           FROM dense d, tot t),
         psi AS (SELECT {SQL_DEC_SUM.format(x="t")} AS psi FROM terms),
+        stale AS (SELECT MAX(cn) AS mp FROM pn)"""
+
+
+SQL_DRIFT_THR = f"CAST({DRIFT_RETRAIN_PSI} AS DOUBLE)"
+
+
+def _x237_sql() -> str:
+    return f"""
+        WITH {_drift_monitor_ctes()},
         samp2 AS MATERIALIZED (
           SELECT vec_id, v FROM e2 WHERE vec_id % {SQL_SAMP_MOD} = 0),
         {_lloyd_sql_steps(src="samp2", seed=f"lcent{LLOYD_ROUNDS}",
                           prefix="r")},
         {_sql_cs(f"rcent{LLOYD_ROUNDS}", "cs_re")},
         {_sql_asn("cs_re", "asn_re", e_cte="e2", vs_cte="vec_sup2")},
-        stale AS (SELECT MAX(cn) AS mp FROM pn),
         re AS (SELECT MAX(cr) AS mp FROM (
                  SELECT COUNT(*) AS cr FROM asn_re GROUP BY c_id))
         SELECT p.psi AS psi,
-               CASE WHEN p.psi > {thr}
+               CASE WHEN p.psi > {SQL_DRIFT_THR}
                     THEN 'retrain' ELSE 'hold' END AS decision,
                CAST(s.mp AS BIGINT) AS stale_max_pop,
-               CAST(CASE WHEN p.psi > {thr} THEN r.mp END AS BIGINT)
-                   AS retrained_max_pop,
-               CASE WHEN p.psi > {thr} AND r.mp < s.mp
+               CAST(CASE WHEN p.psi > {SQL_DRIFT_THR} THEN r.mp END
+                    AS BIGINT) AS retrained_max_pop,
+               CASE WHEN p.psi > {SQL_DRIFT_THR} AND r.mp < s.mp
                     THEN 'retrained' ELSE 'stale' END AS adopted
         FROM psi p, stale s, re r
         """

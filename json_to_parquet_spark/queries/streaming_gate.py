@@ -1467,3 +1467,108 @@ def _register_x234() -> None:
 
 
 _register_x234()
+
+
+def x242_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of x237's drift MONITOR — how the PSI check runs
+    in production: the incoming (drifted) snapshot arrives as a 4-file
+    micro-batch stream; each batch routes its vectors through the
+    FROZEN serving quantizer (the x223 frozen-frames pattern) and
+    appends narrow (c_id, cnt) occupancy partials; the drained partials
+    sum into the new snapshot's cell counts (exact integers — partial
+    counts compose associatively, so batching cannot change the total),
+    and the PSI/decision arithmetic is ``drift_psi`` — x237's code
+    VERBATIM — gated against the monitor half of x237's oracle (the
+    x172/x212/x223/x234 anti-drift pattern).
+
+    Scale shapes: the frozen quantizer frames are written once (nlist
+    rows + K0 rows); each micro-batch's work is batch-sized (two
+    bounded broadcast hops + a narrow count rollup); the monitor tail
+    runs on ≤nlist-row frames."""
+    from .similarity import (
+        _drifted,
+        _quantizer_frames,
+        cent_sup_for,
+        drift_psi,
+        route_two_level,
+        DRIFT_RETRAIN_PSI,
+    )
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(GATE_DIR, f"src_x242_{sf_tag}")
+    part_dir = os.path.join(GATE_DIR, f"parts_x242_{sf_tag}")
+    ckpt = os.path.join(GATE_DIR, f"ckpt_x242_{sf_tag}")
+    _fresh(src, part_dir, ckpt)
+
+    corpus, sup, _cent_seed, cent_lloyd, nlist = _quantizer_frames(
+        spark, sf_dir
+    )
+    cs = cent_sup_for(cent_lloyd, sup)
+    # freeze the routing frames the handler closes over (bounded:
+    # K0 + nlist rows — the serving quantizer, not the corpus)
+    sup_f = sup.localCheckpoint()
+    cs_f = cs.localCheckpoint()
+    # the incoming feed: the drifted snapshot, 4 files -> 4 micro-batches
+    _drifted(corpus).repartition(4, "vec_id").write.parquet(src)
+
+    def handle_batch(bdf: DataFrame, _bid: int) -> None:
+        (
+            route_two_level(bdf, sup_f, cs_f, cent_rows=nlist)
+            .groupBy("c_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .write.mode("append")
+            .parquet(part_dir)
+        )
+
+    q = (
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    pops_new = (
+        spark.read.parquet(part_dir)
+        .groupBy("c_id")
+        .agg(F.sum("cnt").alias("cn"))
+    )
+    pops_old = (
+        route_two_level(corpus, sup, cs, cent_rows=nlist)
+        .groupBy("c_id")
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    psi_df = drift_psi(cent_lloyd.select("c_id"), pops_old, pops_new)
+    stale = pops_new.agg(F.max("cn").alias("stale_max_pop"))
+    return psi_df.crossJoin(stale).select(
+        "psi",
+        F.when(F.col("psi") > F.lit(DRIFT_RETRAIN_PSI), F.lit("retrain"))
+        .otherwise(F.lit("hold"))
+        .alias("decision"),
+        F.col("stale_max_pop").cast("long").alias("stale_max_pop"),
+    )
+
+
+def _x242_sql() -> str:
+    from .similarity import SQL_DRIFT_THR, _drift_monitor_ctes
+
+    return f"""
+        WITH {_drift_monitor_ctes()}
+        SELECT p.psi AS psi,
+               CASE WHEN p.psi > {SQL_DRIFT_THR}
+                    THEN 'retrain' ELSE 'hold' END AS decision,
+               CAST(s.mp AS BIGINT) AS stale_max_pop
+        FROM psi p, stale s
+        """
+
+
+register(
+    QuerySpec(
+        "x242_stream_drift_monitor",
+        x242_stream_drift_monitor,
+        _x242_sql(),
+        "streaming drift monitor: micro-batch occupancy partials == x237's batch PSI + decision",
+    )
+)

@@ -97,6 +97,12 @@ PROBE = [
     "x233_bitext_mine_capped",
     "x234_stream_tombstone_cdc",  # streaming deletes vs the frozen layout
     "x236_embedding_drift",      # snapshot PSI over the trained quantizer
+    # round-11 additions: the maintenance loop + the graph-SSL family
+    "x237_drift_retrain",        # PSI monitor + warm-start Lloyd + verify
+    "x238_knn_graph",            # capacity-capped kNN graph build
+    "x239_label_propagation",    # graph build + LP_ROUNDS sweep joins
+    "x241_nn_descent",           # graph build + K²-fan self-joins
+    "x242_stream_drift_monitor", # micro-batch routing partials + PSI
 ]
 
 

@@ -204,6 +204,8 @@ _BNLJ_ALLOWED = {
     "x235_policy_routed_search",  # x231's decision frames + x230's search broadcasts
     "x236_embedding_drift",  # K0/nlist frames + 2-row half-spine cross
     "x237_drift_retrain",  # K0/nlist frames + 1-row psi/max-pop scalar crosses
+    "x240_knn_graph_recall",  # GRA_NQ-row audit-vector broadcast (x76 shape)
+    "x242_stream_drift_monitor",  # x237's monitor shapes: 1-row psi cross
 }
 
 
