@@ -164,6 +164,8 @@ HEADLINE = [
     "x240_knn_graph_recall",
     "x241_nn_descent",
     "x242_stream_drift_monitor",
+    "x243_hubness_audit",
+    "x244_centrality_select",
 ]
 
 CONVERT_RECORDS = 100_000

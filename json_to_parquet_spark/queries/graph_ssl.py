@@ -564,3 +564,185 @@ register(
         "one NN-descent round over the capped kNN graph: neighbour-of-neighbour re-rank",
     )
 )
+
+
+# --- x243: hubness audit ----------------------------------------------------------
+# High-dimensional kNN graphs develop HUBS — points that appear in many
+# other points' neighbour lists (Radovanović et al. 2010) — and hubness
+# is a standard embedding-quality diagnostic: a skewed in-degree
+# distribution means a few documents dominate retrieval/dedup decisions.
+# The audit is the exact in-degree histogram of the x238 graph,
+# including the zero-in-degree ("anti-hub") bucket.
+
+
+def x243_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(in_deg, n_nodes) histogram of the kNN graph's in-degrees over
+    ALL corpus vectors (anti-hubs included via a left join from the
+    corpus spine).  Scale shapes: the graph build is x238's; the
+    histogram is two key-shuffle aggs of narrow rows."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    indeg = (
+        knn_edges(spark, sf_dir)
+        .groupBy(F.col("dst_id").alias("vec_id"))
+        .agg(F.count(F.lit(1)).alias("in_deg"))
+    )
+    return (
+        emb.join(indeg, "vec_id", "left")
+        .fillna(0, subset=["in_deg"])
+        .groupBy("in_deg")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(
+            F.col("in_deg").cast("long").alias("in_deg"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+        )
+        .orderBy("in_deg")
+    )
+
+
+def _x243_sql() -> str:
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        {_sql_knn_edges()},
+        indeg AS (
+          SELECT dst_id AS vec_id, COUNT(*) AS in_deg
+          FROM edges GROUP BY dst_id)
+        SELECT CAST(COALESCE(i.in_deg, 0) AS BIGINT) AS in_deg,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM (SELECT vec_id FROM embeddings) m
+        LEFT JOIN indeg i USING (vec_id)
+        GROUP BY COALESCE(i.in_deg, 0)
+        ORDER BY in_deg
+        """
+
+
+register(
+    QuerySpec(
+        "x243_hubness_audit",
+        x243_hubness_audit,
+        _x243_sql(),
+        "kNN-graph hubness: exact in-degree histogram incl. the anti-hub bucket",
+    )
+)
+
+
+# --- x244: graph-centrality data selection ----------------------------------------
+# Centrality-based coreset selection: rank corpus items by PageRank over
+# the kNN graph (an item central to many neighbourhoods is
+# representative; the graph-centrality selection used in
+# diversity/coreset pipelines) and emit the top slice.  x45's
+# fixed-point integer micro-unit recurrence (floor division, damping as
+# the exact rational 85/100) makes every round bit-exact cross-engine —
+# but unlike x45's bounded nation matrix, THIS vertex set grows with the
+# corpus, so the rounds run DISTRIBUTED (x239's unrolled-CTE oracle
+# pattern) instead of driver-side.
+GPR_SCALE = 10**12
+GPR_DAMP_NUM, GPR_DAMP_DEN = 85, 100
+GPR_ROUNDS = 3
+GPR_TOP = 20
+
+
+def x244_centrality_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-GPR_TOP corpus items by GPR_ROUNDS fixed-point PageRank
+    rounds over the kNN graph: (rank, vec_id, pr_micro).  Dangling
+    nodes (no out-edges — singleton cells) leak their damped mass by
+    rule; every node receives the base term.  Scale shapes: the graph
+    build is x238's; each round is one edge-list join against the
+    n-row rank frame + one key-shuffle sum (localCheckpointed per
+    round); the top slice is a TakeOrderedAndProject."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    n = emb.count()  # one bounded count action (table stats at scale)
+    base = (GPR_SCALE * (GPR_DAMP_DEN - GPR_DAMP_NUM)) // (GPR_DAMP_DEN * n)
+    edges = knn_edges(spark, sf_dir).select("src_id", "dst_id")
+    outdeg = edges.groupBy("src_id").agg(F.count(F.lit(1)).alias("od"))
+    elinks = edges.join(outdeg, "src_id").localCheckpoint()
+    pr = emb.select("vec_id", F.lit(GPR_SCALE // n).alias("pr"))
+    for _ in range(GPR_ROUNDS):
+        contrib = (
+            elinks.join(
+                pr.select(F.col("vec_id").alias("src_id"), "pr"), "src_id"
+            )
+            .select(
+                F.col("dst_id").alias("vec_id"),
+                F.expr("pr div od").alias("c"),
+            )
+            .groupBy("vec_id")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            emb.join(contrib, "vec_id", "left")
+            .fillna(0, subset=["s"])
+            .select(
+                "vec_id",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"(s * {GPR_DAMP_NUM}) div {GPR_DAMP_DEN}"
+                    )
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    w = Window.orderBy(F.desc("pr"), F.asc("vec_id"))
+    return (
+        pr.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= GPR_TOP)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("pr").cast("long").alias("pr_micro"),
+        )
+        .orderBy("rank")
+    )
+
+
+def _x244_sql() -> str:
+    n_sql = "(SELECT COUNT(*) FROM embeddings)"
+    base = (
+        f"({GPR_SCALE} * {GPR_DAMP_DEN - GPR_DAMP_NUM})"
+        f" // ({GPR_DAMP_DEN} * {n_sql})"
+    )
+    steps = [
+        f"""pr0 AS MATERIALIZED (
+          SELECT vec_id, {GPR_SCALE} // {n_sql} AS pr
+          FROM embeddings)"""
+    ]
+    for i in range(GPR_ROUNDS):
+        steps.append(f"""contrib{i} AS MATERIALIZED (
+          SELECT g.dst_id AS vec_id, SUM(p.pr // g.od) AS s
+          FROM elinks g JOIN pr{i} p ON g.src_id = p.vec_id
+          GROUP BY g.dst_id),
+        pr{i + 1} AS MATERIALIZED (
+          SELECT m.vec_id,
+                 {base} + (COALESCE(c.s, 0) * {GPR_DAMP_NUM})
+                          // {GPR_DAMP_DEN} AS pr
+          FROM (SELECT vec_id FROM embeddings) m
+          LEFT JOIN contrib{i} c USING (vec_id))""")
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        {_sql_knn_edges()},
+        outdeg AS (SELECT src_id, COUNT(*) AS od FROM edges GROUP BY src_id),
+        elinks AS MATERIALIZED (
+          SELECT g.src_id, g.dst_id, o.od
+          FROM edges g JOIN outdeg o USING (src_id)),
+        {chain}
+        SELECT CAST(row_number() OVER (ORDER BY pr DESC, vec_id ASC)
+                    AS BIGINT) AS rank,
+               CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(pr AS BIGINT) AS pr_micro
+        FROM pr{GPR_ROUNDS}
+        ORDER BY pr DESC, vec_id ASC
+        LIMIT {GPR_TOP}
+        """
+
+
+register(
+    QuerySpec(
+        "x244_centrality_select",
+        x244_centrality_select,
+        _x244_sql(),
+        "centrality-based data selection: fixed-point PageRank over the kNN graph, top slice",
+    )
+)

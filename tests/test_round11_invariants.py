@@ -225,3 +225,31 @@ def test_x241_recall_not_below_seed_on_clustered(spark):
     r_seed, r_ref = rec("x238_knn_graph"), rec("x241_nn_descent")
     assert r_ref >= r_seed, (r_ref, r_seed)
     assert r_seed >= 0.5, r_seed  # blobs give the capped graph real signal
+
+
+def test_x243_histogram_is_a_partition_of_the_corpus(spark, sf_dir):
+    """The hubness histogram's buckets partition the corpus (Σ n_nodes
+    = n) and its mass equals the graph's edge count (Σ in_deg·n_nodes
+    = |E|) — the conservation pair that makes it a valid in-degree
+    distribution."""
+    from json_to_parquet_spark.sources.catalog import load_table
+
+    rows = registry()["x243_hubness_audit"].spark(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    n_edges = registry()["x238_knn_graph"].spark(spark, sf_dir).count()
+    assert sum(r.n_nodes for r in rows) == n
+    assert sum(r.in_deg * r.n_nodes for r in rows) == n_edges
+
+
+def test_x244_ranks_dense_and_mass_bounded(spark, sf_dir):
+    """Selection sanity: ranks are exactly 1..GPR_TOP; every selected
+    pr is positive and below the total injected mass (the fixed-point
+    recurrence floors, so mass can only leak, never appear)."""
+    from json_to_parquet_spark.queries.graph_ssl import GPR_SCALE, GPR_TOP
+
+    rows = registry()["x244_centrality_select"].spark(spark, sf_dir).collect()
+    assert [r.rank for r in rows] == list(range(1, GPR_TOP + 1))
+    for r in rows:
+        assert 0 < r.pr_micro < GPR_SCALE, r
+    prs = [r.pr_micro for r in rows]
+    assert prs == sorted(prs, reverse=True)
