@@ -127,17 +127,46 @@ def _knn_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_graph_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once store for the kNN graph (the ``lloyd_cent_path``
+    economics: a graph index is BUILT once per source state and served
+    to every consumer — x238 exposes it, x239/x241/x243/x244 traverse
+    it).  The scoring is decimal-rounded and tie-broken by id, so the
+    persisted edges are bit-identical to what the SQL twins recompute
+    inline.  Path embeds every build constant + the source fingerprint
+    (the GATE_DIR cache-keying invariant)."""
+    import hashlib
+    import os
+
+    from .convert_gate import GATE_DIR
+    from .similarity import IVF_K0_MIN, IVF_N_CENTROIDS, _data_fingerprint
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    sig = repr(
+        ("knng-v1", KNNG_CAP, KNNG_OV, KNNG_K, IVF_N_CENTROIDS, IVF_K0_MIN)
+    )
+    token = hashlib.sha256(sig.encode()).hexdigest()[:8]
+    dest = os.path.join(
+        GATE_DIR, f"knng_{tag}_{token}_d{_data_fingerprint(sf_dir)}"
+    )
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        w = Window.partitionBy("src_id").orderBy(
+            F.desc("cos_sim"), F.asc("dst_id")
+        )
+        (
+            _knn_scored(spark, sf_dir)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= KNNG_K)
+            .write.mode("overwrite")
+            .parquet(dest)
+        )
+    return dest
+
+
 def knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(src_id, dst_id, rank, cos_sim): each vector's KNNG_K nearest
-    capped-candidate neighbours — the graph x239 propagates over."""
-    w = Window.partitionBy("src_id").orderBy(
-        F.desc("cos_sim"), F.asc("dst_id")
-    )
-    return (
-        _knn_scored(spark, sf_dir)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= KNNG_K)
-    )
+    capped-candidate neighbours, served from the build-once store."""
+    return spark.read.parquet(knn_graph_path(spark, sf_dir))
 
 
 def x238_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
