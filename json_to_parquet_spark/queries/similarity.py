@@ -3958,28 +3958,66 @@ def drift_psi(
     return shares.select(term.alias("t")).agg(dec_sum("t", "psi"))
 
 
+def serving_occupancy_path(spark: SparkSession, sf_dir: str) -> str:
+    """Store for the SERVING corpus's cell occupancy under the served
+    quantizer — in a real vector store these are the inverted-list
+    lengths the index already maintains as metadata, so the drift
+    monitor should never re-scan the serving corpus to learn them.
+    Computed once per source state (one ~n^1.25 assignment), persisted
+    as an nlist-row parquet keyed on the training constants + source
+    fingerprint (the same key discipline as ``lloyd_cent_path``, whose
+    quantizer this occupancy belongs to)."""
+    import hashlib
+    import os
+
+    from .convert_gate import GATE_DIR
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    nlist = ivf_nlist(spark, sf_dir)
+    sig = repr(
+        ("serve-occ-v1", IVF_N_CENTROIDS, IVF_K0_MIN, LLOYD_ROUNDS,
+         LLOYD_SAMPLE_PER_CELL)
+    )
+    token = hashlib.sha256(sig.encode()).hexdigest()[:8]
+    dest = os.path.join(
+        GATE_DIR,
+        f"serve_occ_{tag}_nl{nlist}_{token}_d{_data_fingerprint(sf_dir)}",
+    )
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        corpus, sup, _cent_seed, cent_lloyd, _nl = _quantizer_frames(
+            spark, sf_dir
+        )
+        (
+            route_two_level(
+                corpus, sup, cent_sup_for(cent_lloyd, sup), cent_rows=nlist
+            )
+            .groupBy("c_id")
+            .agg(F.count(F.lit(1)).alias("co"))
+            .write.mode("overwrite")
+            .parquet(dest)
+        )
+    return dest
+
+
 def x237_drift_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row: PSI of serving-vs-incoming cell occupancy under the
     served quantizer, the retrain decision, and both layouts' largest
     inverted list on the incoming snapshot, with the adopted quantizer
-    named.  Scale shapes: two ~n^1.25 two-level assignments for the
-    monitor (their per-cell rollups are localCheckpointed ≤nlist-row
-    frames — the corpus is never re-scanned for PSI vs max-pop), one
-    bounded Lloyd retrain (sample×broadcast(nlist) = ~32·n flops per
-    round, trained ONCE per drift event via the persisted store), one
-    ~n^1.25 verification assignment; the decision is a 1-row collect
-    off a checkpointed scalar (x235's bounded-decision pattern)."""
+    named.  Scale shapes: the monitor pays ONE ~n^1.25 two-level
+    assignment (the incoming snapshot; the serving side's occupancy is
+    index metadata served from ``serving_occupancy_path``), one bounded
+    Lloyd retrain (sample×broadcast(nlist) = ~32·n flops per round,
+    trained ONCE per drift event via the persisted store), one ~n^1.25
+    verification assignment; the decision is a 1-row collect off a
+    checkpointed scalar (x235's bounded-decision pattern)."""
     corpus, sup, _cent_seed, cent_lloyd, nlist = _quantizer_frames(
         spark, sf_dir
     )
     drift = _drifted(corpus)
     cs = cent_sup_for(cent_lloyd, sup)
-    pops_old = (
-        route_two_level(corpus, sup, cs, cent_rows=nlist)
-        .groupBy("c_id")
-        .agg(F.count(F.lit(1)).alias("co"))
-        .localCheckpoint()
-    )
+    # the serving side's occupancy is index metadata (inverted-list
+    # lengths) — read from the store, never re-scanned per monitor run
+    pops_old = spark.read.parquet(serving_occupancy_path(spark, sf_dir))
     pops_new = (
         route_two_level(drift, sup, cs, cent_rows=nlist)
         .groupBy("c_id")

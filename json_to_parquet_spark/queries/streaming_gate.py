@@ -1535,11 +1535,10 @@ def x242_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_id")
         .agg(F.sum("cnt").alias("cn"))
     )
-    pops_old = (
-        route_two_level(corpus, sup, cs, cent_rows=nlist)
-        .groupBy("c_id")
-        .agg(F.count(F.lit(1)).alias("co"))
-    )
+    from .similarity import serving_occupancy_path
+
+    # serving-side occupancy = index metadata, read from the store
+    pops_old = spark.read.parquet(serving_occupancy_path(spark, sf_dir))
     psi_df = drift_psi(cent_lloyd.select("c_id"), pops_old, pops_new)
     stale = pops_new.agg(F.max("cn").alias("stale_max_pop"))
     return psi_df.crossJoin(stale).select(

@@ -1,0 +1,98 @@
+"""Round-11 graph-family scale probe: BUILD vs SERVE, two decades.
+
+The kNN graph is a build-once index (``knn_graph_path``), so the honest
+scale story has two parts — the BUILD cost (one pass per source state;
+the linear-pair-volume claim lives here) and the SERVE cost of each
+consumer over the stored edges.  This script wipes the graph stores,
+times one cold build per scale, then times each consumer min-of-N warm,
+and prints one JSON line (recorded as GRAPH_PROBE.json at the repo
+root).  The drift family (x237/x242) is probed the same way: the
+persisted retrain store is wiped so the first x237 run pays the
+retrain, then serve runs are timed.
+
+Usage: python scripts/graph_probe.py [--runs 3]
+Scales: sf0.1 (/root/testdata/sf0.1), sfx1, sfx10 fixtures if present.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCALES = [
+    ("sf0.1", os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")),
+    ("sfx1", os.environ.get("SPARK_GRAFT_SFX1_DIR", "/tmp/spark_graft_sfx1")),
+    ("sfx10", os.environ.get("SPARK_GRAFT_SFX10_DIR", "/tmp/spark_graft_sfx10")),
+]
+
+CONSUMERS = [
+    "x238_knn_graph",
+    "x239_label_propagation",
+    "x241_nn_descent",
+    "x243_hubness_audit",
+    "x244_centrality_select",
+]
+DRIFT = ["x237_drift_retrain", "x242_stream_drift_monitor"]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--skip-drift", action="store_true")
+    args = ap.parse_args()
+
+    from json_to_parquet_spark.queries import registry
+    from json_to_parquet_spark.queries.convert_gate import GATE_DIR
+    from json_to_parquet_spark.queries.graph_ssl import knn_graph_path
+    from json_to_parquet_spark.session import build_session
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = build_session(
+        app_name="graph_probe", master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    reg = registry()
+    out: dict[str, dict] = {}
+    for sf_name, sf_dir in SCALES:
+        if not os.path.isdir(sf_dir):
+            print(f"skip {sf_name}: {sf_dir} missing", file=sys.stderr)
+            continue
+        for p in (
+            glob.glob(os.path.join(GATE_DIR, "knng_*"))
+            + glob.glob(os.path.join(GATE_DIR, "drift_recent_*"))
+            + glob.glob(os.path.join(GATE_DIR, "serve_occ_*"))
+        ):
+            shutil.rmtree(p, ignore_errors=True)
+        t0 = time.time()
+        knn_graph_path(spark, sf_dir)  # cold build, timed once
+        build_s = round(time.time() - t0, 3)
+        out.setdefault("knng_build", {})[sf_name] = build_s
+        print(f"{sf_name} knng_build: {build_s}s", file=sys.stderr)
+        names = CONSUMERS + ([] if args.skip_drift else DRIFT)
+        for name in names:
+            best = None
+            for _ in range(args.runs):
+                t0 = time.time()
+                reg[name].spark(spark, sf_dir).collect()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            out.setdefault(name, {})[sf_name] = round(best, 3)
+            print(f"{sf_name} {name}: {best:.3f}s", file=sys.stderr)
+    for name, row in out.items():
+        if "sfx1" in row and "sf0.1" in row:
+            row["ratio_d1"] = round(row["sfx1"] / row["sf0.1"], 2)
+        if "sfx10" in row and "sfx1" in row:
+            row["ratio_d2"] = round(row["sfx10"] / row["sfx1"], 2)
+    print(json.dumps({"runs": args.runs, "queries": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
