@@ -27,8 +27,10 @@ from .similarity import (
     _sql_cs,
     cent_sup_for,
     cosine,
+    dot,
     ivf_k0,
     ivf_nlist,
+    l2norm,
     route_two_level,
 )
 
@@ -88,9 +90,15 @@ def _knn_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = placed.select(
         F.col("vec_id").alias("dst_id"), "cell", "ring", "pos"
     )
-    same = (
+    # each UNORDERED pair is generated and scored ONCE, then mirrored:
+    # same-ring pairs ordered by id, and the down-band is exactly the
+    # up-band reversed — cosine is exactly symmetric (IEEE multiply
+    # commutes, zip order unchanged), so the mirror is bit-identical to
+    # scoring the reverse pair and the heavy array-carrying join + the
+    # dot products run over HALF the candidate volume.
+    same_lt = (
         s.join(t.select("dst_id", "cell", "ring"), ["cell", "ring"])
-        .filter(F.col("src_id") != F.col("dst_id"))
+        .filter(F.col("src_id") < F.col("dst_id"))
         .select("src_id", "dst_id")
     )
     up = (
@@ -103,26 +111,38 @@ def _knn_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("src_id", "dst_id")
     )
-    down = (
-        s.filter(F.col("pos") < KNNG_OV)
-        .join(
-            t.filter(F.col("pos") >= KNNG_CAP - KNNG_OV).select(
-                "dst_id", "cell", (F.col("ring") + 1).alias("ring")
-            ),
-            ["cell", "ring"],
-        )
-        .select("src_id", "dst_id")
+    half = same_lt.unionAll(up)
+    # norms precomputed ONCE per vector, not per pair (bit-identical to
+    # cosine()'s inline norms — same IEEE ops on the same values — but
+    # ~2/3 fewer flops over the candidate set)
+    sv = emb.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("v").alias("sv"),
+        l2norm(F.col("v")).alias("sn"),
     )
-    cand = same.unionAll(up).unionAll(down)
-    sv = emb.select(F.col("vec_id").alias("src_id"), F.col("v").alias("sv"))
-    tv = emb.select(F.col("vec_id").alias("dst_id"), F.col("v").alias("tv"))
-    return (
-        cand.join(sv, "src_id")
+    tv = emb.select(
+        F.col("vec_id").alias("dst_id"),
+        F.col("v").alias("tv"),
+        l2norm(F.col("v")).alias("tn"),
+    )
+    scored_half = (
+        half.join(sv, "src_id")
         .join(tv, "dst_id")
         .select(
             "src_id",
             "dst_id",
-            cosine(F.col("sv"), F.col("tv")).alias("cos_sim"),
+            F.round(
+                dot(F.col("sv"), F.col("tv")) / (F.col("sn") * F.col("tn")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .localCheckpoint()  # narrow (id, id, double) rows; scored once
+    )
+    return scored_half.unionAll(
+        scored_half.select(
+            F.col("dst_id").alias("src_id"),
+            F.col("src_id").alias("dst_id"),
+            "cos_sim",
         )
     )
 
@@ -517,8 +537,17 @@ def nn_descent_round(edges: DataFrame, emb: DataFrame) -> DataFrame:
         F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")
     )
     cand = base.unionAll(hops).unionAll(rev).distinct()
-    sv = emb.select(F.col("vec_id").alias("src_id"), F.col("v").alias("sv"))
-    tv = emb.select(F.col("vec_id").alias("dst_id"), F.col("v").alias("tv"))
+    # per-vector norms, not per-pair (see _knn_scored)
+    sv = emb.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("v").alias("sv"),
+        l2norm(F.col("v")).alias("sn"),
+    )
+    tv = emb.select(
+        F.col("vec_id").alias("dst_id"),
+        F.col("v").alias("tv"),
+        l2norm(F.col("v")).alias("tn"),
+    )
     w = Window.partitionBy("src_id").orderBy(
         F.desc("cos_sim"), F.asc("dst_id")
     )
@@ -528,7 +557,10 @@ def nn_descent_round(edges: DataFrame, emb: DataFrame) -> DataFrame:
         .select(
             "src_id",
             "dst_id",
-            cosine(F.col("sv"), F.col("tv")).alias("cos_sim"),
+            F.round(
+                dot(F.col("sv"), F.col("tv")) / (F.col("sn") * F.col("tn")),
+                6,
+            ).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= KNNG_K)
