@@ -191,9 +191,12 @@ def knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x238_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus kNN graph: (src_id, dst_id, rank, cos_sim), KNNG_K
-    edges per vector, candidates capacity-capped (see module constants).
-    Scale shapes documented on ``_knn_scored``; the top-k pick is one
-    WindowGroupLimit over the linear candidate set."""
+    edges per vector, candidates capacity-capped (see module constants),
+    served from the build-once store.  Build scale shapes documented on
+    ``_knn_scored``/``knn_graph_path`` (one linear capped-pair pass,
+    paid once per source state — GRAPH_PROBE.json measures the second
+    decade at exactly the 10× linear wall); serving is an nK-row
+    parquet scan."""
     return knn_edges(spark, sf_dir).select(
         "src_id",
         "dst_id",

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from ..sources.catalog import load_table
 from . import QuerySpec, register
 from .helpers import SQL_DEC_SUM
-from .similarity import N_QUERY_VECS, cosine
+from .similarity import N_QUERY_VECS, cosine, dot, l2norm
 
 # Shared DuckDB fragment: rounded cosine between two DOUBLE[] columns.
 _SQL_COS = (
@@ -645,15 +645,32 @@ def x196_ivf_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # id-only cell join (narrow shuffle rows), vectors rejoin by key after
     cand = probes.join(lists, "cell").select("src_id", "tgt_id")
-    sv = src.select("src_id", F.col("embedding").alias("src_vec"))
-    tv = tgt.select("tgt_id", F.col("embedding").alias("tgt_vec"))
+    # norms precomputed ONCE per vector, not per candidate pair —
+    # bit-identical to cosine()'s inline norms (same IEEE ops on the
+    # same values; the oracle still computes them inline), ~2/3 fewer
+    # flops over the probes·(n/nlist)-pair candidate set (the round-11
+    # graph-build lesson, 2.5x measured there)
+    sv = src.select(
+        "src_id",
+        F.col("embedding").alias("src_vec"),
+        l2norm(F.col("embedding")).alias("src_n"),
+    )
+    tv = tgt.select(
+        "tgt_id",
+        F.col("embedding").alias("tgt_vec"),
+        l2norm(F.col("embedding")).alias("tgt_n"),
+    )
     scored = (
         cand.join(sv, "src_id")
         .join(tv, "tgt_id")
         .select(
             "src_id",
             "tgt_id",
-            cosine(F.col("src_vec"), F.col("tgt_vec")).alias("cos"),
+            F.round(
+                dot(F.col("src_vec"), F.col("tgt_vec"))
+                / (F.col("src_n") * F.col("tgt_n")),
+                6,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("src_id").orderBy(F.desc("cos"), F.asc("tgt_id"))
@@ -876,10 +893,14 @@ def x233_bitext_mine_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = bmc_candidates(spark, sf_dir)
     sv = emb.filter(F.col("label") == SRC_LABEL).select(
-        F.col("vec_id").alias("src_id"), F.col("embedding").alias("src_vec")
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").alias("src_vec"),
+        l2norm(F.col("embedding")).alias("src_n"),
     )
     tv = emb.filter(F.col("label") == TGT_LABEL).select(
-        F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("tgt_vec")
+        F.col("vec_id").alias("tgt_id"),
+        F.col("embedding").alias("tgt_vec"),
+        l2norm(F.col("embedding")).alias("tgt_n"),
     )
     scored = (
         cand.join(sv, "src_id")
@@ -887,7 +908,11 @@ def x233_bitext_mine_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "src_id",
             "tgt_id",
-            cosine(F.col("src_vec"), F.col("tgt_vec")).alias("cos"),
+            F.round(
+                dot(F.col("src_vec"), F.col("tgt_vec"))
+                / (F.col("src_n") * F.col("tgt_n")),
+                6,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("src_id").orderBy(F.desc("cos"), F.asc("tgt_id"))
