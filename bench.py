@@ -166,6 +166,7 @@ HEADLINE = [
     "x242_stream_drift_monitor",
     "x243_hubness_audit",
     "x244_centrality_select",
+    "x245_graph_add_cdc",
 ]
 
 CONVERT_RECORDS = 100_000

@@ -810,3 +810,208 @@ register(
         "centrality-based data selection: fixed-point PageRank over the kNN graph, top slice",
     )
 )
+
+
+# --- x245: incremental graph maintenance (adds) -----------------------------------
+# x220 streams ADDs into the IVF index; this is the same lifecycle edge
+# for the GRAPH: a 25% batch of new vectors arrives after the graph was
+# built, and a production system does what segment-based ANN stores do
+# (FAISS add / Lucene segments): appends join their routed cell as NEW
+# tail rings and link against (a) their fellow adds in the same tail
+# ring and (b) the cell's LAST base ring (the boundary band) — never a
+# rebuild, never an uncapped scan.  Per-add candidates ≤ 2·KNNG_CAP, so
+# the maintenance cost is linear in the ADD BATCH, not the corpus.
+# The staleness this buys (an append-only graph misses add↔add edges
+# across cells and base→add backlinks) is quantified against the full
+# rebuild by the round-11 invariant test.
+GADD_MOD = 4  # adds: vec_id % 4 == 3 (a 25% ingestion batch)
+
+
+def _gadd_frames(spark: SparkSession, sf_dir: str):
+    """(emb, base, adds): the full corpus widened to double vectors and
+    its deterministic base/add split."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    adds = emb.filter(F.col("vec_id") % GADD_MOD == 3)
+    base = emb.filter(F.col("vec_id") % GADD_MOD != 3)
+    return emb, base, adds
+
+
+def x245_graph_add_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edges for the ADD batch only (src_id, dst_id, rank, cos_sim):
+    each add routed two-level through the FROZEN quantizer (first
+    nlist/K0 corpus vectors — frozen at build time, same rule the
+    whole family uses), ranked into CAP-row tail rings per cell, and
+    scored against its tail-ring peers plus the cell's last base ring.
+    Scale shapes: one ~|adds|^(…) routing pass over the add batch, one
+    per-cell window over base rows to find last rings (the build's own
+    shape), (cell, ring)-keyed hash joins with ≤2·KNNG_CAP fan-out per
+    add; base edges are untouched (append-only)."""
+    emb, base, adds = _gadd_frames(spark, sf_dir)
+    nlist = ivf_nlist(spark, sf_dir)
+    k0 = ivf_k0(spark, sf_dir)
+    sup = emb.filter(F.col("vec_id") < k0).select(
+        F.col("vec_id").alias("s_id"), F.col("v").alias("s_vec")
+    )
+    cent = emb.filter(F.col("vec_id") < nlist).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("c_vec")
+    )
+    cs = cent_sup_for(cent, sup)
+
+    def placed_of(df: DataFrame) -> DataFrame:
+        asn = route_two_level(
+            df.select("vec_id", F.col("v").alias("embedding")),
+            sup, cs, cent_rows=nlist, include_dist=True,
+        )
+        wcell = Window.partitionBy("c_id").orderBy(
+            F.asc("d"), F.asc("vec_id")
+        )
+        return asn.withColumn("rn0", F.row_number().over(wcell) - 1).select(
+            "vec_id",
+            F.col("c_id").alias("cell"),
+            F.expr(f"rn0 div {KNNG_CAP}").alias("ring"),
+        )
+
+    base_placed = placed_of(base).localCheckpoint()
+    add_placed = placed_of(adds).localCheckpoint()
+    last_ring = base_placed.groupBy("cell").agg(
+        F.max("ring").alias("last_ring")
+    )
+    a = add_placed.select(
+        F.col("vec_id").alias("src_id"), "cell", "ring"
+    )
+    peer = (
+        a.join(
+            add_placed.select(
+                F.col("vec_id").alias("dst_id"), "cell", "ring"
+            ),
+            ["cell", "ring"],
+        )
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select("src_id", "dst_id")
+    )
+    boundary = (
+        a.join(F.broadcast(last_ring), "cell")
+        .join(
+            base_placed.select(
+                F.col("vec_id").alias("dst_id"),
+                "cell",
+                F.col("ring").alias("bring"),
+            ),
+            "cell",
+        )
+        .filter(F.col("bring") == F.col("last_ring"))
+        .select("src_id", "dst_id")
+    )
+    cand = peer.unionAll(boundary)
+    sv = emb.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("v").alias("sv"),
+        l2norm(F.col("v")).alias("sn"),
+    )
+    tv = emb.select(
+        F.col("vec_id").alias("dst_id"),
+        F.col("v").alias("tv"),
+        l2norm(F.col("v")).alias("tn"),
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.desc("cos_sim"), F.asc("dst_id")
+    )
+    return (
+        cand.join(sv, "src_id")
+        .join(tv, "dst_id")
+        .select(
+            "src_id",
+            "dst_id",
+            F.round(
+                dot(F.col("sv"), F.col("tv")) / (F.col("sn") * F.col("tn")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNNG_K)
+        .select(
+            "src_id",
+            "dst_id",
+            F.col("rank").cast("long").alias("rank"),
+            "cos_sim",
+        )
+        .orderBy("src_id", "rank")
+    )
+
+
+def _x245_sql() -> str:
+    def placed(src_cte: str, out: str, vs: str, asn: str) -> str:
+        return f"""{_sql_vecsup_local(src_cte, vs)},
+        {_sql_asn_local(src_cte, vs, asn)},
+        {out} AS MATERIALIZED (
+          SELECT vec_id, cell, rn0 // {KNNG_CAP} AS ring
+          FROM (
+            SELECT a.vec_id, a.c_id AS cell,
+                   row_number() OVER (PARTITION BY a.c_id
+                                      ORDER BY a.d, a.vec_id) - 1 AS rn0
+            FROM {asn} a))"""
+
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        adds AS (SELECT * FROM e WHERE vec_id % {GADD_MOD} = 3),
+        base AS (SELECT * FROM e WHERE vec_id % {GADD_MOD} != 3),
+        cent_seed AS (SELECT vec_id AS c_id, v AS c_vec FROM e
+                      WHERE vec_id < {SQL_IVF_NLIST}),
+        {_SQL_SUP_VECSUP},
+        {_sql_cs("cent_seed", "cs")},
+        {placed("base", "base_placed", "vs_base", "asn_base")},
+        {placed("adds", "add_placed", "vs_adds", "asn_adds")},
+        last_ring AS (
+          SELECT cell, MAX(ring) AS last_ring
+          FROM base_placed GROUP BY cell),
+        peer AS (
+          SELECT s.vec_id AS src_id, t.vec_id AS dst_id
+          FROM add_placed s JOIN add_placed t USING (cell, ring)
+          WHERE s.vec_id != t.vec_id),
+        boundary AS (
+          SELECT s.vec_id AS src_id, b.vec_id AS dst_id
+          FROM add_placed s
+          JOIN last_ring l ON l.cell = s.cell
+          JOIN base_placed b ON b.cell = s.cell AND b.ring = l.last_ring),
+        cand AS (SELECT * FROM peer UNION ALL SELECT * FROM boundary),
+        scored AS (
+          SELECT c.src_id, c.dst_id,
+                 {_SQL_COS.format(a="sv.v", b="tv.v")} AS cos_sim
+          FROM cand c JOIN e sv ON sv.vec_id = c.src_id
+               JOIN e tv ON tv.vec_id = c.dst_id)
+        SELECT src_id, dst_id, CAST(rank AS BIGINT) AS rank, cos_sim
+        FROM (
+          SELECT src_id, dst_id, cos_sim,
+                 row_number() OVER (PARTITION BY src_id
+                                    ORDER BY cos_sim DESC, dst_id ASC)
+                     AS rank
+          FROM scored)
+        WHERE rank <= {KNNG_K}
+        ORDER BY src_id, rank
+        """
+
+
+def _sql_vecsup_local(src_cte: str, out: str) -> str:
+    """_sql_vecsup over an arbitrary filtered corpus CTE."""
+    from .similarity import _sql_vecsup
+
+    return _sql_vecsup(src_cte, out)
+
+
+def _sql_asn_local(src_cte: str, vs: str, out: str) -> str:
+    from .similarity import _sql_asn
+
+    return _sql_asn("cs", out, e_cte=src_cte, vs_cte=vs)
+
+
+register(
+    QuerySpec(
+        "x245_graph_add_cdc",
+        x245_graph_add_cdc,
+        _x245_sql(),
+        "incremental graph adds: tail rings per cell + boundary links, frozen quantizer, base edges untouched",
+    )
+)

@@ -103,6 +103,7 @@ PROBE = [
     "x239_label_propagation",    # graph build + LP_ROUNDS sweep joins
     "x241_nn_descent",           # graph build + K²-fan self-joins
     "x242_stream_drift_monitor", # micro-batch routing partials + PSI
+    "x245_graph_add_cdc",        # add-batch routing + capped tail-ring links
 ]
 
 
