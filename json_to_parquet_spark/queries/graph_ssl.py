@@ -49,12 +49,10 @@ LP_SEED_MOD = 5  # seeds: vec_id % 5 == 0 (a 20% curated-label subset)
 LP_ROUNDS = 3    # frozen-propagation sweeps
 
 
-def _knn_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(src_id, dst_id, cos) over the capacity-capped candidate set.
-    Scale shapes: one ~n^1.25 two-level assignment; one per-cell window
-    of ~√n rows per task for ring placement; (cell, ring)-keyed hash
-    joins with per-key fan-out ≤ KNNG_CAP²; vectors rejoin by key (the
-    x214 narrow-scalars lesson — the placed frame carries no arrays)."""
+def _quantizer_frames(spark: SparkSession, sf_dir: str):
+    """(emb, sup, cs): the double-cast corpus and the FROZEN two-level
+    quantizer frames (first K0 / nlist corpus vectors) every graph
+    operator routes through."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -66,55 +64,76 @@ def _knn_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(F.col("vec_id") < nlist).select(
         F.col("vec_id").alias("c_id"), F.col("v").alias("c_vec")
     )
-    asn = route_two_level(
-        emb.select("vec_id", F.col("v").alias("embedding")),
+    return emb, sup, cent_sup_for(cent, sup)
+
+
+def _route_with_dist(
+    spark: SparkSession, sf_dir: str, df: DataFrame
+) -> DataFrame:
+    """(vec_id, cell, d): ``df(vec_id, v)`` routed two-level through the
+    frozen quantizer, keeping the rounded squared distance (the ring
+    sort key)."""
+    _, sup, cs = _quantizer_frames(spark, sf_dir)
+    return route_two_level(
+        df.select("vec_id", F.col("v").alias("embedding")),
         sup,
-        cent_sup_for(cent, sup),
-        cent_rows=nlist,
+        cs,
+        cent_rows=ivf_nlist(spark, sf_dir),
         include_dist=True,
+    ).select("vec_id", F.col("c_id").alias("cell"), "d")
+
+
+def _ring_place(
+    routed: DataFrame, cap: int = KNNG_CAP, keep_d: bool = False
+) -> DataFrame:
+    """(vec_id, cell, ring, pos[, d]) from ``routed(vec_id, cell, d)``:
+    the per-cell (d, vec_id) order chopped into cap-row rings — one
+    window of ~√n rows per task.  keep_d retains the routing distance
+    (x246's base store persists it so a later merge can re-ring a cell
+    without re-routing its members)."""
+    wcell = Window.partitionBy("cell").orderBy(F.asc("d"), F.asc("vec_id"))
+    return routed.withColumn("rn0", F.row_number().over(wcell) - 1).select(
+        "vec_id",
+        "cell",
+        F.expr(f"rn0 div {cap}").alias("ring"),
+        (F.col("rn0") % cap).alias("pos"),
+        *(["d"] if keep_d else []),
     )
-    wcell = Window.partitionBy("c_id").orderBy(F.asc("d"), F.asc("vec_id"))
-    placed = (
-        asn.withColumn("rn0", F.row_number().over(wcell) - 1)
-        .select(
-            "vec_id",
-            F.col("c_id").alias("cell"),
-            F.expr(f"rn0 div {KNNG_CAP}").alias("ring"),
-            (F.col("rn0") % KNNG_CAP).alias("pos"),
-        )
-        .localCheckpoint()
-    )
-    s = placed.select(
-        F.col("vec_id").alias("src_id"), "cell", "ring", "pos"
-    )
-    t = placed.select(
-        F.col("vec_id").alias("dst_id"), "cell", "ring", "pos"
-    )
-    # each UNORDERED pair is generated and scored ONCE, then mirrored:
-    # same-ring pairs ordered by id, and the down-band is exactly the
-    # up-band reversed — cosine is exactly symmetric (IEEE multiply
-    # commutes, zip order unchanged), so the mirror is bit-identical to
-    # scoring the reverse pair and the heavy array-carrying join + the
-    # dot products run over HALF the candidate volume.
+
+
+def _ring_half_pairs(
+    placed: DataFrame, cap: int = KNNG_CAP, ov: int = KNNG_OV
+) -> DataFrame:
+    """Each UNORDERED capped candidate pair ONCE: same-ring pairs
+    ordered by id, plus the up-band (ring boundary overlap).  The
+    caller mirrors after scoring — cosine is exactly symmetric (IEEE
+    multiply commutes, zip order unchanged), so the mirror is
+    bit-identical to scoring the reverse pair and the heavy
+    array-carrying join + dot products run over HALF the volume."""
+    s = placed.select(F.col("vec_id").alias("src_id"), "cell", "ring", "pos")
+    t = placed.select(F.col("vec_id").alias("dst_id"), "cell", "ring", "pos")
     same_lt = (
         s.join(t.select("dst_id", "cell", "ring"), ["cell", "ring"])
         .filter(F.col("src_id") < F.col("dst_id"))
         .select("src_id", "dst_id")
     )
     up = (
-        s.filter(F.col("pos") >= KNNG_CAP - KNNG_OV)
+        s.filter(F.col("pos") >= cap - ov)
         .join(
-            t.filter(F.col("pos") < KNNG_OV).select(
+            t.filter(F.col("pos") < ov).select(
                 "dst_id", "cell", (F.col("ring") - 1).alias("ring")
             ),
             ["cell", "ring"],
         )
         .select("src_id", "dst_id")
     )
-    half = same_lt.unionAll(up)
-    # norms precomputed ONCE per vector, not per pair (bit-identical to
-    # cosine()'s inline norms — same IEEE ops on the same values — but
-    # ~2/3 fewer flops over the candidate set)
+    return same_lt.unionAll(up)
+
+
+def _norm_sides(emb: DataFrame):
+    """(sv, tv): per-vector norms precomputed ONCE, not per pair —
+    bit-identical to cosine()'s inline norms (same IEEE ops on the same
+    values) with ~2/3 fewer flops over any candidate set."""
     sv = emb.select(
         F.col("vec_id").alias("src_id"),
         F.col("v").alias("sv"),
@@ -125,8 +144,16 @@ def _knn_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("tv"),
         l2norm(F.col("v")).alias("tn"),
     )
-    scored_half = (
-        half.join(sv, "src_id")
+    return sv, tv
+
+
+def _score_pairs(cand: DataFrame, emb: DataFrame) -> DataFrame:
+    """(src_id, dst_id, cos_sim): rounded cosine over ``cand`` pairs,
+    vectors rejoined by key (the x214 narrow-scalars lesson — candidate
+    frames carry no arrays)."""
+    sv, tv = _norm_sides(emb)
+    return (
+        cand.join(sv, "src_id")
         .join(tv, "dst_id")
         .select(
             "src_id",
@@ -136,8 +163,33 @@ def _knn_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("cos_sim"),
         )
-        .localCheckpoint()  # narrow (id, id, double) rows; scored once
     )
+
+
+def _topk_edges(scored: DataFrame, k: int = KNNG_K) -> DataFrame:
+    """(src_id, dst_id, rank, cos_sim): each source's k best by
+    (cos desc, id asc) — one WindowGroupLimit over narrow rows."""
+    w = Window.partitionBy("src_id").orderBy(F.desc("cos_sim"), F.asc("dst_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _knn_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_id, dst_id, cos) over the capacity-capped candidate set.
+    Scale shapes: one ~n^1.25 two-level assignment; one per-cell window
+    of ~√n rows per task for ring placement; (cell, ring)-keyed hash
+    joins with per-key fan-out ≤ KNNG_CAP²; vectors rejoin by key (the
+    x214 narrow-scalars lesson — the placed frame carries no arrays)."""
+    emb, _sup, _cs = _quantizer_frames(spark, sf_dir)
+    placed = _ring_place(
+        _route_with_dist(spark, sf_dir, emb)
+    ).localCheckpoint()
+    half = _ring_half_pairs(placed)
+    scored_half = _score_pairs(half, emb).localCheckpoint()
+    # narrow (id, id, double) rows; scored once, mirrored (see
+    # _ring_half_pairs)
     return scored_half.unionAll(
         scored_half.select(
             F.col("dst_id").alias("src_id"),
@@ -170,13 +222,8 @@ def knn_graph_path(spark: SparkSession, sf_dir: str) -> str:
         GATE_DIR, f"knng_{tag}_{token}_d{_data_fingerprint(sf_dir)}"
     )
     if not os.path.exists(os.path.join(dest, "_SUCCESS")):
-        w = Window.partitionBy("src_id").orderBy(
-            F.desc("cos_sim"), F.asc("dst_id")
-        )
         (
-            _knn_scored(spark, sf_dir)
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= KNNG_K)
+            _topk_edges(_knn_scored(spark, sf_dir))
             .write.mode("overwrite")
             .parquet(dest)
         )
@@ -1013,5 +1060,324 @@ register(
         x245_graph_add_cdc,
         _x245_sql(),
         "incremental graph adds: tail rings per cell + boundary links, frozen quantizer, base edges untouched",
+    )
+)
+
+
+# --- x246: graph segment compaction (merge policy) ---------------------------------
+# The act that repays x245's quantified staleness — what Lucene's
+# segment merges and FAISS index rebuilds do on a schedule: a cell whose
+# append-only tail has grown past a threshold of its base population is
+# RE-RUNG from the merged membership (full ring placement over base ∪
+# adds, restoring x238's build-quality edges for every member), while a
+# cell below the threshold keeps serving its persisted base edges plus
+# its x245 CDC edges VERBATIM — zero recompute, zero I/O on the cold
+# segments.  The merge criterion is integer-exact and shared with the
+# oracle: rebuild iff n_adds·GCMP_DEN ≥ n_base·GCMP_NUM (a tail ≥ 1/3 of
+# the base — around the GADD_MOD=4 batch's expected per-cell ratio, so
+# both branches are exercised at every scale).  Because routing is
+# per-vector independent under the FROZEN quantizer, a rebuilt cell's
+# merged placement is bit-identical to the cell's slice of a full x238
+# rebuild — the oracle recomputes everything from scratch and never sees
+# the incremental mechanics, so a hash match proves the compacted
+# output IS the policy-mixed graph it claims to be.
+GCMP_NUM, GCMP_DEN = 1, 3
+
+
+def base_graph_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """(edges_path, placed_path): the persisted PRE-ADD graph segment —
+    x238's build over the base corpus (vec_id % GADD_MOD != 3) under the
+    frozen full-corpus quantizer.  ``edges`` carries each source's cell
+    so the compactor can serve cold segments by a cell filter alone;
+    ``placed`` keeps the routing distance so a hot cell can be re-rung
+    without re-routing its members (placement is metadata, the
+    serving_occupancy_path economics).  Path embeds every build
+    constant + the source fingerprint (the GATE_DIR cache-keying
+    invariant)."""
+    import hashlib
+    import os
+
+    from .convert_gate import GATE_DIR
+    from .similarity import IVF_K0_MIN, IVF_N_CENTROIDS, _data_fingerprint
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    sig = repr(
+        (
+            "gseg-v1", KNNG_CAP, KNNG_OV, KNNG_K, GADD_MOD,
+            IVF_N_CENTROIDS, IVF_K0_MIN,
+        )
+    )
+    token = hashlib.sha256(sig.encode()).hexdigest()[:8]
+    root = os.path.join(
+        GATE_DIR, f"gseg_{tag}_{token}_d{_data_fingerprint(sf_dir)}"
+    )
+    edges_p = os.path.join(root, "edges")
+    placed_p = os.path.join(root, "placed")
+    if not (
+        os.path.exists(os.path.join(edges_p, "_SUCCESS"))
+        and os.path.exists(os.path.join(placed_p, "_SUCCESS"))
+    ):
+        emb, base, _adds = _gadd_frames(spark, sf_dir)
+        placed = _ring_place(
+            _route_with_dist(spark, sf_dir, base), keep_d=True
+        ).localCheckpoint()
+        placed.write.mode("overwrite").parquet(placed_p)
+        scored_half = _score_pairs(
+            _ring_half_pairs(placed), emb
+        ).localCheckpoint()
+        scored = scored_half.unionAll(
+            scored_half.select(
+                F.col("dst_id").alias("src_id"),
+                F.col("src_id").alias("dst_id"),
+                "cos_sim",
+            )
+        )
+        (
+            _topk_edges(scored)
+            .join(
+                placed.select(F.col("vec_id").alias("src_id"), "cell"),
+                "src_id",
+            )
+            .write.mode("overwrite")
+            .parquet(edges_p)
+        )
+    return edges_p, placed_p
+
+
+def x246_graph_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compacted graph after the GADD_MOD add batch, one row per
+    edge: (src_id, dst_id, rank, cos_sim, cell, provenance) where
+    provenance ∈ {'rebuilt', 'base', 'cdc'} names which segment served
+    it.  Scale shapes: routing touches ONLY the add batch (base cells
+    and distances are persisted metadata); the hot re-ring is one
+    per-cell window + capped pair pass over hot-cell members only; cold
+    base edges are a parquet scan with a broadcast cell filter (never
+    rescored — the I/O the policy saves); cold add edges are x245's
+    ≤2·CAP-candidate CDC pass restricted to cold cells."""
+    emb, _base, adds = _gadd_frames(spark, sf_dir)
+    edges_p, placed_p = base_graph_paths(spark, sf_dir)
+    base_edges = spark.read.parquet(edges_p)
+    base_placed = spark.read.parquet(placed_p)
+    add_routed = _route_with_dist(spark, sf_dir, adds).localCheckpoint()
+
+    nb = base_placed.groupBy("cell").agg(F.count(F.lit(1)).alias("n_base"))
+    na = add_routed.groupBy("cell").agg(F.count(F.lit(1)).alias("n_adds"))
+    cells = (
+        nb.join(na, "cell", "full_outer")
+        .fillna(0, subset=["n_base", "n_adds"])
+        .select(
+            "cell",
+            (
+                F.col("n_adds") * GCMP_DEN >= F.col("n_base") * GCMP_NUM
+            ).alias("hot"),
+        )
+        .localCheckpoint()  # nlist rows — index metadata
+    )
+    hot_cells = cells.filter(F.col("hot")).select("cell")
+    cold_cells = cells.filter(~F.col("hot")).select("cell")
+
+    # hot branch: merged re-ring from persisted distances (no re-route)
+    merged_hot = (
+        base_placed.select("vec_id", "cell", "d")
+        .unionAll(add_routed)
+        .join(F.broadcast(hot_cells), "cell")
+    )
+    placed_hot = _ring_place(merged_hot).localCheckpoint()
+    scored_half = _score_pairs(
+        _ring_half_pairs(placed_hot), emb
+    ).localCheckpoint()
+    scored_hot = scored_half.unionAll(
+        scored_half.select(
+            F.col("dst_id").alias("src_id"),
+            F.col("src_id").alias("dst_id"),
+            "cos_sim",
+        )
+    )
+    hot_edges = (
+        _topk_edges(scored_hot)
+        .join(
+            placed_hot.select(F.col("vec_id").alias("src_id"), "cell"),
+            "src_id",
+        )
+        .withColumn("provenance", F.lit("rebuilt"))
+    )
+
+    # cold base branch: served verbatim from the persisted segment
+    cold_base = base_edges.join(
+        F.broadcast(cold_cells), "cell"
+    ).withColumn("provenance", F.lit("base"))
+
+    # cold add branch: x245's tail-ring CDC, restricted to cold cells
+    add_placed = _ring_place(add_routed)
+    a = add_placed.join(F.broadcast(cold_cells), "cell").select(
+        F.col("vec_id").alias("src_id"), "cell", "ring"
+    )
+    peer = (
+        a.join(
+            add_placed.select(
+                F.col("vec_id").alias("dst_id"), "cell", "ring"
+            ),
+            ["cell", "ring"],
+        )
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select("src_id", "dst_id")
+    )
+    last_ring = base_placed.groupBy("cell").agg(
+        F.max("ring").alias("last_ring")
+    )
+    boundary = (
+        a.join(F.broadcast(last_ring), "cell")
+        .join(
+            base_placed.select(
+                F.col("vec_id").alias("dst_id"),
+                "cell",
+                F.col("ring").alias("bring"),
+            ),
+            "cell",
+        )
+        .filter(F.col("bring") == F.col("last_ring"))
+        .select("src_id", "dst_id")
+    )
+    cold_add = (
+        _topk_edges(_score_pairs(peer.unionAll(boundary), emb))
+        .join(a.select("src_id", "cell"), "src_id")
+        .withColumn("provenance", F.lit("cdc"))
+    )
+
+    cols = ["src_id", "dst_id", "rank", "cos_sim", "cell", "provenance"]
+    return (
+        hot_edges.select(*cols)
+        .unionAll(cold_base.select(*cols))
+        .unionAll(cold_add.select(*cols))
+        .select(
+            "src_id",
+            "dst_id",
+            F.col("rank").cast("long").alias("rank"),
+            "cos_sim",
+            F.col("cell").cast("long").alias("cell"),
+            "provenance",
+        )
+        .orderBy("src_id", "rank")
+    )
+
+
+def _sql_ring_cand(placed_cte: str, out: str) -> str:
+    """The three capped candidate arms (same ring both directions, up
+    band, down band) over an arbitrary placed CTE, carrying the source
+    cell for provenance."""
+    return f"""{out} AS (
+          SELECT s.vec_id AS src_id, t.vec_id AS dst_id, s.cell
+          FROM {placed_cte} s JOIN {placed_cte} t USING (cell, ring)
+          WHERE s.vec_id != t.vec_id
+          UNION ALL
+          SELECT s.vec_id, t.vec_id, s.cell
+          FROM {placed_cte} s JOIN {placed_cte} t
+            ON s.cell = t.cell AND s.ring + 1 = t.ring
+               AND s.pos >= {KNNG_CAP - KNNG_OV} AND t.pos < {KNNG_OV}
+          UNION ALL
+          SELECT s.vec_id, t.vec_id, s.cell
+          FROM {placed_cte} s JOIN {placed_cte} t
+            ON s.cell = t.cell AND s.ring = t.ring + 1
+               AND s.pos < {KNNG_OV} AND t.pos >= {KNNG_CAP - KNNG_OV})"""
+
+
+def _sql_ring_topk(cand_cte: str, out: str, prov: str) -> str:
+    """Score + per-source top-KNNG_K over a candidate CTE with cell."""
+    return f"""{out} AS (
+          SELECT src_id, dst_id, rank, cos_sim, cell,
+                 '{prov}' AS provenance
+          FROM (
+            SELECT c.src_id, c.dst_id, c.cell,
+                   {_SQL_COS.format(a="sv.v", b="tv.v")} AS cos_sim,
+                   row_number() OVER (
+                     PARTITION BY c.src_id
+                     ORDER BY {_SQL_COS.format(a="sv.v", b="tv.v")} DESC,
+                              c.dst_id ASC) AS rank
+            FROM {cand_cte} c JOIN e sv ON sv.vec_id = c.src_id
+                 JOIN e tv ON tv.vec_id = c.dst_id)
+          WHERE rank <= {KNNG_K})"""
+
+
+def _x246_sql() -> str:
+    hot_pred = f"n_adds * {GCMP_DEN} >= n_base * {GCMP_NUM}"
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent_seed AS (SELECT vec_id AS c_id, v AS c_vec FROM e
+                      WHERE vec_id < {SQL_IVF_NLIST}),
+        {_SQL_SUP_VECSUP},
+        {_sql_cs("cent_seed", "cs")},
+        {_sql_asn("cs", "asn")},
+        placed AS MATERIALIZED (
+          SELECT vec_id, cell, rn0 // {KNNG_CAP} AS ring,
+                 rn0 % {KNNG_CAP} AS pos
+          FROM (
+            SELECT a.vec_id, a.c_id AS cell,
+                   row_number() OVER (PARTITION BY a.c_id
+                                      ORDER BY a.d, a.vec_id) - 1 AS rn0
+            FROM asn a)),
+        cellstats AS (
+          SELECT cell,
+                 SUM(CASE WHEN vec_id % {GADD_MOD} = 3
+                     THEN 1 ELSE 0 END) AS n_adds,
+                 SUM(CASE WHEN vec_id % {GADD_MOD} != 3
+                     THEN 1 ELSE 0 END) AS n_base
+          FROM placed GROUP BY cell),
+        hot AS (SELECT cell FROM cellstats WHERE {hot_pred}),
+        cold AS (SELECT cell FROM cellstats WHERE NOT ({hot_pred})),
+        placed_hot AS MATERIALIZED (
+          SELECT p.* FROM placed p JOIN hot USING (cell)),
+        {_sql_ring_cand("placed_hot", "cand_hot")},
+        {_sql_ring_topk("cand_hot", "edges_hot", "rebuilt")},
+        placed_base AS MATERIALIZED (
+          SELECT vec_id, cell, rn0 // {KNNG_CAP} AS ring,
+                 rn0 % {KNNG_CAP} AS pos
+          FROM (
+            SELECT a.vec_id, a.c_id AS cell,
+                   row_number() OVER (PARTITION BY a.c_id
+                                      ORDER BY a.d, a.vec_id) - 1 AS rn0
+            FROM asn a WHERE a.vec_id % {GADD_MOD} != 3)),
+        placed_base_cold AS MATERIALIZED (
+          SELECT p.* FROM placed_base p JOIN cold USING (cell)),
+        {_sql_ring_cand("placed_base_cold", "cand_base")},
+        {_sql_ring_topk("cand_base", "edges_base", "base")},
+        placed_add AS MATERIALIZED (
+          SELECT vec_id, cell, rn0 // {KNNG_CAP} AS ring
+          FROM (
+            SELECT a.vec_id, a.c_id AS cell,
+                   row_number() OVER (PARTITION BY a.c_id
+                                      ORDER BY a.d, a.vec_id) - 1 AS rn0
+            FROM asn a WHERE a.vec_id % {GADD_MOD} = 3)),
+        placed_add_cold AS (
+          SELECT p.* FROM placed_add p JOIN cold USING (cell)),
+        last_ring AS (
+          SELECT cell, MAX(ring) AS last_ring
+          FROM placed_base GROUP BY cell),
+        cand_add AS (
+          SELECT s.vec_id AS src_id, t.vec_id AS dst_id, s.cell
+          FROM placed_add_cold s JOIN placed_add_cold t USING (cell, ring)
+          WHERE s.vec_id != t.vec_id
+          UNION ALL
+          SELECT s.vec_id, b.vec_id, s.cell
+          FROM placed_add_cold s
+          JOIN last_ring l ON l.cell = s.cell
+          JOIN placed_base b ON b.cell = s.cell AND b.ring = l.last_ring),
+        {_sql_ring_topk("cand_add", "edges_add", "cdc")}
+        SELECT src_id, dst_id, CAST(rank AS BIGINT) AS rank, cos_sim,
+               CAST(cell AS BIGINT) AS cell, provenance
+        FROM (
+          SELECT * FROM edges_hot
+          UNION ALL SELECT * FROM edges_base
+          UNION ALL SELECT * FROM edges_add)
+        ORDER BY src_id, rank
+        """
+
+
+register(
+    QuerySpec(
+        "x246_graph_compaction",
+        x246_graph_compaction,
+        _x246_sql(),
+        "graph segment compaction: threshold-hot cells re-rung from merged membership, cold segments served verbatim",
     )
 )

@@ -1,0 +1,144 @@
+"""Semantic invariants for the round-12 additions (beyond oracle parity).
+
+x246 is the graph's segment-merge act: the oracle hash proves the
+OUTPUT is the policy-mixed graph it claims to be, but it cannot prove
+the incremental mechanics — that rebuilt cells are bit-identical to a
+full x238 rebuild of those cells, that cold segments were served
+VERBATIM from the persisted base store (not rescored), and that the
+merge policy actually exercised both branches.  These tests pin those
+facts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from json_to_parquet_spark.queries.graph_ssl import (
+    GCMP_DEN,
+    GCMP_NUM,
+    base_graph_paths,
+    knn_edges,
+    x245_graph_add_cdc,
+    x246_graph_compaction,
+)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+EDGE = ["src_id", "dst_id", "rank", "cos_sim"]
+
+
+def test_x246_exercises_both_branches(spark, sf_dir):
+    """The 1/3 staleness threshold must bite both ways at gate scale —
+    a one-branch run would make the segment-merge claim vacuous."""
+    out = x246_graph_compaction(spark, sf_dir).cache()
+    provs = {r["provenance"] for r in out.select("provenance").distinct().collect()}
+    assert provs == {"rebuilt", "base", "cdc"}, provs
+    # each source is served by exactly one segment class
+    multi = (
+        out.select("src_id", "provenance")
+        .distinct()
+        .groupBy("src_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert multi == 0
+    out.unpersist()
+
+
+def test_x246_rebuilt_cells_equal_full_rebuild(spark, sf_dir):
+    """A hot cell's merged re-ring must be bit-identical to the same
+    cell's slice of a FULL x238 rebuild — the identity that makes
+    incremental compaction safe (routing is per-vector independent
+    under the frozen quantizer, so merged placement == full placement
+    cell by cell)."""
+    out = x246_graph_compaction(spark, sf_dir).cache()
+    hot_srcs = out.filter(F.col("provenance") == "rebuilt").select("src_id").distinct()
+    got = _rows(
+        out.filter(F.col("provenance") == "rebuilt").select(*EDGE), EDGE
+    )
+    want = _rows(
+        knn_edges(spark, sf_dir).join(hot_srcs, "src_id").select(*EDGE), EDGE
+    )
+    assert got == want
+    out.unpersist()
+
+
+def test_x246_cold_base_served_verbatim(spark, sf_dir):
+    """Cold cells' base edges must equal the persisted base store's rows
+    for those cells EXACTLY — the I/O the merge policy saves."""
+    out = x246_graph_compaction(spark, sf_dir).cache()
+    cold_cells = (
+        out.filter(F.col("provenance") == "base").select("cell").distinct()
+    )
+    got = _rows(out.filter(F.col("provenance") == "base").select(*EDGE), EDGE)
+    edges_p, _ = base_graph_paths(spark, sf_dir)
+    want = _rows(
+        spark.read.parquet(edges_p).join(cold_cells, "cell").select(*EDGE),
+        EDGE,
+    )
+    assert got == want and len(got) > 0
+    out.unpersist()
+
+
+def test_x246_cold_adds_equal_x245_cdc(spark, sf_dir):
+    """Cold cells' add edges must equal x245's append-only CDC edges for
+    those sources — compaction changes NOTHING below the threshold."""
+    out = x246_graph_compaction(spark, sf_dir).cache()
+    cdc_srcs = out.filter(F.col("provenance") == "cdc").select("src_id").distinct()
+    got = _rows(out.filter(F.col("provenance") == "cdc").select(*EDGE), EDGE)
+    want = _rows(
+        x245_graph_add_cdc(spark, sf_dir).join(cdc_srcs, "src_id").select(*EDGE),
+        EDGE,
+    )
+    assert got == want and len(got) > 0
+    out.unpersist()
+
+
+def test_x246_policy_is_the_shared_integer_rule(spark, sf_dir):
+    """The hot set must equal an independent recomputation of the
+    integer threshold from raw per-cell add/base populations."""
+    from json_to_parquet_spark.queries.graph_ssl import (
+        GADD_MOD,
+        _gadd_frames,
+        _route_with_dist,
+    )
+
+    emb, _base, _adds = _gadd_frames(spark, sf_dir)
+    routed = _route_with_dist(spark, sf_dir, emb)
+    stats = (
+        routed.withColumn("is_add", F.col("vec_id") % GADD_MOD == 3)
+        .groupBy("cell")
+        .agg(
+            F.sum(F.col("is_add").cast("long")).alias("n_adds"),
+            F.sum((~F.col("is_add")).cast("long")).alias("n_base"),
+        )
+    )
+    want_hot = {
+        r["cell"]
+        for r in stats.collect()
+        if r["n_adds"] * GCMP_DEN >= r["n_base"] * GCMP_NUM
+    }
+    out = x246_graph_compaction(spark, sf_dir)
+    got_hot = {
+        r["cell"]
+        for r in out.filter(F.col("provenance") == "rebuilt")
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    # a hot cell with <2 members emits no edges; every edge-emitting
+    # rebuilt cell must be in the recomputed hot set, and no cold cell may
+    assert got_hot <= want_hot
+    cold_classes = {"base", "cdc"}
+    got_cold = {
+        r["cell"]
+        for r in out.filter(F.col("provenance").isin(*cold_classes))
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    assert got_cold.isdisjoint(want_hot)
