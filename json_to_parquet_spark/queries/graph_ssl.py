@@ -1381,3 +1381,257 @@ register(
         "graph segment compaction: threshold-hot cells re-rung from merged membership, cold segments served verbatim",
     )
 )
+
+
+# --- x247: graph capacity-knob sweep ------------------------------------------------
+# x240 measured the capped graph's recall and x241 showed one NN-descent
+# round sits at its fixed point — both named CAP/OV/K as the productive
+# recall knob.  This measures the knobs the way x219 measures nprobe:
+# the exact-recall audit re-run under each (cap, ov, k_edges, nplace)
+# configuration, as one gate query.  nplace is the BUILD-side
+# multi-probe placement (each vector joins its nplace nearest cells —
+# FAISS's overlapping-clustering trick for knn-graph construction): the
+# capacity axes turn out to cost almost nothing at either fixture
+# geometry (recall flat 0.375→0.391 uniform, exactly flat 0.60
+# clustered, across 4× capacity), because misses come from true
+# neighbours routed to OTHER cells — which is precisely what nplace
+# fixes.  The sweep is CHEAP by construction: two-level routing is
+# capacity-independent, so the ~n^1.25 assignment is paid once at
+# n_keep = max nplace and shared (an nplace=1 config filters to
+# crank 1 — the same rows single routing would keep); ring placement
+# and the capped pair pass run only over the audit vectors' cells
+# (full membership preserved — an audit source's candidates never
+# leave its placed cells, so the restricted build is bit-identical to
+# that source's slice of the full build).
+GSW_CONFIGS = [
+    (32, 8, KNNG_K, 1),      # half capacity: cheaper build
+    (64, 16, KNNG_K, 1),     # the registered x238 configuration
+    (128, 32, KNNG_K, 1),    # double capacity: what the ring cut costs
+    (64, 16, 2 * KNNG_K, 1),  # keep more edges at build capacity
+    (64, 16, KNNG_K, 2),     # multi-probe placement: the routing knob
+]
+GSW_MAX_NPLACE = max(c[3] for c in GSW_CONFIGS)
+
+
+def x247_graph_knob_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per (cap, ov, k_edges, nplace) configuration:
+    exact-top-KNNG_K hits found by that configuration's capped graph
+    over the GRA_NQ audit set, and the micro-averaged recall (n_true =
+    KNNG_K per audit vector, so micro == macro).  Scale shapes: one
+    shared two-level assignment at n_keep = GSW_MAX_NPLACE; one
+    broadcast(GRA_NQ)×corpus truth pass (x240's); per config, a
+    per-cell window + capped pair pass over ≤GRA_NQ·nplace cells'
+    members only — per-source candidates ≤ nplace·(cap + 2·ov)."""
+    emb, sup, cs = _quantizer_frames(spark, sf_dir)
+    routed = (
+        route_two_level(
+            emb.select("vec_id", F.col("v").alias("embedding")),
+            sup,
+            cs,
+            n_keep=GSW_MAX_NPLACE,
+            cent_rows=ivf_nlist(spark, sf_dir),
+            include_dist=True,
+        )
+        .select("vec_id", F.col("c_id").alias("cell"), "crank", "d")
+        .localCheckpoint()
+    )
+    audit_cells = (
+        routed.filter(F.col("vec_id") < GRA_NQ).select("cell").distinct()
+    )
+    routed_ac = routed.join(F.broadcast(audit_cells), "cell").localCheckpoint()
+
+    # exact truth (x240's pass, shared by every configuration)
+    audit = emb.filter(F.col("vec_id") < GRA_NQ).select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("a_vec")
+    )
+    wt = Window.partitionBy("a_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    truth = (
+        emb.crossJoin(F.broadcast(audit))
+        .filter(F.col("vec_id") != F.col("a_id"))
+        .select(
+            "a_id",
+            "vec_id",
+            cosine(F.col("a_vec"), F.col("v")).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= KNNG_K)
+        .select(F.col("a_id").alias("src_id"), F.col("vec_id").alias("dst_id"))
+        .localCheckpoint()
+    )
+
+    stats = []
+    for cap, ov, k_edges, nplace in GSW_CONFIGS:
+        placed = _ring_place(
+            routed_ac.filter(F.col("crank") <= nplace).select(
+                "vec_id", "cell", "d"
+            ),
+            cap=cap,
+        )
+        s = placed.filter(F.col("vec_id") < GRA_NQ).select(
+            F.col("vec_id").alias("src_id"), "cell", "ring", "pos"
+        )
+        t = placed.select(
+            F.col("vec_id").alias("dst_id"), "cell", "ring", "pos"
+        )
+        same = (
+            s.join(t.select("dst_id", "cell", "ring"), ["cell", "ring"])
+            .filter(F.col("src_id") != F.col("dst_id"))
+            .select("src_id", "dst_id")
+        )
+        up = (
+            s.filter(F.col("pos") >= cap - ov)
+            .join(
+                t.filter(F.col("pos") < ov).select(
+                    "dst_id", "cell", (F.col("ring") - 1).alias("ring")
+                ),
+                ["cell", "ring"],
+            )
+            .select("src_id", "dst_id")
+        )
+        down = (
+            s.filter(F.col("pos") < ov)
+            .join(
+                t.filter(F.col("pos") >= cap - ov).select(
+                    "dst_id", "cell", (F.col("ring") + 1).alias("ring")
+                ),
+                ["cell", "ring"],
+            )
+            .select("src_id", "dst_id")
+        )
+        cand = same.unionAll(up).unionAll(down)
+        if nplace > 1:
+            # overlapping placements can surface the same pair via two
+            # shared cells — dedup before scoring (impossible at
+            # nplace=1: a dst holds exactly one (cell, ring) slot)
+            cand = cand.distinct()
+        edges = _topk_edges(_score_pairs(cand, emb), k=k_edges).select(
+            "src_id", "dst_id", F.lit(1).alias("hit")
+        )
+        stats.append(
+            truth.join(edges, ["src_id", "dst_id"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_true"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+            )
+            .select(
+                F.lit(cap).cast("long").alias("cap"),
+                F.lit(ov).cast("long").alias("ov"),
+                F.lit(k_edges).cast("long").alias("k_edges"),
+                F.lit(nplace).cast("long").alias("nplace"),
+                F.col("n_true").cast("long").alias("n_true"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                F.round(
+                    F.col("n_hits").cast("double")
+                    / F.col("n_true").cast("double"),
+                    6,
+                ).alias("recall"),
+            )
+        )
+    out = stats[0]
+    for s_df in stats[1:]:
+        out = out.unionAll(s_df)
+    return out.orderBy("cap", "ov", "k_edges", "nplace")
+
+
+def _x247_sql() -> str:
+    from .similarity import _SQD
+
+    per_config = []
+    for i, (cap, ov, k_edges, nplace) in enumerate(GSW_CONFIGS):
+        dedup = "DISTINCT " if nplace > 1 else ""
+        per_config.append(f"""placed_{i} AS MATERIALIZED (
+          SELECT vec_id, cell, rn0 // {cap} AS ring, rn0 % {cap} AS pos
+          FROM (
+            SELECT r.vec_id, r.cell,
+                   row_number() OVER (PARTITION BY r.cell
+                                      ORDER BY r.d, r.vec_id) - 1 AS rn0
+            FROM routed_ac r WHERE r.crank <= {nplace})),
+        cand_{i} AS (
+          SELECT {dedup}src_id, dst_id FROM (
+          SELECT s.vec_id AS src_id, t.vec_id AS dst_id
+          FROM placed_{i} s JOIN placed_{i} t USING (cell, ring)
+          WHERE s.vec_id < {GRA_NQ} AND s.vec_id != t.vec_id
+          UNION ALL
+          SELECT s.vec_id, t.vec_id FROM placed_{i} s JOIN placed_{i} t
+            ON s.cell = t.cell AND s.ring + 1 = t.ring
+               AND s.pos >= {cap - ov} AND t.pos < {ov}
+          WHERE s.vec_id < {GRA_NQ}
+          UNION ALL
+          SELECT s.vec_id, t.vec_id FROM placed_{i} s JOIN placed_{i} t
+            ON s.cell = t.cell AND s.ring = t.ring + 1
+               AND s.pos < {ov} AND t.pos >= {cap - ov}
+          WHERE s.vec_id < {GRA_NQ})),
+        edges_{i} AS (
+          SELECT src_id, dst_id, 1 AS hit FROM (
+            SELECT c.src_id, c.dst_id,
+                   row_number() OVER (
+                     PARTITION BY c.src_id
+                     ORDER BY {_SQL_COS.format(a="sv.v", b="tv.v")} DESC,
+                              c.dst_id ASC) AS rank
+            FROM cand_{i} c JOIN e sv ON sv.vec_id = c.src_id
+                 JOIN e tv ON tv.vec_id = c.dst_id)
+          WHERE rank <= {k_edges}),
+        stats_{i} AS (
+          SELECT CAST({cap} AS BIGINT) AS cap, CAST({ov} AS BIGINT) AS ov,
+                 CAST({k_edges} AS BIGINT) AS k_edges,
+                 CAST({nplace} AS BIGINT) AS nplace,
+                 CAST(COUNT(*) AS BIGINT) AS n_true,
+                 CAST(SUM(COALESCE(g.hit, 0)) AS BIGINT) AS n_hits,
+                 ROUND(CAST(SUM(COALESCE(g.hit, 0)) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+          FROM truth t
+          LEFT JOIN edges_{i} g
+            ON g.src_id = t.src_id AND g.dst_id = t.dst_id)""")
+    chain = ",\n        ".join(per_config)
+    unions = "\n          UNION ALL ".join(
+        f"SELECT * FROM stats_{i}" for i in range(len(GSW_CONFIGS))
+    )
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent_seed AS (SELECT vec_id AS c_id, v AS c_vec FROM e
+                      WHERE vec_id < {SQL_IVF_NLIST}),
+        {_SQL_SUP_VECSUP},
+        {_sql_cs("cent_seed", "cs")},
+        asn2 AS MATERIALIZED (
+          SELECT vec_id, cell, d, crank FROM (
+            SELECT vec_id, cell, d,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cell) AS crank
+            FROM (
+              SELECT e.vec_id, cs.c_id AS cell,
+                     {_SQD.format(a="e.v", b="cs.c_vec")} AS d
+              FROM e JOIN vec_sup vs USING (vec_id)
+                     JOIN cs ON vs.s_id = cs.s_id))
+          WHERE crank <= {GSW_MAX_NPLACE}),
+        audit_cells AS (
+          SELECT DISTINCT cell FROM asn2 WHERE vec_id < {GRA_NQ}),
+        routed_ac AS MATERIALIZED (
+          SELECT a.vec_id, a.cell, a.d, a.crank
+          FROM asn2 a JOIN audit_cells ac USING (cell)),
+        audit AS (SELECT vec_id AS a_id, v AS a_vec FROM e
+                  WHERE vec_id < {GRA_NQ}),
+        truth AS MATERIALIZED (
+          SELECT a_id AS src_id, vec_id AS dst_id FROM (
+            SELECT a.a_id, e.vec_id,
+                   {_SQL_COS.format(a="a.a_vec", b="e.v")} AS cos_sim
+            FROM e CROSS JOIN audit a
+            WHERE e.vec_id != a.a_id)
+          QUALIFY row_number() OVER (PARTITION BY a_id
+                                     ORDER BY cos_sim DESC, vec_id ASC)
+                  <= {KNNG_K}),
+        {chain}
+        SELECT * FROM (
+          {unions})
+        ORDER BY cap, ov, k_edges, nplace
+        """
+
+
+register(
+    QuerySpec(
+        "x247_graph_knob_sweep",
+        x247_graph_knob_sweep,
+        _x247_sql(),
+        "kNN-graph capacity sweep: exact-recall audit under each (cap, ov, k_edges) configuration",
+    )
+)

@@ -98,6 +98,69 @@ def test_x246_cold_adds_equal_x245_cdc(spark, sf_dir):
     out.unpersist()
 
 
+def _clustered_dir():
+    import sys
+
+    sys.path.insert(0, "tests")
+    from clustered_fixture import write_clustered_embeddings
+
+    return write_clustered_embeddings("/tmp/clustered_fx", n=2000)
+
+
+def _sweep_rows(spark, d):
+    from json_to_parquet_spark.queries.graph_ssl import x247_graph_knob_sweep
+
+    return {
+        (r["cap"], r["ov"], r["k_edges"], r["nplace"]): r
+        for r in x247_graph_knob_sweep(spark, d).collect()
+    }
+
+
+def test_x247_registered_config_matches_x240(spark, sf_dir):
+    """The sweep's (64,16,4,nplace=1) row must reproduce x240's audit
+    exactly — the sweep's restricted build is bit-identical to each
+    audit source's slice of the full build."""
+    from json_to_parquet_spark.queries.graph_ssl import (
+        KNNG_CAP,
+        KNNG_K,
+        KNNG_OV,
+        x240_knn_graph_recall,
+    )
+
+    rows = _sweep_rows(spark, sf_dir)
+    reg = rows[(KNNG_CAP, KNNG_OV, KNNG_K, 1)]
+    x240 = x240_knn_graph_recall(spark, sf_dir).agg(
+        F.sum("n_true").alias("t"), F.sum("n_hit").alias("h")
+    ).collect()[0]
+    assert (reg["n_true"], reg["n_hits"]) == (x240["t"], x240["h"])
+
+
+def test_x247_keeping_more_edges_is_monotone(spark, sf_dir):
+    """k_edges=8 keeps a superset of k_edges=4's edges from the SAME
+    ranked candidate list, so hits are provably non-decreasing."""
+    from json_to_parquet_spark.queries.graph_ssl import KNNG_CAP, KNNG_K, KNNG_OV
+
+    rows = _sweep_rows(spark, sf_dir)
+    assert (
+        rows[(KNNG_CAP, KNNG_OV, 2 * KNNG_K, 1)]["n_hits"]
+        >= rows[(KNNG_CAP, KNNG_OV, KNNG_K, 1)]["n_hits"]
+    )
+
+
+def test_x247_multiprobe_placement_is_the_productive_knob(spark, sf_dir):
+    """The sweep's measured conclusion, pinned on BOTH geometries:
+    doubling ring capacity barely moves recall (misses are routed to
+    other cells), while nplace=2 placement strictly improves it —
+    deterministic data, so strict inequalities are stable."""
+    from json_to_parquet_spark.queries.graph_ssl import KNNG_CAP, KNNG_K, KNNG_OV
+
+    for d in (sf_dir, _clustered_dir()):
+        rows = _sweep_rows(spark, d)
+        one = rows[(KNNG_CAP, KNNG_OV, KNNG_K, 1)]["n_hits"]
+        two = rows[(KNNG_CAP, KNNG_OV, KNNG_K, 2)]["n_hits"]
+        assert two > one, (d, one, two)
+
+
 def test_x246_policy_is_the_shared_integer_rule(spark, sf_dir):
     """The hot set must equal an independent recomputation of the
     integer threshold from raw per-cell add/base populations."""
