@@ -1635,3 +1635,207 @@ register(
         "kNN-graph capacity sweep: exact-recall audit under each (cap, ov, k_edges) configuration",
     )
 )
+
+
+# --- x248: graph beam-search serving ------------------------------------------------
+# The production way to SERVE a kNN graph (HNSW's layer-0 greedy
+# search, Malkov & Yashunin 2018): route the query to its coarse cell,
+# enter the graph at that cell's centroid (a corpus vector by the
+# family's determinism trick, so entry costs nothing), then GBS_ROUNDS
+# beam expansions over the SYMMETRIZED adjacency (edges ∪ reversed —
+# the standard undirected traversal; reverse fan-out is bounded by the
+# hubness x243 measures).  Per-query cost is GBS_B·(K + in_deg) scored
+# candidates per round — independent of corpus size, the whole point
+# of serving from a graph instead of scanning lists.  Output rows are
+# the served top-GBS_K with an exact-truth hit flag, so the gate row
+# doubles as the serving-quality audit.
+GBS_NQ = 16     # bounded query set: vec_id < 16
+GBS_B = 8       # beam width
+GBS_ROUNDS = 3  # expansion sweeps
+GBS_K = 4       # served top-k
+
+
+def x248_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, rank, vec_id, cos_sim, hit): each query's beam-search
+    top-GBS_K over the persisted graph, hit=1 iff the result is in the
+    exact top-GBS_K.  Scale shapes: the graph build is x238's (paid
+    once, served from the store); query routing is bounded (GBS_NQ
+    rows); every round is a beam-keyed hash join of a ≤NQ·B row frame
+    against the n·K adjacency + one bounded re-rank window; the truth
+    pass is one broadcast(GBS_NQ)×corpus scan (the x240 audit shape)."""
+    emb, sup, cs = _quantizer_frames(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < GBS_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+    )
+    nlist = ivf_nlist(spark, sf_dir)
+    entry = (
+        route_two_level(
+            queries.select(
+                F.col("q_id").alias("vec_id"),
+                F.col("q_vec").alias("embedding"),
+            ),
+            sup,
+            cs,
+            cent_rows=nlist,
+        )
+        .select(F.col("vec_id").alias("q_id"), F.col("c_id").alias("vec_id"))
+        # plus the GLOBAL anchor (the first non-centroid corpus vector,
+        # vec_id = nlist): HNSW's fixed entry point — without it a query
+        # whose cell centroid is itself in an isolated pop-1 cell would
+        # be served zero rows (observed at the smallest fixture)
+        .unionAll(
+            queries.select("q_id", F.lit(nlist).cast("long").alias("vec_id"))
+        )
+    )
+    edges = knn_edges(spark, sf_dir).select("src_id", "dst_id")
+    adj = (
+        edges.unionAll(
+            edges.select(
+                F.col("dst_id").alias("src_id"),
+                F.col("src_id").alias("dst_id"),
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _scored(pool: DataFrame) -> DataFrame:
+        return (
+            pool.join(
+                emb.select(F.col("vec_id"), F.col("v")), "vec_id"
+            )
+            .join(F.broadcast(queries), "q_id")
+            .select(
+                "q_id",
+                "vec_id",
+                F.round(
+                    dot(F.col("q_vec"), F.col("v"))
+                    / (l2norm(F.col("q_vec")) * l2norm(F.col("v"))),
+                    6,
+                ).alias("cos_sim"),
+            )
+        )
+
+    wq = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    beam = entry.localCheckpoint()
+    scored = None
+    for _ in range(GBS_ROUNDS):
+        expanded = beam.join(
+            adj, beam["vec_id"] == adj["src_id"]
+        ).select("q_id", F.col("dst_id").alias("vec_id"))
+        pool = beam.select("q_id", "vec_id").unionAll(expanded).distinct()
+        scored = _scored(pool).localCheckpoint()
+        beam = (
+            scored.withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= GBS_B)
+            .select("q_id", "vec_id")
+        )
+    served = (
+        scored.filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= GBS_K)
+    )
+    wt = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    truth = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(F.col("q_vec"), F.col("v")).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= GBS_K)
+        .select("q_id", "vec_id", F.lit(1).alias("hit"))
+    )
+    return (
+        served.join(truth, ["q_id", "vec_id"], "left")
+        .select(
+            F.col("q_id").cast("long").alias("q_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            "cos_sim",
+            F.coalesce(F.col("hit"), F.lit(0)).cast("long").alias("hit"),
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
+def _x248_sql() -> str:
+    rounds = []
+    for r in range(GBS_ROUNDS):
+        rounds.append(f"""pool{r} AS (
+          SELECT DISTINCT q_id, vec_id FROM (
+            SELECT q_id, vec_id FROM beam{r}
+            UNION ALL
+            SELECT b.q_id, a.dst_id AS vec_id
+            FROM beam{r} b JOIN adj a ON b.vec_id = a.src_id)),
+        scored{r} AS MATERIALIZED (
+          SELECT p.q_id, p.vec_id,
+                 {_SQL_COS.format(a="q.q_vec", b="ev.v")} AS cos_sim
+          FROM pool{r} p JOIN e ev ON ev.vec_id = p.vec_id
+               JOIN queries q ON q.q_id = p.q_id),
+        beam{r + 1} AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos_sim DESC, vec_id ASC)
+                       AS rk
+            FROM scored{r})
+          WHERE rk <= {GBS_B})""")
+    chain = ",\n        ".join(rounds)
+    last = f"scored{GBS_ROUNDS - 1}"
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        {_sql_knn_edges()},
+        queries AS (SELECT vec_id AS q_id, v AS q_vec FROM e
+                    WHERE vec_id < {GBS_NQ}),
+        adj AS MATERIALIZED (
+          SELECT DISTINCT src_id, dst_id FROM (
+            SELECT src_id, dst_id FROM edges
+            UNION ALL
+            SELECT dst_id, src_id FROM edges)),
+        beam0 AS (
+          SELECT vec_id AS q_id, c_id AS vec_id FROM asn
+          WHERE vec_id < {GBS_NQ}
+          UNION ALL
+          SELECT q_id, CAST({SQL_IVF_NLIST} AS BIGINT) AS vec_id
+          FROM queries),
+        {chain},
+        served AS (
+          SELECT q_id, vec_id, cos_sim,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos_sim DESC, vec_id ASC)
+                     AS rank
+          FROM {last}
+          WHERE vec_id != q_id
+          QUALIFY rank <= {GBS_K}),
+        truth AS (
+          SELECT q_id, vec_id, 1 AS hit FROM (
+            SELECT q.q_id, e.vec_id,
+                   {_SQL_COS.format(a="q.q_vec", b="e.v")} AS cos_sim
+            FROM e CROSS JOIN queries q
+            WHERE e.vec_id != q.q_id)
+          QUALIFY row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, vec_id ASC)
+                  <= {GBS_K})
+        SELECT CAST(s.q_id AS BIGINT) AS q_id,
+               CAST(s.rank AS BIGINT) AS rank,
+               CAST(s.vec_id AS BIGINT) AS vec_id,
+               s.cos_sim,
+               CAST(COALESCE(t.hit, 0) AS BIGINT) AS hit
+        FROM served s
+        LEFT JOIN truth t ON t.q_id = s.q_id AND t.vec_id = s.vec_id
+        ORDER BY q_id, rank
+        """
+
+
+register(
+    QuerySpec(
+        "x248_graph_beam_search",
+        x248_graph_beam_search,
+        _x248_sql(),
+        "graph beam-search serving: HNSW-style greedy top-k over the symmetrized kNN graph, with exact-truth hits",
+    )
+)

@@ -205,6 +205,7 @@ _BNLJ_ALLOWED = {
     "x236_embedding_drift",  # K0/nlist frames + 2-row half-spine cross
     "x237_drift_retrain",  # K0/nlist frames + 1-row psi/max-pop scalar crosses
     "x240_knn_graph_recall",  # GRA_NQ-row audit-vector broadcast (x76 shape)
+    "x248_graph_beam_search",  # GBS_NQ-row query-vector broadcast (x240 shape)
     "x242_stream_drift_monitor",  # x237's monitor shapes: 1-row psi cross
 }
 

@@ -161,6 +161,75 @@ def test_x247_multiprobe_placement_is_the_productive_knob(spark, sf_dir):
         assert two > one, (d, one, two)
 
 
+def test_x248_serving_shape_laws(spark, sf_dir):
+    """Exactly GBS_K served rows per query, never the query itself,
+    ranks dense from 1."""
+    from json_to_parquet_spark.queries.graph_ssl import (
+        GBS_K,
+        GBS_NQ,
+        x248_graph_beam_search,
+    )
+
+    rows = x248_graph_beam_search(spark, sf_dir).collect()
+    assert len(rows) == GBS_NQ * GBS_K
+    per = {}
+    for r in rows:
+        assert r.vec_id != r.q_id
+        per.setdefault(r.q_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, GBS_K + 1)) for v in per.values())
+
+
+def test_x248_traversal_recovers_static_edge_quality(spark, sf_dir):
+    """The beam walk must find AT LEAST the exact-top-K hits the
+    graph's own capped edges hold for the same queries — serving via
+    traversal may never be worse than reading the query's stored edge
+    list (which only exists because these audit queries are corpus
+    members; an external query has no stored list, which is why the
+    serving path exists).  Measured: exactly equal on every fixture at
+    B=8/R=3 — the walk converges to build-quality edges, and x247's
+    finding applies: the recall knob is placement geometry (nplace),
+    not more search effort."""
+    from json_to_parquet_spark.queries.graph_ssl import (
+        GBS_K,
+        GBS_NQ,
+        knn_edges,
+        x248_graph_beam_search,
+    )
+    from json_to_parquet_spark.queries.similarity import cosine
+    from json_to_parquet_spark.sources.catalog import load_table
+
+    for d in (sf_dir, _clustered_dir()):
+        served = x248_graph_beam_search(spark, d)
+        beam_hits = served.agg(F.sum("hit")).collect()[0][0]
+        emb = load_table(spark, d, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        q = emb.filter(F.col("vec_id") < GBS_NQ).select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+        )
+        from pyspark.sql import Window
+
+        wt = Window.partitionBy("q_id").orderBy(
+            F.desc("cos_sim"), F.asc("vec_id")
+        )
+        truth = (
+            emb.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select(
+                "q_id", "vec_id",
+                cosine(F.col("q_vec"), F.col("v")).alias("cos_sim"),
+            )
+            .withColumn("rk", F.row_number().over(wt))
+            .filter(F.col("rk") <= GBS_K)
+            .select(F.col("q_id").alias("src_id"), F.col("vec_id").alias("dst_id"))
+        )
+        edge_hits = truth.join(
+            knn_edges(spark, d).select("src_id", "dst_id"),
+            ["src_id", "dst_id"],
+        ).count()
+        assert beam_hits >= edge_hits, (d, beam_hits, edge_hits)
+
+
 def test_x246_policy_is_the_shared_integer_rule(spark, sf_dir):
     """The hot set must equal an independent recomputation of the
     integer threshold from raw per-cell add/base populations."""
