@@ -1839,3 +1839,172 @@ register(
         "graph beam-search serving: HNSW-style greedy top-k over the symmetrized kNN graph, with exact-truth hits",
     )
 )
+
+
+# --- x249: multi-probe graph build --------------------------------------------------
+# The production follow-through of x247's measurement: nplace=2
+# overlapping placement (each vector joins its TWO nearest cells —
+# FAISS's multi-assignment trick for knn-graph construction) is the
+# knob that actually moves recall (0.38→0.46 uniform, 0.60→0.73
+# clustered at the audit; capacity axes are flat), at exactly 2× the
+# build's pair volume — still linear by construction, the same
+# CAP+2·OV per-placement bound.  This registers that build corpus-wide
+# as a first-class graph: x238's output shape over the overlapped
+# placement, so any consumer can swap it in where the recall is worth
+# the doubled build.
+KNNG_NPLACE2 = 2
+
+
+def _knn2_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x238's capped scoring pass under nplace=2 placement.  Overlapping
+    placements can surface one unordered pair through two shared cells,
+    so the half-pairs are normalized to (lo, hi) and deduped BEFORE the
+    array-carrying score join (for nplace=1 this normalization is a
+    no-op by construction — every vector holds one (cell, ring) slot)."""
+    emb, sup, cs = _quantizer_frames(spark, sf_dir)
+    routed = (
+        route_two_level(
+            emb.select("vec_id", F.col("v").alias("embedding")),
+            sup,
+            cs,
+            n_keep=KNNG_NPLACE2,
+            cent_rows=ivf_nlist(spark, sf_dir),
+            include_dist=True,
+        )
+        .select("vec_id", F.col("c_id").alias("cell"), "d")
+    )
+    placed = _ring_place(routed).localCheckpoint()
+    half = (
+        _ring_half_pairs(placed)
+        .select(
+            F.least("src_id", "dst_id").alias("src_id"),
+            F.greatest("src_id", "dst_id").alias("dst_id"),
+        )
+        .distinct()
+    )
+    scored_half = _score_pairs(half, emb).localCheckpoint()
+    return scored_half.unionAll(
+        scored_half.select(
+            F.col("dst_id").alias("src_id"),
+            F.col("src_id").alias("dst_id"),
+            "cos_sim",
+        )
+    )
+
+
+def knn2_graph_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once store for the multi-probe graph (knn_graph_path's
+    economics and cache-keying discipline)."""
+    import hashlib
+    import os
+
+    from .convert_gate import GATE_DIR
+    from .similarity import IVF_K0_MIN, IVF_N_CENTROIDS, _data_fingerprint
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    sig = repr(
+        (
+            "knng2-v1", KNNG_CAP, KNNG_OV, KNNG_K, KNNG_NPLACE2,
+            IVF_N_CENTROIDS, IVF_K0_MIN,
+        )
+    )
+    token = hashlib.sha256(sig.encode()).hexdigest()[:8]
+    dest = os.path.join(
+        GATE_DIR, f"knng2_{tag}_{token}_d{_data_fingerprint(sf_dir)}"
+    )
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        (
+            _topk_edges(_knn2_scored(spark, sf_dir))
+            .write.mode("overwrite")
+            .parquet(dest)
+        )
+    return dest
+
+
+def x249_multiprobe_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nplace=2 corpus kNN graph: (src_id, dst_id, rank, cos_sim),
+    x238's output shape over overlapping placement, served from the
+    build-once store.  Scale shapes: one shared two-level assignment at
+    n_keep=2 (~n^1.25, the routing pass itself is placement-count
+    independent); 2× x238's ring windows and capped pair volume — still
+    ≤ 2n·(CAP + 2·OV) pairs, linear by construction."""
+    return spark.read.parquet(knn2_graph_path(spark, sf_dir)).select(
+        "src_id",
+        "dst_id",
+        F.col("rank").cast("long").alias("rank"),
+        "cos_sim",
+    ).orderBy("src_id", "rank")
+
+
+def _x249_sql() -> str:
+    from .similarity import _SQD
+
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent_seed AS (SELECT vec_id AS c_id, v AS c_vec FROM e
+                      WHERE vec_id < {SQL_IVF_NLIST}),
+        {_SQL_SUP_VECSUP},
+        {_sql_cs("cent_seed", "cs")},
+        asn2 AS MATERIALIZED (
+          SELECT vec_id, cell, d FROM (
+            SELECT vec_id, cell, d,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cell) AS crank
+            FROM (
+              SELECT e.vec_id, cs.c_id AS cell,
+                     {_SQD.format(a="e.v", b="cs.c_vec")} AS d
+              FROM e JOIN vec_sup vs USING (vec_id)
+                     JOIN cs ON vs.s_id = cs.s_id))
+          WHERE crank <= {KNNG_NPLACE2}),
+        placed AS MATERIALIZED (
+          SELECT vec_id, cell, rn0 // {KNNG_CAP} AS ring,
+                 rn0 % {KNNG_CAP} AS pos
+          FROM (
+            SELECT a.vec_id, a.cell,
+                   row_number() OVER (PARTITION BY a.cell
+                                      ORDER BY a.d, a.vec_id) - 1 AS rn0
+            FROM asn2 a)),
+        half AS (
+          SELECT DISTINCT LEAST(src_id, dst_id) AS src_id,
+                 GREATEST(src_id, dst_id) AS dst_id FROM (
+            SELECT s.vec_id AS src_id, t.vec_id AS dst_id
+            FROM placed s JOIN placed t USING (cell, ring)
+            WHERE s.vec_id != t.vec_id
+            UNION ALL
+            SELECT s.vec_id, t.vec_id FROM placed s JOIN placed t
+              ON s.cell = t.cell AND s.ring + 1 = t.ring
+                 AND s.pos >= {KNNG_CAP - KNNG_OV} AND t.pos < {KNNG_OV}
+            UNION ALL
+            SELECT s.vec_id, t.vec_id FROM placed s JOIN placed t
+              ON s.cell = t.cell AND s.ring = t.ring + 1
+                 AND s.pos < {KNNG_OV} AND t.pos >= {KNNG_CAP - KNNG_OV})),
+        cand AS (
+          SELECT src_id, dst_id FROM half
+          UNION ALL
+          SELECT dst_id, src_id FROM half),
+        scored AS (
+          SELECT c.src_id, c.dst_id,
+                 {_SQL_COS.format(a="sv.v", b="tv.v")} AS cos
+          FROM cand c JOIN e sv ON sv.vec_id = c.src_id
+               JOIN e tv ON tv.vec_id = c.dst_id)
+        SELECT src_id, dst_id, CAST(rank AS BIGINT) AS rank,
+               cos AS cos_sim
+        FROM (
+          SELECT src_id, dst_id, cos,
+                 row_number() OVER (PARTITION BY src_id
+                                    ORDER BY cos DESC, dst_id ASC) AS rank
+          FROM scored)
+        WHERE rank <= {KNNG_K}
+        ORDER BY src_id, rank
+        """
+
+
+register(
+    QuerySpec(
+        "x249_multiprobe_graph",
+        x249_multiprobe_graph,
+        _x249_sql(),
+        "multi-probe kNN graph: nplace=2 overlapping placement, the measured recall knob, still linear pair volume",
+    )
+)

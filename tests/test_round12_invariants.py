@@ -230,6 +230,57 @@ def test_x248_traversal_recovers_static_edge_quality(spark, sf_dir):
         assert beam_hits >= edge_hits, (d, beam_hits, edge_hits)
 
 
+def test_x249_multiprobe_recall_beats_single_placement(spark, sf_dir):
+    """The nplace=2 graph must hold STRICTLY more exact-top-K edges
+    than x238's single-placement graph over the audit set, on both
+    geometries — the end-to-end confirmation of x247's sweep finding
+    (deterministic data, stable inequality)."""
+    from json_to_parquet_spark.queries.graph_ssl import (
+        GRA_NQ,
+        KNNG_K,
+        knn_edges,
+        x249_multiprobe_graph,
+    )
+    from json_to_parquet_spark.queries.similarity import cosine
+    from json_to_parquet_spark.sources.catalog import load_table
+    from pyspark.sql import Window
+
+    for d in (sf_dir, _clustered_dir()):
+        emb = load_table(spark, d, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        q = emb.filter(F.col("vec_id") < GRA_NQ).select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+        )
+        wt = Window.partitionBy("q_id").orderBy(
+            F.desc("cos_sim"), F.asc("vec_id")
+        )
+        truth = (
+            emb.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select(
+                "q_id", "vec_id",
+                cosine(F.col("q_vec"), F.col("v")).alias("cos_sim"),
+            )
+            .withColumn("rk", F.row_number().over(wt))
+            .filter(F.col("rk") <= KNNG_K)
+            .select(
+                F.col("q_id").alias("src_id"),
+                F.col("vec_id").alias("dst_id"),
+            )
+            .localCheckpoint()
+        )
+
+        def hits(edges):
+            return truth.join(
+                edges.select("src_id", "dst_id"), ["src_id", "dst_id"]
+            ).count()
+
+        h1 = hits(knn_edges(spark, d))
+        h2 = hits(x249_multiprobe_graph(spark, d))
+        assert h2 > h1, (d, h1, h2)
+
+
 def test_x246_policy_is_the_shared_integer_rule(spark, sf_dir):
     """The hot set must equal an independent recomputation of the
     integer threshold from raw per-cell add/base populations."""
