@@ -167,6 +167,16 @@ HEADLINE = [
     "x243_hubness_audit",
     "x244_centrality_select",
     "x245_graph_add_cdc",
+    # round-12 additions: the graph segment merge (add-batch routing +
+    # threshold-hot re-ring, cold segments served from the base store),
+    # the capacity/placement knob sweep (one shared n_keep=2 routing
+    # pass + audit-cell-restricted builds), beam-search serving
+    # (bounded per-query walk over the persisted graph), and the
+    # multi-probe graph served from its build-once store
+    "x246_graph_compaction",
+    "x247_graph_knob_sweep",
+    "x248_graph_beam_search",
+    "x249_multiprobe_graph",
 ]
 
 CONVERT_RECORDS = 100_000

@@ -316,6 +316,48 @@ register(
 )
 
 
+def _lp_vote(edges: DataFrame, labeled: DataFrame) -> DataFrame:
+    """One frozen-LP sweep: each still-unlabeled source takes the
+    majority label of its labeled out-neighbours (ties: smaller label).
+    Returns the NEW (vec_id, lab, via='prop') rows only."""
+    votes = (
+        edges.join(
+            labeled.select(F.col("vec_id").alias("dst_id"), "lab"),
+            "dst_id",
+        )
+        .join(
+            labeled.select(F.col("vec_id").alias("src_id")),
+            "src_id",
+            "left_anti",
+        )
+        .groupBy("src_id", "lab")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("cnt"), F.asc("lab"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("src_id").alias("vec_id"),
+            "lab",
+            F.lit("prop").alias("via"),
+        )
+    )
+
+
+def _frozen_lp(
+    edges: DataFrame, seeds: DataFrame, rounds: int = LP_ROUNDS
+) -> DataFrame:
+    """x239's frozen label propagation over arbitrary ``edges`` from
+    ``seeds(vec_id, lab, via)``: labels freeze once assigned (monotone,
+    converges); the label frame is localCheckpointed per round (bounded
+    lineage, the x179/x125 precedent)."""
+    labeled = seeds.localCheckpoint()
+    for _ in range(rounds):
+        labeled = labeled.unionAll(_lp_vote(edges, labeled)).localCheckpoint()
+    return labeled
+
+
 def x239_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frozen label propagation over the x238 graph: vec_id % LP_SEED_MOD
     seeds reveal their curated label; LP_ROUNDS sweeps assign each
@@ -342,36 +384,10 @@ def x239_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src_id", "dst_id")
         .localCheckpoint()
     )
-    labeled = (
-        emb.filter(F.col("vec_id") % LP_SEED_MOD == 0)
-        .select("vec_id", F.col("label").alias("lab"), F.lit("seed").alias("via"))
-        .localCheckpoint()
+    seeds = emb.filter(F.col("vec_id") % LP_SEED_MOD == 0).select(
+        "vec_id", F.col("label").alias("lab"), F.lit("seed").alias("via")
     )
-    for _ in range(LP_ROUNDS):
-        votes = (
-            edges.join(
-                labeled.select(F.col("vec_id").alias("dst_id"), "lab"),
-                "dst_id",
-            )
-            .join(
-                labeled.select(F.col("vec_id").alias("src_id")),
-                "src_id",
-                "left_anti",
-            )
-            .groupBy("src_id", "lab")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        w = Window.partitionBy("src_id").orderBy(F.desc("cnt"), F.asc("lab"))
-        new = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                F.col("src_id").alias("vec_id"),
-                "lab",
-                F.lit("prop").alias("via"),
-            )
-        )
-        labeled = labeled.unionAll(new).localCheckpoint()
+    labeled = _frozen_lp(edges, seeds)
     stats = labeled.join(emb, "vec_id").groupBy(
         F.col("label")
     ).agg(
@@ -2006,5 +2022,193 @@ register(
         x249_multiprobe_graph,
         _x249_sql(),
         "multi-probe kNN graph: nplace=2 overlapping placement, the measured recall knob, still linear pair volume",
+    )
+)
+
+
+# --- x250: label-propagation CDC ----------------------------------------------------
+# The SSL lifecycle's incremental arrow: when the GADD_MOD batch
+# arrives, a production labeler does NOT re-propagate the corpus — the
+# base graph's label state is FROZEN (computed once per source state,
+# x239's machinery over the persisted base segment), and each add takes
+# one vote over its x245 CDC edges against that state (base labels +
+# fellow-add seeds).  Labeling cost is linear in the ADD BATCH, the
+# x245/x220 maintenance economics applied to labels.  The output is
+# x239's per-true-label stats shape restricted to the add batch, so the
+# gate row measures exactly what the increment labeled and how well.
+
+
+def x250_label_prop_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, n_nodes, n_seed, n_prop, n_prop_correct) over the ADD
+    batch only: adds that are seeds reveal their label; the rest take
+    one frozen-LP vote over their CDC edges against the base graph's
+    propagated state.  Scale shapes: the base LP is x239's loop over
+    the persisted base segment (key-shuffle joins of the n·K edge
+    list); the increment is ONE vote join over the |adds|·K CDC edge
+    list — nothing corpus-sized is recomputed."""
+    lab_emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    adds_l = lab_emb.filter(F.col("vec_id") % GADD_MOD == 3)
+    base_l = lab_emb.filter(F.col("vec_id") % GADD_MOD != 3)
+    edges_p, _ = base_graph_paths(spark, sf_dir)
+    base_edges = (
+        spark.read.parquet(edges_p).select("src_id", "dst_id").localCheckpoint()
+    )
+    base_seeds = base_l.filter(F.col("vec_id") % LP_SEED_MOD == 0).select(
+        "vec_id", F.col("label").alias("lab"), F.lit("seed").alias("via")
+    )
+    add_seeds = adds_l.filter(F.col("vec_id") % LP_SEED_MOD == 0).select(
+        "vec_id", F.col("label").alias("lab"), F.lit("seed").alias("via")
+    )
+    state = (
+        _frozen_lp(base_edges, base_seeds)
+        .unionAll(add_seeds)
+        .localCheckpoint()
+    )
+    add_edges = (
+        x245_graph_add_cdc(spark, sf_dir)
+        .select("src_id", "dst_id")
+        .localCheckpoint()
+    )
+    add_labeled = add_seeds.unionAll(_lp_vote(add_edges, state))
+    stats = add_labeled.join(adds_l, "vec_id").groupBy("label").agg(
+        F.sum((F.col("via") == "seed").cast("long")).alias("n_seed"),
+        F.sum((F.col("via") == "prop").cast("long")).alias("n_prop"),
+        F.sum(
+            ((F.col("via") == "prop") & (F.col("lab") == F.col("label")))
+            .cast("long")
+        ).alias("n_prop_correct"),
+    )
+    totals = adds_l.groupBy("label").agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        totals.join(stats, "label", "left")
+        .fillna(0, subset=["n_seed", "n_prop", "n_prop_correct"])
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_seed").cast("long").alias("n_seed"),
+            F.col("n_prop").cast("long").alias("n_prop"),
+            F.col("n_prop_correct").cast("long").alias("n_prop_correct"),
+        )
+        .orderBy("label")
+    )
+
+
+def _x250_sql() -> str:
+    lp_steps = [f"""lab0 AS MATERIALIZED (
+          SELECT vec_id, label AS lab, 'seed' AS via FROM embl
+          WHERE vec_id % {GADD_MOD} != 3 AND vec_id % {LP_SEED_MOD} = 0)"""]
+    for i in range(LP_ROUNDS):
+        lp_steps.append(f"""votes{i} AS MATERIALIZED (
+          SELECT g.src_id, l.lab, COUNT(*) AS cnt
+          FROM bedges g
+          JOIN lab{i} l ON g.dst_id = l.vec_id
+          LEFT JOIN lab{i} x ON g.src_id = x.vec_id
+          WHERE x.vec_id IS NULL
+          GROUP BY g.src_id, l.lab),
+        new{i} AS (
+          SELECT src_id AS vec_id, lab, 'prop' AS via FROM (
+            SELECT src_id, lab,
+                   row_number() OVER (PARTITION BY src_id
+                                      ORDER BY cnt DESC, lab ASC) AS rn
+            FROM votes{i})
+          WHERE rn = 1),
+        lab{i + 1} AS MATERIALIZED (
+          SELECT * FROM lab{i} UNION ALL SELECT * FROM new{i})""")
+    lp_chain = ",\n        ".join(lp_steps)
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        embl AS (
+          SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        cent_seed AS (SELECT vec_id AS c_id, v AS c_vec FROM e
+                      WHERE vec_id < {SQL_IVF_NLIST}),
+        {_SQL_SUP_VECSUP},
+        {_sql_cs("cent_seed", "cs")},
+        {_sql_asn("cs", "asn")},
+        placed_base AS MATERIALIZED (
+          SELECT vec_id, cell, rn0 // {KNNG_CAP} AS ring,
+                 rn0 % {KNNG_CAP} AS pos
+          FROM (
+            SELECT a.vec_id, a.c_id AS cell,
+                   row_number() OVER (PARTITION BY a.c_id
+                                      ORDER BY a.d, a.vec_id) - 1 AS rn0
+            FROM asn a WHERE a.vec_id % {GADD_MOD} != 3)),
+        {_sql_ring_cand("placed_base", "cand_b")},
+        {_sql_ring_topk("cand_b", "bedges_t", "base")},
+        bedges AS MATERIALIZED (SELECT src_id, dst_id FROM bedges_t),
+        {lp_chain},
+        placed_add AS MATERIALIZED (
+          SELECT vec_id, cell, rn0 // {KNNG_CAP} AS ring
+          FROM (
+            SELECT a.vec_id, a.c_id AS cell,
+                   row_number() OVER (PARTITION BY a.c_id
+                                      ORDER BY a.d, a.vec_id) - 1 AS rn0
+            FROM asn a WHERE a.vec_id % {GADD_MOD} = 3)),
+        last_ring AS (
+          SELECT cell, MAX(ring) AS last_ring
+          FROM placed_base GROUP BY cell),
+        cand_add AS (
+          SELECT s.vec_id AS src_id, t.vec_id AS dst_id, s.cell
+          FROM placed_add s JOIN placed_add t USING (cell, ring)
+          WHERE s.vec_id != t.vec_id
+          UNION ALL
+          SELECT s.vec_id, b.vec_id, s.cell
+          FROM placed_add s
+          JOIN last_ring l ON l.cell = s.cell
+          JOIN placed_base b ON b.cell = s.cell AND b.ring = l.last_ring),
+        {_sql_ring_topk("cand_add", "aedges_t", "cdc")},
+        aedges AS (SELECT src_id, dst_id FROM aedges_t),
+        astate AS MATERIALIZED (
+          SELECT * FROM lab{LP_ROUNDS}
+          UNION ALL
+          SELECT vec_id, label AS lab, 'seed' AS via FROM embl
+          WHERE vec_id % {GADD_MOD} = 3 AND vec_id % {LP_SEED_MOD} = 0),
+        avotes AS (
+          SELECT g.src_id, l.lab, COUNT(*) AS cnt
+          FROM aedges g
+          JOIN astate l ON g.dst_id = l.vec_id
+          LEFT JOIN astate x ON g.src_id = x.vec_id
+          WHERE x.vec_id IS NULL
+          GROUP BY g.src_id, l.lab),
+        anew AS (
+          SELECT src_id AS vec_id, lab, 'prop' AS via FROM (
+            SELECT src_id, lab,
+                   row_number() OVER (PARTITION BY src_id
+                                      ORDER BY cnt DESC, lab ASC) AS rn
+            FROM avotes)
+          WHERE rn = 1),
+        add_labeled AS (
+          SELECT vec_id, lab, via FROM astate WHERE vec_id % {GADD_MOD} = 3
+          UNION ALL
+          SELECT * FROM anew),
+        stats AS (
+          SELECT m.label,
+                 SUM(CASE WHEN l.via = 'seed' THEN 1 ELSE 0 END) AS n_seed,
+                 SUM(CASE WHEN l.via = 'prop' THEN 1 ELSE 0 END) AS n_prop,
+                 SUM(CASE WHEN l.via = 'prop' AND l.lab = m.label
+                     THEN 1 ELSE 0 END) AS n_prop_correct
+          FROM add_labeled l JOIN embl m USING (vec_id)
+          GROUP BY m.label)
+        SELECT CAST(t.label AS BIGINT) AS label,
+               CAST(t.n_nodes AS BIGINT) AS n_nodes,
+               CAST(COALESCE(s.n_seed, 0) AS BIGINT) AS n_seed,
+               CAST(COALESCE(s.n_prop, 0) AS BIGINT) AS n_prop,
+               CAST(COALESCE(s.n_prop_correct, 0) AS BIGINT)
+                   AS n_prop_correct
+        FROM (SELECT label, COUNT(*) AS n_nodes FROM embl
+              WHERE vec_id % {GADD_MOD} = 3 GROUP BY label) t
+        LEFT JOIN stats s ON s.label = t.label
+        ORDER BY label
+        """
+
+
+register(
+    QuerySpec(
+        "x250_label_prop_cdc",
+        x250_label_prop_cdc,
+        _x250_sql(),
+        "label-propagation CDC: adds labeled by one vote over CDC edges against the frozen base-graph label state",
     )
 )

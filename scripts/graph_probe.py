@@ -38,6 +38,15 @@ CONSUMERS = [
     "x241_nn_descent",
     "x243_hubness_audit",
     "x244_centrality_select",
+    # round-12: beam-search serving (bounded per-query walk over the
+    # stored edges), the knob sweep (one shared n_keep=2 routing pass +
+    # audit-cell-restricted builds), and the segment merge (add-batch
+    # routing + threshold-hot re-ring; its base store is built cold
+    # alongside the graph store below)
+    "x248_graph_beam_search",
+    "x247_graph_knob_sweep",
+    "x246_graph_compaction",
+    "x249_multiprobe_graph",
 ]
 DRIFT = ["x237_drift_retrain", "x242_stream_drift_monitor"]
 
@@ -66,6 +75,8 @@ def main() -> None:
             continue
         for p in (
             glob.glob(os.path.join(GATE_DIR, "knng_*"))
+            + glob.glob(os.path.join(GATE_DIR, "knng2_*"))
+            + glob.glob(os.path.join(GATE_DIR, "gseg_*"))
             + glob.glob(os.path.join(GATE_DIR, "drift_recent_*"))
             + glob.glob(os.path.join(GATE_DIR, "serve_occ_*"))
         ):
@@ -75,6 +86,21 @@ def main() -> None:
         build_s = round(time.time() - t0, 3)
         out.setdefault("knng_build", {})[sf_name] = build_s
         print(f"{sf_name} knng_build: {build_s}s", file=sys.stderr)
+        from json_to_parquet_spark.queries.graph_ssl import (
+            base_graph_paths,
+            knn2_graph_path,
+        )
+
+        t0 = time.time()
+        knn2_graph_path(spark, sf_dir)  # cold nplace=2 build, timed once
+        build2_s = round(time.time() - t0, 3)
+        out.setdefault("knng2_build", {})[sf_name] = build2_s
+        print(f"{sf_name} knng2_build: {build2_s}s", file=sys.stderr)
+        t0 = time.time()
+        base_graph_paths(spark, sf_dir)  # cold base-segment build (x246)
+        gseg_s = round(time.time() - t0, 3)
+        out.setdefault("gseg_base_build", {})[sf_name] = gseg_s
+        print(f"{sf_name} gseg_base_build: {gseg_s}s", file=sys.stderr)
         names = CONSUMERS + ([] if args.skip_drift else DRIFT)
         for name in names:
             best = None
