@@ -177,6 +177,8 @@ HEADLINE = [
     "x247_graph_knob_sweep",
     "x248_graph_beam_search",
     "x249_multiprobe_graph",
+    # the incremental labeler: frozen base-LP state + one CDC-edge vote
+    "x250_label_prop_cdc",
 ]
 
 CONVERT_RECORDS = 100_000

@@ -47,6 +47,7 @@ CONSUMERS = [
     "x247_graph_knob_sweep",
     "x246_graph_compaction",
     "x249_multiprobe_graph",
+    "x250_label_prop_cdc",
 ]
 DRIFT = ["x237_drift_retrain", "x242_stream_drift_monitor"]
 
