@@ -2046,6 +2046,61 @@ def x250_label_prop_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the persisted base segment (key-shuffle joins of the n·K edge
     list); the increment is ONE vote join over the |adds|·K CDC edge
     list — nothing corpus-sized is recomputed."""
+    _emb, _base, adds = _gadd_frames(spark, sf_dir)
+    return _label_cdc_stats(
+        spark, sf_dir, _route_with_dist(spark, sf_dir, adds)
+    )
+
+
+def _add_cdc_edges_from_routed(
+    spark: SparkSession, sf_dir: str, add_routed: DataFrame
+) -> DataFrame:
+    """x245's CDC edges rebuilt from pre-routed add partials
+    (vec_id, cell, d) against the PERSISTED base segment: tail rings
+    over the adds, peers + the cell's last base ring, scored and
+    top-K'd — bit-identical to x245's edges (the store's placement is
+    the base routing persisted; scoring/tie rules are shared).  Lets
+    the streaming twin (x251) route per micro-batch and link once on
+    the drained set."""
+    emb, _sup, _cs = _quantizer_frames(spark, sf_dir)
+    _, placed_p = base_graph_paths(spark, sf_dir)
+    base_placed = spark.read.parquet(placed_p)
+    add_placed = _ring_place(add_routed)
+    a = add_placed.select(F.col("vec_id").alias("src_id"), "cell", "ring")
+    peer = (
+        a.join(
+            add_placed.select(F.col("vec_id").alias("dst_id"), "cell", "ring"),
+            ["cell", "ring"],
+        )
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select("src_id", "dst_id")
+    )
+    last_ring = base_placed.groupBy("cell").agg(
+        F.max("ring").alias("last_ring")
+    )
+    boundary = (
+        a.join(F.broadcast(last_ring), "cell")
+        .join(
+            base_placed.select(
+                F.col("vec_id").alias("dst_id"),
+                "cell",
+                F.col("ring").alias("bring"),
+            ),
+            "cell",
+        )
+        .filter(F.col("bring") == F.col("last_ring"))
+        .select("src_id", "dst_id")
+    )
+    return _topk_edges(_score_pairs(peer.unionAll(boundary), emb)).select(
+        "src_id", "dst_id"
+    )
+
+
+def _label_cdc_stats(
+    spark: SparkSession, sf_dir: str, add_routed: DataFrame
+) -> DataFrame:
+    """x250's tail over routed add partials: frozen base-LP state + one
+    CDC-edge vote + the per-true-label rollup."""
     lab_emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("label").cast("long").alias("label")
     )
@@ -2066,11 +2121,9 @@ def x250_label_prop_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(add_seeds)
         .localCheckpoint()
     )
-    add_edges = (
-        x245_graph_add_cdc(spark, sf_dir)
-        .select("src_id", "dst_id")
-        .localCheckpoint()
-    )
+    add_edges = _add_cdc_edges_from_routed(
+        spark, sf_dir, add_routed
+    ).localCheckpoint()
     add_labeled = add_seeds.unionAll(_lp_vote(add_edges, state))
     stats = add_labeled.join(adds_l, "vec_id").groupBy("label").agg(
         F.sum((F.col("via") == "seed").cast("long")).alias("n_seed"),

@@ -1571,3 +1571,79 @@ register(
         "streaming drift monitor: micro-batch occupancy partials == x237's batch PSI + decision",
     )
 )
+
+
+def x251_stream_label_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of x250's incremental labeler — how label CDC
+    runs in production: the add batch arrives as a 4-file micro-batch
+    stream; each batch routes its vectors through the FROZEN quantizer
+    (per-vector independent, so the routed partials compose exactly —
+    the x242 occupancy argument applied to assignments) and appends
+    narrow (vec_id, cell, d) rows; the drained set is tail-rung, linked
+    against the persisted base segment, and voted against the frozen
+    base-LP label state — x250's tail VERBATIM (`_label_cdc_stats`),
+    gated against x250's registered oracle (the x172/x212/x223/x234/
+    x242 anti-drift pattern).
+
+    Scale shapes: per micro-batch work is batch-sized (two bounded
+    broadcast hops); the tail is add-batch-sized (ring windows + capped
+    links over ≤2·CAP candidates per add + one vote join); the base LP
+    runs over the persisted segment's n·K edges, never rebuilt."""
+    from .graph_ssl import _gadd_frames, _label_cdc_stats
+    from .graph_ssl import _quantizer_frames as _graph_qf
+    from .similarity import ivf_nlist, route_two_level
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(GATE_DIR, f"src_x251_{sf_tag}")
+    part_dir = os.path.join(GATE_DIR, f"parts_x251_{sf_tag}")
+    ckpt = os.path.join(GATE_DIR, f"ckpt_x251_{sf_tag}")
+    _fresh(src, part_dir, ckpt)
+
+    _emb, sup, cs = _graph_qf(spark, sf_dir)
+    nlist = ivf_nlist(spark, sf_dir)
+    sup_f = sup.localCheckpoint()
+    cs_f = cs.localCheckpoint()
+    _e, _b, adds = _gadd_frames(spark, sf_dir)
+    adds.select("vec_id", F.col("v").alias("embedding")).repartition(
+        4, "vec_id"
+    ).write.parquet(src)
+
+    def handle_batch(bdf: DataFrame, _bid: int) -> None:
+        (
+            route_two_level(
+                bdf, sup_f, cs_f, cent_rows=nlist, include_dist=True
+            )
+            .select("vec_id", F.col("c_id").alias("cell"), "d")
+            .write.mode("append")
+            .parquet(part_dir)
+        )
+
+    q = (
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return _label_cdc_stats(spark, sf_dir, spark.read.parquet(part_dir))
+
+
+def _x251_sql() -> str:
+    from .graph_ssl import _x250_sql
+
+    # shared oracle: streaming partials compose to exactly the batch
+    # labeler's inputs, so the output must match x250 bit-for-bit
+    return _x250_sql()
+
+
+register(
+    QuerySpec(
+        "x251_stream_label_cdc",
+        x251_stream_label_cdc,
+        _x251_sql(),
+        "streaming label CDC: micro-batch routed partials + one drained vote == x250 bit-for-bit",
+    )
+)

@@ -301,6 +301,20 @@ def test_x250_cdc_labels_recover_blobs_on_clustered(spark, sf_dir):
     assert correct / prop >= 0.95, (correct, prop)
 
 
+def test_x251_streaming_equals_batch_labeler(spark, sf_dir):
+    """The streaming labeler's drained routed partials must reproduce
+    x250's batch output BIT-FOR-BIT — routing is per-vector independent
+    so micro-batching cannot change any assignment (the anti-drift law
+    the shared oracle enforces at the gate, re-asserted engine-side)."""
+    from json_to_parquet_spark.queries import registry
+
+    reg = registry()
+    cols = ["label", "n_nodes", "n_seed", "n_prop", "n_prop_correct"]
+    got = _rows(reg["x251_stream_label_cdc"].spark(spark, sf_dir), cols)
+    want = _rows(reg["x250_label_prop_cdc"].spark(spark, sf_dir), cols)
+    assert got == want and len(got) > 0
+
+
 def test_x246_policy_is_the_shared_integer_rule(spark, sf_dir):
     """The hot set must equal an independent recomputation of the
     integer threshold from raw per-cell add/base populations."""
