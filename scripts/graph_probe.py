@@ -112,6 +112,19 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
             out.setdefault(name, {})[sf_name] = round(best, 3)
             print(f"{sf_name} {name}: {best:.3f}s", file=sys.stderr)
+        # x248 decomposed: the serving walk alone, without the
+        # broadcast(NQ)×corpus exact-truth audit the gate row carries
+        # (the x172 drain/harness decomposition pattern)
+        from json_to_parquet_spark.queries.graph_ssl import beam_serve
+
+        best = None
+        for _ in range(args.runs):
+            t0 = time.time()
+            beam_serve(spark, sf_dir).collect()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out.setdefault("x248_serve_only", {})[sf_name] = round(best, 3)
+        print(f"{sf_name} x248_serve_only: {best:.3f}s", file=sys.stderr)
     for name, row in out.items():
         if "sfx1" in row and "sf0.1" in row:
             row["ratio_d1"] = round(row["sfx1"] / row["sf0.1"], 2)
