@@ -94,6 +94,19 @@ _FIXTURE_SCHEMA = T.StructType(
 )
 
 
+def _drain(q, timeout_s: int) -> None:
+    """awaitTermination with the timeout treated as a FAILURE, not a
+    shrug: every gate here reads the drained sink directly afterwards,
+    so a still-running stream would silently hand the tail a PARTIAL
+    directory (wrong stats that may still hash cleanly).  Raising turns
+    the flake into a visible error (code-review r12 finding)."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain did not complete within {timeout_s}s"
+        )
+
+
 def _fresh(*paths: str) -> None:
     for p in paths:
         shutil.rmtree(p, ignore_errors=True)
@@ -117,7 +130,7 @@ def x28_stream_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         sort_column="time",
         available_now=True,
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     out = spark.read.parquet(dest)
     # F.get: 0-based, null-safe on the v2 fixture's ragged lists (ANSI []
     # access would throw out-of-bounds).
@@ -197,7 +210,7 @@ def x29_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     return spark.read.parquet(dest)
 
 
@@ -244,7 +257,7 @@ def x37_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     return spark.read.parquet(dest)
 
 
@@ -298,7 +311,7 @@ def x67_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     return spark.table(name).orderBy("win_start_us", "event_type")
 
 
@@ -365,7 +378,7 @@ def x70_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     return spark.read.parquet(dest)
 
 
@@ -429,7 +442,7 @@ def x81_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     return (
         spark.table(name)
         .select(
@@ -550,7 +563,7 @@ def x87_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         available_now=True,
         max_files_per_trigger=1,
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     return (
         spark.read.parquet(base_dir)
         .select("k", "cust", F.col("price").cast("string").alias("price_str"))
@@ -628,7 +641,7 @@ def x109_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     from pyspark.sql import Window as W
 
     w = W.orderBy(F.desc("cnt"), F.asc("tok"))
@@ -699,7 +712,7 @@ def x120_stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
 
     out = spark.read.parquet(dest)
     return (
@@ -827,7 +840,7 @@ def x146_stream_watermark_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _drain(q, 600)
 
     from datetime import timezone
 
@@ -961,7 +974,7 @@ def x147_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(900)
+    _drain(q, 900)
     return spark.createDataFrame(out, "c_id long, p_id long").orderBy(
         "c_id", "p_id"
     )
@@ -1041,7 +1054,7 @@ def x148_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _drain(q, 600)
     rows = [(int(u), n, us) for u, (n, us) in final.items()]
     return spark.createDataFrame(
         rows, "user_id long, n_events long, last_seen_us long"
@@ -1225,7 +1238,7 @@ def x172_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     drain_s = time.perf_counter() - t_drain
     X172_SPLIT.append((t_drain - t_entry, drain_s))
     base_sig.unpersist()
@@ -1283,7 +1296,7 @@ def x212_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     return gopher_pass_rates(spark.read.parquet(dest))
 
 
@@ -1365,7 +1378,7 @@ def x223_stream_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     placed = spark.read.parquet(dest).localCheckpoint()
     return maintenance_ledger(spark, sf_dir, placed)
 
@@ -1441,7 +1454,7 @@ def x234_stream_tombstone_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     drained = spark.read.parquet(del_dir).select(
         "vec_id", F.lit(True).alias("dead_f")
     )
@@ -1529,7 +1542,7 @@ def x242_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     pops_new = (
         spark.read.parquet(part_dir)
         .groupBy("c_id")
@@ -1627,7 +1640,7 @@ def x251_stream_label_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     return _label_cdc_stats(spark, sf_dir, spark.read.parquet(part_dir))
 
 
