@@ -179,6 +179,8 @@ HEADLINE = [
     "x249_multiprobe_graph",
     # the incremental labeler: frozen base-LP state + one CDC-edge vote
     "x250_label_prop_cdc",
+    # incremental BPE retrain: slice-only counts + persisted base table
+    "x252_bpe_incremental",
 ]
 
 CONVERT_RECORDS = 100_000

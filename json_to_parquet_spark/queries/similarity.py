@@ -2548,14 +2548,16 @@ def _tomb_routing_token() -> str:
     return hashlib.sha256(sig.encode()).hexdigest()[:8]
 
 
-def _data_fingerprint(sf_dir: str) -> str:
-    """Cheap fingerprint of the embeddings source (size + mtime_ns,
-    summed over files if a directory) — folded into the cache path so a
+def _data_fingerprint(sf_dir: str, table: str = "embeddings") -> str:
+    """Cheap fingerprint of a source table (size + mtime_ns, summed
+    over files if a directory) — folded into the cache path so a
     regenerated-in-place testdata dir busts the cached layout instead
-    of serving an index over data that no longer exists (ADVICE r9)."""
+    of serving an index over data that no longer exists (ADVICE r9).
+    Defaults to the embeddings table (every vector store); x252's
+    word-count store fingerprints ``documents``."""
     import os
 
-    path = os.path.join(sf_dir, "embeddings.parquet")
+    path = os.path.join(sf_dir, f"{table}.parquet")
     if os.path.isdir(path):
         size = mtime = 0
         for root, _dirs, files in os.walk(path):

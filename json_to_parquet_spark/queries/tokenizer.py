@@ -45,6 +45,45 @@ from . import QuerySpec, register
 BPE_MERGES = 16  # learned merge rules (VERDICT r4 ask #7: ≥16)
 
 
+def _bpe_merge_rules(vocab: dict) -> list[dict]:
+    """The sequential merge loop over a symbolized word-frequency map:
+    BPE_MERGES rounds of (argmax pair by count desc then (w1, w2)
+    lexicographic; leftmost non-overlapping merge).  Pure Python over
+    the vocab-sized table — shared by x101 (full train) and x252
+    (incremental retrain), so the two can never diverge on tiebreak or
+    merge semantics."""
+    rows: list[dict] = []
+    for it in range(1, BPE_MERGES + 1):
+        pc: dict[tuple[str, str], int] = {}
+        for s, c in vocab.items():
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + c
+        if not pc:
+            break  # vocabulary fully merged (oracle: empty b{tag})
+        top = max(pc.values())
+        w1, w2 = min(k for k, v in pc.items() if v == top)
+        merged = w1 + w2
+        rows.append(
+            {"iter": it, "w1": w1, "w2": w2, "merged": merged,
+             "pair_cnt": top}
+        )
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for s, c in vocab.items():
+            out = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == w1 and s[i + 1] == w2:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return rows
+
+
 def x101_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn the first BPE_MERGES byte-pair-encoding merge rules from the
     corpus: iteratively find the most frequent adjacent symbol pair
@@ -95,37 +134,9 @@ def x101_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 key = tuple(w)
                 vocab[key] = vocab.get(key, 0) + int(c)
 
-        rows = []
-        for it in range(1, BPE_MERGES + 1):
-            pc: dict[tuple[str, str], int] = {}
-            for s, c in vocab.items():
-                for a, b in zip(s, s[1:]):
-                    pc[(a, b)] = pc.get((a, b), 0) + c
-            if not pc:
-                break  # vocabulary fully merged (oracle: empty b{tag})
-            top = max(pc.values())
-            w1, w2 = min(k for k, v in pc.items() if v == top)
-            merged = w1 + w2
-            rows.append(
-                {"iter": it, "w1": w1, "w2": w2, "merged": merged,
-                 "pair_cnt": top}
-            )
-            new_vocab: dict[tuple[str, ...], int] = {}
-            for s, c in vocab.items():
-                out = []
-                i = 0
-                while i < len(s):
-                    if i + 1 < len(s) and s[i] == w1 and s[i + 1] == w2:
-                        out.append(merged)
-                        i += 2
-                    else:
-                        out.append(s[i])
-                        i += 1
-                key = tuple(out)
-                new_vocab[key] = new_vocab.get(key, 0) + c
-            vocab = new_vocab
         yield pd.DataFrame(
-            rows, columns=["iter", "w1", "w2", "merged", "pair_cnt"]
+            _bpe_merge_rules(vocab),
+            columns=["iter", "w1", "w2", "merged", "pair_cnt"],
         )
 
     # repartition(1), NOT coalesce(1): coalesce would collapse the
@@ -207,6 +218,192 @@ register(
         x101_bpe_train,
         _x101_sql(),
         "learn the first BPE merge rules from corpus word frequencies",
+    )
+)
+
+
+# --- x252: incremental BPE retrain --------------------------------------------
+# Tokenizer maintenance under corpus growth — the x130 mergeable-stats
+# economics applied to BPE training: word counts compose additively, so
+# when an ingestion slice arrives (doc_id % BPE_CDC_MOD == 3, the
+# GADD-style batch rule) the ONLY corpus-sized work is counting the
+# slice's words; the base corpus's word-frequency table is a train-once
+# GATE_DIR store and the vocab-sized merge loop replays over (base ⊎
+# delta) in one Arrow task.  The output doubles as the rule-STABILITY
+# audit a production tokenizer team actually reviews before swapping
+# vocabularies: each retrained rule carries changed=1 iff it differs
+# from the base-only rule at the same position (a changed merge early
+# in the table invalidates every token id after it).
+BPE_CDC_MOD = 4
+
+
+def bpe_base_counts_path(spark: SparkSession, sf_dir: str) -> str:
+    """Train-once store for the BASE corpus's word-frequency table —
+    (word, cnt) over doc_id % BPE_CDC_MOD != 3.  Keyed on the rule
+    constants + the DOCUMENTS fingerprint (the GATE_DIR cache-keying
+    invariant; this store's source is text, not vectors)."""
+    import hashlib
+    import os
+
+    from .convert_gate import GATE_DIR
+    from .similarity import _data_fingerprint
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    sig = repr(("bpeinc-v1", BPE_CDC_MOD))
+    token = hashlib.sha256(sig.encode()).hexdigest()[:8]
+    dest = os.path.join(
+        GATE_DIR,
+        f"bpew_{tag}_{token}_d{_data_fingerprint(sf_dir, 'documents')}",
+    )
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        base = docs.filter(F.col("doc_id") % BPE_CDC_MOD != 3)
+        (
+            base.select(
+                F.explode(F.split(F.lower("text"), " ")).alias("word")
+            )
+            .filter(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .write.mode("overwrite")
+            .parquet(dest)
+        )
+    return dest
+
+
+def x252_bpe_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(iter, w1, w2, merged, pair_cnt, changed): the merge table
+    retrained on (persisted base counts ⊎ the ingestion slice's
+    counts), with changed=1 where the rule differs from the base-only
+    table at the same iteration (or the base table ended early).
+    Scale shapes: the slice word count is the only corpus-sized work
+    (token-keyed map-side partial agg over the slice alone); the base
+    table is a vocab-sized parquet scan; both merge loops run in ONE
+    repartition(1) Arrow task over tagged counts (x101's layout — the
+    loop is inherently sequential, and additivity of counts makes the
+    incremental total EXACTLY the full-corpus count, which is what the
+    oracle recomputes from scratch)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = docs.filter(F.col("doc_id") % BPE_CDC_MOD == 3)
+    delta_words = (
+        delta.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    base_words = spark.read.parquet(bpe_base_counts_path(spark, sf_dir))
+    tagged = base_words.select(
+        "word", "cnt", F.lit("base").alias("src")
+    ).unionAll(delta_words.select("word", "cnt", F.lit("delta").alias("src")))
+
+    def retrain(batches):
+        import pandas as pd
+
+        base_vocab: dict[tuple[str, ...], int] = {}
+        full_vocab: dict[tuple[str, ...], int] = {}
+        for pdf in batches:
+            for w, c, s in zip(pdf["word"], pdf["cnt"], pdf["src"]):
+                key = tuple(w)
+                full_vocab[key] = full_vocab.get(key, 0) + int(c)
+                if s == "base":
+                    base_vocab[key] = base_vocab.get(key, 0) + int(c)
+        full_rules = _bpe_merge_rules(full_vocab)
+        base_rules = _bpe_merge_rules(base_vocab)
+        rows = []
+        for i, r in enumerate(full_rules):
+            changed = int(
+                i >= len(base_rules)
+                or (base_rules[i]["w1"], base_rules[i]["w2"])
+                != (r["w1"], r["w2"])
+            )
+            rows.append({**r, "changed": changed})
+        yield pd.DataFrame(
+            rows,
+            columns=["iter", "w1", "w2", "merged", "pair_cnt", "changed"],
+        )
+
+    return (
+        tagged.repartition(1)
+        .mapInPandas(
+            retrain,
+            "iter long, w1 string, w2 string, merged string, "
+            "pair_cnt long, changed long",
+        )
+        .orderBy("iter")
+    )
+
+
+def _x252_sql() -> str:
+    """Two unrolled x101 chains — the FULL corpus (base ⊎ delta ==
+    every document, by count additivity) and the BASE-only corpus —
+    joined per iteration for the changed flag.  A base chain that ends
+    early yields an empty bb{it}; LEFT JOIN ON TRUE turns that into
+    changed=1, matching the Spark side's length check."""
+
+    def pair_cte(src: str, tag: str) -> str:
+        return f"""
+        t{tag} AS MATERIALIZED (
+          SELECT cnt, string_split(trim(sym), '  ') AS t FROM {src}),
+        p{tag} AS (
+          SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS pair_cnt
+          FROM (
+            SELECT cnt,
+                   unnest([{{'w1': t[i], 'w2': t[i+1]}}
+                       FOR i IN generate_series(1, len(t)-1)],
+                       recursive := true)
+            FROM t{tag} WHERE len(t) >= 2)
+          GROUP BY w1, w2),
+        b{tag} AS MATERIALIZED (
+          SELECT w1, w2, pair_cnt FROM p{tag}
+          ORDER BY pair_cnt DESC, w1, w2 LIMIT 1)"""
+
+    def chain(prefix: str, where: str) -> list[str]:
+        ctes = [f"""
+        w{prefix}0 AS (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+                FROM documents{where})
+          WHERE word <> '' GROUP BY word),
+        s{prefix}1 AS MATERIALIZED (
+          SELECT cnt,
+                 ' ' || array_to_string(regexp_extract_all(word, '.'), '  ')
+                     || ' ' AS sym
+          FROM w{prefix}0)"""]
+        for it in range(1, BPE_MERGES + 1):
+            ctes.append(pair_cte(f"s{prefix}{it}", f"{prefix}{it}"))
+            if it < BPE_MERGES:
+                ctes.append(f"""
+        s{prefix}{it + 1} AS MATERIALIZED (
+          SELECT s.cnt,
+                 replace(s.sym, ' ' || b.w1 || '  ' || b.w2 || ' ',
+                                ' ' || b.w1 || b.w2 || ' ') AS sym
+          FROM s{prefix}{it} s CROSS JOIN b{prefix}{it} b)""")
+        return ctes
+
+    ctes = chain("f", "") + chain(
+        "b", f" WHERE doc_id % {BPE_CDC_MOD} != 3"
+    )
+    selects = "\n        UNION ALL ".join(
+        f"""SELECT CAST({it} AS BIGINT) AS iter, f.w1, f.w2,
+               f.w1 || f.w2 AS merged, f.pair_cnt,
+               CAST(CASE WHEN b.w1 IS NULL OR f.w1 != b.w1
+                         OR f.w2 != b.w2 THEN 1 ELSE 0 END AS BIGINT)
+                   AS changed
+        FROM bf{it} f LEFT JOIN bb{it} b ON TRUE"""
+        for it in range(1, BPE_MERGES + 1)
+    )
+    return f"""
+        WITH {",".join(ctes)}
+        SELECT * FROM ({selects}) ORDER BY iter
+        """
+
+
+register(
+    QuerySpec(
+        "x252_bpe_incremental",
+        x252_bpe_incremental,
+        _x252_sql(),
+        "incremental BPE retrain: delta-only word counts + persisted base table, with the rule-stability audit",
     )
 )
 

@@ -315,6 +315,22 @@ def test_x251_streaming_equals_batch_labeler(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_x252_incremental_equals_full_retrain(spark, sf_dir):
+    """Word counts are additive, so (persisted base counts ⊎ the
+    slice's counts) must train EXACTLY x101's full-corpus merge table —
+    the identity that makes the incremental path safe (and a live check
+    that the base-count store composes correctly)."""
+    from json_to_parquet_spark.queries import registry
+
+    reg = registry()
+    cols = ["iter", "w1", "w2", "merged", "pair_cnt"]
+    got = _rows(
+        reg["x252_bpe_incremental"].spark(spark, sf_dir).select(*cols), cols
+    )
+    want = _rows(reg["x101_bpe_train"].spark(spark, sf_dir), cols)
+    assert got == want and len(got) > 0
+
+
 def test_x246_policy_is_the_shared_integer_rule(spark, sf_dir):
     """The hot set must equal an independent recomputation of the
     integer threshold from raw per-cell add/base populations."""
