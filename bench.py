@@ -179,8 +179,10 @@ HEADLINE = [
     "x249_multiprobe_graph",
     # the incremental labeler: frozen base-LP state + one CDC-edge vote
     "x250_label_prop_cdc",
-    # incremental BPE retrain: slice-only counts + persisted base table
+    # incremental BPE retrain: slice-only counts + persisted base table,
+    # and the swap-impact audit (two rule tables applied to one word set)
     "x252_bpe_incremental",
+    "x253_bpe_swap_impact",
 ]
 
 CONVERT_RECORDS = 100_000

@@ -408,6 +408,201 @@ register(
 )
 
 
+# --- x253: vocabulary-swap impact ---------------------------------------------
+# x252 flags WHICH rules changed; this measures what the change BREAKS:
+# the fraction of the corpus (distinct words, and token occurrences
+# weighted by frequency) whose tokenization differs when the retrained
+# merge table replaces the base one — the number that decides whether a
+# vocabulary swap forces re-tokenizing stored training shards.  Both
+# rule tables are applied to the SAME full word set (a word that only
+# arrived with the slice still gets a base-rules tokenization — the old
+# tokenizer would have handled it symbol-by-symbol), so the metric is a
+# property of the RULE TABLES, not of corpus membership.
+
+
+def _bpe_apply(sym: tuple, rules: list) -> tuple:
+    """Apply a learned rule list to one symbolized word — the merge
+    loop's own leftmost non-overlapping rewrite, factored so encoding
+    uses byte-for-byte the same semantics training did."""
+    for r in rules:
+        w1, w2, merged = r["w1"], r["w2"], r["merged"]
+        out = []
+        i = 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == w1 and sym[i + 1] == w2:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = tuple(out)
+    return sym
+
+
+def x253_bpe_swap_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (n_words, n_changed, occ_total, occ_changed,
+    frac_changed) — distinct words / frequency-weighted occurrences
+    whose final tokenization differs between the base-only and the
+    retrained merge tables.  Scale shapes: the corpus-sized work is
+    x252's (persisted base counts + slice-only counting); training both
+    tables AND encoding every distinct word under each runs in ONE
+    vocab-sized Arrow task (≤ 2·|vocab|·BPE_MERGES rule applications)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = docs.filter(F.col("doc_id") % BPE_CDC_MOD == 3)
+    delta_words = (
+        delta.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    base_words = spark.read.parquet(bpe_base_counts_path(spark, sf_dir))
+    tagged = base_words.select(
+        "word", "cnt", F.lit("base").alias("src")
+    ).unionAll(delta_words.select("word", "cnt", F.lit("delta").alias("src")))
+
+    def impact(batches):
+        import pandas as pd
+
+        base_vocab: dict[tuple[str, ...], int] = {}
+        full_vocab: dict[tuple[str, ...], int] = {}
+        for pdf in batches:
+            for w, c, s in zip(pdf["word"], pdf["cnt"], pdf["src"]):
+                key = tuple(w)
+                full_vocab[key] = full_vocab.get(key, 0) + int(c)
+                if s == "base":
+                    base_vocab[key] = base_vocab.get(key, 0) + int(c)
+        full_rules = _bpe_merge_rules(dict(full_vocab))
+        base_rules = _bpe_merge_rules(base_vocab)
+        n_words = n_changed = occ_total = occ_changed = 0
+        for sym, c in full_vocab.items():
+            n_words += 1
+            occ_total += c
+            if _bpe_apply(sym, full_rules) != _bpe_apply(sym, base_rules):
+                n_changed += 1
+                occ_changed += c
+        yield pd.DataFrame(
+            [{
+                "n_words": n_words,
+                "n_changed": n_changed,
+                "occ_total": occ_total,
+                "occ_changed": occ_changed,
+                "frac_changed": round(occ_changed / occ_total, 6),
+            }],
+            columns=[
+                "n_words", "n_changed", "occ_total", "occ_changed",
+                "frac_changed",
+            ],
+        )
+
+    return tagged.repartition(1).mapInPandas(
+        impact,
+        "n_words long, n_changed long, occ_total long, occ_changed long, "
+        "frac_changed double",
+    )
+
+
+def _x253_sql() -> str:
+    """Three unrolled chains over the SAME carried word key: the full
+    and base chains train the two rule tables (x252's), and a third
+    rewrite chain applies the BASE rules to the FULL word set (LEFT
+    JOIN + CASE so an early-exhausted base table leaves symbols
+    untouched, matching the Spark side's shorter rule list)."""
+
+    def pair_cte(src: str, tag: str) -> str:
+        return f"""
+        t{tag} AS MATERIALIZED (
+          SELECT cnt, string_split(trim(sym), '  ') AS t FROM {src}),
+        p{tag} AS (
+          SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS pair_cnt
+          FROM (
+            SELECT cnt,
+                   unnest([{{'w1': t[i], 'w2': t[i+1]}}
+                       FOR i IN generate_series(1, len(t)-1)],
+                       recursive := true)
+            FROM t{tag} WHERE len(t) >= 2)
+          GROUP BY w1, w2),
+        b{tag} AS MATERIALIZED (
+          SELECT w1, w2, pair_cnt FROM p{tag}
+          ORDER BY pair_cnt DESC, w1, w2 LIMIT 1)"""
+
+    def chain(prefix: str, where: str, carry_word: bool) -> list[str]:
+        wcol = "word," if carry_word else ""
+        wsel = "s.word," if carry_word else ""
+        ctes = [f"""
+        w{prefix}0 AS (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+                FROM documents{where})
+          WHERE word <> '' GROUP BY word),
+        s{prefix}1 AS MATERIALIZED (
+          SELECT {wcol} cnt,
+                 ' ' || array_to_string(regexp_extract_all(word, '.'), '  ')
+                     || ' ' AS sym
+          FROM w{prefix}0)"""]
+        for it in range(1, BPE_MERGES + 1):
+            ctes.append(pair_cte(f"s{prefix}{it}", f"{prefix}{it}"))
+            if it < BPE_MERGES:
+                ctes.append(f"""
+        s{prefix}{it + 1} AS MATERIALIZED (
+          SELECT {wsel} s.cnt,
+                 replace(s.sym, ' ' || b.w1 || '  ' || b.w2 || ' ',
+                                ' ' || b.w1 || b.w2 || ' ') AS sym
+          FROM s{prefix}{it} s CROSS JOIN b{prefix}{it} b)""")
+        # one final rewrite so the LAST learned rule is applied too
+        ctes.append(f"""
+        enc_{prefix} AS MATERIALIZED (
+          SELECT {wsel} s.cnt,
+                 replace(s.sym, ' ' || b.w1 || '  ' || b.w2 || ' ',
+                                ' ' || b.w1 || b.w2 || ' ') AS sym
+          FROM s{prefix}{BPE_MERGES} s
+          CROSS JOIN b{prefix}{BPE_MERGES} b)""")
+        return ctes
+
+    # base-rules-applied-to-FULL-words chain: rewrites only, reusing the
+    # base chain's bb{it} rules (LEFT JOIN: empty rule -> unchanged sym)
+    applied = []
+    for it in range(1, BPE_MERGES + 1):
+        src = "sf1" if it == 1 else f"a{it}"
+        applied.append(f"""
+        a{it + 1} AS MATERIALIZED (
+          SELECT s.word, s.cnt,
+                 CASE WHEN b.w1 IS NULL THEN s.sym
+                      ELSE replace(s.sym,
+                                   ' ' || b.w1 || '  ' || b.w2 || ' ',
+                                   ' ' || b.w1 || b.w2 || ' ')
+                 END AS sym
+          FROM {src} s LEFT JOIN bb{it} b ON TRUE)""")
+
+    ctes = (
+        chain("f", "", True)
+        + chain("b", f" WHERE doc_id % {BPE_CDC_MOD} != 3", False)
+        + applied
+    )
+    return f"""
+        WITH {",".join(ctes)}
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(CASE WHEN f.sym != a.sym THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_changed,
+               CAST(SUM(f.cnt) AS BIGINT) AS occ_total,
+               CAST(SUM(CASE WHEN f.sym != a.sym THEN f.cnt ELSE 0 END)
+                    AS BIGINT) AS occ_changed,
+               ROUND(CAST(SUM(CASE WHEN f.sym != a.sym
+                              THEN f.cnt ELSE 0 END) AS DOUBLE)
+                     / CAST(SUM(f.cnt) AS DOUBLE), 6) AS frac_changed
+        FROM enc_f f JOIN a{BPE_MERGES + 1} a USING (word)
+        """
+
+
+register(
+    QuerySpec(
+        "x253_bpe_swap_impact",
+        x253_bpe_swap_impact,
+        _x253_sql(),
+        "vocabulary-swap impact: words and occurrences whose tokenization changes under the retrained merge table",
+    )
+)
+
+
 # --- x106: temperature-based language rebalancing ----------------------------
 # UNIMAX/mC4-style alpha sampling: languages are drawn with probability
 # proportional to n_l^ALPHA (ALPHA < 1 flattens the head, upsamples the

@@ -331,6 +331,36 @@ def test_x252_incremental_equals_full_retrain(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_x253_swap_impact_consistency(spark, sf_dir):
+    """The impact metric's structural laws: n_words equals an
+    independent distinct-word count of the corpus; changed ≤ total on
+    both axes; and a nonzero impact implies x252 reports at least one
+    changed rule (tokenizations can only diverge through a diverged
+    rule table)."""
+    from json_to_parquet_spark.queries import registry
+    from json_to_parquet_spark.sources.catalog import load_table
+
+    reg = registry()
+    row = reg["x253_bpe_swap_impact"].spark(spark, sf_dir).collect()[0]
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .select("w")
+        .distinct()
+        .count()
+    )
+    assert row.n_words == words
+    assert 0 <= row.n_changed <= row.n_words
+    assert 0 <= row.occ_changed <= row.occ_total
+    if row.n_changed > 0:
+        changed_rules = sum(
+            r.changed
+            for r in reg["x252_bpe_incremental"].spark(spark, sf_dir).collect()
+        )
+        assert changed_rules > 0
+
+
 def test_x246_policy_is_the_shared_integer_rule(spark, sf_dir):
     """The hot set must equal an independent recomputation of the
     integer threshold from raw per-cell add/base populations."""
