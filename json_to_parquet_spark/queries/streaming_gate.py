@@ -1660,3 +1660,79 @@ register(
         "streaming label CDC: micro-batch routed partials + one drained vote == x250 bit-for-bit",
     )
 )
+
+
+def x254_stream_bpe_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of x252's incremental BPE retrain — how tokenizer
+    maintenance consumes a document feed: the ingestion slice arrives
+    as a 4-file micro-batch stream; each batch tokenizes ITS documents
+    and appends narrow (word, cnt) count partials (counts are exact
+    integers that compose additively, so batching cannot change any
+    total — the x242/x251 argument applied to word frequencies); the
+    drained partials sum into the slice's word-count table and the
+    vocab-sized retrain runs ONCE via `_bpe_cdc_stats` — x252's tail
+    VERBATIM, gated against x252's registered oracle (the anti-drift
+    pattern).
+
+    Scale shapes: per micro-batch work is batch-sized (one explode +
+    token-keyed partial agg); the drained sum is a vocab-sized shuffle;
+    the merge loops run in one Arrow task over the tagged counts."""
+    from .tokenizer import BPE_CDC_MOD, _bpe_cdc_stats
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(GATE_DIR, f"src_x254_{sf_tag}")
+    part_dir = os.path.join(GATE_DIR, f"parts_x254_{sf_tag}")
+    ckpt = os.path.join(GATE_DIR, f"ckpt_x254_{sf_tag}")
+    _fresh(src, part_dir, ckpt)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.filter(F.col("doc_id") % BPE_CDC_MOD == 3).repartition(
+        4, "doc_id"
+    ).write.parquet(src)
+
+    def handle_batch(bdf: DataFrame, _bid: int) -> None:
+        (
+            bdf.select(
+                F.explode(F.split(F.lower("text"), " ")).alias("word")
+            )
+            .filter(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .write.mode("append")
+            .parquet(part_dir)
+        )
+
+    q = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q, 300)
+    drained = (
+        spark.read.parquet(part_dir)
+        .groupBy("word")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return _bpe_cdc_stats(spark, sf_dir, drained)
+
+
+def _x254_sql() -> str:
+    from .tokenizer import _x252_sql
+
+    # shared oracle: count partials compose to exactly the batch
+    # trainer's inputs, so the rule table must match x252 bit-for-bit
+    return _x252_sql()
+
+
+register(
+    QuerySpec(
+        "x254_stream_bpe_cdc",
+        x254_stream_bpe_cdc,
+        _x254_sql(),
+        "streaming BPE CDC: micro-batch word-count partials + one drained retrain == x252 bit-for-bit",
+    )
+)

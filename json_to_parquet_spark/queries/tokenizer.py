@@ -283,14 +283,29 @@ def x252_bpe_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop is inherently sequential, and additivity of counts makes the
     incremental total EXACTLY the full-corpus count, which is what the
     oracle recomputes from scratch)."""
+    return _bpe_cdc_stats(spark, sf_dir, _bpe_delta_words(spark, sf_dir))
+
+
+def _bpe_delta_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, cnt) over the ingestion slice — the only corpus-sized
+    work the incremental trainer pays."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     delta = docs.filter(F.col("doc_id") % BPE_CDC_MOD == 3)
-    delta_words = (
+    return (
         delta.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def _bpe_cdc_stats(
+    spark: SparkSession, sf_dir: str, delta_words: DataFrame
+) -> DataFrame:
+    """x252's tail over an arbitrary slice word-count frame: persisted
+    base counts ⊎ delta counts → both merge loops in one Arrow task →
+    the rule table with the changed flag.  Lets the streaming twin
+    (x254) drain micro-batch count partials and retrain once."""
     base_words = spark.read.parquet(bpe_base_counts_path(spark, sf_dir))
     tagged = base_words.select(
         "word", "cnt", F.lit("base").alias("src")
@@ -447,15 +462,8 @@ def x253_bpe_swap_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     x252's (persisted base counts + slice-only counting); training both
     tables AND encoding every distinct word under each runs in ONE
     vocab-sized Arrow task (≤ 2·|vocab|·BPE_MERGES rule applications)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    delta = docs.filter(F.col("doc_id") % BPE_CDC_MOD == 3)
-    delta_words = (
-        delta.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
     base_words = spark.read.parquet(bpe_base_counts_path(spark, sf_dir))
+    delta_words = _bpe_delta_words(spark, sf_dir)
     tagged = base_words.select(
         "word", "cnt", F.lit("base").alias("src")
     ).unionAll(delta_words.select("word", "cnt", F.lit("delta").alias("src")))

@@ -361,6 +361,21 @@ def test_x253_swap_impact_consistency(spark, sf_dir):
         assert changed_rules > 0
 
 
+def test_x254_streaming_equals_batch_retrain(spark, sf_dir):
+    """The streaming trainer's drained word-count partials must
+    reproduce x252's batch rule table BIT-FOR-BIT — counts are exact
+    integers composing additively, so micro-batching cannot change any
+    frequency (the anti-drift law the shared oracle enforces at the
+    gate, re-asserted engine-side)."""
+    from json_to_parquet_spark.queries import registry
+
+    reg = registry()
+    cols = ["iter", "w1", "w2", "merged", "pair_cnt", "changed"]
+    got = _rows(reg["x254_stream_bpe_cdc"].spark(spark, sf_dir), cols)
+    want = _rows(reg["x252_bpe_incremental"].spark(spark, sf_dir), cols)
+    assert got == want and len(got) > 0
+
+
 def test_x246_policy_is_the_shared_integer_rule(spark, sf_dir):
     """The hot set must equal an independent recomputation of the
     integer threshold from raw per-cell add/base populations."""
