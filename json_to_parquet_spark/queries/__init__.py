@@ -212,21 +212,45 @@ _PENDING_R6_WINDOW: tuple[str, ...] = (
 )
 
 
-def _driver_evidenced(root: "str | None" = None) -> frozenset[str]:
+# Queries whose SEMANTICS (or cross-engine arithmetic path) changed in
+# round 11 after they had already earned a gate row: prior evidence no
+# longer speaks for the current code, so ``registry()`` treats them as
+# unproven until a round ≥ 11 gate file shows them green again (then
+# this set is inert and can be dropped).
+_REPROVE_R11: frozenset[str] = frozenset({
+    # demoted to a bounded source audit slice (VERDICT r10 ask #1) —
+    # different rows than the full-corpus shape r6 proved
+    "x196_ivf_bitext_mine",
+    # rounding moved from Python round() (half-even) to F.round
+    # (HALF_UP) + oracle chain rework (ADVICE r10) — values identical
+    # by design, but the cross-engine path is new
+    "x253_bpe_swap_impact",
+})
+_REPROVE_MIN_ROUND = 11
+
+
+def _driver_evidenced(
+    root: "str | None" = None, min_round: int = 0
+) -> frozenset[str]:
     """Names with a green (or rows-only-by-design) row in any driver
-    CORRECTNESS_r*.json at the repo root.  Merged with the static
-    ``_GATE_EVIDENCED`` set so the sample rotation can never go stale:
-    when a new round's gate file lands, its queries automatically stop
-    occupying the next round's 50-slot sample window (the failure mode
-    rounds 2 and 3 each hit once with a hand-maintained list).  Rows
-    with a real error (not the declared ``no_oracle``) or a hash
-    mismatch stay unproven so the driver re-samples them."""
+    CORRECTNESS_r*.json at the repo root (round ≥ ``min_round``).
+    Merged with the static ``_GATE_EVIDENCED`` set so the sample
+    rotation can never go stale: when a new round's gate file lands,
+    its queries automatically stop occupying the next round's 50-slot
+    sample window (the failure mode rounds 2 and 3 each hit once with
+    a hand-maintained list).  Rows with a real error (not the declared
+    ``no_oracle``) or a hash mismatch stay unproven so the driver
+    re-samples them."""
     import json
+    import re
     from pathlib import Path
 
     names: set[str] = set()
     base = Path(root) if root else Path(__file__).resolve().parents[2]
     for p in sorted(base.glob("CORRECTNESS_r*.json")):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
+        if m and int(m.group(1)) < min_round:
+            continue
         try:
             data = json.loads(p.read_text())
         except (OSError, ValueError):
@@ -288,6 +312,11 @@ def registry() -> dict[str, QuerySpec]:
     # then the carried/r4-window names (all absorbed into `evidenced`
     # once their gate rows land, so these dict unions self-shrink).
     evidenced = _GATE_EVIDENCED | _driver_evidenced()
+    # changed-semantics queries: old evidence is void until a round ≥ 11
+    # gate row re-proves the new code
+    evidenced -= _REPROVE_R11 - _driver_evidenced(
+        min_round=_REPROVE_MIN_ROUND
+    )
     pending = {n: s for n, s in _REGISTRY.items() if n not in evidenced}
     carried = {n: s for n, s in pending.items() if n in _PENDING_CARRIED}
     window4 = {n: pending[n] for n in _PENDING_R4_WINDOW if n in pending}

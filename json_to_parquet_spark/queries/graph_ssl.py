@@ -1413,8 +1413,12 @@ def x255_graph_compaction_io(spark: SparkSession, sf_dir: str) -> DataFrame:
     the percentage of the graph the compactor never touched.  This is
     the number that justifies threshold-merge over rebuild-everything
     at scale; at sf0.01 the policy leaves 60% of edges physically
-    untouched.  Scale shapes: x246's (routing touches only the add
-    batch) + one narrow aggregate."""
+    untouched.  n_cells_hot/n_cells_cold are counted over
+    EDGE-PRODUCING cells (both engines derive them from the emitted
+    edge rows, so a cell whose members yield zero edges — e.g. a
+    single-member cell — is excluded from both counts; ADVICE r10).
+    Scale shapes: x246's (routing touches only the add batch) + one
+    narrow aggregate."""
     out = x246_graph_compaction(spark, sf_dir)
     rebuilt = (F.col("provenance") == "rebuilt").cast("long")
     return out.agg(

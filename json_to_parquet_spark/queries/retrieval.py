@@ -593,42 +593,51 @@ register(
 )
 
 
-# --- x196: IVF-composed full-corpus bitext mining ----------------------------
+# --- x196: exact-probed-IVF bitext mining (bounded audit slice) ---------------
+# Demoted from full-corpus to an AUDIT SLICE in round 11 (VERDICT r10
+# ask #1): with the query set equal to the corpus, candidate volume is
+# n_src · probes · (n/nlist) ≈ 2·n·√n — an inherent n^1.5 the two-level
+# router cannot remove (SFX10_PROBE measured 17.7×/decade, the one
+# registered query above the 10× linear wall).  The PRODUCTION
+# full-corpus mining entry is x233 (capacity-capped rings, linear by
+# construction, 5.0×/decade measured); x196 keeps the exact
+# probed-IVF semantics over a FIXED source slice — the x199/x176
+# bounded-audit pattern — so it now costs audit·probes·(n/nlist)
+# candidates (sub-linear in n) and serves as the exact-truth shape a
+# mining pipeline spot-checks x233 against.
+BMX_AUDIT_MAX_ID = 256  # FIXED source-id bound — the audit slice
+
+
 def x196_ivf_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The FULL-corpus composition x168's docstring promises: margin
-    mining over ALL label-0 sources (no bounded pivot set, no broadcast
-    of either corpus half) with candidate generation restricted by
-    x21's deterministic IVF coarse quantizer — each source probes its
+    """Margin mining over the BOUNDED source audit slice (label-0
+    vectors with vec_id < BMX_AUDIT_MAX_ID — a fixed-size set, so the
+    mining cost no longer grows with the query side) against the FULL
+    target corpus, with candidate generation restricted by x21's
+    deterministic IVF coarse quantizer — each audit source probes its
     IVF_N_PROBE nearest cells, each target lives in exactly one cell,
     and candidates are the cell-equi-join of the two assignments.
+    Production full-corpus mining is x233; this is its exact-truth
+    audit shape (see the demotion note above).
 
-    Scale shapes: the only corpus-sized joins are (a) the nearest-
-    centroid assignment (broadcast of the bounded centroid frame), and
-    (b) the candidate cell join + vector rejoins — all key-equi hash
-    joins whose fan-out per cell is the cell population, never
-    all-pairs.  The margin denominator uses the ACTUAL candidate top-K
-    count (cells can be sparse), so the recurrence stays exact.  This
-    trades x168's exhaustive-scan margins for probed-candidate margins
-    — the standard mined-bitext accuracy/cost trade (Artetxe & Schwenk
-    2019 §3.3 use exactly this FAISS-IVF restriction at scale).
-
-    Cell count: nlist = max(16, ceil(√n)) GROWS with the corpus — the
-    FAISS sizing rule.  A FIXED cell count makes per-cell population ∝
-    n and the cell join quadratic (the r7 sfx1 probe measured 11.6× at
-    10× data before this change).  BOTH corpus halves are corpus-sized
-    here, so the assignment pass itself must not be the flat n×√n =
-    n^1.5 scoring (measured 4.1× at 10× data as the r7 "inherent flat-
-    IVF law") — since round 8 both sides route through the family's
-    shared TWO-LEVEL quantizer (`two_level_assign`: ⌈n^¼⌉ super-cells
-    first, ~n^1.25 work, bounded broadcasts at both levels).  Sources
-    multi-probe WITHIN their routed super-cell — the standard IMI
-    recall trade (FAISS's inverted multi-index makes the same one)."""
+    Scale shapes: the only corpus-sized work is the shared two-level
+    assignment pass (~n^1.25, bounded broadcasts at both levels) the
+    target side needs anyway; the candidate cell join fans out to
+    audit·probes·(n/nlist) pairs — with the source slice FIXED and
+    nlist = ceil(√n) (the FAISS sizing rule), that volume SHRINKS
+    relative to n as the corpus grows.  The margin denominator uses
+    the ACTUAL candidate top-K count (cells can be sparse), so the
+    recurrence stays exact.  This keeps x168's probed-candidate
+    margin semantics (Artetxe & Schwenk 2019 §3.3's FAISS-IVF
+    restriction) in their exact, oracle-checkable form; the corpus-
+    sized query set that made the unbounded shape n^1.5 lives on only
+    in x233's capacity-capped (linear) form."""
     from .similarity import IVF_N_PROBE, two_level_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
-    src = emb.filter(F.col("label") == SRC_LABEL).select(
-        F.col("vec_id").alias("src_id"), "embedding"
-    )
+    src = emb.filter(
+        (F.col("label") == SRC_LABEL)
+        & (F.col("vec_id") < BMX_AUDIT_MAX_ID)
+    ).select(F.col("vec_id").alias("src_id"), "embedding")
     tgt = emb.filter(F.col("label") == TGT_LABEL).select(
         F.col("vec_id").alias("tgt_id"), "embedding"
     )
@@ -718,7 +727,8 @@ def _x196_sql() -> str:
           FROM embeddings),
         cent AS (SELECT vec_id AS c_id, v AS c_vec FROM e
                  WHERE vec_id < {SQL_IVF_NLIST}),
-        s AS (SELECT vec_id AS src_id, v FROM e WHERE label = {SRC_LABEL}),
+        s AS (SELECT vec_id AS src_id, v FROM e
+              WHERE label = {SRC_LABEL} AND vec_id < {BMX_AUDIT_MAX_ID}),
         t AS (SELECT vec_id AS tgt_id, v FROM e WHERE label = {TGT_LABEL}),
         {sql_two_level_assign(IVF_N_PROBE)},
         probes AS (
@@ -763,7 +773,7 @@ register(
         "x196_ivf_bitext_mine",
         x196_ivf_bitext_mine,
         _x196_sql(),
-        "full-corpus margin mining through the IVF cell restriction (no broadcast corpus)",
+        "exact probed-IVF margin mining over a fixed source audit slice (production entry: x233)",
     )
 )
 

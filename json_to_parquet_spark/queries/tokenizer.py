@@ -494,7 +494,11 @@ def x253_bpe_swap_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_changed": n_changed,
                 "occ_total": occ_total,
                 "occ_changed": occ_changed,
-                "frac_changed": round(occ_changed / occ_total, 6),
+                # raw ratio: the HALF_UP round happens in the Column
+                # layer below (F.round), keeping one rounding convention
+                # repo-wide (ADVICE r10 — Python's built-in round is
+                # half-even, unlike F.round/DuckDB ROUND)
+                "frac_changed": occ_changed / occ_total,
             }],
             columns=[
                 "n_words", "n_changed", "occ_total", "occ_changed",
@@ -502,11 +506,12 @@ def x253_bpe_swap_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
 
-    return tagged.repartition(1).mapInPandas(
+    raw = tagged.repartition(1).mapInPandas(
         impact,
         "n_words long, n_changed long, occ_total long, occ_changed long, "
         "frac_changed double",
     )
+    return raw.withColumn("frac_changed", F.round("frac_changed", 6))
 
 
 def _x253_sql() -> str:
@@ -534,8 +539,24 @@ def _x253_sql() -> str:
           ORDER BY pair_cnt DESC, w1, w2 LIMIT 1)"""
 
     def chain(prefix: str, where: str, carry_word: bool) -> list[str]:
+        # Rewrites LEFT JOIN the rule row (empty b{it} — an exhausted
+        # merge chain on a degenerate corpus — leaves symbols untouched,
+        # matching the Spark side's shortened rule list; ADVICE r10: a
+        # CROSS JOIN would empty the chain and zero the aggregates).
         wcol = "word," if carry_word else ""
         wsel = "s.word," if carry_word else ""
+
+        def rewrite(out: str, src: str, it: int) -> str:
+            return f"""
+        {out} AS MATERIALIZED (
+          SELECT {wsel} s.cnt,
+                 CASE WHEN b.w1 IS NULL THEN s.sym
+                      ELSE replace(s.sym,
+                                   ' ' || b.w1 || '  ' || b.w2 || ' ',
+                                   ' ' || b.w1 || b.w2 || ' ')
+                 END AS sym
+          FROM {src} s LEFT JOIN b{prefix}{it} b ON TRUE)"""
+
         ctes = [f"""
         w{prefix}0 AS (
           SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -550,20 +571,17 @@ def _x253_sql() -> str:
         for it in range(1, BPE_MERGES + 1):
             ctes.append(pair_cte(f"s{prefix}{it}", f"{prefix}{it}"))
             if it < BPE_MERGES:
-                ctes.append(f"""
-        s{prefix}{it + 1} AS MATERIALIZED (
-          SELECT {wsel} s.cnt,
-                 replace(s.sym, ' ' || b.w1 || '  ' || b.w2 || ' ',
-                                ' ' || b.w1 || b.w2 || ' ') AS sym
-          FROM s{prefix}{it} s CROSS JOIN b{prefix}{it} b)""")
-        # one final rewrite so the LAST learned rule is applied too
-        ctes.append(f"""
-        enc_{prefix} AS MATERIALIZED (
-          SELECT {wsel} s.cnt,
-                 replace(s.sym, ' ' || b.w1 || '  ' || b.w2 || ' ',
-                                ' ' || b.w1 || b.w2 || ' ') AS sym
-          FROM s{prefix}{BPE_MERGES} s
-          CROSS JOIN b{prefix}{BPE_MERGES} b)""")
+                ctes.append(
+                    rewrite(f"s{prefix}{it + 1}", f"s{prefix}{it}", it)
+                )
+        if carry_word:
+            # one final rewrite so the LAST learned rule is applied too;
+            # emitted only for the word-carrying (full) chain — the base
+            # chain's enc_b was dead weight in the oracle (ADVICE r10)
+            ctes.append(
+                rewrite(f"enc_{prefix}", f"s{prefix}{BPE_MERGES}",
+                        BPE_MERGES)
+            )
         return ctes
 
     # base-rules-applied-to-FULL-words chain: rewrites only, reusing the
