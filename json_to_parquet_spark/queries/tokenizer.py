@@ -299,6 +299,36 @@ def _bpe_delta_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tagged_counts(
+    spark: SparkSession, sf_dir: str, delta_words: DataFrame
+) -> DataFrame:
+    """(word, cnt, src) — the persisted base word-frequency table union
+    the slice's counts, each row tagged with its origin.  The shared
+    input frame of every incremental-tokenizer operator (x252/x253/
+    x256/x257): base ⊎ delta is EXACTLY the full-corpus count by
+    additivity, and the src tag lets one Arrow task rebuild both the
+    base-only and the full vocabularies."""
+    base_words = spark.read.parquet(bpe_base_counts_path(spark, sf_dir))
+    return base_words.select(
+        "word", "cnt", F.lit("base").alias("src")
+    ).unionAll(delta_words.select("word", "cnt", F.lit("delta").alias("src")))
+
+
+def _split_vocabs(batches):
+    """(base_vocab, full_vocab) symbol-tuple→count maps from tagged
+    (word, cnt, src) Arrow batches — the shared head of every
+    incremental-tokenizer Arrow task."""
+    base_vocab: dict[tuple[str, ...], int] = {}
+    full_vocab: dict[tuple[str, ...], int] = {}
+    for pdf in batches:
+        for w, c, s in zip(pdf["word"], pdf["cnt"], pdf["src"]):
+            key = tuple(w)
+            full_vocab[key] = full_vocab.get(key, 0) + int(c)
+            if s == "base":
+                base_vocab[key] = base_vocab.get(key, 0) + int(c)
+    return base_vocab, full_vocab
+
+
 def _bpe_cdc_stats(
     spark: SparkSession, sf_dir: str, delta_words: DataFrame
 ) -> DataFrame:
@@ -306,22 +336,12 @@ def _bpe_cdc_stats(
     base counts ⊎ delta counts → both merge loops in one Arrow task →
     the rule table with the changed flag.  Lets the streaming twin
     (x254) drain micro-batch count partials and retrain once."""
-    base_words = spark.read.parquet(bpe_base_counts_path(spark, sf_dir))
-    tagged = base_words.select(
-        "word", "cnt", F.lit("base").alias("src")
-    ).unionAll(delta_words.select("word", "cnt", F.lit("delta").alias("src")))
+    tagged = _tagged_counts(spark, sf_dir, delta_words)
 
     def retrain(batches):
         import pandas as pd
 
-        base_vocab: dict[tuple[str, ...], int] = {}
-        full_vocab: dict[tuple[str, ...], int] = {}
-        for pdf in batches:
-            for w, c, s in zip(pdf["word"], pdf["cnt"], pdf["src"]):
-                key = tuple(w)
-                full_vocab[key] = full_vocab.get(key, 0) + int(c)
-                if s == "base":
-                    base_vocab[key] = base_vocab.get(key, 0) + int(c)
+        base_vocab, full_vocab = _split_vocabs(batches)
         full_rules = _bpe_merge_rules(full_vocab)
         base_rules = _bpe_merge_rules(base_vocab)
         rows = []
@@ -462,23 +482,12 @@ def x253_bpe_swap_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     x252's (persisted base counts + slice-only counting); training both
     tables AND encoding every distinct word under each runs in ONE
     vocab-sized Arrow task (≤ 2·|vocab|·BPE_MERGES rule applications)."""
-    base_words = spark.read.parquet(bpe_base_counts_path(spark, sf_dir))
-    delta_words = _bpe_delta_words(spark, sf_dir)
-    tagged = base_words.select(
-        "word", "cnt", F.lit("base").alias("src")
-    ).unionAll(delta_words.select("word", "cnt", F.lit("delta").alias("src")))
+    tagged = _tagged_counts(spark, sf_dir, _bpe_delta_words(spark, sf_dir))
 
     def impact(batches):
         import pandas as pd
 
-        base_vocab: dict[tuple[str, ...], int] = {}
-        full_vocab: dict[tuple[str, ...], int] = {}
-        for pdf in batches:
-            for w, c, s in zip(pdf["word"], pdf["cnt"], pdf["src"]):
-                key = tuple(w)
-                full_vocab[key] = full_vocab.get(key, 0) + int(c)
-                if s == "base":
-                    base_vocab[key] = base_vocab.get(key, 0) + int(c)
+        base_vocab, full_vocab = _split_vocabs(batches)
         full_rules = _bpe_merge_rules(dict(full_vocab))
         base_rules = _bpe_merge_rules(base_vocab)
         n_words = n_changed = occ_total = occ_changed = 0
@@ -514,15 +523,10 @@ def x253_bpe_swap_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("frac_changed", F.round("frac_changed", 6))
 
 
-def _x253_sql() -> str:
-    """Three unrolled chains over the SAME carried word key: the full
-    and base chains train the two rule tables (x252's), and a third
-    rewrite chain applies the BASE rules to the FULL word set (LEFT
-    JOIN + CASE so an early-exhausted base table leaves symbols
-    untouched, matching the Spark side's shorter rule list)."""
-
-    def pair_cte(src: str, tag: str) -> str:
-        return f"""
+def _sql_pair_cte(src: str, tag: str) -> str:
+    """The per-iteration pair-count/argmax CTE triple (t/p/b{tag}) of the
+    unrolled BPE oracle — shared by every chain builder below."""
+    return f"""
         t{tag} AS MATERIALIZED (
           SELECT cnt, string_split(trim(sym), '  ') AS t FROM {src}),
         p{tag} AS (
@@ -538,16 +542,22 @@ def _x253_sql() -> str:
           SELECT w1, w2, pair_cnt FROM p{tag}
           ORDER BY pair_cnt DESC, w1, w2 LIMIT 1)"""
 
-    def chain(prefix: str, where: str, carry_word: bool) -> list[str]:
-        # Rewrites LEFT JOIN the rule row (empty b{it} — an exhausted
-        # merge chain on a degenerate corpus — leaves symbols untouched,
-        # matching the Spark side's shortened rule list; ADVICE r10: a
-        # CROSS JOIN would empty the chain and zero the aggregates).
-        wcol = "word," if carry_word else ""
-        wsel = "s.word," if carry_word else ""
 
-        def rewrite(out: str, src: str, it: int) -> str:
-            return f"""
+def _sql_bpe_chain(prefix: str, where: str, carry_word: bool) -> list[str]:
+    """Unrolled BPE train chain over ``documents{where}``: word count →
+    symbolization → BPE_MERGES rounds of pair-argmax + rewrite.
+    Rewrites LEFT JOIN the rule row (empty b{it} — an exhausted merge
+    chain on a degenerate corpus — leaves symbols untouched, matching
+    the Spark side's shortened rule list; ADVICE r10: a CROSS JOIN
+    would empty the chain and zero the aggregates).  When
+    ``carry_word`` the word key is threaded through and a final
+    ``enc_{prefix}`` rewrite applies the LAST rule too (the per-word
+    encoded lexicon); the ruleless chain omits it (dead weight)."""
+    wcol = "word," if carry_word else ""
+    wsel = "s.word," if carry_word else ""
+
+    def rewrite(out: str, src: str, it: int) -> str:
+        return f"""
         {out} AS MATERIALIZED (
           SELECT {wsel} s.cnt,
                  CASE WHEN b.w1 IS NULL THEN s.sym
@@ -557,7 +567,7 @@ def _x253_sql() -> str:
                  END AS sym
           FROM {src} s LEFT JOIN b{prefix}{it} b ON TRUE)"""
 
-        ctes = [f"""
+    ctes = [f"""
         w{prefix}0 AS (
           SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
           FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
@@ -568,24 +578,22 @@ def _x253_sql() -> str:
                  ' ' || array_to_string(regexp_extract_all(word, '.'), '  ')
                      || ' ' AS sym
           FROM w{prefix}0)"""]
-        for it in range(1, BPE_MERGES + 1):
-            ctes.append(pair_cte(f"s{prefix}{it}", f"{prefix}{it}"))
-            if it < BPE_MERGES:
-                ctes.append(
-                    rewrite(f"s{prefix}{it + 1}", f"s{prefix}{it}", it)
-                )
-        if carry_word:
-            # one final rewrite so the LAST learned rule is applied too;
-            # emitted only for the word-carrying (full) chain — the base
-            # chain's enc_b was dead weight in the oracle (ADVICE r10)
-            ctes.append(
-                rewrite(f"enc_{prefix}", f"s{prefix}{BPE_MERGES}",
-                        BPE_MERGES)
-            )
-        return ctes
+    for it in range(1, BPE_MERGES + 1):
+        ctes.append(_sql_pair_cte(f"s{prefix}{it}", f"{prefix}{it}"))
+        if it < BPE_MERGES:
+            ctes.append(rewrite(f"s{prefix}{it + 1}", f"s{prefix}{it}", it))
+    if carry_word:
+        ctes.append(
+            rewrite(f"enc_{prefix}", f"s{prefix}{BPE_MERGES}", BPE_MERGES)
+        )
+    return ctes
 
-    # base-rules-applied-to-FULL-words chain: rewrites only, reusing the
-    # base chain's bb{it} rules (LEFT JOIN: empty rule -> unchanged sym)
+
+def _sql_applied_chain() -> list[str]:
+    """Base-rules-applied-to-FULL-words chain (a2..a{N+1}): rewrites
+    only, reusing the base chain's bb{it} rules (LEFT JOIN: empty rule
+    → unchanged sym).  a{BPE_MERGES+1} is the base-rules encoding of
+    every full-corpus word — what the persisted base lexicon serves."""
     applied = []
     for it in range(1, BPE_MERGES + 1):
         src = "sf1" if it == 1 else f"a{it}"
@@ -598,11 +606,19 @@ def _x253_sql() -> str:
                                    ' ' || b.w1 || b.w2 || ' ')
                  END AS sym
           FROM {src} s LEFT JOIN bb{it} b ON TRUE)""")
+    return applied
 
+
+def _x253_sql() -> str:
+    """Three unrolled chains over the SAME carried word key: the full
+    and base chains train the two rule tables (x252's), and a third
+    rewrite chain applies the BASE rules to the FULL word set (LEFT
+    JOIN + CASE so an early-exhausted base table leaves symbols
+    untouched, matching the Spark side's shorter rule list)."""
     ctes = (
-        chain("f", "", True)
-        + chain("b", f" WHERE doc_id % {BPE_CDC_MOD} != 3", False)
-        + applied
+        _sql_bpe_chain("f", "", True)
+        + _sql_bpe_chain("b", f" WHERE doc_id % {BPE_CDC_MOD} != 3", False)
+        + _sql_applied_chain()
     )
     return f"""
         WITH {",".join(ctes)}
@@ -625,6 +641,382 @@ register(
         x253_bpe_swap_impact,
         _x253_sql(),
         "vocabulary-swap impact: words and occurrences whose tokenization changes under the retrained merge table",
+    )
+)
+
+
+# --- x256/x257: vocabulary-swap EXECUTION over the encoded-lexicon store ------
+# x252 retrains the merge table and x253 measures what the swap breaks
+# (13.8% of token occurrences at sf0.01); these EXECUTE the
+# re-tokenization incrementally — the measure→decide→execute arrow that
+# closed the quantizer (x228→x231→x235) and compaction (x224→x227)
+# loops, applied to the tokenizer (VERDICT r10 ask #2).
+#
+# The incremental unit is the ENCODED LEXICON — the word→token-sequence
+# table every production tokenizer memoizes (word-level encode caching
+# is how HF/SentencePiece tokenizers amortize BPE cost) — persisted as
+# a parquet layout partitioned by a deterministic md5 word bucket.
+# Phase 1 writes every bucket under the BASE rules; when the retrained
+# table lands, phase 2 rewrites ONLY the buckets containing a word
+# whose encoding changed (dynamic partition overwrite, x227's
+# machinery verbatim): cold buckets' files stay byte-identical
+# (tests/test_round13_invariants.py), so swap I/O is proportional to
+# the changed vocabulary, not the lexicon.  Corpus re-tokenization is
+# then a word-keyed JOIN against the migrated lexicon — zero BPE work
+# per document.
+#
+# Why word buckets and not document shards: this corpus has 31 distinct
+# words, so ≥92% of documents contain a changed word (measured at
+# sf0.001/sf0.01) and a doc-sharded store would have zero cold shards —
+# the honest granularity for "rewrite only what changed" is the
+# vocabulary.  x257 still reports n_docs_retok, the doc-shard rewrite
+# the swap implies downstream (x253's occurrence fraction, materialized
+# as a doc count).
+RETOK_NBUCKETS = 8
+
+
+def _word_bucket(col: "F.Column") -> "F.Column":
+    """Deterministic cross-engine word bucket — x118's md5-prefix idiom
+    (dedup.py): first 8 hex chars of md5 as an integer, mod NBUCKETS."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+        % RETOK_NBUCKETS
+    )
+
+
+SQL_WORD_BUCKET = (
+    "CAST(('0x' || substring(md5({w}), 1, 8)) AS BIGINT) % "
+    f"{RETOK_NBUCKETS}"
+)
+
+
+def _lexicon_frame(
+    spark: SparkSession, sf_dir: str, which: str
+) -> DataFrame:
+    """Per-word encoded-lexicon frame from ONE vocab-sized Arrow task:
+    ``which='base'`` → (word, toks, n_toks) of every BASE-corpus word
+    under the base rules (what phase 1 persists); ``which='full'`` →
+    (word, toks, n_toks, changed) of every FULL-corpus word under the
+    retrained rules, changed=1 iff the base lexicon would serve a
+    different (or no) encoding for it.  Scale shapes: x252's — the
+    corpus-sized work is the slice word count; training both rule
+    tables and encoding every distinct word runs centralized over the
+    vocab-sized counts (≤ 2·|vocab|·BPE_MERGES rule applications)."""
+    tagged = _tagged_counts(spark, sf_dir, _bpe_delta_words(spark, sf_dir))
+    full = which == "full"
+
+    def encode(batches):
+        import pandas as pd
+
+        base_vocab, full_vocab = _split_vocabs(batches)
+        base_rules = _bpe_merge_rules(dict(base_vocab))
+        rows = []
+        if full:
+            full_rules = _bpe_merge_rules(dict(full_vocab))
+            for sym in full_vocab:
+                toks = _bpe_apply(sym, full_rules)
+                changed = int(
+                    sym not in base_vocab
+                    or toks != _bpe_apply(sym, base_rules)
+                )
+                rows.append(
+                    {"word": "".join(sym), "toks": " ".join(toks),
+                     "n_toks": len(toks), "changed": changed}
+                )
+            cols = ["word", "toks", "n_toks", "changed"]
+        else:
+            for sym in base_vocab:
+                toks = _bpe_apply(sym, base_rules)
+                rows.append(
+                    {"word": "".join(sym), "toks": " ".join(toks),
+                     "n_toks": len(toks)}
+                )
+            cols = ["word", "toks", "n_toks"]
+        yield pd.DataFrame(rows, columns=cols)
+
+    schema = "word string, toks string, n_toks long" + (
+        ", changed long" if full else ""
+    )
+    return tagged.repartition(1).mapInPandas(encode, schema)
+
+
+def _retok_write_base(spark: SparkSession, sf_dir: str, dest: str) -> None:
+    """Phase 1 — the base lexicon: every word bucket written with its
+    base-rules encodings (the state the store is in when the retrained
+    vocabulary lands)."""
+    import os
+
+    if os.path.exists(os.path.join(dest, "_SUCCESS")):
+        return
+    (
+        _lexicon_frame(spark, sf_dir, "base")
+        .withColumn("bucket", _word_bucket(F.col("word")))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(dest)
+    )
+
+
+def _retok_migrate_hot(spark: SparkSession, sf_dir: str, dest: str) -> None:
+    """Phase 2 — the INCREMENTAL vocabulary swap: only buckets holding
+    ≥1 changed-encoding (or new) word are rewritten with the retrained
+    encodings, via dynamic partition overwrite — the write carries rows
+    for hot buckets ONLY, so Spark replaces exactly those partition
+    directories and cold buckets' files stay physically byte-untouched.
+    Cold buckets keep serving their base encodings, which EQUAL the
+    retrained encodings for every word they hold (changed=0 is that
+    equality) — the invariant the gate's hash match proves.  The hot
+    list is a ≤NBUCKETS-row collect (bounded decision metadata).
+    Rewrite rows re-derive from the count frames, never from ``dest``."""
+    import os
+
+    marker = os.path.join(dest, "_RETOK_MIGRATED")
+    if os.path.exists(marker):
+        return
+    lex = _lexicon_frame(spark, sf_dir, "full").withColumn(
+        "bucket", _word_bucket(F.col("word"))
+    )
+    hot = [
+        r.bucket
+        for r in lex.filter(F.col("changed") == 1)
+        .select("bucket")
+        .distinct()
+        .collect()  # ≤ RETOK_NBUCKETS rows
+    ]
+    if hot:
+        (
+            lex.filter(F.col("bucket").isin(hot))
+            .select("word", "toks", "n_toks", "bucket")
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(dest)
+        )
+    with open(marker, "w"):
+        pass
+
+
+def bpe_lexicon_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per source state) the post-swap encoded-lexicon
+    layout: (word, toks, n_toks, bucket=partition).  Hot buckets carry
+    the retrained encodings via an incremental phase-2 overwrite; cold
+    buckets keep their phase-1 files byte-untouched.  The path embeds
+    every constant the encoding depends on plus the documents
+    fingerprint (the GATE_DIR cache-keying invariant)."""
+    import hashlib
+    import os
+
+    from .convert_gate import GATE_DIR
+    from .similarity import _data_fingerprint
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    sig = repr(("retok-v1", BPE_MERGES, BPE_CDC_MOD, RETOK_NBUCKETS))
+    token = hashlib.sha256(sig.encode()).hexdigest()[:8]
+    dest = os.path.join(
+        GATE_DIR,
+        f"bpelex_{tag}_{token}_d{_data_fingerprint(sf_dir, 'documents')}",
+    )
+    if not os.path.exists(os.path.join(dest, "_RETOK_MIGRATED")):
+        _retok_write_base(spark, sf_dir, dest)
+        _retok_migrate_hot(spark, sf_dir, dest)
+    return dest
+
+
+def x256_retok_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document re-tokenized THROUGH the migrated lexicon store:
+    (doc_id, n_tokens, tok_md5) where tok_md5 digests the document's
+    full token sequence.  The oracle re-tokenizes from scratch under
+    the retrained rules and never sees the store — a hash match proves
+    the incremental swap (hot buckets rewritten, cold buckets served
+    verbatim) produced EXACTLY the full re-tokenization (x227's gate
+    shape).  Scale shapes: the corpus-sized work is one explode + one
+    word-keyed join against the vocab-sized lexicon + one doc-keyed
+    reassembly agg — zero BPE rule applications per document."""
+    lex = spark.read.parquet(bpe_lexicon_path(spark, sf_dir)).select(
+        "word", "toks", "n_toks"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    joined = words.join(lex, "word")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "toks"))),
+                        lambda s: s.toks,
+                    ),
+                    " ",
+                )
+            ).alias("tok_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _x256_sql() -> str:
+    # Full re-tokenize from scratch: the full train chain (enc_f =
+    # per-word retrained encodings) + per-doc reassembly in word order.
+    # No store, no base chain, no incremental mechanics anywhere.
+    ctes = _sql_bpe_chain("f", "", True)
+    return f"""
+        WITH {",".join(ctes)},
+        wt AS (
+          SELECT word,
+                 array_to_string(string_split(trim(sym), '  '), ' ') AS toks,
+                 CAST(len(string_split(trim(sym), '  ')) AS BIGINT)
+                     AS n_toks
+          FROM enc_f),
+        docw AS (
+          SELECT doc_id, pos, word FROM (
+            SELECT doc_id,
+                   generate_subscripts(ws, 1) AS pos,
+                   unnest(ws) AS word
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                  FROM documents))
+          WHERE word <> '')
+        SELECT d.doc_id,
+               CAST(SUM(w.n_toks) AS BIGINT) AS n_tokens,
+               md5(string_agg(w.toks, ' ' ORDER BY d.pos)) AS tok_md5
+        FROM docw d JOIN wt w USING (word)
+        GROUP BY d.doc_id
+        ORDER BY doc_id
+        """
+
+
+register(
+    QuerySpec(
+        "x256_retok_execute",
+        x256_retok_execute,
+        _x256_sql(),
+        "vocabulary swap executed: corpus re-tokenized through the incrementally migrated lexicon == full re-tokenize",
+    )
+)
+
+
+def x257_retok_io_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row of exact integers — the swap's I/O ledger (x232's
+    framing for the tokenizer): changed words, hot/cold bucket counts
+    (over occupied buckets), lexicon rows rewritten vs preserved in
+    place, the integer percentage of the lexicon a full rewrite would
+    have copied needlessly, and the document-level blast radius
+    (n_docs_retok = docs holding ≥1 changed word — the doc-shard
+    rewrite x253's occurrence fraction implies downstream).  Scale
+    shapes: one vocab-sized Arrow encode + ≤NBUCKETS-row rollups; the
+    doc count is one explode + semi-join against the (broadcast)
+    changed-word set."""
+    lex = _lexicon_frame(spark, sf_dir, "full").withColumn(
+        "bucket", _word_bucket(F.col("word"))
+    )
+    hotb = lex.groupBy("bucket").agg(F.max("changed").alias("hot"))
+    word_stats = (
+        lex.join(F.broadcast(hotb), "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("changed").alias("n_changed"),
+            F.sum("hot").alias("words_rewritten"),
+            F.sum(1 - F.col("hot")).alias("words_preserved"),
+        )
+    )
+    bucket_stats = hotb.agg(
+        F.sum("hot").alias("n_buckets_hot"),
+        F.sum(1 - F.col("hot")).alias("n_buckets_cold"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    doc_stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        words.join(
+            F.broadcast(lex.filter(F.col("changed") == 1).select("word")),
+            "word",
+            "semi",
+        ).agg(F.count_distinct("doc_id").alias("n_docs_retok"))
+    )
+    return (
+        word_stats.crossJoin(bucket_stats)
+        .crossJoin(doc_stats)
+        .select(
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_changed").cast("long").alias("n_changed"),
+            F.col("n_buckets_hot").cast("long").alias("n_buckets_hot"),
+            F.col("n_buckets_cold").cast("long").alias("n_buckets_cold"),
+            F.col("words_rewritten").cast("long").alias("words_rewritten"),
+            F.col("words_preserved").cast("long").alias("words_preserved"),
+            F.expr("words_preserved * 100 div n_words")
+            .cast("long")
+            .alias("pct_words_preserved"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_docs_retok").cast("long").alias("n_docs_retok"),
+        )
+    )
+
+
+def _x257_sql() -> str:
+    # changed = the base lexicon would serve a different (or no)
+    # encoding: full chain (enc_f) vs base-rules-applied chain
+    # (a{N+1}), with base-word membership from wb0.
+    ctes = (
+        _sql_bpe_chain("f", "", True)
+        + _sql_bpe_chain("b", f" WHERE doc_id % {BPE_CDC_MOD} != 3", False)
+        + _sql_applied_chain()
+    )
+    bucket = SQL_WORD_BUCKET.format(w="f.word")
+    return f"""
+        WITH {",".join(ctes)},
+        changedw AS (
+          SELECT f.word,
+                 CASE WHEN wb.word IS NULL OR f.sym != a.sym
+                      THEN 1 ELSE 0 END AS changed,
+                 {bucket} AS bucket
+          FROM enc_f f
+          JOIN a{BPE_MERGES + 1} a USING (word)
+          LEFT JOIN wb0 wb USING (word)),
+        hotb AS (
+          SELECT bucket, MAX(changed) AS hot
+          FROM changedw GROUP BY bucket),
+        word_stats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+                 CAST(SUM(c.changed) AS BIGINT) AS n_changed,
+                 CAST(SUM(h.hot) AS BIGINT) AS words_rewritten,
+                 CAST(SUM(1 - h.hot) AS BIGINT) AS words_preserved
+          FROM changedw c JOIN hotb h USING (bucket)),
+        bucket_stats AS (
+          SELECT CAST(SUM(hot) AS BIGINT) AS n_buckets_hot,
+                 CAST(SUM(1 - hot) AS BIGINT) AS n_buckets_cold
+          FROM hotb),
+        docw AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+          FROM documents),
+        doc_stats AS (
+          SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+                     AS n_docs,
+                 (SELECT CAST(COUNT(DISTINCT d.doc_id) AS BIGINT)
+                  FROM docw d JOIN changedw c USING (word)
+                  WHERE d.word <> '' AND c.changed = 1) AS n_docs_retok)
+        SELECT w.n_words, w.n_changed,
+               b.n_buckets_hot, b.n_buckets_cold,
+               w.words_rewritten, w.words_preserved,
+               CAST(w.words_preserved * 100 // w.n_words AS BIGINT)
+                   AS pct_words_preserved,
+               d.n_docs, d.n_docs_retok
+        FROM word_stats w, bucket_stats b, doc_stats d
+        """
+
+
+register(
+    QuerySpec(
+        "x257_retok_io_plan",
+        x257_retok_io_plan,
+        _x257_sql(),
+        "vocabulary-swap I/O ledger: lexicon buckets rewritten vs preserved in place, plus the doc-level blast radius",
     )
 )
 

@@ -207,6 +207,7 @@ _BNLJ_ALLOWED = {
     "x240_knn_graph_recall",  # GRA_NQ-row audit-vector broadcast (x76 shape)
     "x248_graph_beam_search",  # GBS_NQ-row query-vector broadcast (x240 shape)
     "x242_stream_drift_monitor",  # x237's monitor shapes: 1-row psi cross
+    "x257_retok_io_plan",  # three ≤NBUCKETS/1-row ledger aggregates crossed
 }
 
 
