@@ -1522,17 +1522,27 @@ def x247_graph_knob_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-top-KNNG_K hits found by that configuration's capped graph
     over the GRA_NQ audit set, and the micro-averaged recall (n_true =
     KNNG_K per audit vector, so micro == macro).  Scale shapes: one
-    shared two-level assignment at n_keep = GSW_MAX_NPLACE; one
+    shared two-level assignment at n_keep = max nplace; one
     broadcast(GRA_NQ)×corpus truth pass (x240's); per config, a
     per-cell window + capped pair pass over ≤GRA_NQ·nplace cells'
     members only — per-source candidates ≤ nplace·(cap + 2·ov)."""
+    return _graph_sweep(spark, sf_dir, GSW_CONFIGS)
+
+
+def _graph_sweep(
+    spark: SparkSession, sf_dir: str, configs: "list[tuple]"
+) -> DataFrame:
+    """x247's audit-restricted sweep over an arbitrary configuration
+    list (x258 runs it over just the two REGISTERED corpus-wide builds
+    to make the adoption decision)."""
+    max_nplace = max(c[3] for c in configs)
     emb, sup, cs = _quantizer_frames(spark, sf_dir)
     routed = (
         route_two_level(
             emb.select("vec_id", F.col("v").alias("embedding")),
             sup,
             cs,
-            n_keep=GSW_MAX_NPLACE,
+            n_keep=max_nplace,
             cent_rows=ivf_nlist(spark, sf_dir),
             include_dist=True,
         )
@@ -1564,7 +1574,7 @@ def x247_graph_knob_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stats = []
-    for cap, ov, k_edges, nplace in GSW_CONFIGS:
+    for cap, ov, k_edges, nplace in configs:
         placed = _ring_place(
             routed_ac.filter(F.col("crank") <= nplace).select(
                 "vec_id", "cell", "d"
@@ -1637,11 +1647,17 @@ def x247_graph_knob_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("cap", "ov", "k_edges", "nplace")
 
 
-def _x247_sql() -> str:
+def _sweep_sql_ctes(configs: "list[tuple]") -> str:
+    """Oracle CTE block for the audit-restricted sweep (assumes ``e``
+    is defined): the shared routing/audit/truth preamble followed by
+    one placed/cand/edges/stats chain per configuration.  Shared by
+    x247 (the diagnostic sweep) and x258/x259 (the adoption policy and
+    the serve routed through it)."""
     from .similarity import _SQD
 
+    max_nplace = max(c[3] for c in configs)
     per_config = []
-    for i, (cap, ov, k_edges, nplace) in enumerate(GSW_CONFIGS):
+    for i, (cap, ov, k_edges, nplace) in enumerate(configs):
         dedup = "DISTINCT " if nplace > 1 else ""
         per_config.append(f"""placed_{i} AS MATERIALIZED (
           SELECT vec_id, cell, rn0 // {cap} AS ring, rn0 % {cap} AS pos
@@ -1687,13 +1703,7 @@ def _x247_sql() -> str:
           LEFT JOIN edges_{i} g
             ON g.src_id = t.src_id AND g.dst_id = t.dst_id)""")
     chain = ",\n        ".join(per_config)
-    unions = "\n          UNION ALL ".join(
-        f"SELECT * FROM stats_{i}" for i in range(len(GSW_CONFIGS))
-    )
-    return f"""
-        WITH e AS (
-          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        cent_seed AS (SELECT vec_id AS c_id, v AS c_vec FROM e
+    return f"""cent_seed AS (SELECT vec_id AS c_id, v AS c_vec FROM e
                       WHERE vec_id < {SQL_IVF_NLIST}),
         {_SQL_SUP_VECSUP},
         {_sql_cs("cent_seed", "cs")},
@@ -1707,7 +1717,7 @@ def _x247_sql() -> str:
                      {_SQD.format(a="e.v", b="cs.c_vec")} AS d
               FROM e JOIN vec_sup vs USING (vec_id)
                      JOIN cs ON vs.s_id = cs.s_id))
-          WHERE crank <= {GSW_MAX_NPLACE}),
+          WHERE crank <= {max_nplace}),
         audit_cells AS (
           SELECT DISTINCT cell FROM asn2 WHERE vec_id < {GRA_NQ}),
         routed_ac AS MATERIALIZED (
@@ -1724,7 +1734,17 @@ def _x247_sql() -> str:
           QUALIFY row_number() OVER (PARTITION BY a_id
                                      ORDER BY cos_sim DESC, vec_id ASC)
                   <= {KNNG_K}),
-        {chain}
+        {chain}"""
+
+
+def _x247_sql() -> str:
+    unions = "\n          UNION ALL ".join(
+        f"SELECT * FROM stats_{i}" for i in range(len(GSW_CONFIGS))
+    )
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        {_sweep_sql_ctes(GSW_CONFIGS)}
         SELECT * FROM (
           {unions})
         ORDER BY cap, ov, k_edges, nplace
@@ -1767,16 +1787,19 @@ def _gbs_queries(emb: DataFrame) -> DataFrame:
     )
 
 
-def beam_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+def beam_serve(
+    spark: SparkSession, sf_dir: str, edges: "DataFrame | None" = None
+) -> DataFrame:
     """The SERVING walk alone: (q_id, rank, vec_id, cos_sim) — what a
     production lookup pays.  x248's gate row adds the exact-truth hit
     audit on top (one broadcast(NQ)×corpus pass that DOMINATES the gate
     row's wall at scale — the probe times this function separately so
-    the serving claim is measured, not inferred).  Scale shapes: the
-    graph build is x238's (paid once, served from the store); query
-    routing is bounded (GBS_NQ rows); every round is a beam-keyed hash
-    join of a ≤NQ·B row frame against the n·K adjacency + one bounded
-    re-rank window."""
+    the serving claim is measured, not inferred).  ``edges`` selects
+    the graph walked (default: x238's build-once store; x259 passes
+    the policy-adopted graph).  Scale shapes: the graph build is paid
+    once, served from the store; query routing is bounded (GBS_NQ
+    rows); every round is a beam-keyed hash join of a ≤NQ·B row frame
+    against the n·K adjacency + one bounded re-rank window."""
     emb, sup, cs = _quantizer_frames(spark, sf_dir)
     queries = _gbs_queries(emb)
     nlist = ivf_nlist(spark, sf_dir)
@@ -1799,7 +1822,9 @@ def beam_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             queries.select("q_id", F.lit(nlist).cast("long").alias("vec_id"))
         )
     )
-    edges = knn_edges(spark, sf_dir).select("src_id", "dst_id")
+    if edges is None:
+        edges = knn_edges(spark, sf_dir)
+    edges = edges.select("src_id", "dst_id")
     adj = (
         edges.unionAll(
             edges.select(
@@ -1882,29 +1907,37 @@ def x248_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _x248_sql() -> str:
+def _sql_beam_chain(sfx: str = "", adj: str = "adj") -> str:
+    """The unrolled beam-expansion CTE chain (pool/scored/beam rounds)
+    starting from ``beam0{sfx}`` and walking ``adj``.  The empty-suffix
+    default reproduces x248's original oracle text byte-for-byte; x259
+    unrolls TWO chains (one per candidate graph) with suffixes."""
     rounds = []
     for r in range(GBS_ROUNDS):
-        rounds.append(f"""pool{r} AS (
+        rounds.append(f"""pool{r}{sfx} AS (
           SELECT DISTINCT q_id, vec_id FROM (
-            SELECT q_id, vec_id FROM beam{r}
+            SELECT q_id, vec_id FROM beam{r}{sfx}
             UNION ALL
             SELECT b.q_id, a.dst_id AS vec_id
-            FROM beam{r} b JOIN adj a ON b.vec_id = a.src_id)),
-        scored{r} AS MATERIALIZED (
+            FROM beam{r}{sfx} b JOIN {adj} a ON b.vec_id = a.src_id)),
+        scored{r}{sfx} AS MATERIALIZED (
           SELECT p.q_id, p.vec_id,
                  {_SQL_COS.format(a="q.q_vec", b="ev.v")} AS cos_sim
-          FROM pool{r} p JOIN e ev ON ev.vec_id = p.vec_id
+          FROM pool{r}{sfx} p JOIN e ev ON ev.vec_id = p.vec_id
                JOIN queries q ON q.q_id = p.q_id),
-        beam{r + 1} AS (
+        beam{r + 1}{sfx} AS (
           SELECT q_id, vec_id FROM (
             SELECT q_id, vec_id,
                    row_number() OVER (PARTITION BY q_id
                                       ORDER BY cos_sim DESC, vec_id ASC)
                        AS rk
-            FROM scored{r})
+            FROM scored{r}{sfx})
           WHERE rk <= {GBS_B})""")
-    chain = ",\n        ".join(rounds)
+    return ",\n        ".join(rounds)
+
+
+def _x248_sql() -> str:
+    chain = _sql_beam_chain()
     last = f"scored{GBS_ROUNDS - 1}"
     return f"""
         WITH e AS (
@@ -2409,5 +2442,278 @@ register(
         x250_label_prop_cdc,
         _x250_sql(),
         "label-propagation CDC: adds labeled by one vote over CDC edges against the frozen base-graph label state",
+    )
+)
+
+
+# --- x258/x259: graph-configuration adoption policy + policy-routed serve -----
+# x247's sweep proved nplace is the productive knob; x249 registered the
+# nplace=2 build — but the ADOPTION was by fiat.  x258 applies x231's
+# discipline (an integer-exact rule whose oracle re-makes the identical
+# decision in SQL) to the graph: among the two REGISTERED corpus-wide
+# builds (x238's base graph, x249's multi-probe graph), adopt the one
+# with more exact-truth audit hits, subject to a per-source
+# pair-volume budget — build cost per source is nplace·(cap + 2·ov)
+# candidates by the ring construction, the quantity GRAPH_PROBE shows
+# doubling at nplace=2.  x259 closes sweep→decide→serve (the
+# x228→x231→x235 loop, graph edition): the beam-search serve (x248's
+# walk) runs through the ADOPTED graph, decision and walk proven
+# together by one hash match.
+#
+# The policy domain is deliberately the two servable builds, not the
+# full 5-config sweep: adopting a config means serving its graph, and
+# only these two are built corpus-wide (a sweep winner without a store
+# would be a decision nothing executes — the gap this round closes).
+GSW_COST_BUDGET = 2 * (KNNG_CAP + 2 * KNNG_OV)  # per-source pair budget
+SERVABLE_CONFIGS = [
+    (KNNG_CAP, KNNG_OV, KNNG_K, 1),  # x238's build-once store
+    (KNNG_CAP, KNNG_OV, KNNG_K, 2),  # x249's multi-probe store
+]
+_BASE_COST = 1 * (KNNG_CAP + 2 * KNNG_OV)
+_MP_COST = 2 * (KNNG_CAP + 2 * KNNG_OV)
+
+
+def x258_graph_config_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: both registered builds' exact-truth audit hits, their
+    per-source candidate costs, the budget, and the adopted graph —
+    'multiprobe' iff its cost fits the budget AND it finds strictly
+    more audit hits (pure BIGINT comparisons, so the oracle is exact;
+    ties keep the cheaper base build).  Scale shapes: x247's sweep
+    machinery restricted to 2 configs — one shared ~n^1.25 two-level
+    assignment at n_keep=2, one broadcast(GRA_NQ)×corpus truth pass,
+    per config a capped pair pass over the audit vectors' cells only."""
+    stats = _graph_sweep(spark, sf_dir, SERVABLE_CONFIGS)
+    pivoted = stats.groupBy().agg(
+        F.max(
+            F.when(F.col("nplace") == 1, F.col("n_hits"))
+        ).alias("base_hits"),
+        F.max(
+            F.when(F.col("nplace") == 2, F.col("n_hits"))
+        ).alias("mp_hits"),
+    )
+    return pivoted.select(
+        F.col("base_hits").cast("long").alias("base_hits"),
+        F.col("mp_hits").cast("long").alias("mp_hits"),
+        F.lit(_BASE_COST).cast("long").alias("base_cost"),
+        F.lit(_MP_COST).cast("long").alias("mp_cost"),
+        F.lit(GSW_COST_BUDGET).cast("long").alias("cost_budget"),
+        F.when(
+            (F.lit(_MP_COST) <= F.lit(GSW_COST_BUDGET))
+            & (F.col("mp_hits") > F.col("base_hits")),
+            F.lit("multiprobe"),
+        )
+        .otherwise(F.lit("base"))
+        .alias("chosen_graph"),
+    )
+
+
+_SQL_GRAPH_POL = f"""SELECT
+            CAST(s0.n_hits AS BIGINT) AS base_hits,
+            CAST(s1.n_hits AS BIGINT) AS mp_hits,
+            CASE WHEN {_MP_COST} <= {GSW_COST_BUDGET}
+                      AND s1.n_hits > s0.n_hits
+                 THEN 'multiprobe' ELSE 'base' END AS chosen_graph
+          FROM stats_0 s0, stats_1 s1"""
+
+
+def _x258_sql() -> str:
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        {_sweep_sql_ctes(SERVABLE_CONFIGS)},
+        pol AS ({_SQL_GRAPH_POL})
+        SELECT base_hits, mp_hits,
+               CAST({_BASE_COST} AS BIGINT) AS base_cost,
+               CAST({_MP_COST} AS BIGINT) AS mp_cost,
+               CAST({GSW_COST_BUDGET} AS BIGINT) AS cost_budget,
+               chosen_graph
+        FROM pol
+        """
+
+
+register(
+    QuerySpec(
+        "x258_graph_config_policy",
+        x258_graph_config_policy,
+        _x258_sql(),
+        "graph-build adoption policy: multi-probe iff it fits the pair-volume budget and strictly wins the audit",
+    )
+)
+
+
+def x259_policy_routed_graph_serve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """x248's beam-search walk THROUGH the graph x258's policy adopts,
+    with the adopted graph named in the output: (graph, q_id, rank,
+    vec_id, cos_sim).  The decision is one bounded driver scalar
+    (x235's bounded-decision pattern: a 1-row collect off audit-sized
+    rollups); the oracle re-makes the identical integer decision in
+    SQL and walks BOTH graphs, selecting the adopted walk's rows — a
+    hash match proves decision and serve agree cross-engine.  Scale
+    shapes: x258's sweep (audit-bounded) + one beam walk over the
+    adopted build-once store (per-query cost corpus-size-independent,
+    the x248 serving property)."""
+    chosen = (
+        x258_graph_config_policy(spark, sf_dir).collect()[0].chosen_graph
+    )
+    if chosen == "multiprobe":
+        edges = spark.read.parquet(knn2_graph_path(spark, sf_dir))
+    else:
+        edges = knn_edges(spark, sf_dir)
+    served = beam_serve(spark, sf_dir, edges=edges)
+    return served.select(
+        F.lit(chosen).alias("graph"),
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "cos_sim",
+    ).orderBy("q_id", "rank")
+
+
+def _x259_sql() -> str:
+    # Corpus-wide edges for BOTH candidate graphs are derived from the
+    # sweep's shared asn2 (crank=1 slice == x238's rank-1 assignment;
+    # all rows == x249's nplace=2 placement), then two beam chains walk
+    # them and the policy CASE selects the adopted walk's rows.
+    base_edges = f"""placedb AS MATERIALIZED (
+          SELECT vec_id, cell, rn0 // {KNNG_CAP} AS ring,
+                 rn0 % {KNNG_CAP} AS pos
+          FROM (
+            SELECT a.vec_id, a.cell,
+                   row_number() OVER (PARTITION BY a.cell
+                                      ORDER BY a.d, a.vec_id) - 1 AS rn0
+            FROM asn2 a WHERE a.crank = 1)),
+        candb AS (
+          SELECT s.vec_id AS src_id, t.vec_id AS dst_id
+          FROM placedb s JOIN placedb t USING (cell, ring)
+          WHERE s.vec_id != t.vec_id
+          UNION ALL
+          SELECT s.vec_id, t.vec_id FROM placedb s JOIN placedb t
+            ON s.cell = t.cell AND s.ring + 1 = t.ring
+               AND s.pos >= {KNNG_CAP - KNNG_OV} AND t.pos < {KNNG_OV}
+          UNION ALL
+          SELECT s.vec_id, t.vec_id FROM placedb s JOIN placedb t
+            ON s.cell = t.cell AND s.ring = t.ring + 1
+               AND s.pos < {KNNG_OV} AND t.pos >= {KNNG_CAP - KNNG_OV}),
+        scoredb AS (
+          SELECT c.src_id, c.dst_id,
+                 {_SQL_COS.format(a="sv.v", b="tv.v")} AS cos
+          FROM candb c JOIN e sv ON sv.vec_id = c.src_id
+               JOIN e tv ON tv.vec_id = c.dst_id),
+        edgesb AS MATERIALIZED (
+          SELECT src_id, dst_id FROM (
+            SELECT src_id, dst_id,
+                   row_number() OVER (PARTITION BY src_id
+                                      ORDER BY cos DESC, dst_id ASC) AS rank
+            FROM scoredb)
+          WHERE rank <= {KNNG_K})"""
+    mp_edges = f"""placedm AS MATERIALIZED (
+          SELECT vec_id, cell, rn0 // {KNNG_CAP} AS ring,
+                 rn0 % {KNNG_CAP} AS pos
+          FROM (
+            SELECT a.vec_id, a.cell,
+                   row_number() OVER (PARTITION BY a.cell
+                                      ORDER BY a.d, a.vec_id) - 1 AS rn0
+            FROM asn2 a)),
+        halfm AS (
+          SELECT DISTINCT LEAST(src_id, dst_id) AS src_id,
+                 GREATEST(src_id, dst_id) AS dst_id FROM (
+            SELECT s.vec_id AS src_id, t.vec_id AS dst_id
+            FROM placedm s JOIN placedm t USING (cell, ring)
+            WHERE s.vec_id != t.vec_id
+            UNION ALL
+            SELECT s.vec_id, t.vec_id FROM placedm s JOIN placedm t
+              ON s.cell = t.cell AND s.ring + 1 = t.ring
+                 AND s.pos >= {KNNG_CAP - KNNG_OV} AND t.pos < {KNNG_OV}
+            UNION ALL
+            SELECT s.vec_id, t.vec_id FROM placedm s JOIN placedm t
+              ON s.cell = t.cell AND s.ring = t.ring + 1
+                 AND s.pos < {KNNG_OV} AND t.pos >= {KNNG_CAP - KNNG_OV})),
+        candm AS (
+          SELECT src_id, dst_id FROM halfm
+          UNION ALL
+          SELECT dst_id, src_id FROM halfm),
+        scoredm AS (
+          SELECT c.src_id, c.dst_id,
+                 {_SQL_COS.format(a="sv.v", b="tv.v")} AS cos
+          FROM candm c JOIN e sv ON sv.vec_id = c.src_id
+               JOIN e tv ON tv.vec_id = c.dst_id),
+        edgesm AS MATERIALIZED (
+          SELECT src_id, dst_id FROM (
+            SELECT src_id, dst_id,
+                   row_number() OVER (PARTITION BY src_id
+                                      ORDER BY cos DESC, dst_id ASC) AS rank
+            FROM scoredm)
+          WHERE rank <= {KNNG_K})"""
+
+    def serve(sfx: str) -> str:
+        last = f"scored{GBS_ROUNDS - 1}{sfx}"
+        return f"""served{sfx} AS (
+          SELECT q_id, vec_id, cos_sim,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos_sim DESC, vec_id ASC)
+                     AS rank
+          FROM {last}
+          WHERE vec_id != q_id
+          QUALIFY rank <= {GBS_K})"""
+
+    def entry(sfx: str) -> str:
+        return f"""beam0{sfx} AS (
+          SELECT vec_id AS q_id, cell AS vec_id FROM asn2
+          WHERE crank = 1 AND vec_id < {GBS_NQ}
+          UNION ALL
+          SELECT q_id, CAST({SQL_IVF_NLIST} AS BIGINT) AS vec_id
+          FROM queries)"""
+
+    def adj(sfx: str, edges: str) -> str:
+        return f"""adj{sfx} AS MATERIALIZED (
+          SELECT DISTINCT src_id, dst_id FROM (
+            SELECT src_id, dst_id FROM {edges}
+            UNION ALL
+            SELECT dst_id, src_id FROM {edges}))"""
+
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        {_sweep_sql_ctes(SERVABLE_CONFIGS)},
+        pol AS ({_SQL_GRAPH_POL}),
+        {base_edges},
+        {mp_edges},
+        queries AS (SELECT vec_id AS q_id, v AS q_vec FROM e
+                    WHERE vec_id < {GBS_NQ}),
+        {adj("_b", "edgesb")},
+        {adj("_m", "edgesm")},
+        {entry("_b")},
+        {entry("_m")},
+        {_sql_beam_chain("_b", "adj_b")},
+        {_sql_beam_chain("_m", "adj_m")},
+        {serve("_b")},
+        {serve("_m")}
+        SELECT (SELECT chosen_graph FROM pol) AS graph,
+               CAST(q_id AS BIGINT) AS q_id,
+               CAST(rank AS BIGINT) AS rank,
+               CAST(vec_id AS BIGINT) AS vec_id,
+               cos_sim
+        FROM served_m
+        WHERE (SELECT chosen_graph FROM pol) = 'multiprobe'
+        UNION ALL
+        SELECT (SELECT chosen_graph FROM pol) AS graph,
+               CAST(q_id AS BIGINT) AS q_id,
+               CAST(rank AS BIGINT) AS rank,
+               CAST(vec_id AS BIGINT) AS vec_id,
+               cos_sim
+        FROM served_b
+        WHERE (SELECT chosen_graph FROM pol) = 'base'
+        ORDER BY q_id, rank
+        """
+
+
+register(
+    QuerySpec(
+        "x259_policy_routed_graph_serve",
+        x259_policy_routed_graph_serve,
+        _x259_sql(),
+        "sweep -> decide -> serve: beam-search through the policy-adopted graph build",
     )
 )
