@@ -4144,3 +4144,452 @@ register(
         "drift-triggered retrain: PSI monitor -> retrain decision -> warm-start Lloyd -> adoption gate",
     )
 )
+
+
+# --- x260/x261: drift-adopted RE-INDEX execution --------------------------------
+# x237 adopts the retrained quantizer but nothing migrated the
+# inverted-list layout the adoption implies — the same execute-arrow
+# gap x227 closed for compaction (VERDICT r10 ask #7).  These compose
+# x237's adoption with an incremental re-index over the physical
+# layout: the drifted snapshot's lists under the SERVED quantizer are
+# the phase-1 store (the index state when the drift event fires); if
+# the retrained quantizer is adopted, ONLY the cells whose membership
+# changes — a cell any mover leaves or enters — have their partition
+# directories rewritten (x227's dynamic-partition machinery verbatim);
+# cells with identical membership keep their phase-1 files physically
+# byte-untouched (tests/test_round13_invariants.py, on a
+# localized-drift fixture).  x261 is the integer I/O ledger.
+#
+# Honest scale note: at THIS corpus's drift magnitude (PSI 0.39-0.75
+# under the v·1.5+0.1 covariate shift) the retrained centroids move
+# far enough that EVERY cell's membership changes — the ledger reports
+# pct_rows_preserved = 0 and the "incremental" migration degenerates
+# to the full rewrite a production store would also pay after a shift
+# this large.  The machinery still matters: under localized drift
+# (most cells' membership stable — the fixture shape) migration I/O is
+# proportional to the moved set, and the ledger is what tells an
+# operator which regime they are in BEFORE paying the rewrite.
+
+
+def _drift_old_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell): the drifted snapshot routed through the SERVED
+    quantizer — the inverted-list assignment the index holds when the
+    drift event fires (one ~n^1.25 two-level pass)."""
+    corpus, sup, _cs, cent_lloyd, nlist = _quantizer_frames(spark, sf_dir)
+    return route_two_level(
+        _drifted(corpus), sup, cent_sup_for(cent_lloyd, sup),
+        cent_rows=nlist,
+    ).select("vec_id", F.col("c_id").alias("cell"))
+
+
+def _drift_new_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell): the drifted snapshot routed through the
+    RETRAINED quantizer (served from its train-once store)."""
+    corpus, sup, _cs, _cl, nlist = _quantizer_frames(spark, sf_dir)
+    cent_re = spark.read.parquet(drift_retrain_cent_path(spark, sf_dir))
+    return route_two_level(
+        _drifted(corpus), sup, cent_sup_for(cent_re, sup), cent_rows=nlist
+    ).select("vec_id", F.col("c_id").alias("cell"))
+
+
+def _drift_reindex_write_base(
+    spark: SparkSession, sf_dir: str, dest: str
+) -> None:
+    """Phase 1 — the pre-migration layout: every drifted vector in its
+    served-quantizer cell, partitioned by cell."""
+    import os
+
+    if os.path.exists(os.path.join(dest, "_SUCCESS")):
+        return
+    corpus, _sup, _cs, _cl, _nl = _quantizer_frames(spark, sf_dir)
+    (
+        _drifted(corpus)
+        .join(_drift_old_layout(spark, sf_dir), "vec_id")
+        .select("vec_id", F.col("embedding").alias("v"), "cell")
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(dest)
+    )
+
+
+def _drift_reindex_migrate(
+    spark: SparkSession, sf_dir: str, dest: str
+) -> None:
+    """Phase 2 — the INCREMENTAL re-route, executed only when x237's
+    loop adopts the retrained quantizer: movers = vectors whose cell
+    changes; touched cells = every cell a mover leaves or enters.  The
+    dynamic partition overwrite carries the NEW membership of touched
+    cells only, so untouched cells' files stay byte-identical; a
+    touched cell left with no members (everyone moved out, nobody in)
+    gets its stale directory dropped explicitly (x227's fully-dead
+    branch; bounded: ≤nlist driver-side ops).  The touched list is a
+    ≤2·nlist-row collect — bounded index metadata, never corpus rows."""
+    import os
+    import shutil
+
+    marker = os.path.join(dest, "_REINDEXED")
+    if os.path.exists(marker):
+        return
+    adopted = (
+        x237_drift_retrain(spark, sf_dir).collect()[0].adopted
+    )  # 1-row bounded decision (the x235 pattern)
+    if adopted == "retrained":
+        old = _drift_old_layout(spark, sf_dir)
+        new = _drift_new_layout(spark, sf_dir)
+        j = old.select(
+            "vec_id", F.col("cell").alias("oc")
+        ).join(new.select("vec_id", F.col("cell").alias("nc")), "vec_id")
+        movers = j.filter(F.col("oc") != F.col("nc"))
+        touched = sorted(
+            {
+                r.cell
+                for r in movers.select(F.col("oc").alias("cell"))
+                .unionAll(movers.select(F.col("nc").alias("cell")))
+                .distinct()
+                .collect()  # ≤ 2·nlist rows
+            }
+        )
+        if touched:
+            corpus, _sup, _cs, _cl, _nl = _quantizer_frames(spark, sf_dir)
+            incoming = (
+                _drifted(corpus)
+                .join(
+                    new.filter(F.col("cell").isin(touched)), "vec_id"
+                )
+                .select("vec_id", F.col("embedding").alias("v"), "cell")
+            )
+            gaining = {
+                r.cell
+                for r in new.filter(F.col("cell").isin(touched))
+                .select("cell")
+                .distinct()
+                .collect()
+            }
+            for c in touched:
+                if c not in gaining:  # emptied cell: drop its directory
+                    shutil.rmtree(
+                        os.path.join(dest, f"cell={c}"), ignore_errors=True
+                    )
+            (
+                incoming.repartition("cell")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("cell")
+                .parquet(dest)
+            )
+    with open(marker, "w"):
+        pass
+
+
+def drift_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per source state) the post-drift index layout:
+    (vec_id, v, cell=partition) over the DRIFTED snapshot — phase-1
+    lists under the served quantizer, incrementally re-routed to the
+    retrained quantizer iff x237's loop adopts it.  Path embeds every
+    constant the loop depends on + the source fingerprint (the
+    GATE_DIR cache-keying invariant)."""
+    import hashlib
+    import os
+
+    from .convert_gate import GATE_DIR
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    nlist = ivf_nlist(spark, sf_dir)
+    sig = repr(
+        ("drift-reindex-v1", DRIFT_GAIN, DRIFT_OFFSET, DRIFT_RETRAIN_PSI,
+         IVF_N_CENTROIDS, IVF_K0_MIN, LLOYD_ROUNDS, LLOYD_SAMPLE_PER_CELL)
+    )
+    token = hashlib.sha256(sig.encode()).hexdigest()[:8]
+    dest = os.path.join(
+        GATE_DIR,
+        f"drift_idx_{tag}_nl{nlist}_{token}_d{_data_fingerprint(sf_dir)}",
+    )
+    if not os.path.exists(os.path.join(dest, "_REINDEXED")):
+        _drift_reindex_write_base(spark, sf_dir, dest)
+        _drift_reindex_migrate(spark, sf_dir, dest)
+    return dest
+
+
+def x260_drift_reindex_execute(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Probed IVF top-k over the PHYSICALLY RE-INDEXED drifted corpus,
+    through the quantizer x237's loop adopted, the adoption named in
+    the output: (adopted, q_id, vec_id, cos_sim, rank).  The oracle
+    replays the whole loop in SQL — monitor, retrain, adoption — and
+    searches the adopted assignment computed INLINE (no store, no
+    migration mechanics), so a hash match proves the incremental
+    re-route produced exactly the layout the adopted quantizer
+    implies (x227's gate shape composed with x237's decision).  Scale
+    shapes: the migration is paid once per drift event (store); the
+    search is x121's — bounded query probe broadcast against the
+    cell-partitioned scan, probes·~√n candidates."""
+    corpus, _sup, _cs, cent_lloyd, _nl = _quantizer_frames(spark, sf_dir)
+    adopted = (
+        x237_drift_retrain(spark, sf_dir).collect()[0].adopted
+    )  # 1-row bounded decision
+    cent = (
+        spark.read.parquet(drift_retrain_cent_path(spark, sf_dir))
+        if adopted == "retrained"
+        else cent_lloyd
+    )
+    index = spark.read.parquet(drift_index_path(spark, sf_dir))
+    queries = _drifted(corpus).filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    qdist = queries.crossJoin(F.broadcast(cent)).select(
+        "q_id",
+        "q_vec",
+        "c_id",
+        _sq_dist(F.col("q_vec"), F.col("c_vec")).alias("dist"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("c_id"))
+    probes = (
+        qdist.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= IVF_N_PROBE)
+        .select("q_id", "q_vec", F.col("c_id").alias("probe_c"))
+    )
+    cand = index.join(
+        F.broadcast(probes), index.cell == probes.probe_c
+    ).filter(F.col("vec_id") != F.col("q_id"))
+    scored = cand.select(
+        "q_id",
+        "vec_id",
+        cosine(F.col("q_vec"), F.col("v")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= FANN_TOPK)
+        .select(
+            F.lit(adopted).alias("adopted"),
+            "q_id",
+            "vec_id",
+            "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
+def _x260_sql() -> str:
+    cos = (
+        "ROUND(list_dot_product({q}, {v})"
+        " / (sqrt(list_dot_product({q}, {q}))"
+        " * sqrt(list_dot_product({v}, {v}))), 6)"
+    )
+
+    def res(cent_cte: str, asn_cte: str, tag: str) -> str:
+        return f"""probes_{tag} AS (
+          SELECT q_id, c_id AS probe_c FROM (
+            SELECT e2.vec_id AS q_id, c.c_id,
+                   {_SQD.format(a="e2.v", b="c.c_vec")} AS d
+            FROM e2 CROSS JOIN {cent_cte} c
+            WHERE e2.vec_id < {N_QUERY_VECS})
+          QUALIFY row_number() OVER (PARTITION BY q_id
+                                     ORDER BY d, c_id) <= {IVF_N_PROBE}),
+        res_{tag} AS (
+          SELECT q_id, vec_id, cos_sim,
+                 CAST(row_number() OVER (PARTITION BY q_id
+                     ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank
+          FROM (
+            SELECT p.q_id, a.vec_id,
+                   {cos.format(q="q.q_vec", v="e2.v")} AS cos_sim
+            FROM {asn_cte} a
+            JOIN e2 ON a.vec_id = e2.vec_id
+            JOIN probes_{tag} p ON a.c_id = p.probe_c
+            JOIN q2 q ON p.q_id = q.q_id
+            WHERE a.vec_id != p.q_id)
+          QUALIFY rank <= {FANN_TOPK})"""
+
+    return f"""
+        WITH {_drift_monitor_ctes()},
+        samp2 AS MATERIALIZED (
+          SELECT vec_id, v FROM e2 WHERE vec_id % {SQL_SAMP_MOD} = 0),
+        {_lloyd_sql_steps(src="samp2", seed=f"lcent{LLOYD_ROUNDS}",
+                          prefix="r")},
+        {_sql_cs(f"rcent{LLOYD_ROUNDS}", "cs_re")},
+        {_sql_asn("cs_re", "asn_re", e_cte="e2", vs_cte="vec_sup2")},
+        re AS (SELECT MAX(cr) AS mp FROM (
+                 SELECT COUNT(*) AS cr FROM asn_re GROUP BY c_id)),
+        adopt AS (
+          SELECT CASE WHEN p.psi > {SQL_DRIFT_THR} AND r.mp < s.mp
+                      THEN 'retrained' ELSE 'stale' END AS a
+          FROM psi p, stale s, re r),
+        q2 AS (SELECT vec_id AS q_id, v AS q_vec FROM e2
+               WHERE vec_id < {N_QUERY_VECS}),
+        {res(f"lcent{LLOYD_ROUNDS}", "asn_new", "stale")},
+        {res(f"rcent{LLOYD_ROUNDS}", "asn_re", "retrained")}
+        SELECT (SELECT a FROM adopt) AS adopted,
+               q_id, vec_id, cos_sim, rank
+        FROM res_retrained
+        WHERE (SELECT a FROM adopt) = 'retrained'
+        UNION ALL
+        SELECT (SELECT a FROM adopt) AS adopted,
+               q_id, vec_id, cos_sim, rank
+        FROM res_stale
+        WHERE (SELECT a FROM adopt) = 'stale'
+        ORDER BY q_id, rank
+        """
+
+
+register(
+    QuerySpec(
+        "x260_drift_reindex_execute",
+        x260_drift_reindex_execute,
+        _x260_sql(),
+        "drift re-index executed: probed search over the migrated lists == the adopted quantizer's inline answer",
+    )
+)
+
+
+def x261_drift_reindex_io(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row of exact integers — the re-index's I/O ledger (x232's
+    framing for the drift loop): movers, cells touched vs untouched by
+    the executed migration, layout rows physically rewritten vs
+    preserved in place, and the integer percentage preserved.  Under a
+    'hold'/'stale' outcome no migration runs, so the ledger reports
+    zero movers and 100% preserved by construction.  Scale shapes: two
+    ~n^1.25 assignments joined on vec_id (narrow rows), ≤2·nlist cell
+    rollups, a 1-row decision collect (the x235 pattern)."""
+    adopted = (
+        x237_drift_retrain(spark, sf_dir).collect()[0].adopted
+    )  # 1-row bounded decision
+    old = _drift_old_layout(spark, sf_dir)
+    if adopted != "retrained":
+        base = old.agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count_distinct("cell").alias("n_cells"),
+        )
+        return base.select(
+            F.lit(adopted).alias("adopted"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.lit(0).cast("long").alias("n_movers"),
+            F.col("n_cells").cast("long").alias("n_cells"),
+            F.lit(0).cast("long").alias("n_cells_touched"),
+            F.col("n_cells").cast("long").alias("n_cells_untouched"),
+            F.lit(0).cast("long").alias("rows_rewritten"),
+            F.col("n_vecs").cast("long").alias("rows_preserved"),
+            F.lit(100).cast("long").alias("pct_rows_preserved"),
+        )
+    new = _drift_new_layout(spark, sf_dir)
+    j = old.select("vec_id", F.col("cell").alias("oc")).join(
+        new.select("vec_id", F.col("cell").alias("nc")), "vec_id"
+    )
+    movers = j.filter(F.col("oc") != F.col("nc"))
+    touched = (
+        movers.select(F.col("oc").alias("cell"))
+        .unionAll(movers.select(F.col("nc").alias("cell")))
+        .distinct()
+        .withColumn("t", F.lit(1))
+    )
+    allc = (
+        j.select(F.col("oc").alias("cell"))
+        .unionAll(j.select(F.col("nc").alias("cell")))
+        .distinct()
+    )
+    cellstats = allc.join(F.broadcast(touched), "cell", "left").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.coalesce(F.col("t"), F.lit(0))).alias("n_cells_touched"),
+        F.sum(1 - F.coalesce(F.col("t"), F.lit(0))).alias(
+            "n_cells_untouched"
+        ),
+    )
+    rowstats = j.join(
+        F.broadcast(touched.withColumnRenamed("cell", "nc")), "nc", "left"
+    ).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum((F.col("oc") != F.col("nc")).cast("long")).alias("n_movers"),
+        F.sum(F.coalesce(F.col("t"), F.lit(0))).alias("rows_rewritten"),
+        F.sum(1 - F.coalesce(F.col("t"), F.lit(0))).alias("rows_preserved"),
+    )
+    return rowstats.crossJoin(cellstats).select(
+        F.lit(adopted).alias("adopted"),
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        F.col("n_movers").cast("long").alias("n_movers"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.col("n_cells_touched").cast("long").alias("n_cells_touched"),
+        F.col("n_cells_untouched").cast("long").alias("n_cells_untouched"),
+        F.col("rows_rewritten").cast("long").alias("rows_rewritten"),
+        F.col("rows_preserved").cast("long").alias("rows_preserved"),
+        F.expr("rows_preserved * 100 div n_vecs")
+        .cast("long")
+        .alias("pct_rows_preserved"),
+    )
+
+
+def _x261_sql() -> str:
+    return f"""
+        WITH {_drift_monitor_ctes()},
+        samp2 AS MATERIALIZED (
+          SELECT vec_id, v FROM e2 WHERE vec_id % {SQL_SAMP_MOD} = 0),
+        {_lloyd_sql_steps(src="samp2", seed=f"lcent{LLOYD_ROUNDS}",
+                          prefix="r")},
+        {_sql_cs(f"rcent{LLOYD_ROUNDS}", "cs_re")},
+        {_sql_asn("cs_re", "asn_re", e_cte="e2", vs_cte="vec_sup2")},
+        re AS (SELECT MAX(cr) AS mp FROM (
+                 SELECT COUNT(*) AS cr FROM asn_re GROUP BY c_id)),
+        adopt AS (
+          SELECT CASE WHEN p.psi > {SQL_DRIFT_THR} AND r.mp < s.mp
+                      THEN 'retrained' ELSE 'stale' END AS a
+          FROM psi p, stale s, re r),
+        mov AS (
+          SELECT o.vec_id, o.c_id AS oc, n.c_id AS nc,
+                 CASE WHEN o.c_id != n.c_id THEN 1 ELSE 0 END AS m
+          FROM asn_new o JOIN asn_re n USING (vec_id)),
+        touched AS (
+          SELECT DISTINCT cell FROM (
+            SELECT oc AS cell FROM mov WHERE m = 1
+            UNION ALL SELECT nc FROM mov WHERE m = 1)),
+        allc AS (
+          SELECT DISTINCT cell FROM (
+            SELECT oc AS cell FROM mov UNION ALL SELECT nc FROM mov)),
+        cellstats AS (
+          SELECT COUNT(*) AS n_cells,
+                 SUM(CASE WHEN t.cell IS NOT NULL THEN 1 ELSE 0 END)
+                     AS n_cells_touched,
+                 SUM(CASE WHEN t.cell IS NULL THEN 1 ELSE 0 END)
+                     AS n_cells_untouched
+          FROM allc a LEFT JOIN touched t USING (cell)),
+        rowstats AS (
+          SELECT COUNT(*) AS n_vecs, SUM(m) AS n_movers,
+                 SUM(CASE WHEN t.cell IS NOT NULL THEN 1 ELSE 0 END)
+                     AS rows_rewritten,
+                 SUM(CASE WHEN t.cell IS NULL THEN 1 ELSE 0 END)
+                     AS rows_preserved
+          FROM mov LEFT JOIN touched t ON mov.nc = t.cell),
+        holdstats AS (
+          SELECT COUNT(*) AS n_vecs,
+                 COUNT(DISTINCT c_id) AS n_cells
+          FROM asn_new)
+        SELECT a.a AS adopted,
+               CAST(CASE WHEN a.a = 'retrained' THEN r.n_vecs
+                         ELSE h.n_vecs END AS BIGINT) AS n_vecs,
+               CAST(CASE WHEN a.a = 'retrained' THEN r.n_movers
+                         ELSE 0 END AS BIGINT) AS n_movers,
+               CAST(CASE WHEN a.a = 'retrained' THEN c.n_cells
+                         ELSE h.n_cells END AS BIGINT) AS n_cells,
+               CAST(CASE WHEN a.a = 'retrained' THEN c.n_cells_touched
+                         ELSE 0 END AS BIGINT) AS n_cells_touched,
+               CAST(CASE WHEN a.a = 'retrained' THEN c.n_cells_untouched
+                         ELSE h.n_cells END AS BIGINT) AS n_cells_untouched,
+               CAST(CASE WHEN a.a = 'retrained' THEN r.rows_rewritten
+                         ELSE 0 END AS BIGINT) AS rows_rewritten,
+               CAST(CASE WHEN a.a = 'retrained' THEN r.rows_preserved
+                         ELSE h.n_vecs END AS BIGINT) AS rows_preserved,
+               CAST(CASE WHEN a.a = 'retrained'
+                         THEN r.rows_preserved * 100 // r.n_vecs
+                         ELSE 100 END AS BIGINT) AS pct_rows_preserved
+        FROM adopt a, rowstats r, cellstats c, holdstats h
+        """
+
+
+register(
+    QuerySpec(
+        "x261_drift_reindex_io",
+        x261_drift_reindex_io,
+        _x261_sql(),
+        "drift re-index I/O ledger: movers, cells touched vs untouched, layout rows rewritten vs preserved",
+    )
+)

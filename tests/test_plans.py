@@ -208,6 +208,8 @@ _BNLJ_ALLOWED = {
     "x248_graph_beam_search",  # GBS_NQ-row query-vector broadcast (x240 shape)
     "x242_stream_drift_monitor",  # x237's monitor shapes: 1-row psi cross
     "x257_retok_io_plan",  # three ≤NBUCKETS/1-row ledger aggregates crossed
+    "x260_drift_reindex_execute",  # K0/nlist frames + Nq-row query probe (x227 shape)
+    "x261_drift_reindex_io",  # K0/nlist frames + 1-row ledger aggregates crossed
 }
 
 

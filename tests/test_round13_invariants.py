@@ -115,6 +115,143 @@ def test_x256_noop_swap_touches_nothing(spark, tmp_path):
     assert _file_hashes(dest) == before  # nothing rewritten anywhere
 
 
+def _localized_drift_fixture(dest_dir):
+    """Embeddings engineered so the v·GAIN+OFFSET drift moves ONLY a
+    radial sub-structure on axis 0 while 14 orthogonal blob cells stay
+    put: centroid 0 sits at 20·e0 and centroid 15 at 33·e0 with three
+    radial blobs (D@14 anchors the retrained centroid 0 near the
+    movers, M@18 is the mover blob, B@28 keeps cell 15 populated and
+    the stale layout skewed); orthogonal cells k=1..14 are tight blobs
+    at 20·e_k.  Measured on this geometry: PSI≈0.29 (retrain fires),
+    retrained max-pop 17 < stale 26 (adoption fires), 13 movers all
+    between cells {0, 15}, 14 cells with identical membership."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dim = 16
+    rows = []
+    for k in range(15):
+        c = np.zeros(dim)
+        c[k] = 20.0
+        rows.append(c)
+    c15 = np.zeros(dim)
+    c15[0] = 33.0
+    rows.append(c15)
+
+    def blob(axis_val, axis, n):
+        for _ in range(n):
+            v = np.zeros(dim)
+            v[axis] = axis_val
+            rows.append(v)
+
+    blob(14.0, 0, 4)
+    blob(18.0, 0, 12)
+    blob(28.0, 0, 12)
+    for k in range(1, 15):
+        blob(20.0, k, 2)
+    arr = np.array(rows, dtype=np.float32)
+    os.makedirs(dest_dir, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(rows)), pa.int64()),
+                "embedding": pa.array(
+                    [r for r in arr], pa.list_(pa.float32())
+                ),
+                "label": pa.array(
+                    (np.arange(len(rows)) % 2).astype(np.int32), pa.int32()
+                ),
+            }
+        ),
+        os.path.join(dest_dir, "embeddings.parquet"),
+    )
+    return dest_dir
+
+
+def _cell_of(relpath):
+    part = relpath.split("/")[0]
+    assert part.startswith("cell=")
+    return int(part.split("=", 1)[1])
+
+
+def test_x260_reindex_is_incremental(spark, tmp_path):
+    """VERDICT r10 ask #7: under LOCALIZED drift, the adopted re-index
+    must rewrite only the cells a mover leaves or enters — every other
+    cell's phase-1 data files stay byte-identical — and the migrated
+    store's membership must equal the retrained assignment exactly.
+    (The emptied-cell branch — a touched cell left with no members —
+    shares x227's tested drop-the-directory idiom; this geometry keeps
+    both touched cells populated.)"""
+    from json_to_parquet_spark.queries.similarity import (
+        _drift_new_layout,
+        _drift_old_layout,
+        _drift_reindex_migrate,
+        _drift_reindex_write_base,
+        x237_drift_retrain,
+    )
+
+    src = _localized_drift_fixture(str(tmp_path / "src"))
+    assert (
+        x237_drift_retrain(spark, src).collect()[0].adopted == "retrained"
+    ), "fixture must trigger adoption"
+    dest = str(tmp_path / "idx")
+    _drift_reindex_write_base(spark, src, dest)
+    before = _file_hashes(dest)
+
+    old = {r.vec_id: r.cell for r in _drift_old_layout(spark, src).collect()}
+    new = {r.vec_id: r.cell for r in _drift_new_layout(spark, src).collect()}
+    movers = {v for v in old if old[v] != new[v]}
+    touched = {old[v] for v in movers} | {new[v] for v in movers}
+    untouched = (set(old.values()) | set(new.values())) - touched
+    assert movers and untouched, "fixture must exercise both branches"
+
+    _drift_reindex_migrate(spark, src, dest)
+    after = _file_hashes(dest)
+
+    cold_before = {p: h for p, h in before.items() if _cell_of(p) not in touched}
+    cold_after = {p: h for p, h in after.items() if _cell_of(p) not in touched}
+    assert cold_before == cold_after  # untouched cells byte-identical
+    hot_before = {p for p in before if _cell_of(p) in touched}
+    hot_after = {p for p in after if _cell_of(p) in touched}
+    assert hot_before.isdisjoint(hot_after)  # touched partitions replaced
+
+    got = {
+        r.vec_id: r.cell for r in spark.read.parquet(dest).collect()
+    }
+    assert got == new  # migrated membership == the adopted assignment
+
+
+def test_x261_ledger_matches_x260_store(spark, sf_dir):
+    """Plan/execution coherence: x261's declarative ledger must equal
+    the physical facts of the layout x260 serves — row totals, and the
+    preserved-rows count recomputed from the store against the
+    touched-cell set."""
+    from json_to_parquet_spark.queries.similarity import (
+        _drift_new_layout,
+        _drift_old_layout,
+        drift_index_path,
+        x261_drift_reindex_io,
+    )
+
+    ledger = x261_drift_reindex_io(spark, sf_dir).collect()[0]
+    store = spark.read.parquet(drift_index_path(spark, sf_dir))
+    assert store.count() == ledger.n_vecs
+    old = {r.vec_id: r.cell for r in _drift_old_layout(spark, sf_dir).collect()}
+    new = {r.vec_id: r.cell for r in _drift_new_layout(spark, sf_dir).collect()}
+    movers = {v for v in old if old[v] != new[v]}
+    if ledger.adopted == "retrained":
+        touched = {old[v] for v in movers} | {new[v] for v in movers}
+        preserved = sum(1 for v in new if new[v] not in touched)
+        assert ledger.n_movers == len(movers)
+        assert ledger.rows_preserved == preserved
+        got = {r.vec_id: r.cell for r in store.collect()}
+        assert got == new
+    else:
+        assert ledger.n_movers == 0
+        assert ledger.rows_preserved == ledger.n_vecs
+
+
 def test_x257_ledger_matches_x256_store(spark, sf_dir):
     """Plan/execution coherence (the x232↔x227 discipline): x257's
     declarative ledger must equal the physical facts of the store x256
