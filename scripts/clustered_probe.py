@@ -15,8 +15,13 @@ BOTH quantizers:
   REGISTERED search paths (x21 = seed, x230 = Lloyd-refined) at equal
   probe budget, with wall times and growth ratios.
 
+Round 11 adds ``--beam`` (VERDICT r10 ask #4): the x248 beam-search
+serve's hit rate on the SKEWED shape, walked over BOTH registered
+graphs (x238 base, x249 multi-probe) — greedy graph walks are exactly
+what hubness bends, and the uniform fixture alone cannot show it.
+
 Usage:
-    python scripts/clustered_probe.py [--runs N] [--ns 2000,20000]
+    python scripts/clustered_probe.py [--runs N] [--ns 2000,20000] [--beam]
 Prints one JSON object; stderr carries progress.
 """
 
@@ -72,7 +77,84 @@ def _exact_truth(spark, sf_dir):
     return {(r.q_id, r.vec_id) for r in rows}
 
 
-def run(ns: list[int], runs: int) -> None:
+def _beam_truth(spark, sf_dir):
+    """Exact top-GBS_K ids per beam query (x248's truth definition)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from json_to_parquet_spark.queries.graph_ssl import (
+        GBS_K,
+        GBS_NQ,
+        cosine,
+    )
+    from json_to_parquet_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < GBS_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    rows = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(F.col("q_vec"), F.col("v")).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= GBS_K)
+        .select("q_id", "vec_id")
+        .collect()
+    )
+    return {(r.q_id, r.vec_id) for r in rows}
+
+
+def beam_section(spark, sf_dir, runs: int) -> dict:
+    """x248's serve walked over BOTH registered graphs on this fixture:
+    hit rate vs exact truth + serve wall (min-of-runs).  The multiprobe
+    walk serves from x249's build-once store (its build cost is the
+    probe's x249_build row, not charged to the serve)."""
+    from json_to_parquet_spark.queries.graph_ssl import (
+        GBS_K,
+        GBS_NQ,
+        beam_serve,
+        knn2_graph_path,
+        knn_edges,
+    )
+
+    truth = _beam_truth(spark, sf_dir)
+    out: dict = {}
+    for tag in ("base", "multiprobe"):
+        def edges_of():
+            if tag == "multiprobe":
+                return spark.read.parquet(knn2_graph_path(spark, sf_dir))
+            return knn_edges(spark, sf_dir)
+
+        got = (
+            beam_serve(spark, sf_dir, edges=edges_of())
+            .select("q_id", "vec_id")
+            .collect()
+        )
+        hits = sum((r.q_id, r.vec_id) in truth for r in got)
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            beam_serve(spark, sf_dir, edges=edges_of()).collect()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[tag] = {
+            "hit_rate": round(hits / (GBS_K * GBS_NQ), 4),
+            "served": len(got),
+            "serve_s": round(best, 3),
+        }
+        print(f"beam {tag}: {out[tag]}", file=sys.stderr)
+    return out
+
+
+def run(ns: list[int], runs: int, beam: bool = False) -> None:
     from clustered_fixture import write_clustered_embeddings
 
     from json_to_parquet_spark.queries import registry
@@ -93,6 +175,9 @@ def run(ns: list[int], runs: int) -> None:
     for n in ns:
         d = write_clustered_embeddings("/tmp/clustered_fx", n=n)
         row: dict = {}
+        if beam:
+            out["sizes"][str(n)] = {"beam": beam_section(spark, d, runs)}
+            continue
         # balance facts under both quantizers (x228's measured columns)
         stats = {
             r.quantizer: r
@@ -120,7 +205,7 @@ def run(ns: list[int], runs: int) -> None:
             row.setdefault("sec", {})[name] = round(best, 3)
             print(f"n={n} {name}: {best:.3f}s", file=sys.stderr)
         out["sizes"][str(n)] = row
-    if len(ns) == 2:
+    if len(ns) == 2 and not beam:
         lo, hi = str(ns[0]), str(ns[1])
         out["ratio"] = {
             name: round(
@@ -137,5 +222,6 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--ns", type=str, default="2000,20000")
+    ap.add_argument("--beam", action="store_true")
     args = ap.parse_args()
-    run([int(x) for x in args.ns.split(",")], args.runs)
+    run([int(x) for x in args.ns.split(",")], args.runs, beam=args.beam)
