@@ -179,10 +179,29 @@ HEADLINE = [
     "x249_multiprobe_graph",
     # the incremental labeler: frozen base-LP state + one CDC-edge vote
     "x250_label_prop_cdc",
+    # streaming twin of the graph-add CDC (micro-batch routed partials,
+    # one link pass on drain — engine overhead amortizes in a
+    # continuous stream, the x172/x242 reading)
+    "x251_stream_label_cdc",
     # incremental BPE retrain: slice-only counts + persisted base table,
     # and the swap-impact audit (two rule tables applied to one word set)
     "x252_bpe_incremental",
     "x253_bpe_swap_impact",
+    # streaming twin of the BPE retrain (micro-batch count partials)
+    "x254_stream_bpe_cdc",
+    # the graph-compaction I/O ledger (x246's shapes + one aggregate)
+    "x255_graph_compaction_io",
+    # round-13 additions: the tokenizer execute arrow (re-tokenize
+    # through the migrated lexicon store + its I/O ledger), the
+    # graph-config adoption loop (2-config sweep decision + the beam
+    # serve routed through the adopted store), and the drift re-index
+    # execution (probed search over the migrated lists + its ledger)
+    "x256_retok_execute",
+    "x257_retok_io_plan",
+    "x258_graph_config_policy",
+    "x259_policy_routed_graph_serve",
+    "x260_drift_reindex_execute",
+    "x261_drift_reindex_io",
 ]
 
 CONVERT_RECORDS = 100_000

@@ -93,3 +93,23 @@ def test_unproven_r6_window_entries_lead_the_registry():
     unproven_window = [n for n in _PENDING_R6_WINDOW if n not in evidenced]
     head = list(reg)[: len(unproven_window)]
     assert head == unproven_window
+
+
+def test_reproved_queries_rejoin_the_window_until_regated():
+    """Round-11 changed two already-evidenced queries (x196's audit-
+    slice demotion, x253's rounding-path rework): their prior gate rows
+    no longer speak for the current code, so until a CORRECTNESS round
+    ≥ _REPROVE_MIN_ROUND shows them green they must sit in the
+    driver's 50-slot head sample."""
+    from json_to_parquet_spark.queries import (
+        _REPROVE_MIN_ROUND,
+        _REPROVE_R11,
+    )
+
+    reg = registry()
+    head = set(list(reg)[:50])
+    regated = _driver_evidenced(min_round=_REPROVE_MIN_ROUND)
+    for name in _REPROVE_R11:
+        assert name in reg
+        if name not in regated:
+            assert name in head, name
