@@ -1,0 +1,106 @@
+"""Second-decade probe for the round-13 execute arrows + the demoted
+x196 (VERDICT r10 asks #1/#2/#3/#7 follow-through).
+
+Runs the new operators at sf0.1 / sfx1 / sfx10 (the scale_probe
+fixtures, built with --build / --build --factor 100) and prints one
+JSON object, recorded into SFX10_PROBE.json as `execute_arrows_r13`:
+
+- x196 post-demotion: its query side is now a FIXED audit slice, so
+  the measured exponent must fall from the 17.7x/decade the unbounded
+  shape paid to at-or-below the linear wall.
+- x256/x257: the vocabulary-swap execution — the corpus-sized term is
+  one explode + word-keyed join (x256) / one semi-join (x257); the
+  lexicon store build (cold) is timed separately from warm serving,
+  the graph_probe build/serve decomposition.
+- x258/x259: the graph adoption decision (audit-bounded 2-config
+  sweep) and the beam serve routed through the adopted store.
+- x260/x261: the drift re-index — each run pays x237's monitor (the
+  decision), so rows are min-of-1 at sfx10 by the same cold-build
+  protocol graph_probe uses.
+
+Usage:
+    python scripts/execute_arrows_probe.py [--runs N] [--skip-sfx10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SCALES = [
+    ("sf0.1", os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")),
+    ("sfx1", os.environ.get("SPARK_GRAFT_SFX1_DIR", "/tmp/spark_graft_sfx1")),
+    ("sfx10", os.environ.get("SPARK_GRAFT_SFX10_DIR", "/tmp/spark_graft_sfx10")),
+]
+
+PROBE = [
+    "x196_ivf_bitext_mine",
+    "x256_retok_execute",
+    "x257_retok_io_plan",
+    "x258_graph_config_policy",
+    "x259_policy_routed_graph_serve",
+    "x260_drift_reindex_execute",
+    "x261_drift_reindex_io",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--skip-sfx10", action="store_true")
+    args = ap.parse_args()
+
+    from json_to_parquet_spark.queries import registry
+    from json_to_parquet_spark.queries.tokenizer import bpe_lexicon_path
+    from json_to_parquet_spark.session import build_session
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = build_session(
+        app_name="execute_arrows_probe",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    reg = registry()
+    scales = [s for s in SCALES if not (args.skip_sfx10 and s[0] == "sfx10")]
+    out: dict = {"runs": args.runs, "queries": {}}
+    for sf_name, sf_dir in scales:
+        if not os.path.isdir(sf_dir):
+            print(f"skip {sf_name}: {sf_dir} missing", file=sys.stderr)
+            continue
+        # cold store build for the lexicon, timed separately (the
+        # graph_probe build/serve decomposition; the drift stores build
+        # inside their first query run and are called out below)
+        t0 = time.time()
+        bpe_lexicon_path(spark, sf_dir)
+        out["queries"].setdefault("lexicon_build_cold", {})[sf_name] = round(
+            time.time() - t0, 3
+        )
+        for name in PROBE:
+            runs = 1 if sf_name == "sfx10" and name.startswith("x26") else args.runs
+            best = None
+            for i in range(runs):
+                t0 = time.time()
+                reg[name].spark(spark, sf_dir).collect()
+                dt = time.time() - t0
+                if i == 0:
+                    out["queries"].setdefault(name, {}).setdefault(
+                        "first_run", {}
+                    )[sf_name] = round(dt, 3)
+                best = dt if best is None else min(best, dt)
+            out["queries"].setdefault(name, {})[sf_name] = round(best, 3)
+            print(f"{sf_name} {name}: {best:.3f}s", file=sys.stderr)
+    for name, row in out["queries"].items():
+        if "sfx10" in row and "sfx1" in row:
+            row["ratio_d2"] = round(row["sfx10"] / row["sfx1"], 2)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
