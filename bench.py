@@ -202,6 +202,8 @@ HEADLINE = [
     "x259_policy_routed_graph_serve",
     "x260_drift_reindex_execute",
     "x261_drift_reindex_io",
+    # tombstone-aware graph serving (x248's walk + the live-only audit)
+    "x262_graph_tombstone_serve",
 ]
 
 CONVERT_RECORDS = 100_000

@@ -1800,6 +1800,22 @@ def beam_serve(
     once, served from the store; query routing is bounded (GBS_NQ
     rows); every round is a beam-keyed hash join of a ≤NQ·B row frame
     against the n·K adjacency + one bounded re-rank window."""
+    scored = _beam_scored(spark, sf_dir, edges)
+    wq = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= GBS_K)
+    )
+
+
+def _beam_scored(
+    spark: SparkSession, sf_dir: str, edges: "DataFrame | None" = None
+) -> DataFrame:
+    """The walk's FINAL-round scored pool (q_id, vec_id, cos_sim) —
+    factored from ``beam_serve`` so x262 can apply its tombstone
+    result-filter BEFORE the serve ranking (dead nodes stay in the
+    beam as traversable waypoints; only the returned rows change)."""
     emb, sup, cs = _quantizer_frames(spark, sf_dir)
     queries = _gbs_queries(emb)
     nlist = ivf_nlist(spark, sf_dir)
@@ -1865,11 +1881,7 @@ def beam_serve(
             .filter(F.col("rk") <= GBS_B)
             .select("q_id", "vec_id")
         )
-    return (
-        scored.filter(F.col("vec_id") != F.col("q_id"))
-        .withColumn("rank", F.row_number().over(wq))
-        .filter(F.col("rank") <= GBS_K)
-    )
+    return scored
 
 
 def x248_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2715,5 +2727,131 @@ register(
         x259_policy_routed_graph_serve,
         _x259_sql(),
         "sweep -> decide -> serve: beam-search through the policy-adopted graph build",
+    )
+)
+
+
+# --- x262: tombstone-aware graph serving --------------------------------------
+# The graph lifecycle's DELETE edge (the IVF family has tombstones
+# end-to-end — x224 plan, x227 compact, x234 stream — the graph had
+# none): serve the beam walk over a graph whose tombstoned members
+# (vec_id % TOMB_MOD == 2, the family's shared delete rule) are
+# MARK-DELETED, hnswlib's semantics for HNSW deletion — dead nodes
+# remain traversable waypoints (removing them would sever the
+# adjacency the walk's connectivity depends on; repairing edges is the
+# compactor's job, not the serve path's), but are filtered from the
+# SERVED results, which re-rank over live candidates only.  The audit
+# half compares against the exact top-K among LIVE vectors — the truth
+# a deletion-correct serve must match.
+
+
+def x262_graph_tombstone_serve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(q_id, rank, vec_id, cos_sim, hit): x248's walk with tombstoned
+    vectors excluded from the served rows (never from the beam — dead
+    waypoints keep the graph connected), hit=1 iff the served result is
+    in the exact LIVE top-GBS_K.  Scale shapes: x248's exactly — the
+    tombstone filter is one row-local predicate on the final bounded
+    pool and on the (already bounded) truth pass; nothing new is
+    corpus-sized."""
+    from .similarity import TOMB_MOD
+
+    emb, _sup, _cs = _quantizer_frames(spark, sf_dir)
+    queries = _gbs_queries(emb)
+    scored = _beam_scored(spark, sf_dir)
+    wq = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    served = (
+        scored.filter(
+            (F.col("vec_id") != F.col("q_id"))
+            & (F.col("vec_id") % TOMB_MOD != 2)
+        )
+        .withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= GBS_K)
+    )
+    wt = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    truth = (
+        emb.filter(F.col("vec_id") % TOMB_MOD != 2)
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(F.col("q_vec"), F.col("v")).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= GBS_K)
+        .select("q_id", "vec_id", F.lit(1).alias("hit"))
+    )
+    return (
+        served.join(truth, ["q_id", "vec_id"], "left")
+        .select(
+            F.col("q_id").cast("long").alias("q_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            "cos_sim",
+            F.coalesce(F.col("hit"), F.lit(0)).cast("long").alias("hit"),
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
+def _x262_sql() -> str:
+    from .similarity import TOMB_MOD
+
+    chain = _sql_beam_chain()
+    last = f"scored{GBS_ROUNDS - 1}"
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        {_sql_knn_edges()},
+        queries AS (SELECT vec_id AS q_id, v AS q_vec FROM e
+                    WHERE vec_id < {GBS_NQ}),
+        adj AS MATERIALIZED (
+          SELECT DISTINCT src_id, dst_id FROM (
+            SELECT src_id, dst_id FROM edges
+            UNION ALL
+            SELECT dst_id, src_id FROM edges)),
+        beam0 AS (
+          SELECT vec_id AS q_id, c_id AS vec_id FROM asn
+          WHERE vec_id < {GBS_NQ}
+          UNION ALL
+          SELECT q_id, CAST({SQL_IVF_NLIST} AS BIGINT) AS vec_id
+          FROM queries),
+        {chain},
+        served AS (
+          SELECT q_id, vec_id, cos_sim,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos_sim DESC, vec_id ASC)
+                     AS rank
+          FROM {last}
+          WHERE vec_id != q_id AND vec_id % {TOMB_MOD} != 2
+          QUALIFY rank <= {GBS_K}),
+        truth AS (
+          SELECT q_id, vec_id, 1 AS hit FROM (
+            SELECT q.q_id, e.vec_id,
+                   {_SQL_COS.format(a="q.q_vec", b="e.v")} AS cos_sim
+            FROM e CROSS JOIN queries q
+            WHERE e.vec_id != q.q_id AND e.vec_id % {TOMB_MOD} != 2)
+          QUALIFY row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, vec_id ASC)
+                  <= {GBS_K})
+        SELECT CAST(s.q_id AS BIGINT) AS q_id,
+               CAST(s.rank AS BIGINT) AS rank,
+               CAST(s.vec_id AS BIGINT) AS vec_id,
+               s.cos_sim,
+               CAST(COALESCE(t.hit, 0) AS BIGINT) AS hit
+        FROM served s
+        LEFT JOIN truth t ON t.q_id = s.q_id AND t.vec_id = s.vec_id
+        ORDER BY q_id, rank
+        """
+
+
+register(
+    QuerySpec(
+        "x262_graph_tombstone_serve",
+        x262_graph_tombstone_serve,
+        _x262_sql(),
+        "tombstone-aware graph serving: dead nodes traversed but never returned, audited vs the live-only exact top-k",
     )
 )

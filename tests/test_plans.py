@@ -206,6 +206,7 @@ _BNLJ_ALLOWED = {
     "x237_drift_retrain",  # K0/nlist frames + 1-row psi/max-pop scalar crosses
     "x240_knn_graph_recall",  # GRA_NQ-row audit-vector broadcast (x76 shape)
     "x248_graph_beam_search",  # GBS_NQ-row query-vector broadcast (x240 shape)
+    "x262_graph_tombstone_serve",  # GBS_NQ-row query-vector broadcast (x248 shape)
     "x242_stream_drift_monitor",  # x237's monitor shapes: 1-row psi cross
     "x257_retok_io_plan",  # three ≤NBUCKETS/1-row ledger aggregates crossed
     "x260_drift_reindex_execute",  # K0/nlist frames + Nq-row query probe (x227 shape)

@@ -277,3 +277,43 @@ def test_x257_ledger_matches_x256_store(spark, sf_dir):
     assert ledger.words_rewritten + ledger.words_preserved == ledger.n_words
     assert 0 <= ledger.n_changed <= ledger.words_rewritten
     assert 0 <= ledger.n_docs_retok <= ledger.n_docs
+
+
+def test_x262_serves_only_live_rows_with_contiguous_ranks(spark, sf_dir):
+    """The tombstone serve's engine-side laws: no served row is a
+    tombstoned vector, ranks are contiguous from 1 per query, and the
+    result set equals x248's walk re-ranked after dropping dead rows
+    (the mark-deleted semantics: the WALK is unchanged, only the
+    returned rows are)."""
+    from json_to_parquet_spark.queries.graph_ssl import (
+        GBS_K,
+        _beam_scored,
+        x262_graph_tombstone_serve,
+    )
+    from json_to_parquet_spark.queries.similarity import TOMB_MOD
+
+    rows = x262_graph_tombstone_serve(spark, sf_dir).collect()
+    assert rows
+    per_q: dict = {}
+    for r in rows:
+        assert r.vec_id % TOMB_MOD != 2, r
+        per_q.setdefault(r.q_id, []).append(r.rank)
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+        assert len(ranks) <= GBS_K
+
+    pool = {
+        (r.q_id, r.vec_id): r.cos_sim
+        for r in _beam_scored(spark, sf_dir).collect()
+        if r.vec_id % TOMB_MOD != 2 and r.vec_id != r.q_id
+    }
+    for q in per_q:
+        want = sorted(
+            ((cs, v) for (qq, v), cs in pool.items() if qq == q),
+            key=lambda t: (-t[0], t[1]),
+        )[: len(per_q[q])]
+        got = sorted(
+            ((r.cos_sim, r.vec_id) for r in rows if r.q_id == q),
+            key=lambda t: (-t[0], t[1]),
+        )
+        assert got == want, q
