@@ -204,6 +204,8 @@ HEADLINE = [
     "x261_drift_reindex_io",
     # tombstone-aware graph serving (x248's walk + the live-only audit)
     "x262_graph_tombstone_serve",
+    # the delete-side graph compaction (hot cells re-rung live-only)
+    "x263_graph_tombstone_compact",
 ]
 
 CONVERT_RECORDS = 100_000

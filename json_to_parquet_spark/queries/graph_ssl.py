@@ -2855,3 +2855,187 @@ register(
         "tombstone-aware graph serving: dead nodes traversed but never returned, audited vs the live-only exact top-k",
     )
 )
+
+
+# --- x263: graph tombstone COMPACTION ------------------------------------------
+# x262 serves AROUND deletions (mark-deleted); this is the repair act
+# that eventually pays the debt — x246's threshold-merge economics
+# applied to the DELETE side (what x227 is to x224 in the IVF family):
+# a cell whose dead fraction crossed TOMB_PCT (x224's shared integer
+# rule) has its edges REBUILT from live members only — ring placement
+# is cell-local under the frozen quantizer, so the rebuilt cell's
+# edges are bit-identical to that cell's slice of a full live-corpus
+# rebuild — while a colder cell keeps serving its build-once store
+# edges verbatim with dead ENDPOINTS dropped at read (the serve-time
+# filter x262 already pays; no I/O, no rescoring).  The oracle
+# recomputes both branches from scratch and never sees the store, so
+# the hash match proves the compacted graph IS the policy-mixed object
+# it claims to be.
+
+
+def x263_graph_tombstone_compact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The compacted graph after deletions, one row per surviving edge:
+    (src_id, dst_id, rank, cos_sim, cell, provenance) with provenance ∈
+    {'rebuilt', 'kept'}.  Rebuilt cells carry fresh dense ranks over
+    live candidates; kept cells carry the store's original ranks with
+    dead-endpoint edges dropped (rank gaps are the visible staleness
+    the next threshold crossing repairs).  Scale shapes: one ~n^1.25
+    routing pass (membership + deadness rollup), a ≤nlist-row hot/cold
+    decision, a capped pair pass over HOT cells' live members only
+    (≤(CAP+2·OV) candidates per member — compaction work ∝ the hot
+    set), and a parquet scan + broadcast cell filter for the kept
+    segment."""
+    from .similarity import TOMB_MOD, TOMB_PCT
+
+    emb, _sup, _cs = _quantizer_frames(spark, sf_dir)
+    routed = _route_with_dist(spark, sf_dir, emb).localCheckpoint()
+    dead = F.col("vec_id") % TOMB_MOD == 2
+    cells = (
+        routed.groupBy("cell")
+        .agg(
+            F.sum(dead.cast("long")).alias("n_dead"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .select(
+            "cell",
+            (F.col("n_dead") * 100 > F.col("n_total") * TOMB_PCT).alias(
+                "hot"
+            ),
+        )
+        .localCheckpoint()  # ≤nlist rows — the compaction decision
+    )
+    hot_cells = cells.filter(F.col("hot")).select("cell")
+    cold_cells = cells.filter(~F.col("hot")).select("cell")
+
+    # hot branch: re-ring from live members (cell-local placement ⇒
+    # identical to the full live rebuild's slice of these cells)
+    live_hot = routed.filter(~dead).join(F.broadcast(hot_cells), "cell")
+    placed_hot = _ring_place(live_hot).localCheckpoint()
+    scored_half = _score_pairs(
+        _ring_half_pairs(placed_hot), emb
+    ).localCheckpoint()
+    scored_hot = scored_half.unionAll(
+        scored_half.select(
+            F.col("dst_id").alias("src_id"),
+            F.col("src_id").alias("dst_id"),
+            "cos_sim",
+        )
+    )
+    hot_edges = (
+        _topk_edges(scored_hot)
+        .join(
+            placed_hot.select(F.col("vec_id").alias("src_id"), "cell"),
+            "src_id",
+        )
+        .select("src_id", "dst_id", "rank", "cos_sim", "cell")
+        .withColumn("provenance", F.lit("rebuilt"))
+    )
+
+    # cold branch: the build-once store, dead endpoints dropped at read
+    kept = (
+        knn_edges(spark, sf_dir)
+        .join(
+            routed.select(F.col("vec_id").alias("src_id"), "cell"),
+            "src_id",
+        )
+        .join(F.broadcast(cold_cells), "cell")
+        .filter(
+            (F.col("src_id") % TOMB_MOD != 2)
+            & (F.col("dst_id") % TOMB_MOD != 2)
+        )
+        .select("src_id", "dst_id", "rank", "cos_sim", "cell")
+        .withColumn("provenance", F.lit("kept"))
+    )
+    return (
+        hot_edges.unionAll(kept)
+        .select(
+            "src_id",
+            "dst_id",
+            F.col("rank").cast("long").alias("rank"),
+            "cos_sim",
+            "cell",
+            "provenance",
+        )
+        .orderBy("src_id", "rank", "dst_id")
+    )
+
+
+def _x263_sql() -> str:
+    from .similarity import TOMB_MOD, TOMB_PCT
+
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        {_sql_knn_edges()},
+        cells AS (
+          SELECT c_id AS cell,
+                 CASE WHEN SUM(CASE WHEN vec_id % {TOMB_MOD} = 2
+                                    THEN 1 ELSE 0 END) * 100
+                      > COUNT(*) * {TOMB_PCT}
+                      THEN 1 ELSE 0 END AS hot
+          FROM asn GROUP BY c_id),
+        placedl AS MATERIALIZED (
+          SELECT vec_id, cell, rn0 // {KNNG_CAP} AS ring,
+                 rn0 % {KNNG_CAP} AS pos
+          FROM (
+            SELECT a.vec_id, a.c_id AS cell,
+                   row_number() OVER (PARTITION BY a.c_id
+                                      ORDER BY a.d, a.vec_id) - 1 AS rn0
+            FROM asn a WHERE a.vec_id % {TOMB_MOD} != 2)),
+        candl AS (
+          SELECT s.vec_id AS src_id, t.vec_id AS dst_id
+          FROM placedl s JOIN placedl t USING (cell, ring)
+          WHERE s.vec_id != t.vec_id
+          UNION ALL
+          SELECT s.vec_id, t.vec_id FROM placedl s JOIN placedl t
+            ON s.cell = t.cell AND s.ring + 1 = t.ring
+               AND s.pos >= {KNNG_CAP - KNNG_OV} AND t.pos < {KNNG_OV}
+          UNION ALL
+          SELECT s.vec_id, t.vec_id FROM placedl s JOIN placedl t
+            ON s.cell = t.cell AND s.ring = t.ring + 1
+               AND s.pos < {KNNG_OV} AND t.pos >= {KNNG_CAP - KNNG_OV}),
+        scoredl AS (
+          SELECT c.src_id, c.dst_id,
+                 {_SQL_COS.format(a="sv.v", b="tv.v")} AS cos
+          FROM candl c JOIN e sv ON sv.vec_id = c.src_id
+               JOIN e tv ON tv.vec_id = c.dst_id),
+        edgesl AS (
+          SELECT src_id, dst_id, rank, cos FROM (
+            SELECT src_id, dst_id, cos,
+                   row_number() OVER (PARTITION BY src_id
+                                      ORDER BY cos DESC, dst_id ASC) AS rank
+            FROM scoredl)
+          WHERE rank <= {KNNG_K}),
+        hot_edges AS (
+          SELECT l.src_id, l.dst_id, l.rank, l.cos AS cos_sim,
+                 p.cell, 'rebuilt' AS provenance
+          FROM edgesl l
+          JOIN placedl p ON p.vec_id = l.src_id
+          JOIN cells c ON c.cell = p.cell
+          WHERE c.hot = 1),
+        kept AS (
+          SELECT g.src_id, g.dst_id, g.rank, g.cos AS cos_sim,
+                 a.c_id AS cell, 'kept' AS provenance
+          FROM edges g
+          JOIN asn a ON a.vec_id = g.src_id
+          JOIN cells c ON c.cell = a.c_id
+          WHERE c.hot = 0
+            AND g.src_id % {TOMB_MOD} != 2
+            AND g.dst_id % {TOMB_MOD} != 2)
+        SELECT src_id, dst_id, CAST(rank AS BIGINT) AS rank,
+               cos_sim, cell, provenance
+        FROM (SELECT * FROM hot_edges UNION ALL SELECT * FROM kept)
+        ORDER BY src_id, rank, dst_id
+        """
+
+
+register(
+    QuerySpec(
+        "x263_graph_tombstone_compact",
+        x263_graph_tombstone_compact,
+        _x263_sql(),
+        "graph tombstone compaction: hot cells rebuilt live-only (== the live rebuild's slice), cold cells served with dead endpoints dropped",
+    )
+)

@@ -317,3 +317,83 @@ def test_x262_serves_only_live_rows_with_contiguous_ranks(spark, sf_dir):
             key=lambda t: (-t[0], t[1]),
         )
         assert got == want, q
+
+
+def test_x263_compaction_laws(spark, sf_dir):
+    """Engine-side laws of the tombstone compaction: both branches
+    exercised; every surviving edge has LIVE endpoints; rebuilt cells
+    carry dense ranks 1..k; kept edges are a subset of the build-once
+    store's edges; and — the claim that makes threshold-compaction
+    sound — the rebuilt cells' edges equal the FULL live-corpus
+    rebuild's slice of those cells (ring placement is cell-local under
+    the frozen quantizer)."""
+    from json_to_parquet_spark.queries.graph_ssl import (
+        KNNG_K,
+        _quantizer_frames,
+        _ring_half_pairs,
+        _ring_place,
+        _route_with_dist,
+        _score_pairs,
+        _topk_edges,
+        knn_edges,
+        x263_graph_tombstone_compact,
+    )
+    from json_to_parquet_spark.queries.similarity import TOMB_MOD
+
+    rows = x263_graph_tombstone_compact(spark, sf_dir).collect()
+    provs = {r.provenance for r in rows}
+    assert provs == {"rebuilt", "kept"}, provs
+    for r in rows:
+        assert r.src_id % TOMB_MOD != 2 and r.dst_id % TOMB_MOD != 2, r
+    per_src: dict = {}
+    for r in rows:
+        if r.provenance == "rebuilt":
+            per_src.setdefault(r.src_id, []).append(r.rank)
+    for s, ranks in per_src.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), s
+        assert len(ranks) <= KNNG_K
+
+    store = {
+        (r.src_id, r.dst_id, r.rank)
+        for r in knn_edges(spark, sf_dir).collect()
+    }
+    kept = {
+        (r.src_id, r.dst_id, r.rank)
+        for r in rows
+        if r.provenance == "kept"
+    }
+    assert kept <= store
+
+    # full live rebuild, sliced to the hot cells
+    emb, _sup, _cs = _quantizer_frames(spark, sf_dir)
+    routed = _route_with_dist(spark, sf_dir, emb)
+    live = routed.filter(F.col("vec_id") % TOMB_MOD != 2)
+    placed = _ring_place(live).localCheckpoint()
+    half = _score_pairs(_ring_half_pairs(placed), emb).localCheckpoint()
+    scored = half.unionAll(
+        half.select(
+            F.col("dst_id").alias("src_id"),
+            F.col("src_id").alias("dst_id"),
+            "cos_sim",
+        )
+    )
+    full_live = (
+        _topk_edges(scored)
+        .join(
+            placed.select(F.col("vec_id").alias("src_id"), "cell"),
+            "src_id",
+        )
+        .collect()
+    )
+    hot_cells = {r.cell for r in rows if r.provenance == "rebuilt"}
+    want = {
+        (r.src_id, r.dst_id, r.rank, r.cos_sim)
+        for r in full_live
+        if r.cell in hot_cells
+    }
+    got = {
+        (r.src_id, r.dst_id, r.rank, r.cos_sim)
+        for r in rows
+        if r.provenance == "rebuilt"
+    }
+    assert got == want
