@@ -206,6 +206,8 @@ HEADLINE = [
     "x262_graph_tombstone_serve",
     # the delete-side graph compaction (hot cells re-rung live-only)
     "x263_graph_tombstone_compact",
+    # its streaming twin (micro-batch delete partials, x263's compactor)
+    "x264_stream_graph_tombstones",
 ]
 
 CONVERT_RECORDS = 100_000

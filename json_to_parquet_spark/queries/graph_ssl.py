@@ -2887,15 +2887,39 @@ def x263_graph_tombstone_compact(
     (≤(CAP+2·OV) candidates per member — compaction work ∝ the hot
     set), and a parquet scan + broadcast cell filter for the kept
     segment."""
-    from .similarity import TOMB_MOD, TOMB_PCT
+    from .similarity import TOMB_MOD
 
     emb, _sup, _cs = _quantizer_frames(spark, sf_dir)
-    routed = _route_with_dist(spark, sf_dir, emb).localCheckpoint()
-    dead = F.col("vec_id") % TOMB_MOD == 2
+    dead_ids = emb.filter(F.col("vec_id") % TOMB_MOD == 2).select("vec_id")
+    return _graph_tombstone_compact_from(spark, sf_dir, dead_ids)
+
+
+def _graph_tombstone_compact_from(
+    spark: SparkSession, sf_dir: str, dead_ids: DataFrame
+) -> DataFrame:
+    """x263's compactor over an arbitrary delete-id frame
+    ``dead_ids(vec_id)`` — factored so the STREAMING twin (x264, whose
+    dead set arrives as drained micro-batch ledger rows) compacts
+    through byte-for-byte the same code path as the batch rule."""
+    from .similarity import TOMB_PCT
+
+    emb, _sup, _cs = _quantizer_frames(spark, sf_dir)
+    dd = dead_ids.select("vec_id").distinct()
+    flagged = (
+        _route_with_dist(spark, sf_dir, emb)
+        .join(dd.select("vec_id", F.lit(True).alias("dead_f")), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "d",
+            F.coalesce("dead_f", F.lit(False)).alias("dead"),
+        )
+        .localCheckpoint()
+    )
     cells = (
-        routed.groupBy("cell")
+        flagged.groupBy("cell")
         .agg(
-            F.sum(dead.cast("long")).alias("n_dead"),
+            F.sum(F.col("dead").cast("long")).alias("n_dead"),
             F.count(F.lit(1)).alias("n_total"),
         )
         .select(
@@ -2911,7 +2935,11 @@ def x263_graph_tombstone_compact(
 
     # hot branch: re-ring from live members (cell-local placement ⇒
     # identical to the full live rebuild's slice of these cells)
-    live_hot = routed.filter(~dead).join(F.broadcast(hot_cells), "cell")
+    live_hot = (
+        flagged.filter(~F.col("dead"))
+        .join(F.broadcast(hot_cells), "cell")
+        .select("vec_id", "cell", "d")
+    )
     placed_hot = _ring_place(live_hot).localCheckpoint()
     scored_half = _score_pairs(
         _ring_half_pairs(placed_hot), emb
@@ -2934,16 +2962,20 @@ def x263_graph_tombstone_compact(
     )
 
     # cold branch: the build-once store, dead endpoints dropped at read
+    # (anti-joins against the delete set — key-equi, never broadcast of
+    # a corpus-sized side)
     kept = (
         knn_edges(spark, sf_dir)
         .join(
-            routed.select(F.col("vec_id").alias("src_id"), "cell"),
+            flagged.select(F.col("vec_id").alias("src_id"), "cell"),
             "src_id",
         )
         .join(F.broadcast(cold_cells), "cell")
-        .filter(
-            (F.col("src_id") % TOMB_MOD != 2)
-            & (F.col("dst_id") % TOMB_MOD != 2)
+        .join(
+            dd.withColumnRenamed("vec_id", "src_id"), "src_id", "left_anti"
+        )
+        .join(
+            dd.withColumnRenamed("vec_id", "dst_id"), "dst_id", "left_anti"
         )
         .select("src_id", "dst_id", "rank", "cos_sim", "cell")
         .withColumn("provenance", F.lit("kept"))

@@ -1736,3 +1736,84 @@ register(
         "streaming BPE CDC: micro-batch word-count partials + one drained retrain == x252 bit-for-bit",
     )
 )
+
+
+def x264_stream_graph_tombstones(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of x263's graph tombstone compaction — the
+    DELETE-side completion of the GRAPH lifecycle's streaming arrows
+    (x251 streams adds/labels; this streams deletes, as x234 does for
+    the IVF family): delete events arrive as a 4-file micro-batch
+    stream of bare vec_ids; each batch resolves its ids against the
+    FROZEN routing (one key-equi hash join per batch — how a store
+    turns an id-keyed delete into a cell-keyed dirty mark) and appends
+    narrow (vec_id, cell) tombstone partials to the delete ledger; the
+    drained ledger's id set feeds ``_graph_tombstone_compact_from`` —
+    x263's compactor VERBATIM — so x263's registered oracle gates the
+    whole loop (the x172/x212/x223/x234/x251 anti-drift pattern:
+    delete-set membership composes as a set union, so batching cannot
+    change the compaction).
+
+    Scale shapes: the frozen routing base is the ~n^1.25 assignment
+    written once; each micro-batch's work is batch-sized; the
+    compaction tail is x263's (hot-cell capped pair pass + the kept
+    segment's store scan)."""
+    from .graph_ssl import _graph_tombstone_compact_from, _route_with_dist
+    from .similarity import TOMB_MOD
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(GATE_DIR, f"src_x264_{sf_tag}")
+    base_dir = os.path.join(GATE_DIR, f"base_x264_{sf_tag}")
+    del_dir = os.path.join(GATE_DIR, f"del_x264_{sf_tag}")
+    ckpt = os.path.join(GATE_DIR, f"ckpt_x264_{sf_tag}")
+    _fresh(src, base_dir, del_dir, ckpt)
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # the graph build job's routing output, frozen once
+    _route_with_dist(spark, sf_dir, emb).select("vec_id", "cell").write.parquet(
+        base_dir
+    )
+    base = spark.read.parquet(base_dir)
+    # the delete feed: bare ids, 4 files -> 4 micro-batches
+    emb.select("vec_id").filter(F.col("vec_id") % TOMB_MOD == 2).repartition(
+        4, "vec_id"
+    ).write.parquet(src)
+
+    def handle_batch(bdf: DataFrame, _bid: int) -> None:
+        bdf.join(base, "vec_id").select("vec_id", "cell").write.mode(
+            "append"
+        ).parquet(del_dir)
+
+    q = (
+        spark.readStream.schema("vec_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q, 300)
+    drained = spark.read.parquet(del_dir).select("vec_id")
+    return _graph_tombstone_compact_from(spark, sf_dir, drained)
+
+
+def _register_x264() -> None:
+    # Anti-drift: gated against x263's batch oracle VERBATIM (graph_ssl
+    # registers before this module in registry()'s import order).
+    from . import _REGISTRY
+
+    register(
+        QuerySpec(
+            "x264_stream_graph_tombstones",
+            x264_stream_graph_tombstones,
+            _REGISTRY["x263_graph_tombstone_compact"].oracle,
+            "streaming graph deletes: drained micro-batch tombstones == x263's batch compaction",
+        )
+    )
+
+
+_register_x264()
