@@ -2476,7 +2476,13 @@ register(
 # full 5-config sweep: adopting a config means serving its graph, and
 # only these two are built corpus-wide (a sweep winner without a store
 # would be a decision nothing executes — the gap this round closes).
-GSW_COST_BUDGET = 2 * (KNNG_CAP + 2 * KNNG_OV)  # per-source pair budget
+# Per-source candidate budget for the adoption rule — an INDEPENDENT
+# literal, deliberately NOT derived from the capacity constants (a
+# CAP/OV retune must not silently move the budget with it; today it
+# admits both registered builds — 96 and 192 candidates/source — and a
+# capacity retune that pushes the multi-probe build past it flips the
+# policy to 'base' in both engines, which is the rule working).
+GSW_COST_BUDGET = 192
 SERVABLE_CONFIGS = [
     (KNNG_CAP, KNNG_OV, KNNG_K, 1),  # x238's build-once store
     (KNNG_CAP, KNNG_OV, KNNG_K, 2),  # x249's multi-probe store
@@ -2553,6 +2559,49 @@ register(
 )
 
 
+def _sql_ring_edge_chain(sfx: str, members_sql: str, ranked: bool) -> str:
+    """placed{sfx}/cand{sfx}/scored{sfx}/edges{sfx}: the DIRECTED
+    capped ring-candidate chain (x238's construction — same-ring pairs
+    + both boundary bands) over ``members_sql`` rows (vec_id, cell, d).
+    One builder instead of hand-synced copies (code-review r13): a
+    future retune of the ring construction edits ONE text.  ``ranked``
+    keeps (rank, cos) on the edge rows (x263 serves them); otherwise
+    edges are bare id pairs (x259's adjacency input)."""
+    sel = "src_id, dst_id, rank, cos" if ranked else "src_id, dst_id"
+    return f"""placed{sfx} AS MATERIALIZED (
+          SELECT vec_id, cell, rn0 // {KNNG_CAP} AS ring,
+                 rn0 % {KNNG_CAP} AS pos
+          FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY cell
+                                      ORDER BY d, vec_id) - 1 AS rn0
+            FROM ({members_sql}))),
+        cand{sfx} AS (
+          SELECT s.vec_id AS src_id, t.vec_id AS dst_id
+          FROM placed{sfx} s JOIN placed{sfx} t USING (cell, ring)
+          WHERE s.vec_id != t.vec_id
+          UNION ALL
+          SELECT s.vec_id, t.vec_id FROM placed{sfx} s JOIN placed{sfx} t
+            ON s.cell = t.cell AND s.ring + 1 = t.ring
+               AND s.pos >= {KNNG_CAP - KNNG_OV} AND t.pos < {KNNG_OV}
+          UNION ALL
+          SELECT s.vec_id, t.vec_id FROM placed{sfx} s JOIN placed{sfx} t
+            ON s.cell = t.cell AND s.ring = t.ring + 1
+               AND s.pos < {KNNG_OV} AND t.pos >= {KNNG_CAP - KNNG_OV}),
+        scored{sfx} AS (
+          SELECT c.src_id, c.dst_id,
+                 {_SQL_COS.format(a="sv.v", b="tv.v")} AS cos
+          FROM cand{sfx} c JOIN e sv ON sv.vec_id = c.src_id
+               JOIN e tv ON tv.vec_id = c.dst_id),
+        edges{sfx} AS MATERIALIZED (
+          SELECT {sel} FROM (
+            SELECT src_id, dst_id, cos,
+                   row_number() OVER (PARTITION BY src_id
+                                      ORDER BY cos DESC, dst_id ASC) AS rank
+            FROM scored{sfx})
+          WHERE rank <= {KNNG_K})"""
+
+
 def x259_policy_routed_graph_serve(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2588,38 +2637,10 @@ def _x259_sql() -> str:
     # sweep's shared asn2 (crank=1 slice == x238's rank-1 assignment;
     # all rows == x249's nplace=2 placement), then two beam chains walk
     # them and the policy CASE selects the adopted walk's rows.
-    base_edges = f"""placedb AS MATERIALIZED (
-          SELECT vec_id, cell, rn0 // {KNNG_CAP} AS ring,
-                 rn0 % {KNNG_CAP} AS pos
-          FROM (
-            SELECT a.vec_id, a.cell,
-                   row_number() OVER (PARTITION BY a.cell
-                                      ORDER BY a.d, a.vec_id) - 1 AS rn0
-            FROM asn2 a WHERE a.crank = 1)),
-        candb AS (
-          SELECT s.vec_id AS src_id, t.vec_id AS dst_id
-          FROM placedb s JOIN placedb t USING (cell, ring)
-          WHERE s.vec_id != t.vec_id
-          UNION ALL
-          SELECT s.vec_id, t.vec_id FROM placedb s JOIN placedb t
-            ON s.cell = t.cell AND s.ring + 1 = t.ring
-               AND s.pos >= {KNNG_CAP - KNNG_OV} AND t.pos < {KNNG_OV}
-          UNION ALL
-          SELECT s.vec_id, t.vec_id FROM placedb s JOIN placedb t
-            ON s.cell = t.cell AND s.ring = t.ring + 1
-               AND s.pos < {KNNG_OV} AND t.pos >= {KNNG_CAP - KNNG_OV}),
-        scoredb AS (
-          SELECT c.src_id, c.dst_id,
-                 {_SQL_COS.format(a="sv.v", b="tv.v")} AS cos
-          FROM candb c JOIN e sv ON sv.vec_id = c.src_id
-               JOIN e tv ON tv.vec_id = c.dst_id),
-        edgesb AS MATERIALIZED (
-          SELECT src_id, dst_id FROM (
-            SELECT src_id, dst_id,
-                   row_number() OVER (PARTITION BY src_id
-                                      ORDER BY cos DESC, dst_id ASC) AS rank
-            FROM scoredb)
-          WHERE rank <= {KNNG_K})"""
+    base_edges = _sql_ring_edge_chain(
+        "b", "SELECT vec_id, cell, d FROM asn2 WHERE crank = 1",
+        ranked=False,
+    )
     mp_edges = f"""placedm AS MATERIALIZED (
           SELECT vec_id, cell, rn0 // {KNNG_CAP} AS ring,
                  rn0 % {KNNG_CAP} AS pos
@@ -2895,18 +2916,26 @@ def x263_graph_tombstone_compact(
 
 
 def _graph_tombstone_compact_from(
-    spark: SparkSession, sf_dir: str, dead_ids: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    dead_ids: DataFrame,
+    routed: "DataFrame | None" = None,
 ) -> DataFrame:
     """x263's compactor over an arbitrary delete-id frame
     ``dead_ids(vec_id)`` — factored so the STREAMING twin (x264, whose
     dead set arrives as drained micro-batch ledger rows) compacts
-    through byte-for-byte the same code path as the batch rule."""
+    through byte-for-byte the same code path as the batch rule.
+    ``routed`` lets a caller that already persisted the frozen routing
+    (x264's base frame) pass it in instead of paying the ~n^1.25
+    assignment a second time (code-review r13 finding)."""
     from .similarity import TOMB_PCT
 
     emb, _sup, _cs = _quantizer_frames(spark, sf_dir)
     dd = dead_ids.select("vec_id").distinct()
+    if routed is None:
+        routed = _route_with_dist(spark, sf_dir, emb)
     flagged = (
-        _route_with_dist(spark, sf_dir, emb)
+        routed
         .join(dd.select("vec_id", F.lit(True).alias("dead_f")), "vec_id", "left")
         .select(
             "vec_id",
@@ -3008,38 +3037,12 @@ def _x263_sql() -> str:
                       > COUNT(*) * {TOMB_PCT}
                       THEN 1 ELSE 0 END AS hot
           FROM asn GROUP BY c_id),
-        placedl AS MATERIALIZED (
-          SELECT vec_id, cell, rn0 // {KNNG_CAP} AS ring,
-                 rn0 % {KNNG_CAP} AS pos
-          FROM (
-            SELECT a.vec_id, a.c_id AS cell,
-                   row_number() OVER (PARTITION BY a.c_id
-                                      ORDER BY a.d, a.vec_id) - 1 AS rn0
-            FROM asn a WHERE a.vec_id % {TOMB_MOD} != 2)),
-        candl AS (
-          SELECT s.vec_id AS src_id, t.vec_id AS dst_id
-          FROM placedl s JOIN placedl t USING (cell, ring)
-          WHERE s.vec_id != t.vec_id
-          UNION ALL
-          SELECT s.vec_id, t.vec_id FROM placedl s JOIN placedl t
-            ON s.cell = t.cell AND s.ring + 1 = t.ring
-               AND s.pos >= {KNNG_CAP - KNNG_OV} AND t.pos < {KNNG_OV}
-          UNION ALL
-          SELECT s.vec_id, t.vec_id FROM placedl s JOIN placedl t
-            ON s.cell = t.cell AND s.ring = t.ring + 1
-               AND s.pos < {KNNG_OV} AND t.pos >= {KNNG_CAP - KNNG_OV}),
-        scoredl AS (
-          SELECT c.src_id, c.dst_id,
-                 {_SQL_COS.format(a="sv.v", b="tv.v")} AS cos
-          FROM candl c JOIN e sv ON sv.vec_id = c.src_id
-               JOIN e tv ON tv.vec_id = c.dst_id),
-        edgesl AS (
-          SELECT src_id, dst_id, rank, cos FROM (
-            SELECT src_id, dst_id, cos,
-                   row_number() OVER (PARTITION BY src_id
-                                      ORDER BY cos DESC, dst_id ASC) AS rank
-            FROM scoredl)
-          WHERE rank <= {KNNG_K}),
+        {_sql_ring_edge_chain(
+            "l",
+            f"SELECT vec_id, c_id AS cell, d FROM asn "
+            f"WHERE vec_id % {TOMB_MOD} != 2",
+            ranked=True,
+        )},
         hot_edges AS (
           SELECT l.src_id, l.dst_id, l.rank, l.cos AS cos_sim,
                  p.cell, 'rebuilt' AS provenance

@@ -1772,10 +1772,11 @@ def x264_stream_graph_tombstones(
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    # the graph build job's routing output, frozen once
-    _route_with_dist(spark, sf_dir, emb).select("vec_id", "cell").write.parquet(
-        base_dir
-    )
+    # the graph build job's routing output, frozen once — the distance
+    # kept so the compactor can re-ring without re-routing (the
+    # base_graph_paths economics; code-review r13: the drained tail
+    # reuses this frame instead of paying a second ~n^1.25 assignment)
+    _route_with_dist(spark, sf_dir, emb).write.parquet(base_dir)
     base = spark.read.parquet(base_dir)
     # the delete feed: bare ids, 4 files -> 4 micro-batches
     emb.select("vec_id").filter(F.col("vec_id") % TOMB_MOD == 2).repartition(
@@ -1783,9 +1784,9 @@ def x264_stream_graph_tombstones(
     ).write.parquet(src)
 
     def handle_batch(bdf: DataFrame, _bid: int) -> None:
-        bdf.join(base, "vec_id").select("vec_id", "cell").write.mode(
-            "append"
-        ).parquet(del_dir)
+        bdf.join(base.select("vec_id", "cell"), "vec_id").select(
+            "vec_id", "cell"
+        ).write.mode("append").parquet(del_dir)
 
     q = (
         spark.readStream.schema("vec_id bigint")
@@ -1798,7 +1799,7 @@ def x264_stream_graph_tombstones(
     )
     _drain(q, 300)
     drained = spark.read.parquet(del_dir).select("vec_id")
-    return _graph_tombstone_compact_from(spark, sf_dir, drained)
+    return _graph_tombstone_compact_from(spark, sf_dir, drained, routed=base)
 
 
 def _register_x264() -> None:
