@@ -4264,7 +4264,7 @@ def _drift_reindex_migrate(
                 for r in new.filter(F.col("cell").isin(touched))
                 .select("cell")
                 .distinct()
-                .collect()
+                .collect()  # ≤ nlist rows — bounded index metadata
             }
             for c in touched:
                 if c not in gaining:  # emptied cell: drop its directory
