@@ -208,6 +208,8 @@ HEADLINE = [
     "x263_graph_tombstone_compact",
     # its streaming twin (micro-batch delete partials, x263's compactor)
     "x264_stream_graph_tombstones",
+    # OPTIMIZE executed: content proof over the one-file-per-bin rewrite
+    "x265_layout_compact_execute",
 ]
 
 CONVERT_RECORDS = 100_000

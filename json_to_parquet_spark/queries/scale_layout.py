@@ -1224,3 +1224,125 @@ register(
         "Z-order vs linear-sort layout: stats-pruned files per 2-D predicate box",
     )
 )
+
+
+# --- x265: small-files compaction EXECUTION -------------------------------------
+# x170 emits the OPTIMIZE plan; this applies it (the round-13
+# measure/decide→execute discipline, warehouse edition — what Delta's
+# OPTIMIZE / Iceberg's rewrite_data_files actually do): the
+# date-partitioned layout's files are physically rewritten into the
+# plan's bins, ONE file per bin, and the gate proves content identity
+# — per-bin row counts, date ranges, and an order-insensitive id
+# digest — against the LOGICAL events table, which never sees the
+# layout.  The plan↔layout coherence (one physical file per bin, bin
+# row counts equal to x170's) is pinned engine-side by
+# tests/test_round13_invariants.py; at sf0.01 the rewrite turns 30
+# one-file-per-date files into 7 target-sized bins.
+
+
+def compacted_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per source state) the compacted events layout:
+    x170's next-fit date bins, one file per bin (``repartition("bin")``
+    puts each bin's rows in exactly one task).  Path embeds the bin
+    target + the events fingerprint (the GATE_DIR cache-keying
+    invariant)."""
+    from .similarity import _data_fingerprint
+
+    dest = os.path.join(
+        GATE_DIR,
+        f"events_cmp_{_sf_tag(sf_dir)}_t{COMPACT_TARGET_ROWS}"
+        f"_d{_data_fingerprint(sf_dir, 'events')}",
+    )
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        ev = spark.read.parquet(events_partitioned_path(spark, sf_dir))
+        per_date = ev.groupBy("d").agg(F.count(F.lit(1)).alias("n_rows"))
+        w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+        bins = per_date.select(
+            "d",
+            F.floor(
+                F.coalesce(F.sum("n_rows").over(w), F.lit(0))
+                / F.lit(COMPACT_TARGET_ROWS)
+            )
+            .cast("long")
+            .alias("bin"),
+        )
+        (
+            ev.withColumn("d", F.col("d").cast("string"))
+            .join(F.broadcast(bins.withColumn("d", F.col("d").cast("string"))), "d")
+            .repartition("bin")
+            .write.mode("overwrite")
+            .partitionBy("bin")
+            .parquet(dest)
+        )
+    return dest
+
+
+def x265_layout_compact_execute(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-bin content proof over the PHYSICALLY COMPACTED layout:
+    (bin, n_rows, d_min, d_max, id_digest) where id_digest is the
+    order-insensitive sum of md5-prefix integers of the bin's event
+    ids (x118's cross-engine idiom).  The oracle recomputes the
+    identical bins and digests from the LOGICAL events table — a hash
+    match proves the rewrite moved every row into exactly its planned
+    bin, losing and duplicating nothing.  Scale shapes: the bin
+    assignment is metadata-plane (per-date counts + one window over a
+    date-count-sized frame); the rewrite is one corpus pass paid once
+    per source state (the store); the gate is a bin-keyed agg over
+    narrow columns."""
+    ev = spark.read.parquet(compacted_events_path(spark, sf_dir))
+    digest = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    return (
+        ev.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("d").alias("d_min"),
+            F.max("d").alias("d_max"),
+            F.sum(digest).alias("id_digest"),
+        )
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            "d_min",
+            "d_max",
+            F.col("id_digest").cast("long").alias("id_digest"),
+        )
+        .orderBy("bin")
+    )
+
+
+register(
+    QuerySpec(
+        "x265_layout_compact_execute",
+        x265_layout_compact_execute,
+        f"""
+        WITH per_date AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS d,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows
+          FROM events GROUP BY 1),
+        bins AS (
+          SELECT d,
+                 CAST(floor(COALESCE(SUM(n_rows) OVER (
+                          ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING),
+                        0) / {COMPACT_TARGET_ROWS}) AS BIGINT) AS bin
+          FROM per_date)
+        SELECT b.bin,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(strftime(e.ts, '%Y-%m-%d')) AS d_min,
+               MAX(strftime(e.ts, '%Y-%m-%d')) AS d_max,
+               CAST(SUM(CAST(('0x' || substring(
+                        md5(CAST(e.event_id AS VARCHAR)), 1, 12))
+                      AS BIGINT)) AS BIGINT) AS id_digest
+        FROM events e
+        JOIN bins b ON strftime(e.ts, '%Y-%m-%d') = b.d
+        GROUP BY b.bin
+        ORDER BY b.bin
+        """,
+        "OPTIMIZE executed: the compacted one-file-per-bin layout holds exactly the planned bins' content",
+    )
+)

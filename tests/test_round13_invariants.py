@@ -397,3 +397,50 @@ def test_x263_compaction_laws(spark, sf_dir):
         if r.provenance == "rebuilt"
     }
     assert got == want
+
+
+def test_x265_layout_matches_x170_plan(spark, sf_dir):
+    """Plan/execution coherence for the warehouse OPTIMIZE: the
+    compacted store holds exactly ONE data file per bin directory,
+    each bin's physical row count equals x170's planned n_rows, and
+    the rewrite actually shrank the file count (the point of the
+    exercise)."""
+    import glob
+
+    from json_to_parquet_spark.queries.scale_layout import (
+        compacted_events_path,
+        events_partitioned_path,
+        x170_compaction_plan,
+    )
+
+    plan = {
+        r.bin: r.n_rows for r in x170_compaction_plan(spark, sf_dir).collect()
+    }
+    dest = compacted_events_path(spark, sf_dir)
+    bins = sorted(glob.glob(os.path.join(dest, "bin=*")))
+    assert len(bins) == len(plan)
+    n_files_before = len(
+        glob.glob(
+            os.path.join(
+                events_partitioned_path(spark, sf_dir), "d=*", "part-*"
+            )
+        )
+    )
+    n_files_after = 0
+    for b in bins:
+        data_files = [
+            f
+            for f in os.listdir(b)
+            if not f.startswith(("_", "."))
+        ]
+        assert len(data_files) == 1, b  # one file per bin
+        n_files_after += 1
+    assert n_files_after < n_files_before  # compaction shrank the layout
+    got = {
+        r.bin: r.n_rows
+        for r in spark.read.parquet(dest)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    }
+    assert got == plan
