@@ -1290,18 +1290,23 @@ def x265_layout_compact_execute(
     assignment is metadata-plane (per-date counts + one window over a
     date-count-sized frame); the rewrite is one corpus pass paid once
     per source state (the store); the gate is a bin-keyed agg over
-    narrow columns."""
+    narrow columns.  The digest accumulates in DECIMAL(38,0) and folds
+    mod 2^62 at the end: a bin holds at least one whole date, and the
+    sfx1 probe measured a plain BIGINT sum overflowing at ~33k rows
+    per date (48-bit terms) — integer modulo of a non-negative decimal
+    is engine-identical, so the fold keeps the digest exact AND
+    bounded at any bin size."""
     ev = spark.read.parquet(compacted_events_path(spark, sf_dir))
     digest = F.conv(
         F.substring(F.md5(F.col("event_id").cast("string")), 1, 12), 16, 10
-    ).cast("long")
+    ).cast("decimal(38,0)")
     return (
         ev.groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.min("d").alias("d_min"),
             F.max("d").alias("d_max"),
-            F.sum(digest).alias("id_digest"),
+            (F.sum(digest) % F.lit(2**62)).alias("id_digest"),
         )
         .select(
             F.col("bin").cast("long").alias("bin"),
@@ -1337,7 +1342,7 @@ register(
                MAX(strftime(e.ts, '%Y-%m-%d')) AS d_max,
                CAST(SUM(CAST(('0x' || substring(
                         md5(CAST(e.event_id AS VARCHAR)), 1, 12))
-                      AS BIGINT)) AS BIGINT) AS id_digest
+                      AS BIGINT)) % {2**62} AS BIGINT) AS id_digest
         FROM events e
         JOIN bins b ON strftime(e.ts, '%Y-%m-%d') = b.d
         GROUP BY b.bin
