@@ -249,7 +249,10 @@ def _driver_evidenced(
     base = Path(root) if root else Path(__file__).resolve().parents[2]
     for p in sorted(base.glob("CORRECTNESS_r*.json")):
         m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
-        if m and int(m.group(1)) < min_round:
+        # Unparseable names (e.g. CORRECTNESS_r11_retry.json) count as
+        # round 0 — they must not bypass a min_round quarantine
+        # (code-review r12).
+        if (int(m.group(1)) if m else 0) < min_round:
             continue
         try:
             data = json.loads(p.read_text())

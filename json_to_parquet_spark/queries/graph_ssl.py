@@ -2483,12 +2483,17 @@ register(
 # capacity retune that pushes the multi-probe build past it flips the
 # policy to 'base' in both engines, which is the rule working).
 GSW_COST_BUDGET = 192
+# The multi-probe candidate is x249's store, which is BUILT with
+# KNNG_NPLACE2 — the config tuple, its cost, and the x258 pivot must
+# all derive from that one constant (shared-constant invariant;
+# code-review r12), or a KNNG_NPLACE2 retune silently desynchronizes
+# the served store from the sweep/oracle's rebuild.
 SERVABLE_CONFIGS = [
     (KNNG_CAP, KNNG_OV, KNNG_K, 1),  # x238's build-once store
-    (KNNG_CAP, KNNG_OV, KNNG_K, 2),  # x249's multi-probe store
+    (KNNG_CAP, KNNG_OV, KNNG_K, KNNG_NPLACE2),  # x249's multi-probe store
 ]
 _BASE_COST = 1 * (KNNG_CAP + 2 * KNNG_OV)
-_MP_COST = 2 * (KNNG_CAP + 2 * KNNG_OV)
+_MP_COST = KNNG_NPLACE2 * (KNNG_CAP + 2 * KNNG_OV)
 
 
 def x258_graph_config_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2506,7 +2511,7 @@ def x258_graph_config_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("nplace") == 1, F.col("n_hits"))
         ).alias("base_hits"),
         F.max(
-            F.when(F.col("nplace") == 2, F.col("n_hits"))
+            F.when(F.col("nplace") == KNNG_NPLACE2, F.col("n_hits"))
         ).alias("mp_hits"),
     )
     return pivoted.select(

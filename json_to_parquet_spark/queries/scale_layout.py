@@ -738,34 +738,34 @@ register(
 COMPACT_TARGET_ROWS = 1_500  # rows per compacted output file
 
 
-def x170_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lakehouse OPTIMIZE planning: bin-pack the date-partitioned event
-    layout's files into compaction groups of ~COMPACT_TARGET_ROWS rows
-    (next-fit in date order: a new bin starts when the running total
-    crosses the target — deterministic, single window pass, no sort
-    beyond the date spine). The file inventory comes from the ACTUAL
-    physical layout via the hidden ``_metadata`` column (the x149
-    plumbing — no listing job); the oracle recomputes the identical plan
-    from the logical table because the layout holds the one-file-per-
-    partition invariant x149 gates. At 100 TB the input is a file-count-
-    sized frame (millions of rows at most), not the data itself — the
-    plan is metadata-plane work, and the expensive rewrite it schedules
-    is exactly what the plan's bins bound."""
+def _compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared next-fit date-bin assignment for the OPTIMIZE plan (x170)
+    and its execution (x265's compacted store): one row per date with
+    (d, n_files, n_rows, bin).  Rows and the physical file count come
+    from the actual layout via the hidden ``_metadata`` column (the
+    x149 plumbing — no listing job); the bin is next-fit over the
+    CUMULATIVE PER-DATE row counts in date order.  One helper so the
+    plan and the rewrite cannot disagree by construction (code-review
+    r12: the previous per-file/per-date split coincided only while the
+    x149 one-file-per-date invariant held).  Metadata-plane frame: one
+    row per distinct date, so the unpartitioned window is bounded by
+    the date-spine size, not the corpus."""
     ev = spark.read.parquet(events_partitioned_path(spark, sf_dir))
-    per_file = (
+    per_date = (
         ev.select(
             F.col("d").cast("string").alias("d"),
             F.col("_metadata.file_path").alias("fp"),
         )
-        .groupBy("d", "fp")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .groupBy("d")
+        .agg(
+            F.countDistinct("fp").alias("n_files"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
     )
-    w = (
-        Window.orderBy("d")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    binned = per_file.select(
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    return per_date.select(
         "d",
+        "n_files",
         "n_rows",
         F.floor(
             F.coalesce(F.sum("n_rows").over(w), F.lit(0))
@@ -774,10 +774,26 @@ def x170_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bin"),
     )
+
+
+def x170_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse OPTIMIZE planning: bin-pack the date-partitioned event
+    layout's files into compaction groups of ~COMPACT_TARGET_ROWS rows
+    (next-fit in date order: a new bin starts when the running total
+    crosses the target — deterministic, single window pass, no sort
+    beyond the date spine).  Bin assignment comes from
+    ``_compaction_bins`` — the SAME helper x265's rewrite consumes —
+    so the executed layout is the planned layout by construction; the
+    oracle recomputes the identical plan from the logical table.  At
+    100 TB the input is a date-spine-sized frame (thousands of rows),
+    not the data itself — the plan is metadata-plane work, and the
+    expensive rewrite it schedules is exactly what the plan's bins
+    bound."""
+    binned = _compaction_bins(spark, sf_dir)
     return (
         binned.groupBy("bin")
         .agg(
-            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_files").cast("long").alias("n_files"),
             F.sum("n_rows").cast("long").alias("n_rows"),
             F.min("d").alias("d_min"),
             F.max("d").alias("d_max"),
@@ -1255,20 +1271,12 @@ def compacted_events_path(spark: SparkSession, sf_dir: str) -> str:
     )
     if not os.path.exists(os.path.join(dest, "_SUCCESS")):
         ev = spark.read.parquet(events_partitioned_path(spark, sf_dir))
-        per_date = ev.groupBy("d").agg(F.count(F.lit(1)).alias("n_rows"))
-        w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
-        bins = per_date.select(
-            "d",
-            F.floor(
-                F.coalesce(F.sum("n_rows").over(w), F.lit(0))
-                / F.lit(COMPACT_TARGET_ROWS)
-            )
-            .cast("long")
-            .alias("bin"),
-        )
+        # The rewrite consumes the SAME bin assignment x170 plans with
+        # (shared helper — plan and execution cannot disagree).
+        bins = _compaction_bins(spark, sf_dir).select("d", "bin")
         (
             ev.withColumn("d", F.col("d").cast("string"))
-            .join(F.broadcast(bins.withColumn("d", F.col("d").cast("string"))), "d")
+            .join(F.broadcast(bins), "d")
             .repartition("bin")
             .write.mode("overwrite")
             .partitionBy("bin")
