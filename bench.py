@@ -210,6 +210,14 @@ HEADLINE = [
     "x264_stream_graph_tombstones",
     # OPTIMIZE executed: content proof over the one-file-per-bin rewrite
     "x265_layout_compact_execute",
+    # round-14 additions: the tokenizer decide arrow (integer swap
+    # policy + the re-tokenization routed through the adopted lexicon)
+    # and the localized-drift re-index (the migration's incremental
+    # regime: per-cell content proof + its preservation ledger)
+    "x266_retok_swap_policy",
+    "x267_policy_routed_retok",
+    "x268_locdrift_reindex_execute",
+    "x269_locdrift_reindex_io",
 ]
 
 CONVERT_RECORDS = 100_000
@@ -245,14 +253,37 @@ def _convert_fixture(n: int = CONVERT_RECORDS) -> str:
     return path
 
 
+MAX_CONVERGE_RUNS = 3  # extra runs while a cold entry is still warming
+
+
 def _timed(fn) -> list[float]:
-    """One warm-up + N_RUNS timed executions; returns the raw timings."""
+    """One warm-up + N_RUNS timed executions, plus up to
+    MAX_CONVERGE_RUNS extra runs while the entry is visibly still
+    warming (the last run is the minimum so far AND improved ≥25% on
+    the run before it).  Round-12 settlement of the r11 x215/x214/x216
+    drift flags: on a box whose page cache was churned, the
+    store-backed vector entries keep improving well past one warm-up
+    (measured raws 8.98/9.84/5.42/5.16/4.70 for x215 in a cold
+    process vs 2.23 in-band once warm), so a fixed min-of-3 reports a
+    non-converged cold reading as the plan's cost.  Converged entries
+    pay nothing (the guard never fires when run N ≈ run N-1)."""
     fn()  # warm JIT/IO/codegen
     raws = []
     for _ in range(N_RUNS):
         t0 = time.perf_counter()
         fn()
         raws.append(round(time.perf_counter() - t0, 3))
+    extra = 0
+    while (
+        extra < MAX_CONVERGE_RUNS
+        and len(raws) >= 2
+        and raws[-1] == min(raws)
+        and raws[-1] <= 0.75 * raws[-2]
+    ):
+        t0 = time.perf_counter()
+        fn()
+        raws.append(round(time.perf_counter() - t0, 3))
+        extra += 1
     return raws
 
 
@@ -333,8 +364,11 @@ def main() -> None:
     # number, drain+harness are its decomposition.
     from json_to_parquet_spark.queries.streaming_gate import X172_SPLIT
 
-    if "x172_stream_neardup" in raw_runs and len(X172_SPLIT) >= N_RUNS:
-        drains = [round(d, 3) for _, d in X172_SPLIT[-N_RUNS:]]
+    n172 = len(raw_runs.get("x172_stream_neardup", ()))
+    if n172 and len(X172_SPLIT) >= n172:
+        # one split entry per timed run, INCLUDING any convergence-guard
+        # extras — slice by the actual run count, not N_RUNS
+        drains = [round(d, 3) for _, d in X172_SPLIT[-n172:]]
         raw_runs["x172_drain"] = drains
         raw_runs["x172_harness"] = [
             round(total - d, 3)
