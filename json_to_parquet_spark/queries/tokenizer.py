@@ -698,10 +698,15 @@ def _lexicon_frame(
     under the base rules (what phase 1 persists); ``which='full'`` →
     (word, toks, n_toks, changed) of every FULL-corpus word under the
     retrained rules, changed=1 iff the base lexicon would serve a
-    different (or no) encoding for it.  Scale shapes: x252's — the
-    corpus-sized work is the slice word count; training both rule
-    tables and encoding every distinct word runs centralized over the
-    vocab-sized counts (≤ 2·|vocab|·BPE_MERGES rule applications)."""
+    different (or no) encoding for it; ``which='applied'`` → (word,
+    toks, n_toks) of every FULL-corpus word under the BASE rules —
+    what an un-migrated store serves (stored encodings for base words
+    plus the on-demand base-rules encode the old tokenizer would emit
+    for a new word; x253's semantics, x267's hold branch).  Scale
+    shapes: x252's — the corpus-sized work is the slice word count;
+    training both rule tables and encoding every distinct word runs
+    centralized over the vocab-sized counts (≤ 2·|vocab|·BPE_MERGES
+    rule applications)."""
     tagged = _tagged_counts(spark, sf_dir, _bpe_delta_words(spark, sf_dir))
     full = which == "full"
 
@@ -725,7 +730,8 @@ def _lexicon_frame(
                 )
             cols = ["word", "toks", "n_toks", "changed"]
         else:
-            for sym in base_vocab:
+            vocab = full_vocab if which == "applied" else base_vocab
+            for sym in vocab:
                 toks = _bpe_apply(sym, base_rules)
                 rows.append(
                     {"word": "".join(sym), "toks": " ".join(toks),
@@ -824,25 +830,21 @@ def bpe_lexicon_path(spark: SparkSession, sf_dir: str) -> str:
     return dest
 
 
-def x256_retok_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every document re-tokenized THROUGH the migrated lexicon store:
-    (doc_id, n_tokens, tok_md5) where tok_md5 digests the document's
-    full token sequence.  The oracle re-tokenizes from scratch under
-    the retrained rules and never sees the store — a hash match proves
-    the incremental swap (hot buckets rewritten, cold buckets served
-    verbatim) produced EXACTLY the full re-tokenization (x227's gate
-    shape).  Scale shapes: the corpus-sized work is one explode + one
+def _retok_docs(
+    spark: SparkSession, sf_dir: str, lex: DataFrame
+) -> DataFrame:
+    """Corpus re-tokenization through a (word, toks, n_toks) lexicon
+    frame: (doc_id, n_tokens, tok_md5) where tok_md5 digests the
+    document's full token sequence in word order.  One explode + one
     word-keyed join against the vocab-sized lexicon + one doc-keyed
-    reassembly agg — zero BPE rule applications per document."""
-    lex = spark.read.parquet(bpe_lexicon_path(spark, sf_dir)).select(
-        "word", "toks", "n_toks"
-    )
+    reassembly agg — zero BPE rule applications per document (shared
+    by x256 and x267's policy-routed serve)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     words = docs.select(
         "doc_id",
         F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "word"),
     ).filter(F.col("word") != "")
-    joined = words.join(lex, "word")
+    joined = words.join(lex.select("word", "toks", "n_toks"), "word")
     return (
         joined.groupBy("doc_id")
         .agg(
@@ -859,6 +861,20 @@ def x256_retok_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def x256_retok_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document re-tokenized THROUGH the migrated lexicon store:
+    (doc_id, n_tokens, tok_md5) where tok_md5 digests the document's
+    full token sequence.  The oracle re-tokenizes from scratch under
+    the retrained rules and never sees the store — a hash match proves
+    the incremental swap (hot buckets rewritten, cold buckets served
+    verbatim) produced EXACTLY the full re-tokenization (x227's gate
+    shape).  Scale shapes: ``_retok_docs`` — one explode + one
+    word-keyed join against the vocab-sized lexicon + one doc-keyed
+    reassembly agg."""
+    lex = spark.read.parquet(bpe_lexicon_path(spark, sf_dir))
+    return _retok_docs(spark, sf_dir, lex)
 
 
 def _x256_sql() -> str:
@@ -1017,6 +1033,199 @@ register(
         x257_retok_io_plan,
         _x257_sql(),
         "vocabulary-swap I/O ledger: lexicon buckets rewritten vs preserved in place, plus the doc-level blast radius",
+    )
+)
+
+
+# --- x266/x267: swap-adoption policy + policy-routed re-tokenization ----------
+# x253 measures what the retrained vocabulary breaks and x256 executes
+# the incremental swap — but nothing encoded WHEN to swap (VERDICT r11
+# ask #2: the x231/x258 discipline applied to the tokenizer).  x266 is
+# the decide arrow: adopt the swap iff the occurrence blast radius fits
+# a budget — occ_changed · RETOK_SWAP_DEN ≤ occ_total · RETOK_SWAP_NUM,
+# i.e. frac_changed ≤ NUM/DEN — as a pure BIGINT comparison both
+# engines make exactly (no float threshold, no rounding seam).  The
+# rationale is the downstream doc-shard rewrite x257 quantifies: a swap
+# whose changed occurrences exceed the budget re-tokenizes nearly every
+# stored shard, so it is batched for the next full rebuild instead
+# (hold).  x267 routes the EXECUTION through the decision (the
+# x237/x259 pattern): swap → serve x256's migrated lexicon store; hold
+# → serve the un-migrated store (stored base encodings + the on-demand
+# base-rules encode a new word would get — x253's old-tokenizer
+# semantics).  The oracle re-makes the integer decision in SQL and
+# re-tokenizes under BOTH rule tables, selecting the adopted side — one
+# hash match proves decision and serve agree cross-engine.
+RETOK_SWAP_NUM = 1
+RETOK_SWAP_DEN = 4
+
+_SQL_IMPACT_CTE = f"""imp AS (
+          SELECT CAST(SUM(f.cnt) AS BIGINT) AS occ_total,
+                 CAST(SUM(CASE WHEN f.sym != a.sym THEN f.cnt ELSE 0 END)
+                      AS BIGINT) AS occ_changed
+          FROM enc_f f JOIN a{BPE_MERGES + 1} a USING (word))"""
+
+_SQL_SWAP_CASE = (
+    f"CASE WHEN occ_changed * {RETOK_SWAP_DEN} <= "
+    f"occ_total * {RETOK_SWAP_NUM} THEN 'swap' ELSE 'hold' END"
+)
+
+
+def _impact_ctes() -> str:
+    """The three unrolled chains every swap-policy oracle shares: full
+    train (enc_f, word-carried), base train (bb rules), base rules
+    applied to the full word set (a{N+1})."""
+    return ",".join(
+        _sql_bpe_chain("f", "", True)
+        + _sql_bpe_chain("b", f" WHERE doc_id % {BPE_CDC_MOD} != 3", False)
+        + _sql_applied_chain()
+    )
+
+
+def x266_retok_swap_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (occ_total, occ_changed, swap_num, swap_den, decision)
+    — the swap-adoption rule as exact integers, 'swap' iff
+    occ_changed·DEN ≤ occ_total·NUM.  Scale shapes: x253's — the
+    corpus-sized work is the slice word count; both rule tables train
+    and encode in one vocab-sized Arrow task."""
+    imp = x253_bpe_swap_impact(spark, sf_dir)
+    return imp.select(
+        F.col("occ_total").cast("long").alias("occ_total"),
+        F.col("occ_changed").cast("long").alias("occ_changed"),
+        F.lit(RETOK_SWAP_NUM).cast("long").alias("swap_num"),
+        F.lit(RETOK_SWAP_DEN).cast("long").alias("swap_den"),
+        F.when(
+            F.col("occ_changed") * F.lit(RETOK_SWAP_DEN)
+            <= F.col("occ_total") * F.lit(RETOK_SWAP_NUM),
+            F.lit("swap"),
+        )
+        .otherwise(F.lit("hold"))
+        .alias("decision"),
+    )
+
+
+def _x266_sql() -> str:
+    return f"""
+        WITH {_impact_ctes()},
+        {_SQL_IMPACT_CTE}
+        SELECT occ_total, occ_changed,
+               CAST({RETOK_SWAP_NUM} AS BIGINT) AS swap_num,
+               CAST({RETOK_SWAP_DEN} AS BIGINT) AS swap_den,
+               {_SQL_SWAP_CASE} AS decision
+        FROM imp
+        """
+
+
+register(
+    QuerySpec(
+        "x266_retok_swap_policy",
+        x266_retok_swap_policy,
+        _x266_sql(),
+        "swap-adoption policy: execute the incremental vocabulary swap iff the occurrence blast radius fits the integer budget",
+    )
+)
+
+
+def bpe_hold_lexicon_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per source state) the UN-migrated lexicon a 'hold'
+    decision keeps serving: every full-corpus word under the BASE
+    rules (stored encodings for base words + the on-demand base-rules
+    encode the old tokenizer emits for a new word).  Path embeds every
+    constant the encoding depends on plus the documents fingerprint
+    (the GATE_DIR cache-keying invariant)."""
+    import hashlib
+    import os
+
+    from .convert_gate import GATE_DIR
+    from .similarity import _data_fingerprint
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    sig = repr(("retok-hold-v1", BPE_MERGES, BPE_CDC_MOD, RETOK_NBUCKETS))
+    token = hashlib.sha256(sig.encode()).hexdigest()[:8]
+    dest = os.path.join(
+        GATE_DIR,
+        f"bpeholdlex_{tag}_{token}_d{_data_fingerprint(sf_dir, 'documents')}",
+    )
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        (
+            _lexicon_frame(spark, sf_dir, "applied")
+            .withColumn("bucket", _word_bucket(F.col("word")))
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(dest)
+        )
+    return dest
+
+
+def x267_policy_routed_retok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus re-tokenized THROUGH the lexicon x266's policy
+    adopts, with the decision named in the output: (decision, doc_id,
+    n_tokens, tok_md5).  The decision is one bounded driver scalar
+    (x259's pattern: a 1-row collect off the vocab-sized impact frame);
+    swap serves x256's migrated store, hold serves the un-migrated
+    base-rules store.  The oracle re-makes the identical integer
+    decision in SQL and re-tokenizes under BOTH rule tables, selecting
+    the adopted side's rows — a hash match proves decision and serve
+    agree cross-engine.  Scale shapes: the policy is vocab-sized work;
+    the serve is ``_retok_docs`` (one explode + one word-keyed join +
+    one doc-keyed reassembly agg, zero BPE applications per doc)."""
+    decision = (
+        x266_retok_swap_policy(spark, sf_dir).collect()[0].decision
+    )
+    if decision == "swap":
+        lex = spark.read.parquet(bpe_lexicon_path(spark, sf_dir))
+    else:
+        lex = spark.read.parquet(bpe_hold_lexicon_path(spark, sf_dir))
+    return _retok_docs(spark, sf_dir, lex).select(
+        F.lit(decision).alias("decision"),
+        "doc_id",
+        "n_tokens",
+        "tok_md5",
+    )
+
+
+def _x267_sql() -> str:
+    # Both encodings per word (retrained enc_f vs base-applied a{N+1}),
+    # the integer decision re-made in SQL, and one reassembly over the
+    # decision-selected side.
+    n1 = BPE_MERGES + 1
+    return f"""
+        WITH {_impact_ctes()},
+        {_SQL_IMPACT_CTE},
+        dec AS (SELECT {_SQL_SWAP_CASE} AS decision FROM imp),
+        wt AS (
+          SELECT f.word,
+                 array_to_string(string_split(trim(
+                     CASE WHEN d.decision = 'swap' THEN f.sym ELSE a.sym END
+                   ), '  '), ' ') AS toks,
+                 CAST(len(string_split(trim(
+                     CASE WHEN d.decision = 'swap' THEN f.sym ELSE a.sym END
+                   ), '  ')) AS BIGINT) AS n_toks
+          FROM enc_f f JOIN a{n1} a USING (word) CROSS JOIN dec d),
+        docw AS (
+          SELECT doc_id, pos, word FROM (
+            SELECT doc_id,
+                   generate_subscripts(ws, 1) AS pos,
+                   unnest(ws) AS word
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                  FROM documents))
+          WHERE word <> '')
+        SELECT (SELECT decision FROM dec) AS decision,
+               d.doc_id,
+               CAST(SUM(w.n_toks) AS BIGINT) AS n_tokens,
+               md5(string_agg(w.toks, ' ' ORDER BY d.pos)) AS tok_md5
+        FROM docw d JOIN wt w USING (word)
+        GROUP BY d.doc_id
+        ORDER BY doc_id
+        """
+
+
+register(
+    QuerySpec(
+        "x267_policy_routed_retok",
+        x267_policy_routed_retok,
+        _x267_sql(),
+        "policy-routed re-tokenization: the corpus served through the lexicon the swap policy adopts",
     )
 )
 

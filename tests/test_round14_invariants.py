@@ -1,0 +1,242 @@
+"""Round-14 invariants: the tokenizer swap-adoption policy (x266) and
+its policy-routed serve (x267) exercised on BOTH branches — facts the
+gate corpus cannot show because its blast radius sits on the swap side
+of the budget.  The hold branch is pinned against a PURE-PYTHON
+re-tokenization under the base rules (independent of the lexicon
+store plumbing), and the routing is proven to matter: the two branches
+serve different token streams on the fixture."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from json_to_parquet_spark.queries.tokenizer import (
+    BPE_CDC_MOD,
+    RETOK_SWAP_DEN,
+    RETOK_SWAP_NUM,
+    _bpe_apply,
+    _bpe_merge_rules,
+)
+
+
+def _file_hashes(root):
+    """{relative_path: sha256} over every data file under ``root``,
+    excluding marker files (recreated per write)."""
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.startswith("_") or f.startswith("."):
+                continue
+            p = os.path.join(dirpath, f)
+            out[os.path.relpath(p, root)] = hashlib.sha256(
+                open(p, "rb").read()
+            ).hexdigest()
+    return out
+
+
+def _write_docs(dest_dir: str, rows: list[tuple[int, str]]) -> None:
+    os.makedirs(dest_dir, exist_ok=True)
+    ids = [i for i, _ in rows]
+    texts = [t for _, t in rows]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(ids)),
+                "source": pa.array(["s"] * len(ids)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(dest_dir, "documents.parquet"),
+    )
+
+
+@pytest.fixture(scope="module")
+def hold_src(tmp_path_factory):
+    """Corpus whose ingestion slice (doc_id ≡ 3 mod BPE_CDC_MOD) floods
+    a new word ('bc') so hard that >NUM/DEN of all token occurrences
+    re-encode under the retrained rules — the decision must be
+    'hold'."""
+    src = str(tmp_path_factory.mktemp("hold") / "src")
+    rows = []
+    for i in range(20):
+        if i % BPE_CDC_MOD == 3:
+            rows.append((i, "bc bc bc bc bc bc bc bc bc bc"))
+        else:
+            rows.append((i, "abcab abcab dabc dabc cabd"))
+    _write_docs(src, rows)
+    return src
+
+
+def _pure_python_retok(src: str, which: str) -> dict[int, tuple[int, str]]:
+    """{doc_id: (n_tokens, tok_md5)} computed with no Spark and no
+    lexicon store: train base rules on the base slice (and full rules
+    on everything when ``which='full'``), then re-encode every doc
+    word-by-word in order."""
+    from collections import Counter
+
+    tbl = pq.read_table(os.path.join(src, "documents.parquet"))
+    docs = list(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+    base_vocab: Counter = Counter()
+    full_vocab: Counter = Counter()
+    for i, t in docs:
+        for w in t.lower().split():
+            if not w:
+                continue
+            full_vocab[tuple(w)] += 1
+            if i % BPE_CDC_MOD != 3:
+                base_vocab[tuple(w)] += 1
+    rules = _bpe_merge_rules(
+        dict(full_vocab if which == "full" else base_vocab)
+    )
+    out = {}
+    for i, t in docs:
+        toks = []
+        for w in t.lower().split():
+            if w:
+                toks.extend(_bpe_apply(tuple(w), rules))
+        out[i] = (
+            len(toks),
+            hashlib.md5(" ".join(toks).encode()).hexdigest(),
+        )
+    return out
+
+
+def test_x266_hold_branch_decides_hold(spark, hold_src):
+    from json_to_parquet_spark.queries.tokenizer import (
+        x266_retok_swap_policy,
+    )
+
+    row = x266_retok_swap_policy(spark, hold_src).collect()[0]
+    assert row.decision == "hold"
+    # the integer rule itself, re-made here
+    assert row.occ_changed * RETOK_SWAP_DEN > row.occ_total * RETOK_SWAP_NUM
+    assert (row.swap_num, row.swap_den) == (RETOK_SWAP_NUM, RETOK_SWAP_DEN)
+
+
+def test_x267_hold_branch_serves_base_rules(spark, hold_src):
+    """Under 'hold', every document's served token stream equals the
+    pure-Python base-rules re-tokenization (new words get the
+    on-demand base-rules encode), and differs from the retrained
+    stream on at least one slice doc — the routing matters."""
+    from json_to_parquet_spark.queries.tokenizer import (
+        x267_policy_routed_retok,
+    )
+
+    got = {
+        r.doc_id: (r.decision, r.n_tokens, r.tok_md5)
+        for r in x267_policy_routed_retok(spark, hold_src).collect()
+    }
+    want_base = _pure_python_retok(hold_src, "base")
+    want_full = _pure_python_retok(hold_src, "full")
+    assert set(got) == set(want_base)
+    for i, (dec, n, h) in got.items():
+        assert dec == "hold"
+        assert (n, h) == want_base[i], f"doc {i} not base-rules-served"
+    assert any(
+        want_base[i] != want_full[i] for i in want_base
+    ), "fixture must make the two branches serve different streams"
+
+
+def test_x267_swap_branch_matches_x256(spark, sf_dir):
+    """On the gate corpus the policy decides 'swap' (x253's measured
+    blast radius fits the budget) and the routed serve is byte-for-byte
+    x256's migrated-store serve."""
+    from json_to_parquet_spark.queries.tokenizer import (
+        x256_retok_execute,
+        x266_retok_swap_policy,
+        x267_policy_routed_retok,
+    )
+
+    assert (
+        x266_retok_swap_policy(spark, sf_dir).collect()[0].decision
+        == "swap"
+    )
+    routed = {
+        r.doc_id: (r.decision, r.n_tokens, r.tok_md5)
+        for r in x267_policy_routed_retok(spark, sf_dir).collect()
+    }
+    direct = {
+        r.doc_id: (r.n_tokens, r.tok_md5)
+        for r in x256_retok_execute(spark, sf_dir).collect()
+    }
+    assert set(routed) == set(direct)
+    for i, (dec, n, h) in routed.items():
+        assert dec == "swap"
+        assert (n, h) == direct[i]
+
+
+# --- x268/x269: localized-drift re-index — physical incrementality ----------
+
+
+def test_x268_locdrift_migration_is_incremental(spark, sf_dir, tmp_path):
+    """VERDICT r11 ask #3's byte-identity half, on the REGISTERED
+    path's own machinery: after phase 1 (pre-drift-quantizer layout)
+    and phase 2 (touched-cell migration), every UNTOUCHED cell's data
+    files are byte-identical to their phase-1 state, every touched
+    cell's partition was physically replaced, and the merged layout
+    holds EXACTLY the re-seeded quantizer's assignment."""
+    from json_to_parquet_spark.queries.similarity import (
+        _locd_frames,
+        _locd_migrate,
+        _locd_write_base,
+    )
+
+    dest = str(tmp_path / "locd")
+    _locd_write_base(spark, sf_dir, dest)
+    before = _file_hashes(dest)
+
+    _post, asn_old, asn_new = _locd_frames(spark, sf_dir)
+    old = {r.vec_id: r.cell for r in asn_old.select("vec_id", "cell").collect()}
+    new = {r.vec_id: r.cell for r in asn_new.select("vec_id", "cell").collect()}
+    movers = {i for i in old if old[i] != new[i]}
+    touched = {old[i] for i in movers} | {new[i] for i in movers}
+    assert movers and touched, "fixture must move a blob"
+    untouched = set(old.values()) | set(new.values())
+    untouched -= touched
+    assert untouched, "fixture must leave cells untouched"
+
+    _locd_migrate(spark, sf_dir, dest)
+    after = _file_hashes(dest)
+
+    def _cell_of(relpath):
+        part = relpath.split("/")[0]
+        assert part.startswith("cell=")
+        return int(part.split("=", 1)[1])
+
+    cold_before = {p: h for p, h in before.items() if _cell_of(p) not in touched}
+    cold_after = {p: h for p, h in after.items() if _cell_of(p) not in touched}
+    assert cold_before == cold_after  # untouched cells byte-identical
+    hot_before = {p for p in before if _cell_of(p) in touched}
+    hot_after = {p for p in after if _cell_of(p) in touched}
+    assert hot_before.isdisjoint(hot_after)  # touched partitions replaced
+
+    got = {
+        r.vec_id: r.cell
+        for r in spark.read.parquet(dest).select("vec_id", "cell").collect()
+    }
+    assert got == new  # merged layout == the re-seeded assignment
+
+
+def test_x269_ledger_laws(spark, sf_dir):
+    """Engine-side laws of the localized ledger: migration executed
+    (adopted + movers > 0) with NONZERO preservation — the regime the
+    global-drift x261 row cannot show — and the integer identities
+    between its columns hold."""
+    from json_to_parquet_spark.queries.similarity import (
+        x269_locdrift_reindex_io,
+    )
+
+    r = x269_locdrift_reindex_io(spark, sf_dir).collect()[0]
+    assert r.adopted == "migrated"
+    assert r.n_movers > 0
+    assert 0 < r.pct_rows_preserved < 100
+    assert r.rows_rewritten + r.rows_preserved == r.n_vecs
+    assert r.n_cells_touched + r.n_cells_untouched == r.n_cells
+    assert r.reseeded_max_pop < r.stale_max_pop  # the adoption criterion
