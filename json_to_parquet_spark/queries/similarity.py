@@ -4593,3 +4593,440 @@ register(
         "drift re-index I/O ledger: movers, cells touched vs untouched, layout rows rewritten vs preserved",
     )
 )
+
+
+# --- x268/x269: localized-drift re-index — the INCREMENTAL regime gated ---------
+# x260/x261 put the drift re-index under the driver's hash, but the
+# gate corpus's global covariate shift degenerates the migration to a
+# full rewrite (pct_rows_preserved = 0, honestly reported) — so the
+# incremental path's preservation claim lived only in pytest (VERDICT
+# r11 ask #3).  These register the LOCALIZED regime: a blob-structured
+# corpus BOTH engines derive from vec_id arithmetic alone (LOCD_BLOBS
+# well-separated one-hot centers + a deterministic jitter — the
+# engineered shape of tests/test_round13_invariants.py's fixture,
+# expressed as SQL-able math so the driver can hash it), where the
+# drift event translates exactly one blob into another blob's cells.
+# The re-seeded quantizer (the first-nlist determinism trick, taken on
+# the DRIFTED snapshot) recovers the moved blob, so movers are bounded
+# to one blob BY CONSTRUCTION: the executed migration rewrites the
+# moved blob's source and destination cells only, every other cell's
+# files stay physically byte-untouched
+# (tests/test_round14_invariants.py), and the gate ledger's
+# pct_rows_preserved is nonzero under the driver's hash — the
+# incremental claim x261's global row cannot show.  The real-corpus
+# regime detection (PSI monitor, Lloyd retrain, adoption) is x237's
+# gate-proven edge and is NOT re-proven here; the adoption comparison
+# kept below is the integer max-pop criterion the migration routes
+# through (both branches: a 'stale' outcome leaves phase 1 untouched).
+LOCD_DIM = 8
+LOCD_BLOBS = 8
+LOCD_SCALE = 10.0   # blob-center magnitude (one-hot axis)
+LOCD_JITTER_MOD = 7  # jitter = ((vec_id·(j+1)) mod 7) / 100
+LOCD_SHIFT = 20.0   # drift: blob 0 translated along axis 1
+LOCD_NLIST = 16     # first-16 seed cells: 2 per blob
+
+
+def _locd_vec(drifted: bool) -> Column:
+    """The fixture vector as a Column over ``vec_id``: one-hot blob
+    center + deterministic jitter; when ``drifted``, blob 0 is
+    translated by LOCD_SHIFT along axis 1 (into blob 1's half-space —
+    the localized drift event).  Integer-derived doubles with one
+    fixed operation order, so both engines compute bit-identical
+    coordinates."""
+    cols = []
+    for j in range(LOCD_DIM):
+        c = F.when(
+            F.col("vec_id") % LOCD_BLOBS == j, F.lit(LOCD_SCALE)
+        ).otherwise(F.lit(0.0)) + (
+            (F.col("vec_id") * F.lit(j + 1)) % LOCD_JITTER_MOD
+        ).cast("double") / F.lit(100.0)
+        if drifted and j == 1:
+            c = c + F.when(
+                F.col("vec_id") % LOCD_BLOBS == 0, F.lit(LOCD_SHIFT)
+            ).otherwise(F.lit(0.0))
+        cols.append(c)
+    return F.array(*cols)
+
+
+def _locd_sql_vec(drifted: bool) -> str:
+    terms = []
+    for j in range(LOCD_DIM):
+        t = (
+            f"CASE WHEN vec_id % {LOCD_BLOBS} = {j} "
+            f"THEN {LOCD_SCALE} ELSE 0.0 END"
+            f" + CAST((vec_id * {j + 1}) % {LOCD_JITTER_MOD} AS DOUBLE)"
+            " / 100.0"
+        )
+        if drifted and j == 1:
+            t += (
+                f" + CASE WHEN vec_id % {LOCD_BLOBS} = 0 "
+                f"THEN {LOCD_SHIFT} ELSE 0.0 END"
+            )
+        terms.append(t)
+    return "[" + ", ".join(terms) + "]"
+
+
+def _locd_assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, v, cell): nearest-of-LOCD_NLIST flat assignment (the
+    cell count is fixed by the fixture's geometry, not grown with n —
+    the production √n routing is x260's, not re-proven here)."""
+    scored = corpus.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "c_id", _sq_dist(F.col("v"), F.col("c_vec")).alias("d")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("c_id"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "v", F.col("c_id").alias("cell"))
+    )
+
+
+def _locd_frames(spark: SparkSession, sf_dir: str):
+    """(post, asn_old, asn_new): the drifted fixture corpus and its
+    assignments under the pre-drift and re-seeded quantizers."""
+    ids = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    pre = ids.select("vec_id", _locd_vec(False).alias("v"))
+    post = ids.select("vec_id", _locd_vec(True).alias("v"))
+    cents_old = pre.filter(F.col("vec_id") < LOCD_NLIST).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("c_vec")
+    )
+    cents_new = post.filter(F.col("vec_id") < LOCD_NLIST).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("c_vec")
+    )
+    return post, _locd_assign(post, cents_old), _locd_assign(post, cents_new)
+
+
+def _locd_adopted(asn_old: DataFrame, asn_new: DataFrame) -> str:
+    """x231's integer criterion on the two layouts: migrate iff the
+    re-seeded layout strictly shrinks the largest inverted list.  Two
+    bounded max-pop aggregates + a 1-row collect (the x235 pattern)."""
+    s = (
+        asn_old.groupBy("cell").count().agg(F.max("count").alias("m"))
+        .crossJoin(
+            asn_new.groupBy("cell").count().agg(F.max("count").alias("r"))
+        )
+        .collect()[0]
+    )
+    return "migrated" if s.r < s.m else "stale"
+
+
+def _locd_write_base(spark: SparkSession, sf_dir: str, dest: str) -> None:
+    """Phase 1 — the pre-migration layout: the drifted fixture corpus
+    in its PRE-drift-quantizer cells, partitioned by cell."""
+    import os
+
+    if os.path.exists(os.path.join(dest, "_SUCCESS")):
+        return
+    _post, asn_old, _asn_new = _locd_frames(spark, sf_dir)
+    (
+        asn_old.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(dest)
+    )
+
+
+def _locd_migrate(spark: SparkSession, sf_dir: str, dest: str) -> None:
+    """Phase 2 — x260's incremental migration, executed only under the
+    'migrated' adoption outcome: rewrite exactly the cells the moved
+    blob leaves or enters via dynamic partition overwrite (emptied
+    cells dropped explicitly); every other cell's files stay
+    byte-identical (tests/test_round14_invariants.py)."""
+    import os
+    import shutil
+
+    marker = os.path.join(dest, "_REINDEXED")
+    if os.path.exists(marker):
+        return
+    _post, asn_old, asn_new = _locd_frames(spark, sf_dir)
+    if _locd_adopted(asn_old, asn_new) == "migrated":
+        j = asn_old.select("vec_id", F.col("cell").alias("oc")).join(
+            asn_new.select("vec_id", F.col("cell").alias("nc")), "vec_id"
+        )
+        movers = j.filter(F.col("oc") != F.col("nc"))
+        touched = sorted(
+            {
+                r.cell
+                for r in movers.select(F.col("oc").alias("cell"))
+                .unionAll(movers.select(F.col("nc").alias("cell")))
+                .distinct()
+                .collect()  # ≤ 2·LOCD_NLIST rows
+            }
+        )
+        if touched:
+            incoming = asn_new.filter(F.col("cell").isin(touched))
+            gaining = {
+                r.cell
+                for r in incoming.select("cell").distinct().collect()
+            }
+            for c in touched:
+                if c not in gaining:  # emptied cell: drop its directory
+                    shutil.rmtree(
+                        os.path.join(dest, f"cell={c}"), ignore_errors=True
+                    )
+            (
+                incoming.repartition("cell")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("cell")
+                .parquet(dest)
+            )
+    with open(marker, "w"):
+        pass
+
+
+def locdrift_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per source state) the localized-drift index layout:
+    phase 1 (``_locd_write_base``) + incremental phase-2 migration
+    (``_locd_migrate``).  Path embeds every fixture constant + the
+    source fingerprint (the GATE_DIR cache-keying invariant)."""
+    import hashlib
+    import os
+
+    from .convert_gate import GATE_DIR
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    sig = repr(
+        ("locdrift-v1", LOCD_DIM, LOCD_BLOBS, LOCD_SCALE,
+         LOCD_JITTER_MOD, LOCD_SHIFT, LOCD_NLIST)
+    )
+    token = hashlib.sha256(sig.encode()).hexdigest()[:8]
+    dest = os.path.join(
+        GATE_DIR,
+        f"locd_idx_{tag}_{token}_d{_data_fingerprint(sf_dir)}",
+    )
+    if not os.path.exists(os.path.join(dest, "_REINDEXED")):
+        _locd_write_base(spark, sf_dir, dest)
+        _locd_migrate(spark, sf_dir, dest)
+    return dest
+
+
+_LOCD_SQL_BASE = f"""ids AS (SELECT vec_id FROM embeddings),
+        pre AS (SELECT vec_id, {_locd_sql_vec(False)} AS v FROM ids),
+        post AS MATERIALIZED (
+          SELECT vec_id, {_locd_sql_vec(True)} AS v FROM ids),
+        co AS (SELECT vec_id AS c_id, v AS c_vec FROM pre
+               WHERE vec_id < {LOCD_NLIST}),
+        cn AS (SELECT vec_id AS c_id, v AS c_vec FROM post
+               WHERE vec_id < {LOCD_NLIST}),
+        asn_o AS MATERIALIZED (
+          SELECT vec_id, cell FROM (
+            SELECT p.vec_id, c.c_id AS cell,
+                   {_SQD.format(a="p.v", b="c.c_vec")} AS d
+            FROM post p CROSS JOIN co c)
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d, cell) = 1),
+        asn_n AS MATERIALIZED (
+          SELECT vec_id, cell FROM (
+            SELECT p.vec_id, c.c_id AS cell,
+                   {_SQD.format(a="p.v", b="c.c_vec")} AS d
+            FROM post p CROSS JOIN cn c)
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d, cell) = 1),
+        adopt AS (
+          SELECT CASE WHEN r.mp < s.mp THEN 'migrated' ELSE 'stale' END AS a
+          FROM (SELECT MAX(cnt) AS mp FROM (
+                  SELECT COUNT(*) AS cnt FROM asn_o GROUP BY cell)) s,
+               (SELECT MAX(cnt) AS mp FROM (
+                  SELECT COUNT(*) AS cnt FROM asn_n GROUP BY cell)) r)"""
+
+
+def x268_locdrift_reindex_execute(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-cell content proof over the PHYSICALLY MIGRATED localized-
+    drift layout, the adoption named in the output: (adopted, cell,
+    n_rows, id_digest) where id_digest is the order-insensitive
+    md5-prefix sum of the cell's vec_ids folded mod 2^62 (x265's
+    digest idiom).  The oracle derives the same fixture corpus from
+    vec_id arithmetic, re-makes the integer adoption, and computes the
+    adopted assignment INLINE — no store, no migration mechanics — so
+    a hash match proves the incremental rewrite (touched cells only)
+    produced EXACTLY the layout the re-seeded quantizer implies.
+    Scale shapes: fixture derivation is one projection; assignment is
+    n × LOCD_NLIST broadcast scoring (linear — the cell count is fixed
+    by the fixture's geometry); the gate is a cell-keyed agg over
+    narrow columns; the migration is paid once per source state."""
+    post, asn_old, asn_new = _locd_frames(spark, sf_dir)
+    adopted = _locd_adopted(asn_old, asn_new)
+    layout = spark.read.parquet(locdrift_index_path(spark, sf_dir))
+    digest = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 12), 16, 10
+    ).cast("decimal(38,0)")
+    return (
+        layout.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(digest) % F.lit(2**62)).alias("id_digest"),
+        )
+        .select(
+            F.lit(adopted).alias("adopted"),
+            F.col("cell").cast("long").alias("cell"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("id_digest").cast("long").alias("id_digest"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _x268_sql() -> str:
+    dig = (
+        "CAST(SUM(CAST(('0x' || substring("
+        "md5(CAST(vec_id AS VARCHAR)), 1, 12)) AS BIGINT))"
+        f" % {2**62} AS BIGINT)"
+    )
+    per_cell = (
+        "SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        f"{dig} AS id_digest FROM {{src}} GROUP BY cell"
+    )
+    return f"""
+        WITH {_LOCD_SQL_BASE},
+        dig_o AS ({per_cell.format(src="asn_o")}),
+        dig_n AS ({per_cell.format(src="asn_n")})
+        SELECT (SELECT a FROM adopt) AS adopted,
+               cell, n_rows, id_digest
+        FROM dig_n WHERE (SELECT a FROM adopt) = 'migrated'
+        UNION ALL
+        SELECT (SELECT a FROM adopt) AS adopted,
+               cell, n_rows, id_digest
+        FROM dig_o WHERE (SELECT a FROM adopt) = 'stale'
+        ORDER BY cell
+        """
+
+
+register(
+    QuerySpec(
+        "x268_locdrift_reindex_execute",
+        x268_locdrift_reindex_execute,
+        _x268_sql(),
+        "localized-drift re-index executed: the incrementally migrated layout == the re-seeded quantizer's inline answer",
+    )
+)
+
+
+def x269_locdrift_reindex_io(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One row of exact integers — the LOCALIZED regime's I/O ledger
+    (x261's columns plus both max pops): under this drift exactly one
+    blob moves, so the gate row proves nonzero preservation
+    (pct_rows_preserved > 0) WITH the migration executed — the
+    incremental claim the global-drift gate row (x261) cannot show.
+    Scale shapes: two n × LOCD_NLIST assignments joined on vec_id
+    (narrow rows), ≤2·LOCD_NLIST cell rollups, a 1-row decision
+    collect."""
+    _post, asn_old, asn_new = _locd_frames(spark, sf_dir)
+    adopted = _locd_adopted(asn_old, asn_new)
+    pops = (
+        asn_old.groupBy("cell").count().agg(F.max("count").alias("stale_mp"))
+        .crossJoin(
+            asn_new.groupBy("cell").count()
+            .agg(F.max("count").alias("reseeded_mp"))
+        )
+    )
+    j = asn_old.select("vec_id", F.col("cell").alias("oc")).join(
+        asn_new.select("vec_id", F.col("cell").alias("nc")), "vec_id"
+    )
+    movers = j.filter(F.col("oc") != F.col("nc"))
+    touched = (
+        movers.select(F.col("oc").alias("cell"))
+        .unionAll(movers.select(F.col("nc").alias("cell")))
+        .distinct()
+        .withColumn("t", F.lit(1))
+    )
+    allc = (
+        j.select(F.col("oc").alias("cell"))
+        .unionAll(j.select(F.col("nc").alias("cell")))
+        .distinct()
+    )
+    cellstats = allc.join(F.broadcast(touched), "cell", "left").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.coalesce(F.col("t"), F.lit(0))).alias("n_cells_touched"),
+        F.sum(1 - F.coalesce(F.col("t"), F.lit(0))).alias(
+            "n_cells_untouched"
+        ),
+    )
+    rowstats = j.join(
+        F.broadcast(touched.withColumnRenamed("cell", "nc")), "nc", "left"
+    ).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum((F.col("oc") != F.col("nc")).cast("long")).alias("n_movers"),
+        F.sum(F.coalesce(F.col("t"), F.lit(0))).alias("rows_rewritten"),
+        F.sum(1 - F.coalesce(F.col("t"), F.lit(0))).alias("rows_preserved"),
+    )
+    return rowstats.crossJoin(cellstats).crossJoin(pops).select(
+        F.lit(adopted).alias("adopted"),
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        F.col("n_movers").cast("long").alias("n_movers"),
+        F.col("stale_mp").cast("long").alias("stale_max_pop"),
+        F.col("reseeded_mp").cast("long").alias("reseeded_max_pop"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.col("n_cells_touched").cast("long").alias("n_cells_touched"),
+        F.col("n_cells_untouched").cast("long").alias("n_cells_untouched"),
+        F.col("rows_rewritten").cast("long").alias("rows_rewritten"),
+        F.col("rows_preserved").cast("long").alias("rows_preserved"),
+        F.expr("rows_preserved * 100 div n_vecs")
+        .cast("long")
+        .alias("pct_rows_preserved"),
+    )
+
+
+def _x269_sql() -> str:
+    return f"""
+        WITH {_LOCD_SQL_BASE},
+        mov AS (
+          SELECT o.vec_id, o.cell AS oc, n.cell AS nc,
+                 CASE WHEN o.cell != n.cell THEN 1 ELSE 0 END AS m
+          FROM asn_o o JOIN asn_n n USING (vec_id)),
+        touched AS (
+          SELECT DISTINCT cell FROM (
+            SELECT oc AS cell FROM mov WHERE m = 1
+            UNION ALL SELECT nc FROM mov WHERE m = 1)),
+        allc AS (
+          SELECT DISTINCT cell FROM (
+            SELECT oc AS cell FROM mov UNION ALL SELECT nc FROM mov)),
+        pops AS (
+          SELECT (SELECT MAX(cnt) FROM (
+                    SELECT COUNT(*) AS cnt FROM asn_o GROUP BY cell))
+                     AS stale_mp,
+                 (SELECT MAX(cnt) FROM (
+                    SELECT COUNT(*) AS cnt FROM asn_n GROUP BY cell))
+                     AS reseeded_mp),
+        cellstats AS (
+          SELECT COUNT(*) AS n_cells,
+                 SUM(CASE WHEN t.cell IS NOT NULL THEN 1 ELSE 0 END)
+                     AS n_cells_touched,
+                 SUM(CASE WHEN t.cell IS NULL THEN 1 ELSE 0 END)
+                     AS n_cells_untouched
+          FROM allc a LEFT JOIN touched t USING (cell)),
+        rowstats AS (
+          SELECT COUNT(*) AS n_vecs, SUM(m) AS n_movers,
+                 SUM(CASE WHEN t.cell IS NOT NULL THEN 1 ELSE 0 END)
+                     AS rows_rewritten,
+                 SUM(CASE WHEN t.cell IS NULL THEN 1 ELSE 0 END)
+                     AS rows_preserved
+          FROM mov LEFT JOIN touched t ON mov.nc = t.cell)
+        SELECT (SELECT a FROM adopt) AS adopted,
+               CAST(r.n_vecs AS BIGINT) AS n_vecs,
+               CAST(r.n_movers AS BIGINT) AS n_movers,
+               CAST(p.stale_mp AS BIGINT) AS stale_max_pop,
+               CAST(p.reseeded_mp AS BIGINT) AS reseeded_max_pop,
+               CAST(c.n_cells AS BIGINT) AS n_cells,
+               CAST(c.n_cells_touched AS BIGINT) AS n_cells_touched,
+               CAST(c.n_cells_untouched AS BIGINT) AS n_cells_untouched,
+               CAST(r.rows_rewritten AS BIGINT) AS rows_rewritten,
+               CAST(r.rows_preserved AS BIGINT) AS rows_preserved,
+               CAST(r.rows_preserved * 100 // r.n_vecs AS BIGINT)
+                   AS pct_rows_preserved
+        FROM rowstats r, cellstats c, pops p
+        """
+
+
+register(
+    QuerySpec(
+        "x269_locdrift_reindex_io",
+        x269_locdrift_reindex_io,
+        _x269_sql(),
+        "localized-drift re-index ledger: one blob moves, migration executes, most rows provably preserved in place",
+    )
+)

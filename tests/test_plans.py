@@ -211,6 +211,8 @@ _BNLJ_ALLOWED = {
     "x257_retok_io_plan",  # three ≤NBUCKETS/1-row ledger aggregates crossed
     "x260_drift_reindex_execute",  # K0/nlist frames + Nq-row query probe (x227 shape)
     "x261_drift_reindex_io",  # K0/nlist frames + 1-row ledger aggregates crossed
+    "x268_locdrift_reindex_execute",  # LOCD_NLIST-row centroid frame broadcast
+    "x269_locdrift_reindex_io",  # LOCD_NLIST centroids + 1-row ledger aggregates crossed
 }
 
 
