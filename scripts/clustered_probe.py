@@ -154,7 +154,122 @@ def beam_section(spark, sf_dir, runs: int) -> dict:
     return out
 
 
-def run(ns: list[int], runs: int, beam: bool = False) -> None:
+def _live_beam_truth(spark, sf_dir):
+    """Exact top-GBS_K among LIVE vectors per beam query — the truth a
+    deletion-correct serve must match (x262's truth definition)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from json_to_parquet_spark.queries.graph_ssl import (
+        GBS_K,
+        GBS_NQ,
+        cosine,
+    )
+    from json_to_parquet_spark.queries.similarity import TOMB_MOD
+    from json_to_parquet_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < GBS_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    rows = (
+        emb.filter(F.col("vec_id") % TOMB_MOD != 2)
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(F.col("q_vec"), F.col("v")).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= GBS_K)
+        .select("q_id", "vec_id")
+        .collect()
+    )
+    return {(r.q_id, r.vec_id) for r in rows}
+
+
+def tomb_section(spark, sf_dir, runs: int) -> dict:
+    """VERDICT r11 ask #4: the graph DELETE edge on the skewed shape
+    with deletions concentrated in the dominant blob — (a) x262's
+    serve-AROUND (dead nodes stay waypoints, filtered from results)
+    and (b) serve over the x263-COMPACTED graph (hot cells re-rung
+    live-only), both audited against the live-only exact truth."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from json_to_parquet_spark.queries import registry
+    from json_to_parquet_spark.queries.graph_ssl import (
+        GBS_K,
+        GBS_NQ,
+        beam_serve,
+        x263_graph_tombstone_compact,
+    )
+    from json_to_parquet_spark.queries.similarity import TOMB_MOD
+
+    reg = registry()
+    truth = _live_beam_truth(spark, sf_dir)
+    out: dict = {}
+
+    # (a) serve-around: x262's gate output carries per-row hit flags
+    def serve_around():
+        return reg["x262_graph_tombstone_serve"].spark(spark, sf_dir).collect()
+
+    rows = serve_around()
+    best = None
+    for _ in range(runs):
+        t0 = _t.time()
+        serve_around()
+        best = min(best or 1e9, _t.time() - t0)
+    out["serve_around"] = {
+        "hit_rate": round(sum(r.hit for r in rows) / (GBS_K * GBS_NQ), 4),
+        "served": len(rows),
+        "serve_s": round(best, 3),
+    }
+    print(f"tomb serve_around: {out['serve_around']}", file=sys.stderr)
+
+    # (b) compact-then-serve: walk the x263-compacted edges (compaction
+    # paid once — the edges frame is checkpointed before timing)
+    comp = (
+        x263_graph_tombstone_compact(spark, sf_dir)
+        .select("src_id", "dst_id")
+        .localCheckpoint()
+    )
+    n_edges = comp.count()
+
+    def serve_comp():
+        return (
+            beam_serve(spark, sf_dir, edges=comp)
+            .filter(F.col("vec_id") % TOMB_MOD != 2)
+            .select("q_id", "vec_id")
+            .collect()
+        )
+
+    got = serve_comp()
+    best = None
+    for _ in range(runs):
+        t0 = _t.time()
+        serve_comp()
+        best = min(best or 1e9, _t.time() - t0)
+    out["compacted"] = {
+        "hit_rate": round(
+            sum((r.q_id, r.vec_id) in truth for r in got)
+            / (GBS_K * GBS_NQ),
+            4,
+        ),
+        "served": len(got),
+        "edges": n_edges,
+        "serve_s": round(best, 3),
+    }
+    print(f"tomb compacted: {out['compacted']}", file=sys.stderr)
+    return out
+
+
+def run(ns: list[int], runs: int, beam: bool = False, tomb: bool = False) -> None:
     from clustered_fixture import write_clustered_embeddings
 
     from json_to_parquet_spark.queries import registry
@@ -173,8 +288,13 @@ def run(ns: list[int], runs: int, beam: bool = False) -> None:
     reg = registry()
     out: dict = {"runs": runs, "sizes": {}}
     for n in ns:
-        d = write_clustered_embeddings("/tmp/clustered_fx", n=n)
+        d = write_clustered_embeddings(
+            "/tmp/clustered_fx", n=n, concentrate_deletes=tomb
+        )
         row: dict = {}
+        if tomb:
+            out["sizes"][str(n)] = {"tomb": tomb_section(spark, d, runs)}
+            continue
         if beam:
             out["sizes"][str(n)] = {"beam": beam_section(spark, d, runs)}
             continue
@@ -205,7 +325,7 @@ def run(ns: list[int], runs: int, beam: bool = False) -> None:
             row.setdefault("sec", {})[name] = round(best, 3)
             print(f"n={n} {name}: {best:.3f}s", file=sys.stderr)
         out["sizes"][str(n)] = row
-    if len(ns) == 2 and not beam:
+    if len(ns) == 2 and not beam and not tomb:
         lo, hi = str(ns[0]), str(ns[1])
         out["ratio"] = {
             name: round(
@@ -223,5 +343,11 @@ if __name__ == "__main__":
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--ns", type=str, default="2000,20000")
     ap.add_argument("--beam", action="store_true")
+    ap.add_argument("--tomb", action="store_true")
     args = ap.parse_args()
-    run([int(x) for x in args.ns.split(",")], args.runs, beam=args.beam)
+    run(
+        [int(x) for x in args.ns.split(",")],
+        args.runs,
+        beam=args.beam,
+        tomb=args.tomb,
+    )

@@ -28,18 +28,32 @@ CENTER_SPREAD = 5.0  # blob centers ~ N(0, 5) per dim: well-separated
 WITHIN_STD = 0.5     # tight blobs: 10:1 separation-to-spread
 
 
-def write_clustered_embeddings(dest_dir: str, n: int = 2000, seed: int = 9) -> str:
+def write_clustered_embeddings(
+    dest_dir: str,
+    n: int = 2000,
+    seed: int = 9,
+    concentrate_deletes: bool = False,
+) -> str:
     """Write ``<dest_dir>/<params>/embeddings.parquet`` with ``n``
     vectors drawn from skewed Gaussian blobs; returns the params-keyed
     directory.  The key encodes EVERY generation parameter (n, seed,
     dim, and a digest of the blob-shape constants) so a later-round
     change to any of them forces a rebuild instead of silently reusing
-    a stale cached parquet (ADVICE r9)."""
+    a stale cached parquet (ADVICE r9).
+
+    ``concentrate_deletes`` re-deals the vec_ids so every id matching
+    the family's shared delete rule (vec_id % TOMB_MOD == 2) lands in
+    the DOMINANT blob — deleting hub-region nodes is exactly what
+    bends a greedy walk that keeps dead nodes as waypoints (VERDICT
+    r11 ask #4); the dominant blob holds 50% of the corpus, so its
+    dead fraction (~2·TOMB rate ≈ 29%) crosses the TOMB_PCT=15
+    compaction bar while every tail blob stays at 0%."""
     import hashlib
 
     shape = repr((DIM, BLOB_WEIGHTS, CENTER_SPREAD, WITHIN_STD))
     token = hashlib.sha256(shape.encode()).hexdigest()[:8]
-    keyed = os.path.join(dest_dir, f"n{n}_seed{seed}_{token}")
+    tomb = "_tombblob" if concentrate_deletes else ""
+    keyed = os.path.join(dest_dir, f"n{n}_seed{seed}_{token}{tomb}")
     path = os.path.join(keyed, "embeddings.parquet")
     if os.path.exists(path):
         return keyed
@@ -52,6 +66,22 @@ def write_clustered_embeddings(dest_dir: str, n: int = 2000, seed: int = 9) -> s
     points = centers[labels] + rng.normal(0.0, WITHIN_STD, size=(n, DIM))
     order = rng.permutation(n)  # ingestion shuffle: vec_id ⊥ blob
     points, labels = points[order], labels[order]
+    if concentrate_deletes:
+        from json_to_parquet_spark.queries.similarity import TOMB_MOD
+
+        dead_ids = [i for i in range(n) if i % TOMB_MOD == 2]
+        live_ids = [i for i in range(n) if i % TOMB_MOD != 2]
+        dom_rows = [i for i, lb in enumerate(labels) if lb == 0]
+        other_rows = [i for i, lb in enumerate(labels) if lb != 0]
+        assert len(dead_ids) <= len(dom_rows), "dominant blob too small"
+        # deal: dead ids onto dominant-blob rows, live ids onto the rest
+        row_order = dom_rows[: len(dead_ids)] + (
+            dom_rows[len(dead_ids):] + other_rows
+        )
+        id_order = dead_ids + live_ids
+        inv = np.empty(n, dtype=np.int64)
+        inv[np.asarray(id_order)] = np.asarray(row_order)
+        points, labels = points[inv], labels[inv]
 
     import pyarrow as pa
     import pyarrow.parquet as pq
