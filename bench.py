@@ -218,6 +218,9 @@ HEADLINE = [
     "x267_policy_routed_retok",
     "x268_locdrift_reindex_execute",
     "x269_locdrift_reindex_io",
+    # streaming twin of the swap policy (micro-batch count partials,
+    # one drained measure+decide — x254's drain, x266's decision)
+    "x270_stream_retok_policy",
 ]
 
 CONVERT_RECORDS = 100_000

@@ -1818,3 +1818,80 @@ def _register_x264() -> None:
 
 
 _register_x264()
+
+
+def x270_stream_retok_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of x266's swap-adoption policy — how tokenizer
+    maintenance actually reaches the swap decision on a live feed: the
+    ingestion slice arrives as a 4-file micro-batch stream; each batch
+    appends narrow (word, cnt) count partials (x254's drain — exact
+    integers composing additively, so batching cannot change any
+    total); the drained sum feeds the impact measurement and the
+    integer policy ONCE (`_swap_impact_from` → `_swap_policy_from`,
+    x266's Column expressions byte-for-byte), gated against x266's
+    registered oracle (the anti-drift pattern: x254 proves the drained
+    counts equal the batch trainer's, this proves the DECISION built
+    on them equals the batch policy's).
+
+    Scale shapes: per micro-batch work is batch-sized; the drained sum
+    is a vocab-sized shuffle; measure + decide run in one vocab-sized
+    Arrow task + a 1-row select."""
+    from .tokenizer import BPE_CDC_MOD, _swap_impact_from, _swap_policy_from
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(GATE_DIR, f"src_x270_{sf_tag}")
+    part_dir = os.path.join(GATE_DIR, f"parts_x270_{sf_tag}")
+    ckpt = os.path.join(GATE_DIR, f"ckpt_x270_{sf_tag}")
+    _fresh(src, part_dir, ckpt)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.filter(F.col("doc_id") % BPE_CDC_MOD == 3).repartition(
+        4, "doc_id"
+    ).write.parquet(src)
+
+    def handle_batch(bdf: DataFrame, _bid: int) -> None:
+        (
+            bdf.select(
+                F.explode(F.split(F.lower("text"), " ")).alias("word")
+            )
+            .filter(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .write.mode("append")
+            .parquet(part_dir)
+        )
+
+    q = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q, 300)
+    drained = (
+        spark.read.parquet(part_dir)
+        .groupBy("word")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return _swap_policy_from(_swap_impact_from(spark, sf_dir, drained))
+
+
+def _register_x270() -> None:
+    # Anti-drift: gated against x266's batch oracle VERBATIM (tokenizer
+    # registers before this module in registry()'s import order).
+    from . import _REGISTRY
+
+    register(
+        QuerySpec(
+            "x270_stream_retok_policy",
+            x270_stream_retok_policy,
+            _REGISTRY["x266_retok_swap_policy"].oracle,
+            "streaming swap policy: the decision over drained count partials == x266's batch decision",
+        )
+    )
+
+
+_register_x270()

@@ -474,15 +474,14 @@ def _bpe_apply(sym: tuple, rules: list) -> tuple:
     return sym
 
 
-def x253_bpe_swap_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row: (n_words, n_changed, occ_total, occ_changed,
-    frac_changed) — distinct words / frequency-weighted occurrences
-    whose final tokenization differs between the base-only and the
-    retrained merge tables.  Scale shapes: the corpus-sized work is
-    x252's (persisted base counts + slice-only counting); training both
-    tables AND encoding every distinct word under each runs in ONE
-    vocab-sized Arrow task (≤ 2·|vocab|·BPE_MERGES rule applications)."""
-    tagged = _tagged_counts(spark, sf_dir, _bpe_delta_words(spark, sf_dir))
+def _swap_impact_from(
+    spark: SparkSession, sf_dir: str, delta_words: DataFrame
+) -> DataFrame:
+    """x253's impact row over an arbitrary slice word-count frame —
+    factored (identical Column expressions, same cross-engine path) so
+    the streaming twin (x270) can drain micro-batch count partials and
+    measure/decide once, the `_bpe_cdc_stats` pattern."""
+    tagged = _tagged_counts(spark, sf_dir, delta_words)
 
     def impact(batches):
         import pandas as pd
@@ -521,6 +520,19 @@ def x253_bpe_swap_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frac_changed double",
     )
     return raw.withColumn("frac_changed", F.round("frac_changed", 6))
+
+
+def x253_bpe_swap_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (n_words, n_changed, occ_total, occ_changed,
+    frac_changed) — distinct words / frequency-weighted occurrences
+    whose final tokenization differs between the base-only and the
+    retrained merge tables.  Scale shapes: the corpus-sized work is
+    x252's (persisted base counts + slice-only counting); training both
+    tables AND encoding every distinct word under each runs in ONE
+    vocab-sized Arrow task (≤ 2·|vocab|·BPE_MERGES rule applications)."""
+    return _swap_impact_from(
+        spark, sf_dir, _bpe_delta_words(spark, sf_dir)
+    )
 
 
 def _sql_pair_cte(src: str, tag: str) -> str:
@@ -1081,13 +1093,10 @@ def _impact_ctes() -> str:
     )
 
 
-def x266_retok_swap_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row: (occ_total, occ_changed, swap_num, swap_den, decision)
-    — the swap-adoption rule as exact integers, 'swap' iff
-    occ_changed·DEN ≤ occ_total·NUM.  Scale shapes: x253's — the
-    corpus-sized work is the slice word count; both rule tables train
-    and encode in one vocab-sized Arrow task."""
-    imp = x253_bpe_swap_impact(spark, sf_dir)
+def _swap_policy_from(imp: DataFrame) -> DataFrame:
+    """x266's policy row over an arbitrary impact frame — factored so
+    the streaming twin (x270) decides over drained count partials
+    through byte-for-byte the same Column expressions."""
     return imp.select(
         F.col("occ_total").cast("long").alias("occ_total"),
         F.col("occ_changed").cast("long").alias("occ_changed"),
@@ -1101,6 +1110,15 @@ def x266_retok_swap_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("hold"))
         .alias("decision"),
     )
+
+
+def x266_retok_swap_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (occ_total, occ_changed, swap_num, swap_den, decision)
+    — the swap-adoption rule as exact integers, 'swap' iff
+    occ_changed·DEN ≤ occ_total·NUM.  Scale shapes: x253's — the
+    corpus-sized work is the slice word count; both rule tables train
+    and encode in one vocab-sized Arrow task."""
+    return _swap_policy_from(x253_bpe_swap_impact(spark, sf_dir))
 
 
 def _x266_sql() -> str:
