@@ -49,11 +49,23 @@ PROBE = [
     "x261_drift_reindex_io",
 ]
 
+# Round-14 decide arrows + the localized re-index (--r14).  x270 is
+# deliberately absent: it composes x254's drain (probed floor-flat
+# across two decades in round 12) with x266's decision (probed here) —
+# the x199 documented-composition precedent.
+R14_PROBE = [
+    "x266_retok_swap_policy",
+    "x267_policy_routed_retok",
+    "x268_locdrift_reindex_execute",
+    "x269_locdrift_reindex_io",
+]
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--skip-sfx10", action="store_true")
+    ap.add_argument("--r14", action="store_true")
     args = ap.parse_args()
 
     from json_to_parquet_spark.queries import registry
@@ -91,7 +103,7 @@ def main() -> None:
             else "lexicon_build_cold"
         )
         out["queries"].setdefault(row_name, {})[sf_name] = dt
-        for name in PROBE:
+        for name in (R14_PROBE if args.r14 else PROBE):
             runs = 1 if sf_name == "sfx10" and name.startswith("x26") else args.runs
             best = None
             for i in range(runs):
@@ -106,7 +118,7 @@ def main() -> None:
             out["queries"].setdefault(name, {})[sf_name] = round(best, 3)
             print(f"{sf_name} {name}: {best:.3f}s", file=sys.stderr)
     for name, row in out["queries"].items():
-        if "sfx10" in row and "sfx1" in row:
+        if "sfx10" in row and row.get("sfx1"):  # skip 0.0 no-op path checks
             row["ratio_d2"] = round(row["sfx10"] / row["sfx1"], 2)
     print(json.dumps(out))
     spark.stop()
