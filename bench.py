@@ -221,6 +221,10 @@ HEADLINE = [
     # streaming twin of the swap policy (micro-batch count partials,
     # one drained measure+decide — x254's drain, x266's decision)
     "x270_stream_retok_policy",
+    # the warehouse OPTIMIZE decide arrow (metadata-plane decision) and
+    # the bin-content serve routed through the adopted layout
+    "x271_layout_compact_policy",
+    "x272_policy_routed_layout_serve",
 ]
 
 CONVERT_RECORDS = 100_000

@@ -77,8 +77,16 @@ def events_partitioned_path(spark: SparkSession, sf_dir: str) -> str:
     ingest job produces — instead of tasks × dates tiny files (the
     small-files failure mode). Content is deterministic (derived from
     the driver's testdata), so cache across calls on the _SUCCESS
-    marker."""
-    dest = os.path.join(GATE_DIR, f"events_part_{_sf_tag(sf_dir)}")
+    marker; the source fingerprint in the path busts the cache if the
+    testdata is regenerated in place (the GATE_DIR cache-keying
+    invariant — code-review r14)."""
+    from .similarity import _data_fingerprint
+
+    dest = os.path.join(
+        GATE_DIR,
+        f"events_part_{_sf_tag(sf_dir)}"
+        f"_d{_data_fingerprint(sf_dir, 'events')}",
+    )
     if not os.path.exists(os.path.join(dest, "_SUCCESS")):
         ev = load_table(spark, sf_dir, "events")
         (
@@ -382,7 +390,13 @@ def orders_evolved_path(spark: SparkSession, sf_dir: str) -> str:
     gen=1 files lack the later-added ``o_orderpriority`` column, gen=2
     files carry it. Timestamp columns are excluded so the fixture is
     byte-stable across writer sessions (helpers rule 4)."""
-    dest = os.path.join(GATE_DIR, f"orders_evolved_{_sf_tag(sf_dir)}")
+    from .similarity import _data_fingerprint
+
+    dest = os.path.join(
+        GATE_DIR,
+        f"orders_evolved_{_sf_tag(sf_dir)}"
+        f"_d{_data_fingerprint(sf_dir, 'orders')}",
+    )
     if not os.path.exists(os.path.join(dest, "_SUCCESS")):
         od = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -464,7 +478,13 @@ register(
 
 
 def events_orc_path(spark: SparkSession, sf_dir: str) -> str:
-    dest = os.path.join(GATE_DIR, f"events_orc_{_sf_tag(sf_dir)}")
+    from .similarity import _data_fingerprint
+
+    dest = os.path.join(
+        GATE_DIR,
+        f"events_orc_{_sf_tag(sf_dir)}"
+        f"_d{_data_fingerprint(sf_dir, 'events')}",
+    )
     if not os.path.exists(os.path.join(dest, "_SUCCESS")):
         ev = load_table(spark, sf_dir, "events")
         (
@@ -1305,6 +1325,13 @@ def x265_layout_compact_execute(
     is engine-identical, so the fold keeps the digest exact AND
     bounded at any bin size."""
     ev = spark.read.parquet(compacted_events_path(spark, sf_dir))
+    return _bin_content_proof(ev)
+
+
+def _bin_content_proof(ev: DataFrame) -> DataFrame:
+    """The per-bin content gate over any (event_id, d, bin, ...) frame
+    — shared by x265 (the compacted store) and x272 (the
+    policy-routed layout, either branch)."""
     digest = F.conv(
         F.substring(F.md5(F.col("event_id").cast("string")), 1, 12), 16, 10
     ).cast("decimal(38,0)")
@@ -1327,12 +1354,7 @@ def x265_layout_compact_execute(
     )
 
 
-register(
-    QuerySpec(
-        "x265_layout_compact_execute",
-        x265_layout_compact_execute,
-        f"""
-        WITH per_date AS (
+_SQL_LAYOUT_BINS = f"""per_date AS (
           SELECT strftime(ts, '%Y-%m-%d') AS d,
                  CAST(COUNT(*) AS BIGINT) AS n_rows
           FROM events GROUP BY 1),
@@ -1343,7 +1365,15 @@ register(
                           ROWS BETWEEN UNBOUNDED PRECEDING
                           AND 1 PRECEDING),
                         0) / {COMPACT_TARGET_ROWS}) AS BIGINT) AS bin
-          FROM per_date)
+          FROM per_date)"""
+
+
+register(
+    QuerySpec(
+        "x265_layout_compact_execute",
+        x265_layout_compact_execute,
+        f"""
+        WITH {_SQL_LAYOUT_BINS}
         SELECT b.bin,
                CAST(COUNT(*) AS BIGINT) AS n_rows,
                MIN(strftime(e.ts, '%Y-%m-%d')) AS d_min,
@@ -1357,5 +1387,146 @@ register(
         ORDER BY b.bin
         """,
         "OPTIMIZE executed: the compacted one-file-per-bin layout holds exactly the planned bins' content",
+    )
+)
+
+
+# --- x271/x272: OPTIMIZE adoption policy + policy-routed layout serve ----------
+# x170 plans the compaction and x265 executes it — but nothing encoded
+# WHEN the rewrite is worth paying (the x231/x258/x266 integer-decide
+# discipline, warehouse edition — what Delta's OPTIMIZE scheduling and
+# Iceberg's rewrite_data_files file-count triggers actually gate on):
+# a layout already near one file per target bin gains nothing from a
+# corpus rewrite.  x271 adopts the compaction iff the file count is at
+# least LAYOPT_NUM/LAYOPT_DEN times the planned bin count — a pure
+# BIGINT comparison on metadata-plane numbers, the oracle re-making it
+# from the logical table (under the x149 one-file-per-partition
+# invariant the physical file count equals the date count, the same
+# gate contract x170 already carries).  x272 routes the SERVE through
+# the decision: 'compact' reads x265's one-file-per-bin store, 'hold'
+# reads the original partitioned layout with bins joined at read time
+# (metadata broadcast, NO rewrite I/O) — and proves the served
+# content is the planned bins' content either way (one hash, decision
+# included).  Both branches invariant-tested; the hold branch is
+# proven to never build the store (tests/test_round14_invariants.py).
+LAYOPT_NUM = 2  # compact iff n_files ≥ 2 × n_bins (file-count trigger)
+LAYOPT_DEN = 1
+
+_SQL_LAYOPT_CASE = (
+    f"CASE WHEN n_files * {LAYOPT_DEN} >= n_bins * {LAYOPT_NUM} "
+    "THEN 'compact' ELSE 'hold' END"
+)
+
+
+def x271_layout_compact_policy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One row: (n_files, n_bins, thr_num, thr_den, decision) — the
+    OPTIMIZE adoption rule as exact integers.  Scale shapes: the input
+    is ``_compaction_bins``'s date-spine-sized frame (metadata-plane;
+    the file inventory via the hidden ``_metadata`` column, no listing
+    job) + one 1-row aggregate."""
+    binned = _compaction_bins(spark, sf_dir)
+    agg = binned.agg(
+        F.sum("n_files").alias("n_files"),
+        F.countDistinct("bin").alias("n_bins"),
+    )
+    return agg.select(
+        F.col("n_files").cast("long").alias("n_files"),
+        F.col("n_bins").cast("long").alias("n_bins"),
+        F.lit(LAYOPT_NUM).cast("long").alias("thr_num"),
+        F.lit(LAYOPT_DEN).cast("long").alias("thr_den"),
+        F.when(
+            F.col("n_files") * F.lit(LAYOPT_DEN)
+            >= F.col("n_bins") * F.lit(LAYOPT_NUM),
+            F.lit("compact"),
+        )
+        .otherwise(F.lit("hold"))
+        .alias("decision"),
+    )
+
+
+register(
+    QuerySpec(
+        "x271_layout_compact_policy",
+        x271_layout_compact_policy,
+        f"""
+        WITH {_SQL_LAYOUT_BINS},
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+                 CAST(COUNT(DISTINCT bin) AS BIGINT) AS n_bins
+          FROM bins)
+        SELECT n_files, n_bins,
+               CAST({LAYOPT_NUM} AS BIGINT) AS thr_num,
+               CAST({LAYOPT_DEN} AS BIGINT) AS thr_den,
+               {_SQL_LAYOPT_CASE} AS decision
+        FROM agg
+        """,
+        "OPTIMIZE adoption policy: rewrite iff the file count is at least twice the planned bin count",
+    )
+)
+
+
+def x272_policy_routed_layout_serve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """x265's per-bin content proof served THROUGH the layout x271's
+    policy adopts, the decision named in the output: (decision, bin,
+    n_rows, d_min, d_max, id_digest).  'compact' scans the
+    one-file-per-bin store (building it on first serve — the routed
+    execute); 'hold' scans the ORIGINAL partitioned layout with bins
+    joined at read time (a date-spine broadcast — no rewrite I/O is
+    ever paid, which is the point of deciding).  The oracle re-makes
+    the integer decision and computes the bins' content from the
+    logical table — one hash proves decision and served content agree
+    cross-engine.  Scale shapes: the decision is metadata-plane; each
+    branch is one layout scan + a bin-keyed agg."""
+    decision = (
+        x271_layout_compact_policy(spark, sf_dir).collect()[0].decision
+    )  # 1-row bounded decision (the x235 pattern)
+    if decision == "compact":
+        ev = spark.read.parquet(compacted_events_path(spark, sf_dir))
+    else:
+        bins = _compaction_bins(spark, sf_dir).select("d", "bin")
+        ev = (
+            spark.read.parquet(events_partitioned_path(spark, sf_dir))
+            .withColumn("d", F.col("d").cast("string"))
+            .join(F.broadcast(bins), "d")
+        )
+    return _bin_content_proof(ev).select(
+        F.lit(decision).alias("decision"),
+        "bin",
+        "n_rows",
+        "d_min",
+        "d_max",
+        "id_digest",
+    )
+
+
+register(
+    QuerySpec(
+        "x272_policy_routed_layout_serve",
+        x272_policy_routed_layout_serve,
+        f"""
+        WITH {_SQL_LAYOUT_BINS},
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+                 CAST(COUNT(DISTINCT bin) AS BIGINT) AS n_bins
+          FROM bins),
+        dec AS (SELECT {_SQL_LAYOPT_CASE} AS decision FROM agg)
+        SELECT (SELECT decision FROM dec) AS decision,
+               b.bin,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(strftime(e.ts, '%Y-%m-%d')) AS d_min,
+               MAX(strftime(e.ts, '%Y-%m-%d')) AS d_max,
+               CAST(SUM(CAST(('0x' || substring(
+                        md5(CAST(e.event_id AS VARCHAR)), 1, 12))
+                      AS BIGINT)) % {2**62} AS BIGINT) AS id_digest
+        FROM events e
+        JOIN bins b ON strftime(e.ts, '%Y-%m-%d') = b.d
+        GROUP BY b.bin
+        ORDER BY b.bin
+        """,
+        "policy-routed layout serve: the planned bins' content through whichever physical layout the OPTIMIZE policy adopts",
     )
 )

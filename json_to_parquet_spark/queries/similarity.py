@@ -928,9 +928,14 @@ def ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     # nlist in the path: a layout built under a different cell count
-    # must never be mistaken for this one (the count is data-derived)
+    # must never be mistaken for this one (the count is data-derived);
+    # source fingerprint: an in-place testdata regeneration must bust
+    # the cached layout (the GATE_DIR cache-keying invariant — this
+    # path predates it and was the last vector store without one)
     dest = os.path.join(
-        GATE_DIR, f"ivf_index_{tag}_tl_nl{ivf_nlist(spark, sf_dir)}"
+        GATE_DIR,
+        f"ivf_index_{tag}_tl_nl{ivf_nlist(spark, sf_dir)}"
+        f"_d{_data_fingerprint(sf_dir)}",
     )
     if not os.path.exists(os.path.join(dest, "_SUCCESS")):
         emb = load_table(spark, sf_dir, "embeddings")

@@ -240,3 +240,135 @@ def test_x269_ledger_laws(spark, sf_dir):
     assert r.rows_rewritten + r.rows_preserved == r.n_vecs
     assert r.n_cells_touched + r.n_cells_untouched == r.n_cells
     assert r.reseeded_max_pop < r.stale_max_pop  # the adoption criterion
+
+
+# --- x271/x272: the OPTIMIZE adoption policy — both branches ----------------
+
+
+@pytest.fixture(scope="module")
+def dense_events_src(tmp_path_factory):
+    """Events layout already near one file per target bin: 4 dates ×
+    2000 rows (every date crosses COMPACT_TARGET_ROWS), so n_files (4)
+    < 2 × n_bins (4) and the policy must decide 'hold'."""
+    import datetime
+
+    src = str(tmp_path_factory.mktemp("dense") / "evsrc_r14")
+    os.makedirs(src, exist_ok=True)
+    ids, tss, uids, types, vals, props = [], [], [], [], [], []
+    eid = 0
+    for day in range(4):
+        base = datetime.datetime(2024, 3, 1 + day, 0, 0, 0)
+        for i in range(2000):
+            ids.append(eid)
+            tss.append(base + datetime.timedelta(seconds=i))
+            uids.append(eid % 97)
+            types.append("click")
+            vals.append(float(i % 10))
+            props.append("{}")
+            eid += 1
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array(tss, pa.timestamp("us")),
+                "user_id": pa.array(uids, pa.int64()),
+                "event_type": pa.array(types),
+                "value": pa.array(vals, pa.float64()),
+                "props": pa.array(props),
+            }
+        ),
+        os.path.join(src, "events.parquet"),
+    )
+    return src
+
+
+def test_x271_hold_branch_decides_hold(spark, dense_events_src):
+    from json_to_parquet_spark.queries.scale_layout import (
+        LAYOPT_DEN,
+        LAYOPT_NUM,
+        x271_layout_compact_policy,
+    )
+
+    r = x271_layout_compact_policy(spark, dense_events_src).collect()[0]
+    assert r.decision == "hold"
+    assert r.n_files * LAYOPT_DEN < r.n_bins * LAYOPT_NUM
+    assert (r.thr_num, r.thr_den) == (LAYOPT_NUM, LAYOPT_DEN)
+
+
+def test_x272_hold_branch_never_builds_the_store(spark, dense_events_src):
+    """Under 'hold' the routed serve reads the original layout with
+    bins joined at read time: the served rows equal the logical bins'
+    content (computed here straight off the events table, no layout),
+    and the compacted store is NEVER built — the rewrite I/O the
+    policy exists to avoid."""
+    from pyspark.sql import functions as F
+
+    from json_to_parquet_spark.queries.convert_gate import GATE_DIR
+    from json_to_parquet_spark.queries.scale_layout import (
+        COMPACT_TARGET_ROWS,
+        _compaction_bins,
+        _sf_tag,
+        x272_policy_routed_layout_serve,
+    )
+    from json_to_parquet_spark.queries.similarity import _data_fingerprint
+    from json_to_parquet_spark.sources.catalog import load_table
+
+    got = x272_policy_routed_layout_serve(spark, dense_events_src).collect()
+    assert got and all(r.decision == "hold" for r in got)
+
+    store = os.path.join(
+        GATE_DIR,
+        f"events_cmp_{_sf_tag(dense_events_src)}_t{COMPACT_TARGET_ROWS}"
+        f"_d{_data_fingerprint(dense_events_src, 'events')}",
+    )
+    assert not os.path.exists(store)  # no rewrite I/O was paid
+
+    bins = _compaction_bins(spark, dense_events_src).select("d", "bin")
+    ev = load_table(spark, dense_events_src, "events").select(
+        "event_id", F.date_format("ts", "yyyy-MM-dd").alias("d")
+    )
+    digest = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 12), 16, 10
+    ).cast("decimal(38,0)")
+    want = {
+        r.bin: (r.n_rows, r.d_min, r.d_max, r.id_digest)
+        for r in ev.join(F.broadcast(bins), "d")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("d").alias("d_min"),
+            F.max("d").alias("d_max"),
+            (F.sum(digest) % F.lit(2**62)).cast("long").alias("id_digest"),
+        )
+        .collect()
+    }
+    assert {
+        r.bin: (r.n_rows, r.d_min, r.d_max, r.id_digest) for r in got
+    } == want
+
+
+def test_x272_compact_branch_matches_x265(spark, sf_dir):
+    """On the gate corpus (one small file per date) the policy decides
+    'compact' and the routed serve is row-for-row x265's store serve."""
+    from json_to_parquet_spark.queries.scale_layout import (
+        x265_layout_compact_execute,
+        x271_layout_compact_policy,
+        x272_policy_routed_layout_serve,
+    )
+
+    assert (
+        x271_layout_compact_policy(spark, sf_dir).collect()[0].decision
+        == "compact"
+    )
+    routed = {
+        r.bin: (r.decision, r.n_rows, r.d_min, r.d_max, r.id_digest)
+        for r in x272_policy_routed_layout_serve(spark, sf_dir).collect()
+    }
+    direct = {
+        r.bin: (r.n_rows, r.d_min, r.d_max, r.id_digest)
+        for r in x265_layout_compact_execute(spark, sf_dir).collect()
+    }
+    assert set(routed) == set(direct)
+    for b, (dec, n, lo, hi, dg) in routed.items():
+        assert dec == "compact"
+        assert (n, lo, hi, dg) == direct[b]
