@@ -225,6 +225,10 @@ HEADLINE = [
     # the bin-content serve routed through the adopted layout
     "x271_layout_compact_policy",
     "x272_policy_routed_layout_serve",
+    # incremental OPTIMIZE on append (touched-bins-only merge, gated
+    # against the full rewrite's oracle) + its I/O ledger
+    "x273_append_optimize_execute",
+    "x274_append_optimize_io",
 ]
 
 CONVERT_RECORDS = 100_000

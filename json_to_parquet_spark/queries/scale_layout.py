@@ -1530,3 +1530,253 @@ register(
         "policy-routed layout serve: the planned bins' content through whichever physical layout the OPTIMIZE policy adopts",
     )
 )
+
+
+# --- x273/x274: INCREMENTAL OPTIMIZE on append ----------------------------------
+# x265 proves the full rewrite; production warehouses pay that once and
+# then maintain the layout INCREMENTALLY as ingest appends new
+# partitions (Delta OPTIMIZE / Iceberg rewrite_data_files only touch
+# files the new data affects).  Here the append is the last
+# EVENTS_APPEND_DATES distinct dates of the events table (a
+# deterministic date-spine split both engines derive identically, the
+# x252 base⊎delta idiom applied to the layout): phase 1 compacts the
+# BASE date prefix into its next-fit bins; phase 2 merges the appended
+# dates by rewriting ONLY the bins any appended date lands in (the last
+# base bin iff it was not yet full, plus the new tail bins — dynamic
+# partition overwrite, x227's machinery), leaving every earlier bin's
+# files physically byte-identical (tests/test_round14_invariants.py).
+# The next-fit rule makes this exact, not approximate: base dates form
+# a date-order PREFIX, so full-corpus binning restricted to the prefix
+# IS the prefix's own binning — bins and content of untouched bins are
+# bit-equal to the full rewrite's, which is why x273 can be gated
+# against x265's registered oracle VERBATIM (the x264 anti-drift
+# pattern: a hash match proves the incremental maintenance produced
+# exactly the layout the full OPTIMIZE would).  x274 is the integer
+# I/O ledger (x232/x257/x261's framing): at 100 TB the append touches
+# O(appended data) bins while the preserved prefix — the overwhelming
+# majority — is never read or written.
+EVENTS_APPEND_DATES = 3
+
+
+def _event_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(d, n_rows, n_files, bin, rn, n_dates): the full layout's
+    date spine with next-fit bins and a date-order row number —
+    metadata-plane (one row per distinct date)."""
+    binned = _compaction_bins(spark, sf_dir)
+    w = Window.orderBy("d")
+    return binned.withColumn("rn", F.row_number().over(w)).crossJoin(
+        F.broadcast(binned.agg(F.count(F.lit(1)).alias("n_dates")))
+    )
+
+
+def _inc_write_base(spark: SparkSession, sf_dir: str, dest: str) -> None:
+    """Phase 1 — the base-prefix OPTIMIZE: all but the last
+    EVENTS_APPEND_DATES dates compacted into their next-fit bins, one
+    file per bin.  The base slice's bins are computed over the full
+    spine (prefix binning == full binning restricted to the prefix, by
+    the next-fit rule)."""
+    import os
+
+    if os.path.exists(os.path.join(dest, "_SUCCESS")):
+        return
+    spine = _event_date_spine(spark, sf_dir)
+    base_bins = spine.filter(
+        F.col("rn") <= F.col("n_dates") - EVENTS_APPEND_DATES
+    ).select("d", "bin")
+    ev = spark.read.parquet(events_partitioned_path(spark, sf_dir))
+    (
+        ev.withColumn("d", F.col("d").cast("string"))
+        .join(F.broadcast(base_bins), "d")
+        .repartition("bin")
+        .write.mode("overwrite")
+        .partitionBy("bin")
+        .parquet(dest)
+    )
+
+
+def _inc_append_merge(spark: SparkSession, sf_dir: str, dest: str) -> None:
+    """Phase 2 — the append merged in: rewrite exactly the bins any
+    appended date lands in (dynamic partition overwrite carrying those
+    bins' FULL-corpus content); every other bin's files stay
+    byte-identical.  The touched list is a ≤EVENTS_APPEND_DATES-row
+    collect — bounded spine metadata."""
+    import os
+
+    marker = os.path.join(dest, "_APPENDED")
+    if os.path.exists(marker):
+        return
+    spine = _event_date_spine(spark, sf_dir)
+    touched = sorted(
+        {
+            r.bin
+            for r in spine.filter(
+                F.col("rn") > F.col("n_dates") - EVENTS_APPEND_DATES
+            )
+            .select("bin")
+            .distinct()
+            .collect()
+        }
+    )
+    if touched:
+        bins = spine.select("d", "bin").filter(F.col("bin").isin(touched))
+        ev = spark.read.parquet(events_partitioned_path(spark, sf_dir))
+        (
+            ev.withColumn("d", F.col("d").cast("string"))
+            .join(F.broadcast(bins), "d")
+            .repartition("bin")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bin")
+            .parquet(dest)
+        )
+    with open(marker, "w"):
+        pass
+
+
+def incremental_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per source state) the incrementally-maintained
+    OPTIMIZE layout: base-prefix compaction + append-touched-bins-only
+    merge.  Path embeds the bin target, the append-split constant, and
+    the events fingerprint (the GATE_DIR cache-keying invariant)."""
+    from .similarity import _data_fingerprint
+
+    dest = os.path.join(
+        GATE_DIR,
+        f"events_inc_{_sf_tag(sf_dir)}_t{COMPACT_TARGET_ROWS}"
+        f"_a{EVENTS_APPEND_DATES}_d{_data_fingerprint(sf_dir, 'events')}",
+    )
+    if not os.path.exists(os.path.join(dest, "_APPENDED")):
+        _inc_write_base(spark, sf_dir, dest)
+        _inc_append_merge(spark, sf_dir, dest)
+    return dest
+
+
+def x273_append_optimize_execute(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """x265's per-bin content proof over the INCREMENTALLY maintained
+    layout: the base prefix compacted once, the append merged by
+    rewriting only its touched bins — and the result must hash-match
+    the FULL OPTIMIZE's oracle verbatim (registered with x265's SQL,
+    the x264 anti-drift pattern), proving incremental maintenance and
+    the full rewrite produce the identical layout content.  Scale
+    shapes: both phases are one layout scan + a bin-partitioned write
+    each, paid once per source state; the gate is x265's bin-keyed
+    agg; at 100 TB the append path rewrites O(appended data) bins
+    while the preserved prefix is never read."""
+    ev = spark.read.parquet(incremental_events_path(spark, sf_dir))
+    return _bin_content_proof(ev)
+
+
+def _register_x273() -> None:
+    from . import _REGISTRY
+
+    register(
+        QuerySpec(
+            "x273_append_optimize_execute",
+            x273_append_optimize_execute,
+            _REGISTRY["x265_layout_compact_execute"].oracle,
+            "incremental OPTIMIZE: base prefix + append-touched-bins-only merge == the full rewrite, bin for bin",
+        )
+    )
+
+
+_register_x273()
+
+
+def x274_append_optimize_io(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One row of exact integers — the append merge's I/O ledger:
+    dates appended, bins rewritten vs preserved in place, layout rows
+    rewritten vs preserved, and the integer percentages.  Scale
+    shapes: the whole ledger is spine metadata (one row per distinct
+    date) + 1-row aggregates — nothing corpus-sized is read to know
+    the cost BEFORE paying it (x232/x257/x261's point, warehouse
+    edition)."""
+    spine = _event_date_spine(spark, sf_dir)
+    flagged = spine.select(
+        "d",
+        "bin",
+        "n_rows",
+        (F.col("rn") > F.col("n_dates") - EVENTS_APPEND_DATES)
+        .cast("long")
+        .alias("appended"),
+    )
+    hot = flagged.groupBy("bin").agg(
+        F.max("appended").alias("hot"), F.sum("n_rows").alias("bin_rows")
+    )
+    return (
+        flagged.agg(
+            F.count(F.lit(1)).alias("n_dates"),
+            F.sum("appended").alias("n_dates_appended"),
+        )
+        .crossJoin(
+            hot.agg(
+                F.count(F.lit(1)).alias("n_bins"),
+                F.sum("hot").alias("bins_rewritten"),
+                F.sum(1 - F.col("hot")).alias("bins_preserved"),
+                F.sum(F.col("hot") * F.col("bin_rows")).alias(
+                    "rows_rewritten"
+                ),
+                F.sum((1 - F.col("hot")) * F.col("bin_rows")).alias(
+                    "rows_preserved"
+                ),
+            )
+        )
+        .select(
+            F.col("n_dates").cast("long").alias("n_dates"),
+            F.col("n_dates_appended").cast("long").alias("n_dates_appended"),
+            F.col("n_bins").cast("long").alias("n_bins"),
+            F.col("bins_rewritten").cast("long").alias("bins_rewritten"),
+            F.col("bins_preserved").cast("long").alias("bins_preserved"),
+            F.col("rows_rewritten").cast("long").alias("rows_rewritten"),
+            F.col("rows_preserved").cast("long").alias("rows_preserved"),
+            F.expr(
+                "rows_preserved * 100 div (rows_rewritten + rows_preserved)"
+            )
+            .cast("long")
+            .alias("pct_rows_preserved"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "x274_append_optimize_io",
+        x274_append_optimize_io,
+        f"""
+        WITH {_SQL_LAYOUT_BINS},
+        spine AS (
+          SELECT b.d, b.bin, p.n_rows,
+                 CASE WHEN row_number() OVER (ORDER BY b.d)
+                      > COUNT(*) OVER () - {EVENTS_APPEND_DATES}
+                      THEN 1 ELSE 0 END AS appended
+          FROM bins b JOIN per_date p USING (d)),
+        hot AS (
+          SELECT bin, MAX(appended) AS hot,
+                 CAST(SUM(n_rows) AS BIGINT) AS bin_rows
+          FROM spine GROUP BY bin),
+        dstats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_dates,
+                 CAST(SUM(appended) AS BIGINT) AS n_dates_appended
+          FROM spine),
+        bstats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+                 CAST(SUM(hot) AS BIGINT) AS bins_rewritten,
+                 CAST(SUM(1 - hot) AS BIGINT) AS bins_preserved,
+                 CAST(SUM(hot * bin_rows) AS BIGINT) AS rows_rewritten,
+                 CAST(SUM((1 - hot) * bin_rows) AS BIGINT)
+                     AS rows_preserved
+          FROM hot)
+        SELECT d.n_dates, d.n_dates_appended, b.n_bins,
+               b.bins_rewritten, b.bins_preserved,
+               b.rows_rewritten, b.rows_preserved,
+               CAST(b.rows_preserved * 100
+                    // (b.rows_rewritten + b.rows_preserved) AS BIGINT)
+                   AS pct_rows_preserved
+        FROM dstats d, bstats b
+        """,
+        "append-merge I/O ledger: bins and rows the incremental OPTIMIZE rewrites vs preserves in place",
+    )
+)

@@ -213,6 +213,7 @@ _BNLJ_ALLOWED = {
     "x261_drift_reindex_io",  # K0/nlist frames + 1-row ledger aggregates crossed
     "x268_locdrift_reindex_execute",  # LOCD_NLIST-row centroid frame broadcast
     "x269_locdrift_reindex_io",  # LOCD_NLIST centroids + 1-row ledger aggregates crossed
+    "x274_append_optimize_io",  # date-spine metadata + two 1-row ledger aggregates crossed
 }
 
 

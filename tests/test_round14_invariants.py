@@ -372,3 +372,88 @@ def test_x272_compact_branch_matches_x265(spark, sf_dir):
     for b, (dec, n, lo, hi, dg) in routed.items():
         assert dec == "compact"
         assert (n, lo, hi, dg) == direct[b]
+
+
+# --- x273/x274: incremental OPTIMIZE on append -------------------------------
+
+
+def test_x273_append_merge_is_incremental(spark, dense_events_src, tmp_path):
+    """After phase 1 (base-prefix compaction) and phase 2 (append
+    merge), every bin no appended date lands in keeps its phase-1
+    files byte-identical, every touched bin's partition was physically
+    replaced, and the merged layout holds EXACTLY the full-corpus bin
+    content (x265's full-rewrite answer)."""
+    from pyspark.sql import functions as F
+
+    from json_to_parquet_spark.queries.scale_layout import (
+        EVENTS_APPEND_DATES,
+        _bin_content_proof,
+        _compaction_bins,
+        _event_date_spine,
+        _inc_append_merge,
+        _inc_write_base,
+        events_partitioned_path,
+    )
+
+    src = dense_events_src
+    dest = str(tmp_path / "inc")
+    _inc_write_base(spark, src, dest)
+    before = _file_hashes(dest)
+
+    spine = _event_date_spine(spark, src).collect()
+    n = len(spine)
+    appended = {r.d for r in spine if r.rn > n - EVENTS_APPEND_DATES}
+    touched = {r.bin for r in spine if r.d in appended}
+    preserved = {r.bin for r in spine} - touched
+    assert appended and touched and preserved, (
+        "fixture must append dates AND preserve bins"
+    )
+
+    _inc_append_merge(spark, src, dest)
+    after = _file_hashes(dest)
+
+    def _bin_of(relpath):
+        part = relpath.split("/")[0]
+        assert part.startswith("bin=")
+        return int(part.split("=", 1)[1])
+
+    cold_before = {p: h for p, h in before.items() if _bin_of(p) not in touched}
+    cold_after = {p: h for p, h in after.items() if _bin_of(p) not in touched}
+    assert cold_before == cold_after  # preserved bins byte-identical
+    hot_after = {p for p in after if _bin_of(p) in touched}
+    assert hot_after and {p for p in before if _bin_of(p) in touched}.isdisjoint(
+        hot_after
+    )
+
+    # merged layout == the full OPTIMIZE's content, bin for bin
+    got = {
+        r.bin: (r.n_rows, r.d_min, r.d_max, r.id_digest)
+        for r in _bin_content_proof(spark.read.parquet(dest)).collect()
+    }
+    bins = _compaction_bins(spark, src).select("d", "bin")
+    full = (
+        spark.read.parquet(events_partitioned_path(spark, src))
+        .withColumn("d", F.col("d").cast("string"))
+        .join(F.broadcast(bins), "d")
+    )
+    want = {
+        r.bin: (r.n_rows, r.d_min, r.d_max, r.id_digest)
+        for r in _bin_content_proof(full).collect()
+    }
+    assert got == want
+
+
+def test_x274_ledger_laws(spark, dense_events_src):
+    """Integer identities of the append ledger on the dense fixture:
+    3 of 4 dates appended, exactly one bin preserved, and the
+    row-conservation laws hold."""
+    from json_to_parquet_spark.queries.scale_layout import (
+        EVENTS_APPEND_DATES,
+        x274_append_optimize_io,
+    )
+
+    r = x274_append_optimize_io(spark, dense_events_src).collect()[0]
+    assert r.n_dates_appended == min(EVENTS_APPEND_DATES, r.n_dates)
+    assert r.bins_rewritten + r.bins_preserved == r.n_bins
+    assert r.rows_rewritten + r.rows_preserved == 8000
+    assert r.bins_preserved > 0 and 0 < r.pct_rows_preserved < 100
