@@ -60,12 +60,24 @@ R14_PROBE = [
     "x269_locdrift_reindex_io",
 ]
 
+# The round-14 warehouse loop (--r14b): decision + routed serve +
+# incremental append merge + its ledger.  x271/x274 are date-spine
+# metadata (expected floor-flat); x272/x273 scan the served layout
+# (expected ~x265's 2.82×/decade shape, store builds on first run).
+R14B_PROBE = [
+    "x271_layout_compact_policy",
+    "x272_policy_routed_layout_serve",
+    "x273_append_optimize_execute",
+    "x274_append_optimize_io",
+]
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--skip-sfx10", action="store_true")
     ap.add_argument("--r14", action="store_true")
+    ap.add_argument("--r14b", action="store_true")
     args = ap.parse_args()
 
     from json_to_parquet_spark.queries import registry
@@ -103,7 +115,12 @@ def main() -> None:
             else "lexicon_build_cold"
         )
         out["queries"].setdefault(row_name, {})[sf_name] = dt
-        for name in (R14_PROBE if args.r14 else PROBE):
+        probe_set = PROBE
+        if args.r14:
+            probe_set = R14_PROBE
+        elif args.r14b:
+            probe_set = R14B_PROBE
+        for name in probe_set:
             runs = 1 if sf_name == "sfx10" and name.startswith("x26") else args.runs
             best = None
             for i in range(runs):
