@@ -229,6 +229,9 @@ HEADLINE = [
     # against the full rewrite's oracle) + its I/O ledger
     "x273_append_optimize_execute",
     "x274_append_optimize_io",
+    # its streaming twin (drained partition-manifest partials feed
+    # x273's phases verbatim into a session-fresh layout)
+    "x275_stream_append_optimize",
 ]
 
 CONVERT_RECORDS = 100_000

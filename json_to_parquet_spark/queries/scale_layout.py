@@ -1569,20 +1569,33 @@ def _event_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _inc_write_base(spark: SparkSession, sf_dir: str, dest: str) -> None:
+def _inc_write_base(
+    spark: SparkSession,
+    sf_dir: str,
+    dest: str,
+    appended_dates: "DataFrame | None" = None,
+) -> None:
     """Phase 1 — the base-prefix OPTIMIZE: all but the last
-    EVENTS_APPEND_DATES dates compacted into their next-fit bins, one
-    file per bin.  The base slice's bins are computed over the full
-    spine (prefix binning == full binning restricted to the prefix, by
-    the next-fit rule)."""
+    EVENTS_APPEND_DATES dates (or all dates not in ``appended_dates``
+    when the streaming twin supplies the manifest) compacted into
+    their next-fit bins, one file per bin.  The base slice's bins are
+    computed over the full spine (prefix binning == full binning
+    restricted to the prefix, by the next-fit rule)."""
     import os
 
     if os.path.exists(os.path.join(dest, "_SUCCESS")):
         return
     spine = _event_date_spine(spark, sf_dir)
-    base_bins = spine.filter(
-        F.col("rn") <= F.col("n_dates") - EVENTS_APPEND_DATES
-    ).select("d", "bin")
+    if appended_dates is None:
+        base_bins = spine.filter(
+            F.col("rn") <= F.col("n_dates") - EVENTS_APPEND_DATES
+        ).select("d", "bin")
+    else:
+        base_bins = spine.join(
+            F.broadcast(appended_dates.select("d").distinct()),
+            "d",
+            "left_anti",
+        ).select("d", "bin")
     ev = spark.read.parquet(events_partitioned_path(spark, sf_dir))
     (
         ev.withColumn("d", F.col("d").cast("string"))
@@ -1594,28 +1607,37 @@ def _inc_write_base(spark: SparkSession, sf_dir: str, dest: str) -> None:
     )
 
 
-def _inc_append_merge(spark: SparkSession, sf_dir: str, dest: str) -> None:
+def _inc_append_merge(
+    spark: SparkSession,
+    sf_dir: str,
+    dest: str,
+    appended_dates: "DataFrame | None" = None,
+) -> None:
     """Phase 2 — the append merged in: rewrite exactly the bins any
     appended date lands in (dynamic partition overwrite carrying those
     bins' FULL-corpus content); every other bin's files stay
     byte-identical.  The touched list is a ≤EVENTS_APPEND_DATES-row
-    collect — bounded spine metadata."""
+    collect — bounded spine metadata.  ``appended_dates(d)`` lets the
+    STREAMING twin (x275, whose append manifest arrives as drained
+    micro-batch partials) merge through byte-for-byte this code path;
+    the batch rule (the spine's last EVENTS_APPEND_DATES dates) is the
+    default."""
     import os
 
     marker = os.path.join(dest, "_APPENDED")
     if os.path.exists(marker):
         return
     spine = _event_date_spine(spark, sf_dir)
+    if appended_dates is None:
+        app = spine.filter(
+            F.col("rn") > F.col("n_dates") - EVENTS_APPEND_DATES
+        )
+    else:
+        app = spine.join(
+            F.broadcast(appended_dates.select("d").distinct()), "d"
+        )
     touched = sorted(
-        {
-            r.bin
-            for r in spine.filter(
-                F.col("rn") > F.col("n_dates") - EVENTS_APPEND_DATES
-            )
-            .select("bin")
-            .distinct()
-            .collect()
-        }
+        {r.bin for r in app.select("bin").distinct().collect()}
     )
     if touched:
         bins = spine.select("d", "bin").filter(F.col("bin").isin(touched))

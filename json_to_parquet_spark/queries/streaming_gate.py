@@ -1895,3 +1895,107 @@ def _register_x270() -> None:
 
 
 _register_x270()
+
+
+def x275_stream_append_optimize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of x273's incremental OPTIMIZE — how a warehouse
+    maintenance job actually learns about an append: the ingest's
+    partition-commit feed.  The appended dates' events arrive as a
+    4-file micro-batch stream; each batch appends narrow (d, cnt)
+    partition-manifest partials (date membership composes as a set
+    union — the x264 delete-ledger argument applied to appends, so
+    batching cannot change which bins the merge touches); the drained
+    manifest's date set feeds ``_inc_write_base`` / ``_inc_append_merge``
+    — x273's phases VERBATIM, parameterized for exactly this — into a
+    session-fresh layout, gated against x273's registered oracle (==
+    x265's full-rewrite oracle; the anti-drift pattern squared: the
+    streamed manifest must produce the layout the batch rule and the
+    full rewrite both produce).  The drained set is asserted equal to
+    the batch rule's append slice — a partial drain fails loudly.
+
+    Scale shapes: per micro-batch work is batch-sized (one date-keyed
+    partial agg); the merge tail is x273's (touched-bins-only dynamic
+    overwrite; the layout rebuild here is per-call because the output
+    dir is session-fresh — the store economics live in x273)."""
+    from .scale_layout import (
+        EVENTS_APPEND_DATES,
+        _bin_content_proof,
+        _event_date_spine,
+        _inc_append_merge,
+        _inc_write_base,
+        events_partitioned_path,
+    )
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(GATE_DIR, f"src_x275_{sf_tag}")
+    man_dir = os.path.join(GATE_DIR, f"manifest_x275_{sf_tag}")
+    dest = os.path.join(GATE_DIR, f"layout_x275_{sf_tag}")
+    ckpt = os.path.join(GATE_DIR, f"ckpt_x275_{sf_tag}")
+    _fresh(src, man_dir, dest, ckpt)
+
+    spine = _event_date_spine(spark, sf_dir)
+    app_dates = {
+        r.d
+        for r in spine.filter(
+            F.col("rn") > F.col("n_dates") - EVENTS_APPEND_DATES
+        )
+        .select("d")
+        .collect()  # ≤ EVENTS_APPEND_DATES rows — spine metadata
+    }
+    ev = spark.read.parquet(events_partitioned_path(spark, sf_dir))
+    (
+        ev.withColumn("d", F.col("d").cast("string"))
+        .filter(F.col("d").isin(sorted(app_dates)))
+        .select("event_id", "d")
+        .repartition(4, "event_id")
+        .write.parquet(src)
+    )
+
+    def handle_batch(bdf: DataFrame, _bid: int) -> None:
+        (
+            bdf.groupBy("d")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .write.mode("append")
+            .parquet(man_dir)
+        )
+
+    q = (
+        spark.readStream.schema("event_id bigint, d string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q, 300)
+    drained = spark.read.parquet(man_dir).select("d").distinct()
+    got_dates = {r.d for r in drained.collect()}
+    if got_dates != app_dates:  # partial drain must fail loudly
+        raise AssertionError(
+            f"drained manifest {sorted(got_dates)} != append slice "
+            f"{sorted(app_dates)}"
+        )
+    _inc_write_base(spark, sf_dir, dest, appended_dates=drained)
+    _inc_append_merge(spark, sf_dir, dest, appended_dates=drained)
+    return _bin_content_proof(spark.read.parquet(dest))
+
+
+def _register_x275() -> None:
+    # Anti-drift: gated against x273's oracle VERBATIM (== x265's
+    # full-rewrite oracle — scale_layout registers before this module).
+    from . import _REGISTRY
+
+    register(
+        QuerySpec(
+            "x275_stream_append_optimize",
+            x275_stream_append_optimize,
+            _REGISTRY["x273_append_optimize_execute"].oracle,
+            "streaming append OPTIMIZE: the drained partition manifest merges into exactly the full rewrite's layout",
+        )
+    )
+
+
+_register_x275()
