@@ -1,9 +1,13 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE compact JSON line as the LAST line on stdout:
+Prints TWO JSON lines on stdout: first the full per-query line
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1, "n_runs": 3}
+then, LAST, a <2 KB rollup with the same metric/value/unit/sf shape
+(queries = top-5 heaviest, plus entry count and movers vs the committed
+medians) — the driver captures only the tail of stdout, and the full
+104-entry line overflows that window (VERDICT r12 ask #1).
 
 Each entry is timed N times (SPARK_GRAFT_BENCH_RUNS, default 3) after one
 warm-up, and the reported number is the MINIMUM — the least-noise estimate
@@ -301,10 +305,68 @@ def _timed(fn) -> list[float]:
     return raws
 
 
+def rollup_line(
+    timings: dict,
+    medians: dict,
+    prev_medians: dict,
+    decomp: set,
+    total: float,
+    sf: float,
+    n_runs: int,
+) -> dict:
+    """The <2 KB driver-tail rollup (VERDICT r12 ask #1): same
+    metric/value/unit/sf contract shape as the full line, with queries
+    cut to the 5 heaviest entries, plus the registered-entry count and
+    the biggest movers (>15% either way) vs the previously-committed
+    BENCH_RAWS.json medians.  Bounded at 5+5 name/number pairs, the
+    serialized line stays well under the driver's ~2 KB tail window
+    regardless of registry growth (tests/test_bench_rollup.py)."""
+    top5 = dict(
+        sorted(
+            ((k, round(v, 3)) for k, v in timings.items() if k not in decomp),
+            key=lambda kv: -kv[1],
+        )[:5]
+    )
+    movers = {}
+    for name, med in medians.items():
+        prev = prev_medians.get(name)
+        if prev and prev > 0 and med > 0 and name not in decomp:
+            r = med / prev
+            if r > 1.15 or r < 1 / 1.15:
+                movers[name] = round(r, 2)
+    movers = dict(sorted(movers.items(), key=lambda kv: -abs(kv[1] - 1))[:5])
+    return {
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": top5,
+        "sf": sf,
+        "n_runs": n_runs,
+        "entries": len([k for k in timings if k not in decomp]),
+        "movers_vs_committed_medians": movers,
+        "note": (
+            "rollup (top-5 heaviest); full per-query line precedes; "
+            "raws+medians in BENCH_RAWS.json"
+        ),
+    }
+
+
 def main() -> None:
     spark = build_session(app_name="bench")
     reg = registry()
     raw_runs: dict[str, list[float]] = {}
+
+    # Previously-committed medians (for the rollup line's movers list) —
+    # read BEFORE this run overwrites BENCH_RAWS.json.
+    raws_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_RAWS.json"
+    )
+    prev_medians: dict[str, float] = {}
+    try:
+        with open(raws_path) as f:
+            prev_medians = json.load(f).get("medians", {})
+    except (OSError, ValueError):
+        pass
 
     # Convert is timed FIRST, on a fresh session: the query phase leaves
     # storage/GC pressure behind (persisted intermediates, checkpoint
@@ -407,14 +469,14 @@ def main() -> None:
         "n_runs": N_RUNS,
         "sf": _sf_from_dir(SF_DIR),
     }
-    raws_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_RAWS.json"
-    )
     with open(raws_path, "w") as f:
         json.dump(raws_doc, f, indent=1, sort_keys=True)
     print(json.dumps(raws_doc), file=sys.stderr)
 
-    # The compact driver-contract line, LAST on stdout.
+    # The full per-query line (every entry) — for anyone capturing whole
+    # stdout.  NOT last: at 100+ entries it exceeds the driver's ~2 KB
+    # tail window (every BENCH_r*.json through r12 has "parsed": null —
+    # VERDICT r12 ask #1).
     print(
         json.dumps(
             {
@@ -425,6 +487,17 @@ def main() -> None:
                 "sf": _sf_from_dir(SF_DIR),
                 "n_runs": N_RUNS,
             }
+        )
+    )
+
+    # Compact rollup, LAST on stdout and sized well under 2 KB, so the
+    # driver's tail capture parses (VERDICT r12 ask #1).
+    print(
+        json.dumps(
+            rollup_line(
+                timings, medians, prev_medians, _decomp, total,
+                _sf_from_dir(SF_DIR), N_RUNS,
+            )
         )
     )
 

@@ -1402,7 +1402,11 @@ register(
 # BIGINT comparison on metadata-plane numbers, the oracle re-making it
 # from the logical table (under the x149 one-file-per-partition
 # invariant the physical file count equals the date count, the same
-# gate contract x170 already carries).  x272 routes the SERVE through
+# gate contract x170 already carries; the coupling is PINNED by
+# tests/test_round14_invariants.py::
+# test_x271_file_count_rests_on_x149_one_file_per_date, so a
+# layout-writer change that breaks one-file-per-date names the broken
+# invariant instead of surfacing as a confusing gate n_files diff).  x272 routes the SERVE through
 # the decision: 'compact' reads x265's one-file-per-bin store, 'hold'
 # reads the original partitioned layout with bins joined at read time
 # (metadata broadcast, NO rewrite I/O) — and proves the served

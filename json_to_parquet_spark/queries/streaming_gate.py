@@ -1880,9 +1880,13 @@ def x270_stream_retok_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _register_x270() -> None:
-    # Anti-drift: gated against x266's batch oracle VERBATIM (tokenizer
-    # registers before this module in registry()'s import order).
-    from . import _REGISTRY
+    # Anti-drift: gated against x266's batch oracle VERBATIM.  registry()
+    # imports THIS module before tokenizer, so force the x266
+    # registration explicitly rather than relying on the accident that
+    # _x254_sql() above happens to import .tokenizer first (ADVICE r12:
+    # a refactor of x254's oracle builder would otherwise turn every
+    # registry() call into a KeyError here).
+    from . import _REGISTRY, tokenizer  # noqa: F401
 
     register(
         QuerySpec(

@@ -457,3 +457,23 @@ def test_x274_ledger_laws(spark, dense_events_src):
     assert r.bins_rewritten + r.bins_preserved == r.n_bins
     assert r.rows_rewritten + r.rows_preserved == 8000
     assert r.bins_preserved > 0 and 0 < r.pct_rows_preserved < 100
+
+
+def test_x271_file_count_rests_on_x149_one_file_per_date(spark, sf_dir):
+    """ADVICE r12: x271's Spark side counts PHYSICAL files (via
+    ``_metadata.file_path``) while its oracle's n_files is COUNT(*)
+    over dates — equal only under the x149 one-file-per-date-partition
+    invariant of ``events_partitioned_path``'s writer.  Pin that
+    coupling here: if a layout-writer change ever produces a
+    multi-file date, THIS test names the broken invariant instead of
+    the gate failing with a confusing n_files diff (and possibly a
+    flipped 'compact'/'hold' decision)."""
+    from json_to_parquet_spark.queries.scale_layout import _compaction_bins
+
+    per_date = _compaction_bins(spark, sf_dir).collect()
+    assert per_date, "date spine must be non-empty"
+    bad = [(r.d, r.n_files) for r in per_date if r.n_files != 1]
+    assert not bad, (
+        "x149 one-file-per-date invariant broken — x271's physical "
+        f"file count no longer equals the oracle's date count: {bad}"
+    )
