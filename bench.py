@@ -438,7 +438,10 @@ def main() -> None:
     # and the harness as separate rows (VERDICT r6 ask #6).  The split
     # rows replace nothing: x172_stream_neardup stays the end-to-end
     # number, drain+harness are its decomposition.
-    from json_to_parquet_spark.queries.streaming_gate import X172_SPLIT
+    from json_to_parquet_spark.queries.streaming_gate import (
+        X172_N_BATCHES,
+        X172_SPLIT,
+    )
 
     n172 = len(raw_runs.get("x172_stream_neardup", ()))
     if n172 and len(X172_SPLIT) >= n172:
@@ -450,6 +453,12 @@ def main() -> None:
             round(total - d, 3)
             for total, d in zip(raw_runs["x172_stream_neardup"], drains)
         ]
+        # the marginal cost per arriving micro-batch — what a continuous
+        # deployment pays per batch once the base index exists (VERDICT
+        # r12 ask #6): drain wall clock / batch count
+        raw_runs["x172_drain_per_batch"] = [
+            round(d / X172_N_BATCHES, 3) for d in drains
+        ]
 
     # min-of-N: the least-load-noise estimate of each plan's true cost;
     # medians recorded alongside so load sensitivity is visible too.
@@ -457,7 +466,7 @@ def main() -> None:
     medians = {name: sorted(raws)[len(raws) // 2] for name, raws in raw_runs.items()}
     # the x172 split rows decompose x172_stream_neardup, which is already
     # in the sum — don't double-count them in the headline total
-    _decomp = {"x172_drain", "x172_harness"}
+    _decomp = {"x172_drain", "x172_harness", "x172_drain_per_batch"}
     total = round(sum(v for k, v in timings.items() if k not in _decomp), 3)
 
     # Raw per-run timings + medians: side file + stderr, NEVER the stdout

@@ -228,6 +228,17 @@ _REPROVE_R11: frozenset[str] = frozenset({
 })
 _REPROVE_MIN_ROUND = 11
 
+# Round-13 semantics changes (VERDICT r12 ask #4): x30/x133 now route
+# REAL image bytes (doc_id-deterministic PPM fixtures) through the real
+# pure-stdlib decoder — new output columns (pixel-sum checksums instead
+# of the sha256 fake-kernel arithmetic), so their r2/r5 gate evidence no
+# longer speaks for the current code.
+_REPROVE_R13: frozenset[str] = frozenset({
+    "x30_media_features",
+    "x133_media_resize",
+})
+_REPROVE_R13_MIN_ROUND = 13
+
 
 def _driver_evidenced(
     root: "str | None" = None, min_round: int = 0
@@ -315,10 +326,13 @@ def registry() -> dict[str, QuerySpec]:
     # then the carried/r4-window names (all absorbed into `evidenced`
     # once their gate rows land, so these dict unions self-shrink).
     evidenced = _GATE_EVIDENCED | _driver_evidenced()
-    # changed-semantics queries: old evidence is void until a round ≥ 11
-    # gate row re-proves the new code
+    # changed-semantics queries: old evidence is void until a gate row
+    # from at/after the change re-proves the new code
     evidenced -= _REPROVE_R11 - _driver_evidenced(
         min_round=_REPROVE_MIN_ROUND
+    )
+    evidenced -= _REPROVE_R13 - _driver_evidenced(
+        min_round=_REPROVE_R13_MIN_ROUND
     )
     pending = {n: s for n, s in _REGISTRY.items() if n not in evidenced}
     carried = {n: s for n, s in pending.items() if n in _PENDING_CARRIED}

@@ -2,10 +2,14 @@
 metadata structs, content-hash dedup, and the decode/feature-extract
 plumbing as Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode kernel is a
-clearly-marked stub (operators/media.py) — but everything Spark-side is
-real: BinaryType schema, batch iteration, per-partition processing,
-metadata struct construction.
+Decode is REAL for uncompressed formats (binary PPM + 24-bit BMP, pure
+stdlib — operators/media.py, VERDICT r12 ask #4): x30/x133 decode and
+resample actual image bytes, x276 proves the two format branches agree
+pixel-exactly, and x277 ingests real .ppm files through Spark's
+``binaryFile`` source.  Compressed codecs (JPEG/PNG) remain the one
+clearly-marked stub boundary; everything Spark-side is real either way:
+BinaryType schema, batch iteration, per-partition processing, metadata
+struct construction.
 """
 
 from __future__ import annotations
@@ -65,41 +69,68 @@ def x15_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x30_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode/feature-extract over binary payloads through the real
-    Arrow-batched ``mapInPandas`` plumbing (operators/media.py), with the
-    deterministic stand-in kernel (sha256-derived dims) in place of the
-    absent codec — the kernel's arithmetic is SQL-expressible, so the
-    whole Python-stage pipeline is oracle-checked, not just row-counted.
-    At 100 TB the stage is embarrassingly parallel: no shuffle, one
-    Python worker per partition, whole Arrow batches across the boundary."""
-    from ..operators.media import documents_as_media, extract_media_features, fake_decode
+    """Decode/feature-extract over REAL image bytes (VERDICT r12 ask #4):
+    every document gets a real binary-PPM payload whose dimensions and
+    pixel values are pure doc_id arithmetic (operators/media.py
+    ``make_image``), and the stats come from the real pure-stdlib header
+    parse + pixel walk (``decode_image_pixels``) — no stand-in kernel
+    anywhere on the Spark side.  Because the image CONTENT is arithmetic,
+    the DuckDB oracle predicts every decoded statistic (dims, payload
+    byte length incl. the variable-width ASCII header, pixel-byte sum)
+    without touching bytes, so the whole encode→decode→stats path is
+    value-checked.  At 100 TB the stage is embarrassingly parallel: no
+    shuffle, one Python worker per partition, whole Arrow batches across
+    the boundary, images never on the driver."""
+    from ..operators.media import documents_as_image_media, extract_image_stats
 
     docs = load_table(spark, sf_dir, "documents")
-    feats = extract_media_features(documents_as_media(docs), decode=fake_decode)
-    return feats.select(
-        "doc_id",
-        "n_bytes",
-        "sha256",
-        F.col("width").cast("long").alias("width"),
-        F.col("height").cast("long").alias("height"),
-        F.col("channels").cast("long").alias("channels"),
+    return extract_image_stats(documents_as_image_media(docs, fmt="ppm"))
+
+
+def _x30_sql() -> str:
+    from ..operators.media import (
+        IMG_H_MAX,
+        IMG_H_MIN,
+        IMG_H_MOD,
+        IMG_PIX_MOD,
+        IMG_W_MAX,
+        IMG_W_MIN,
+        IMG_W_MOD,
     )
+
+    # n_bytes: "P6\n" (3) + w-digits + " " + h-digits + "\n" + "255\n" (4)
+    # + 3·w·h pixel bytes = 9 + digits(w) + digits(h) + 3·w·h.
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 (doc_id % {IMG_W_MOD}) + {IMG_W_MIN} AS w,
+                 (doc_id % {IMG_H_MOD}) + {IMG_H_MIN} AS h
+          FROM documents),
+        px AS (
+          SELECT d.doc_id, (d.doc_id + g.i) % {IMG_PIX_MOD} AS v
+          FROM d JOIN generate_series(0, {3 * IMG_W_MAX * IMG_H_MAX - 1})
+                      AS g(i) ON g.i < 3 * d.w * d.h),
+        ps AS (
+          SELECT doc_id, CAST(SUM(v) AS BIGINT) AS pix_sum
+          FROM px GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(9 + strlen(CAST(d.w AS VARCHAR))
+                      + strlen(CAST(d.h AS VARCHAR))
+                      + 3 * d.w * d.h AS BIGINT) AS n_bytes,
+               CAST(d.w AS BIGINT) AS width,
+               CAST(d.h AS BIGINT) AS height,
+               CAST(3 AS BIGINT) AS channels,
+               ps.pix_sum
+        FROM d JOIN ps USING (doc_id)
+        """
 
 
 register(
     QuerySpec(
         "x30_media_features",
         x30_media_features,
-        """
-        SELECT doc_id,
-               CAST(strlen(text) AS BIGINT) AS n_bytes,
-               sha256(text) AS sha256,
-               CAST(CAST(concat('0x', substr(sha256(text), 1, 2)) AS INTEGER) + 1 AS BIGINT) AS width,
-               CAST(CAST(concat('0x', substr(sha256(text), 3, 2)) AS INTEGER) + 1 AS BIGINT) AS height,
-               CAST((CAST(concat('0x', substr(sha256(text), 5, 2)) AS INTEGER) % 4) + 1 AS BIGINT) AS channels
-        FROM documents
-        """,
-        "media feature extraction through mapInPandas (deterministic kernel, oracle-checked)",
+        _x30_sql(),
+        "real-PPM decode via pure-stdlib parser in mapInPandas; dims/bytes/pixel-sum oracle-checked",
     )
 )
 
@@ -254,59 +285,84 @@ register(
 
 
 def x133_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aspect-preserving resize through the real mapInPandas plumbing
-    (operators/media.py resize_media) with the deterministic stand-in
-    kernel: source dims come from the sha256-header fake decode (the x30
-    contract) and the fit-into-64 output dims are pure integer
-    arithmetic, so the branching Python stage — including which payloads
-    get resized at all — is oracle-checked value-for-value.  Same scale
-    posture as x30/x38: embarrassingly parallel, no shuffle."""
-    from ..operators.media import documents_as_media, fake_decode, resize_media
+    """Aspect-preserving resize over REAL image bytes (VERDICT r12 ask
+    #4): real PPM payloads (the x30 fixture images) are decoded by the
+    real pure-stdlib parser, fit into a MEDIA_RESIZE_BOX-pixel box by
+    integer arithmetic, and RESAMPLED for real — nearest-neighbor on the
+    decoded pixel buffer (operators/media.py ``resize_nearest``), with
+    the output-pixel checksum proving the resampled CONTENT, not just
+    the dims.  The oracle re-derives every output pixel from the source
+    arithmetic (sx = x·sw div ow, sy = y·sh div oh over the (doc_id+i)
+    mod 256 pattern), so the branching Python stage — which payloads
+    resize at all, and what bytes come out — is value-checked.  Same
+    scale posture as x30/x38: embarrassingly parallel, no shuffle."""
+    from ..operators.media import documents_as_image_media, resize_image_stats
 
     docs = load_table(spark, sf_dir, "documents")
-    out = resize_media(documents_as_media(docs), decode=fake_decode)
-    return out.select(
-        "doc_id",
-        F.col("src_width").cast("long").alias("src_width"),
-        F.col("src_height").cast("long").alias("src_height"),
-        F.col("out_width").cast("long").alias("out_width"),
-        F.col("out_height").cast("long").alias("out_height"),
-        "resized",
-        "out_bytes",
-        "resized_md5",
+    return resize_image_stats(documents_as_image_media(docs, fmt="ppm"))
+
+
+def _x133_sql() -> str:
+    from ..operators.media import (
+        IMG_H_MAX,
+        IMG_H_MIN,
+        IMG_H_MOD,
+        IMG_PIX_MOD,
+        IMG_W_MAX,
+        IMG_W_MIN,
+        IMG_W_MOD,
+        MEDIA_RESIZE_BOX,
     )
+
+    box = MEDIA_RESIZE_BOX
+    # Output pixel (x, y, c) samples source index
+    #   3·((y·sh div oh)·sw + (x·sw div ow)) + c
+    # of the (doc_id + i) mod 256 pattern.
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 (doc_id % {IMG_W_MOD}) + {IMG_W_MIN} AS sw,
+                 (doc_id % {IMG_H_MOD}) + {IMG_H_MIN} AS sh
+          FROM documents),
+        r AS (
+          SELECT doc_id, sw, sh,
+                 CASE WHEN greatest(sw, sh) > {box}
+                      THEN greatest(1, (sw * {box}) // greatest(sw, sh))
+                      ELSE sw END AS ow,
+                 CASE WHEN greatest(sw, sh) > {box}
+                      THEN greatest(1, (sh * {box}) // greatest(sw, sh))
+                      ELSE sh END AS oh
+          FROM d),
+        opx AS (
+          SELECT r.doc_id,
+                 (r.doc_id
+                  + 3 * (((gy.j * r.sh) // r.oh) * r.sw
+                         + ((gx.i * r.sw) // r.ow))
+                  + gc.c) % {IMG_PIX_MOD} AS v
+          FROM r
+          JOIN generate_series(0, {IMG_W_MAX - 1}) AS gx(i) ON gx.i < r.ow
+          JOIN generate_series(0, {IMG_H_MAX - 1}) AS gy(j) ON gy.j < r.oh
+          CROSS JOIN generate_series(0, 2) AS gc(c)),
+        ps AS (
+          SELECT doc_id, CAST(SUM(v) AS BIGINT) AS out_pix_sum
+          FROM opx GROUP BY doc_id)
+        SELECT r.doc_id,
+               CAST(r.sw AS BIGINT) AS src_width,
+               CAST(r.sh AS BIGINT) AS src_height,
+               CAST(r.ow AS BIGINT) AS out_width,
+               CAST(r.oh AS BIGINT) AS out_height,
+               greatest(r.sw, r.sh) > {box} AS resized,
+               ps.out_pix_sum
+        FROM r JOIN ps USING (doc_id)
+        """
 
 
 register(
     QuerySpec(
         "x133_media_resize",
         x133_media_resize,
-        """
-        WITH d AS (
-          SELECT doc_id, text,
-                 CAST(concat('0x', substr(sha256(text), 1, 2)) AS INTEGER) + 1 AS sw,
-                 CAST(concat('0x', substr(sha256(text), 3, 2)) AS INTEGER) + 1 AS sh
-          FROM documents),
-        r AS (
-          SELECT doc_id, text, sw, sh,
-                 CASE WHEN greatest(sw, sh) > 64
-                      THEN greatest(1, (sw * 64) // greatest(sw, sh))
-                      ELSE sw END AS ow,
-                 CASE WHEN greatest(sw, sh) > 64
-                      THEN greatest(1, (sh * 64) // greatest(sw, sh))
-                      ELSE sh END AS oh
-          FROM d)
-        SELECT doc_id,
-               CAST(sw AS BIGINT) AS src_width,
-               CAST(sh AS BIGINT) AS src_height,
-               CAST(ow AS BIGINT) AS out_width,
-               CAST(oh AS BIGINT) AS out_height,
-               greatest(sw, sh) > 64 AS resized,
-               CAST(least(strlen(text), ow * oh) AS BIGINT) AS out_bytes,
-               md5(substr(text, 1, CAST(ow * oh AS BIGINT))) AS resized_md5
-        FROM r
-        """,
-        "aspect-preserving media resize through mapInPandas (oracle-checked)",
+        _x133_sql(),
+        "real nearest-neighbor resample on real-decoded PPM pixels; output checksum oracle-checked",
     )
 )
 
@@ -469,5 +525,284 @@ register(
         ORDER BY s.id_a, s.id_b
         """,
         "frame-level media dedup: shared-frame containment across re-encodes",
+    )
+)
+
+
+# --- x276/x277: the BMP decode path + the binaryFile source ------------------
+# x30/x133 route PPM bytes through the real decoder; these two close the
+# remaining gaps of VERDICT r12 ask #4.  x276 proves the BMP branch —
+# whose on-disk structure (bottom-up rows, BGR order, 4-byte row
+# padding) is the part a naive parser gets wrong — by decoding the SAME
+# logical image from both encodings and comparing pixel-exactly.  x277
+# puts real image FILES on disk and reads them back through Spark's
+# ``binaryFile`` source (path/length/content), the production ingest
+# shape for a blob-store media corpus, with the per-file stats
+# oracle-checked end-to-end.
+MEDIA_FILE_MOD = 23  # one fixture file per doc_id ≡ 0 (mod 23)
+
+
+def x276_bmp_decode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document dual decode: the doc's fixture image encoded as real
+    binary PPM AND as real uncompressed 24-bit BMP, both parsed by the
+    pure-stdlib decoder, pixel buffers compared byte-for-byte
+    (formats_agree).  The BMP byte length follows the padded-row law
+    54 + h·(3w rounded up to 4), which the oracle recomputes — so a
+    decoder that mis-handled padding or row order would break either
+    the parity bit or the pixel sum.  One fused mapInPandas stage, no
+    shuffle, embarrassingly parallel."""
+    import pandas as pd
+
+    from ..operators.media import (
+        decode_image_pixels,
+        make_image,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("channels", T.LongType()),
+            T.StructField("pix_sum", T.LongType()),
+            T.StructField("ppm_n_bytes", T.LongType()),
+            T.StructField("bmp_n_bytes", T.LongType()),
+            T.StructField("formats_agree", T.BooleanType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = {k: [] for k in schema.fieldNames()}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ppm = make_image(d, "ppm")
+                bmp = make_image(d, "bmp")
+                pw, ph, pc, prgb = decode_image_pixels(ppm)
+                bw, bh, bc, brgb = decode_image_pixels(bmp)
+                rows["doc_id"].append(d)
+                rows["width"].append(pw)
+                rows["height"].append(ph)
+                rows["channels"].append(pc)
+                rows["pix_sum"].append(sum(prgb))
+                rows["ppm_n_bytes"].append(len(ppm))
+                rows["bmp_n_bytes"].append(len(bmp))
+                rows["formats_agree"].append(
+                    (pw, ph, pc, prgb) == (bw, bh, bc, brgb)
+                )
+            yield pd.DataFrame(
+                {
+                    k: pd.Series(
+                        rows[k],
+                        dtype="bool" if k == "formats_agree" else "int64",
+                    )
+                    for k in schema.fieldNames()
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id").mapInPandas(batches, schema)
+
+
+def _x276_sql() -> str:
+    from ..operators.media import (
+        IMG_H_MAX,
+        IMG_H_MIN,
+        IMG_H_MOD,
+        IMG_PIX_MOD,
+        IMG_W_MAX,
+        IMG_W_MIN,
+        IMG_W_MOD,
+    )
+
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 (doc_id % {IMG_W_MOD}) + {IMG_W_MIN} AS w,
+                 (doc_id % {IMG_H_MOD}) + {IMG_H_MIN} AS h
+          FROM documents),
+        px AS (
+          SELECT d.doc_id, (d.doc_id + g.i) % {IMG_PIX_MOD} AS v
+          FROM d JOIN generate_series(0, {3 * IMG_W_MAX * IMG_H_MAX - 1})
+                      AS g(i) ON g.i < 3 * d.w * d.h),
+        ps AS (
+          SELECT doc_id, CAST(SUM(v) AS BIGINT) AS pix_sum
+          FROM px GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(d.w AS BIGINT) AS width,
+               CAST(d.h AS BIGINT) AS height,
+               CAST(3 AS BIGINT) AS channels,
+               ps.pix_sum,
+               CAST(9 + strlen(CAST(d.w AS VARCHAR))
+                      + strlen(CAST(d.h AS VARCHAR))
+                      + 3 * d.w * d.h AS BIGINT) AS ppm_n_bytes,
+               CAST(54 + d.h * (((3 * d.w + 3) // 4) * 4) AS BIGINT)
+                   AS bmp_n_bytes,
+               TRUE AS formats_agree
+        FROM d JOIN ps USING (doc_id)
+        """
+
+
+register(
+    QuerySpec(
+        "x276_bmp_decode_parity",
+        x276_bmp_decode_parity,
+        _x276_sql(),
+        "PPM vs BMP dual real decode of identical logical images: pixel-exact parity + padded-row byte law",
+    )
+)
+
+
+def media_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once GATE_DIR directory of REAL .ppm image files — one per
+    doc_id ≡ 0 (mod MEDIA_FILE_MOD) — for the binaryFile-source path.
+    Keyed on the image-generation constants AND the documents-table
+    fingerprint (the GATE_DIR cache-keying invariant: a retuned pixel
+    law or regenerated-in-place testdata busts the cache rather than
+    serving stale files).  The fixture writer is driver-side but
+    bounded: corpus/MEDIA_FILE_MOD tiny files at gate scale.  In
+    production the media files EXIST (they are the corpus being
+    ingested) — generating them is harness work, not engine work; the
+    engine path under test starts at ``spark.read.format("binaryFile")``."""
+    import hashlib
+    import os
+
+    from ..operators.media import (
+        IMG_H_MIN,
+        IMG_H_MOD,
+        IMG_PIX_MOD,
+        IMG_W_MIN,
+        IMG_W_MOD,
+        make_image,
+    )
+    from ..sources.catalog import load_table as _lt
+    from .convert_gate import GATE_DIR
+    from .similarity import _data_fingerprint
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    sig = repr(
+        (
+            "mediafiles-v1",
+            MEDIA_FILE_MOD,
+            IMG_W_MOD,
+            IMG_W_MIN,
+            IMG_H_MOD,
+            IMG_H_MIN,
+            IMG_PIX_MOD,
+        )
+    )
+    token = hashlib.sha256(sig.encode()).hexdigest()[:8]
+    dest = os.path.join(
+        GATE_DIR,
+        f"media_{tag}_{token}_d{_data_fingerprint(sf_dir, 'documents')}",
+    )
+    marker = os.path.join(dest, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(dest, exist_ok=True)
+        ids = [
+            r.doc_id
+            for r in _lt(spark, sf_dir, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") % MEDIA_FILE_MOD == 0)
+            .collect()
+        ]
+        for d in ids:
+            with open(os.path.join(dest, f"img_{d:08d}.ppm"), "wb") as f:
+                f.write(make_image(int(d), "ppm"))
+        with open(marker, "w"):
+            pass
+    return dest
+
+
+def x277_media_binaryfile_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Blob-store media ingest through Spark's ``binaryFile`` source:
+    real .ppm files on disk → (path, length, content) rows → doc_id
+    parsed from the file name JVM-side (regexp on the path — no Python
+    for metadata work) → real decode + stats in one mapInPandas stage.
+    The source's own ``length`` column is carried next to the decoded
+    payload length, so the gate cross-checks the source metadata
+    against the bytes it delivered.  At 100 TB this is the actual
+    ingest shape: binaryFile lists + reads files distributed, decode is
+    per-partition Python with whole-Arrow-batch transfer, no shuffle
+    anywhere."""
+    from ..operators.media import extract_image_stats
+
+    src = media_fixture_dir(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.ppm")
+        .load(src)
+        .select(
+            F.regexp_extract(F.col("path"), r"img_(\d+)\.ppm$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").alias("src_length"),
+            F.col("content").alias("payload"),
+        )
+    )
+    stats = extract_image_stats(files)
+    return (
+        stats.join(files.select("doc_id", "src_length"), "doc_id")
+        .select(
+            "doc_id",
+            "src_length",
+            "n_bytes",
+            "width",
+            "height",
+            "pix_sum",
+            (F.col("src_length") == F.col("n_bytes")).alias("length_agrees"),
+        )
+    )
+
+
+def _x277_sql() -> str:
+    from ..operators.media import (
+        IMG_H_MAX,
+        IMG_H_MIN,
+        IMG_H_MOD,
+        IMG_PIX_MOD,
+        IMG_W_MAX,
+        IMG_W_MIN,
+        IMG_W_MOD,
+    )
+
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 (doc_id % {IMG_W_MOD}) + {IMG_W_MIN} AS w,
+                 (doc_id % {IMG_H_MOD}) + {IMG_H_MIN} AS h
+          FROM documents
+          WHERE doc_id % {MEDIA_FILE_MOD} = 0),
+        px AS (
+          SELECT d.doc_id, (d.doc_id + g.i) % {IMG_PIX_MOD} AS v
+          FROM d JOIN generate_series(0, {3 * IMG_W_MAX * IMG_H_MAX - 1})
+                      AS g(i) ON g.i < 3 * d.w * d.h),
+        ps AS (
+          SELECT doc_id, CAST(SUM(v) AS BIGINT) AS pix_sum
+          FROM px GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(9 + strlen(CAST(d.w AS VARCHAR))
+                      + strlen(CAST(d.h AS VARCHAR))
+                      + 3 * d.w * d.h AS BIGINT) AS src_length,
+               CAST(9 + strlen(CAST(d.w AS VARCHAR))
+                      + strlen(CAST(d.h AS VARCHAR))
+                      + 3 * d.w * d.h AS BIGINT) AS n_bytes,
+               CAST(d.w AS BIGINT) AS width,
+               CAST(d.h AS BIGINT) AS height,
+               ps.pix_sum,
+               TRUE AS length_agrees
+        FROM d JOIN ps USING (doc_id)
+        """
+
+
+register(
+    QuerySpec(
+        "x277_media_binaryfile_source",
+        x277_media_binaryfile_source,
+        _x277_sql(),
+        "real .ppm files through the binaryFile source: metadata vs decoded bytes, stats oracle-checked",
     )
 )

@@ -1080,8 +1080,13 @@ register(
 # index build, output re-read) dominates the local wall clock but
 # amortizes to zero in a real continuous stream, where the drain loop is
 # the only recurring cost.  bench.py reports the two as separate rows
-# (VERDICT r6 ask #6).
+# (VERDICT r6 ask #6) plus the drain amortized PER MICRO-BATCH
+# (drain / X172_N_BATCHES — VERDICT r12 ask #6): the per-arriving-batch
+# marginal cost is the number a continuous deployment actually pays,
+# and the 4-drain total otherwise reads as a scale cost when it is
+# mostly fixed micro-batch engine overhead × batch count.
 X172_SPLIT: list[tuple[float, float]] = []
+X172_N_BATCHES = 4  # one-file micro-batches the fixture splits into
 
 
 def x172_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1181,7 +1186,7 @@ def x172_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartitionByRange's extra sampling job; the union of per-batch
     # outputs is batch-assignment-invariant (pairs are keyed by batch
     # doc), so the oracle contract is untouched.
-    batch_docs.repartition(4, "doc_id").write.parquet(src)
+    batch_docs.repartition(X172_N_BATCHES, "doc_id").write.parquet(src)
 
     n_eq = sum(
         (F.col(f"a{j}") == F.col(f"b{j}")).cast("long")
@@ -2003,3 +2008,99 @@ def _register_x275() -> None:
 
 
 _register_x275()
+
+
+def x278_stream_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the binaryFile media ingest (x277): real .ppm
+    files arrive as a ``binaryFile`` FILE STREAM (the blob-store
+    continuous-ingest shape — new media objects land in a prefix and
+    each micro-batch decodes only its own files), drained with
+    availableNow over ~4 file-batches into an append sink.  Per-file
+    rows are independent, so the union of per-batch outputs equals the
+    one-shot batch read by construction — x277's REGISTERED oracle is
+    reused verbatim (the x172/x242/x251/x254/x264/x270/x275 anti-drift
+    pattern applied to the media path).  The decode stage is the SAME
+    ``extract_image_stats`` mapInPandas the batch path runs: no
+    shuffle, per-partition Python, whole-Arrow-batch transfer."""
+    import math
+    import shutil as _sh
+
+    from ..operators.media import extract_image_stats
+    from .multimodal import media_fixture_dir
+
+    fixture = media_fixture_dir(spark, sf_dir)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(GATE_DIR, f"src_x278_{sf_tag}")
+    dest = os.path.join(GATE_DIR, f"out_x278_{sf_tag}")
+    ckpt = os.path.join(GATE_DIR, f"ckpt_x278_{sf_tag}")
+    _fresh(src, dest, ckpt)
+    os.makedirs(src, exist_ok=True)
+    names = sorted(f for f in os.listdir(fixture) if f.endswith(".ppm"))
+    for f in names:
+        _sh.copy(os.path.join(fixture, f), os.path.join(src, f))
+    per_trigger = max(1, math.ceil(len(names) / 4))
+
+    def handle_batch(bdf, _bid: int) -> None:
+        files = bdf.select(
+            F.regexp_extract(F.col("path"), r"img_(\d+)\.ppm$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").alias("src_length"),
+            F.col("content").alias("payload"),
+        )
+        out = extract_image_stats(files).join(
+            files.select("doc_id", "src_length"), "doc_id"
+        )
+        (
+            out.select(
+                "doc_id",
+                "src_length",
+                "n_bytes",
+                "width",
+                "height",
+                "pix_sum",
+                (F.col("src_length") == F.col("n_bytes")).alias(
+                    "length_agrees"
+                ),
+            )
+            .write.mode("append")
+            .parquet(dest)
+        )
+
+    q = (
+        spark.readStream.format("binaryFile")
+        # streaming sources require the schema up front; binaryFile's is
+        # fixed by the format
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.ppm")
+        .option("maxFilesPerTrigger", per_trigger)
+        .load(src)
+        .writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q, 300)
+    return spark.read.parquet(dest).orderBy("doc_id")
+
+
+def _register_x278() -> None:
+    # Anti-drift: gated against x277's oracle VERBATIM.  registry()
+    # imports this module before multimodal, so force the registration
+    # explicitly (the x270 lesson, ADVICE r12).
+    from . import _REGISTRY, multimodal  # noqa: F401
+
+    register(
+        QuerySpec(
+            "x278_stream_media_decode",
+            x278_stream_media_decode,
+            _REGISTRY["x277_media_binaryfile_source"].oracle,
+            "streaming binaryFile media ingest: drained per-batch decodes union to the batch read",
+        )
+    )
+
+
+_register_x278()

@@ -107,18 +107,27 @@ PROBE = [
 ]
 
 
-def build(dest: str = DEST, factor: int = FACTOR) -> None:
+def build(
+    dest: str = DEST,
+    factor: int = FACTOR,
+    src_dir: str = SRC,
+    offset_scale: int = 1,
+) -> None:
+    """Replicate ``src_dir`` ``factor``× into ``dest``.  When chaining
+    decades (building sfx100 FROM sfx10), pass --offset-scale so the
+    per-replica key offsets clear the SOURCE fixture's already-offset
+    key space (sfx10 spans 100× sf0.1's keys → offset-scale 100)."""
     import duckdb
 
     os.makedirs(dest, exist_ok=True)
     con = duckdb.connect()
     tables = [
         f[: -len(".parquet")]
-        for f in sorted(os.listdir(SRC))
+        for f in sorted(os.listdir(src_dir))
         if f.endswith(".parquet")
     ]
     for t in tables:
-        src = os.path.join(SRC, f"{t}.parquet")
+        src = os.path.join(src_dir, f"{t}.parquet")
         cols = [r[0] for r in con.sql(f"DESCRIBE SELECT * FROM '{src}'").fetchall()]
         if t in ("region", "nation"):  # fixed dims: never replicated
             con.sql(f"COPY (SELECT * FROM '{src}') TO '{dest}/{t}.parquet'")
@@ -128,7 +137,9 @@ def build(dest: str = DEST, factor: int = FACTOR) -> None:
             sel = []
             for c in cols:
                 if c in KEY_OFFSETS:
-                    sel.append(f"{c} + {r * KEY_OFFSETS[c]} AS {c}")
+                    sel.append(
+                        f"{c} + {r * KEY_OFFSETS[c] * offset_scale} AS {c}"
+                    )
                 elif t == "documents" and c == "text" and r > 0:
                     # rotate word order by r so replicas are distinct
                     # documents with the same length/vocab statistics
@@ -152,7 +163,15 @@ def run(
     only: list[str] | None = None,
     pairs: "list[tuple[str, str]] | None" = None,
     factor: int = FACTOR,
+    serve: bool = False,
 ) -> None:
+    """With ``serve=True`` (VERDICT r12 ask #5): one UNTIMED warm-up
+    call per (entry, sf) pays any cold store build (GATE_DIR-keyed
+    quantizers/graphs/lexicons/layouts — pay-once costs a deployment
+    amortizes over every query), and the reported number is the
+    min-of-``runs`` over the WARM serve path only.  The warm-up's wall
+    clock is still recorded (``cold_first``) so the pay-once cost stays
+    visible instead of silently dropped."""
     from json_to_parquet_spark.queries import registry
     from json_to_parquet_spark.session import build_session
 
@@ -162,10 +181,26 @@ def run(
     )
     reg = registry()
     out: dict[str, dict[str, float]] = {}
+    cold: dict[str, dict[str, float]] = {}
     probe = [n for n in PROBE if not only or n in only]
+    if only:
+        # allow probing entries not in the static PROBE list (the
+        # serve-only flagships x248/x259/x267/x272 live outside it)
+        probe = [n for n in only if n in reg]
     lo, hi = pairs if pairs else [("sf0.1", SRC), ("sfx1", DEST)]
     for sf_name, sf_dir in (lo, hi):
         for name in probe:
+            if serve:
+                t0 = time.time()
+                reg[name].spark(spark, sf_dir).collect()
+                cold.setdefault(name, {})[sf_name] = round(
+                    time.time() - t0, 3
+                )
+                print(
+                    f"{sf_name} {name}: cold_first "
+                    f"{cold[name][sf_name]:.3f}s",
+                    file=sys.stderr,
+                )
             best = None
             for _ in range(runs):
                 t0 = time.time()
@@ -176,7 +211,18 @@ def run(
             print(f"{sf_name} {name}: {best:.3f}s", file=sys.stderr)
     for name, row in out.items():
         row["ratio"] = round(row[hi[0]] / row[lo[0]], 2)
-    print(json.dumps({"factor": factor, "runs": runs, "queries": out}))
+        if serve:
+            row["cold_first"] = cold.get(name, {})
+    print(
+        json.dumps(
+            {
+                "factor": factor,
+                "runs": runs,
+                "serve_only": serve,
+                "queries": out,
+            }
+        )
+    )
     spark.stop()
 
 
@@ -196,9 +242,21 @@ if __name__ == "__main__":
                     help="run comparison 'loname=lodir,hiname=hidir' "
                          "instead of the default sf0.1-vs-sfx1 "
                          "(e.g. the sfx1-vs-sfx10 second decade)")
+    ap.add_argument("--src", type=str, default=SRC,
+                    help="source fixture dir for --build (chain decades "
+                         "by building sfx100 from sfx10)")
+    ap.add_argument("--offset-scale", type=int, default=1,
+                    help="multiply KEY_OFFSETS by this for --build so "
+                         "replica keys clear an already-offset source "
+                         "fixture (sfx10 source → 100)")
+    ap.add_argument("--serve", action="store_true",
+                    help="serve-only protocol (VERDICT r12 ask #5): one "
+                         "untimed warm-up per entry pays cold store "
+                         "builds; report warm min-of-N + cold_first")
     args = ap.parse_args()
     if args.build:
-        build(args.dest, args.factor or FACTOR)
+        build(args.dest, args.factor or FACTOR, args.src,
+              args.offset_scale)
     else:
         pairs = None
         factor = args.factor if args.factor is not None else FACTOR
@@ -215,4 +273,4 @@ if __name__ == "__main__":
             )
             factor = args.factor
         run(args.runs, args.only.split(",") if args.only else None,
-            pairs, factor)
+            pairs, factor, args.serve)

@@ -39,10 +39,18 @@ def test_media_features_plumbing(spark, sf_dir):
     assert (r.width, r.height, r.channels) == (d[0] + 1, d[1] + 1, (d[2] % 4) + 1)
 
 
-def test_real_decode_is_stubbed(spark, sf_dir):
+def test_decode_real_for_ppm_bmp_stubbed_for_compressed(spark, sf_dir):
+    """decode_image is REAL for P6 PPM and 24-bit BMP (round 15 /
+    VERDICT r12 ask #4) and still a clearly-marked stub for compressed
+    formats: text payloads (no P6/BM magic) raise through the
+    mapInPandas stage, while real image bytes decode."""
+    from json_to_parquet_spark.operators.media import image_dims, make_image
+
     docs = documents_as_media(load_table(spark, sf_dir, "documents").limit(1))
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         extract_media_features(docs, decode=decode_image).collect()
+    for fmt in ("ppm", "bmp"):
+        assert decode_image(make_image(42, fmt)) == (*image_dims(42), 3)
 
 
 def test_stream_convert_drains_files(spark, tmp_path):

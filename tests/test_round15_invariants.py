@@ -1,0 +1,145 @@
+"""Round-15 invariants: the real pure-stdlib image decode path
+(VERDICT r12 ask #4).  The gate proves the arithmetic-predicted stats;
+these tests prove the DECODERS against adversarial structure the
+fixture images don't exercise — PPM header comments/whitespace, BMP
+top-down (negative-height) storage, padded rows at every width mod 4,
+and cross-format pixel equality — plus hypothesis round-trip laws."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from json_to_parquet_spark.operators.media import (
+    decode_image_pixels,
+    encode_bmp,
+    encode_ppm,
+    image_dims,
+    image_rgb,
+    make_image,
+    resize_nearest,
+)
+
+
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_ppm_bmp_roundtrip_property(w, h, data):
+    rgb = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=3 * w * h, max_size=3 * w * h
+            )
+        )
+    )
+    for enc in (encode_ppm, encode_bmp):
+        dw, dh, dc, drgb = decode_image_pixels(enc(w, h, rgb))
+        assert (dw, dh, dc) == (w, h, 3)
+        assert drgb == rgb
+
+
+def test_bmp_row_padding_every_width_mod4():
+    """Widths 1..8 cover every 3w mod 4 padding case (0-3 pad bytes)."""
+    for w in range(1, 9):
+        h = 3
+        rgb = image_rgb(7, w, h)
+        payload = encode_bmp(w, h, rgb)
+        stride = (3 * w + 3) // 4 * 4
+        assert len(payload) == 54 + stride * h
+        assert decode_image_pixels(payload)[3] == rgb
+
+
+def test_bmp_top_down_negative_height():
+    """A top-down BMP (negative height in the header) must decode to the
+    same top-down RGB as its bottom-up twin."""
+    w, h = 5, 4
+    rgb = image_rgb(3, w, h)
+    payload = bytearray(encode_bmp(w, h, rgb))
+    # rewrite height as negative (top-down) and re-order rows to match
+    payload[22:26] = (-h).to_bytes(4, "little", signed=True)
+    stride = (3 * w + 3) // 4 * 4
+    body = payload[54:]
+    rows = [bytes(body[i * stride : (i + 1) * stride]) for i in range(h)]
+    payload[54:] = b"".join(reversed(rows))
+    assert decode_image_pixels(bytes(payload))[3] == rgb
+
+
+def test_ppm_header_comments_and_whitespace():
+    rgb = image_rgb(1, 4, 2)
+    tolerant = b"P6 # a comment\n# another\n  4\t2 # dims\n 255\n" + rgb
+    w, h, c, out = decode_image_pixels(tolerant)
+    assert (w, h, c) == (4, 2, 3)
+    assert out == rgb
+
+
+def test_truncated_and_unknown_payloads_raise():
+    good = make_image(9, "ppm")
+    with pytest.raises(ValueError):
+        decode_image_pixels(good[:-1])
+    bmp = make_image(9, "bmp")
+    # cut into the last row's PIXEL bytes (beyond its ≤3 pad bytes);
+    # dropping only pad bytes is legitimately decodable
+    with pytest.raises(ValueError):
+        decode_image_pixels(bmp[:-4])
+    with pytest.raises(NotImplementedError):
+        decode_image_pixels(b"\x89PNG\r\n\x1a\n not a real png")
+    with pytest.raises(NotImplementedError):
+        decode_image_pixels(b"\xff\xd8\xff jpeg-ish")
+
+
+def test_resize_nearest_identity_and_downscale_law():
+    w, h = 16, 9
+    rgb = image_rgb(11, w, h)
+    assert resize_nearest(w, h, rgb, w, h) == rgb
+    ow, oh = 8, 4
+    out = resize_nearest(w, h, rgb, ow, oh)
+    exp = bytes(
+        rgb[3 * ((y * h // oh) * w + (x * w // ow)) + c]
+        for y in range(oh)
+        for x in range(ow)
+        for c in range(3)
+    )
+    assert out == exp
+
+
+def test_fixture_formats_pixel_identical():
+    for d in (0, 22, 123, 4567, 99991):
+        pw, ph, pc, prgb = decode_image_pixels(make_image(d, "ppm"))
+        bw, bh, bc, brgb = decode_image_pixels(make_image(d, "bmp"))
+        assert (pw, ph, pc, prgb) == (bw, bh, bc, brgb)
+        assert (pw, ph) == image_dims(d)
+
+
+def test_x277_fixture_dir_cache_keying(spark, sf_dir):
+    """The binaryFile fixture dir is keyed on constants + documents
+    fingerprint (GATE_DIR invariant) and contains one real decodable
+    .ppm per doc_id ≡ 0 mod MEDIA_FILE_MOD."""
+    import os
+
+    from json_to_parquet_spark.queries.multimodal import (
+        MEDIA_FILE_MOD,
+        media_fixture_dir,
+    )
+    from json_to_parquet_spark.queries.similarity import _data_fingerprint
+    from json_to_parquet_spark.sources.catalog import load_table
+
+    d1 = media_fixture_dir(spark, sf_dir)
+    assert _data_fingerprint(sf_dir, "documents") in os.path.basename(d1)
+    n_docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(f"doc_id % {MEDIA_FILE_MOD} = 0")
+        .count()
+    )
+    files = [f for f in os.listdir(d1) if f.endswith(".ppm")]
+    assert len(files) == n_docs
+    doc_id = int(sorted(files)[0][4:-4])
+    w, h, c, rgb = decode_image_pixels(
+        open(os.path.join(d1, sorted(files)[0]), "rb").read()
+    )
+    assert (w, h) == image_dims(doc_id) and rgb == image_rgb(doc_id, w, h)
+    # write-once: second call returns the same path without rebuilding
+    assert media_fixture_dir(spark, sf_dir) == d1
