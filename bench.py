@@ -236,6 +236,19 @@ HEADLINE = [
     # its streaming twin (drained partition-manifest partials feed
     # x273's phases verbatim into a session-fresh layout)
     "x275_stream_append_optimize",
+    # round-15 additions: the REAL image decode paths (dual-format
+    # parity, binaryFile ingest, its streaming twin — micro-batch
+    # engine overhead amortizes in a continuous feed)
+    "x276_bmp_decode_parity",
+    "x277_media_binaryfile_source",
+    "x278_stream_media_decode",
+    # round-16 additions: the perceptual dHash family over real decoded
+    # bytes (per-image hash, capacity-capped banded-Hamming near-dup
+    # pairs, exact-hash dedup execute, streaming hash twin)
+    "x279_image_dhash",
+    "x280_dhash_neardup_pairs",
+    "x281_dhash_dedup_survivors",
+    "x282_stream_media_dhash",
 ]
 
 CONVERT_RECORDS = 100_000

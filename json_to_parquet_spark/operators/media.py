@@ -541,3 +541,103 @@ def resize_image_stats(
     return media.select(id_col, payload_col).mapInPandas(
         batches, RESIZE_STATS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual difference hash (dHash) over REAL decoded pixels — the
+# image-near-dup primitive (SURVEY §2.C X5 ∩ X2).  The canonical dHash
+# recipe (resample to a (W+1)×H grid, hash bit k = "right neighbor is
+# brighter") expressed entirely in integer arithmetic: luminance is the
+# raw channel sum r+g+b (no divide — monotone-equivalent for the
+# brighter-than comparison and exactly reproducible cross-engine), the
+# resample is the same nearest-neighbor index law ``resize_nearest``
+# uses (src = dst · src_dim div dst_dim).  64 bits are carried as four
+# 16-bit band integers — the multi-index Hamming layout: near-identical
+# images (small Hamming distance) agree exactly on at least one band by
+# pigeonhole, so candidate generation is a band-value equijoin, never an
+# all-pairs scan.
+DHASH_GRID_W = 8   # comparisons per row → 8×8 = 64 bits
+DHASH_GRID_H = 8
+DHASH_BANDS = 4
+DHASH_BAND_BITS = 16  # DHASH_BANDS · DHASH_BAND_BITS = 64 bits
+
+
+def dhash_bands(width: int, height: int, rgb: bytes) -> list[int]:
+    """64-bit dHash of a decoded top-down RGB buffer, as DHASH_BANDS
+    16-bit integers (band b holds hash bits [16b, 16b+16), bit k =
+    gy·8+gx set iff the sampled cell to the right is strictly
+    brighter).  Pure integer arithmetic, so a SQL oracle recomputes it
+    from the fixture pixel law without touching bytes."""
+    gw, gh = DHASH_GRID_W + 1, DHASH_GRID_H
+    gray = [
+        [0] * gw for _ in range(gh)
+    ]
+    for gy in range(gh):
+        sy = gy * height // gh
+        for gx in range(gw):
+            sx = gx * width // gw
+            p = 3 * (sy * width + sx)
+            gray[gy][gx] = rgb[p] + rgb[p + 1] + rgb[p + 2]
+    bands = [0] * DHASH_BANDS
+    for gy in range(gh):
+        for gx in range(DHASH_GRID_W):
+            if gray[gy][gx + 1] > gray[gy][gx]:
+                k = gy * DHASH_GRID_W + gx
+                bands[k // DHASH_BAND_BITS] |= 1 << (k % DHASH_BAND_BITS)
+    return bands
+
+
+def dhash_hex(bands: list[int]) -> str:
+    """Canonical display form: big-endian band order (band 3 first)."""
+    return "".join(f"{bands[b]:04x}" for b in range(DHASH_BANDS - 1, -1, -1))
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dhash_hex", T.StringType()),
+        T.StructField("band0", T.LongType()),
+        T.StructField("band1", T.LongType()),
+        T.StructField("band2", T.LongType()),
+        T.StructField("band3", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def extract_image_dhash(
+    media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """media(id, payload) → per-image perceptual hash through the REAL
+    decoder: payload bytes are parsed (``decode_image_pixels``) and the
+    dHash computed from the actual pixel buffer — no arithmetic
+    shortcut on the Spark side; the oracle's shortcut is what makes it
+    a check.  Arrow-batched mapInPandas, no shuffle, embarrassingly
+    parallel — at 100 TB this stage costs one decode per image on
+    whichever partition already holds the bytes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in DHASH_SCHEMA.fieldNames()}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                w, h, _c, rgb = decode_image_pixels(b)
+                bands = dhash_bands(w, h, rgb)
+                rows["doc_id"].append(int(doc_id))
+                rows["dhash_hex"].append(dhash_hex(bands))
+                for i in range(DHASH_BANDS):
+                    rows[f"band{i}"].append(bands[i])
+                rows["n_bytes"].append(len(b))
+            yield pd.DataFrame(
+                {
+                    k: pd.Series(
+                        rows[k],
+                        dtype="object" if k == "dhash_hex" else "int64",
+                    )
+                    for k in DHASH_SCHEMA.fieldNames()
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        batches, DHASH_SCHEMA
+    )

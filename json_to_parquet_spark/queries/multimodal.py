@@ -806,3 +806,284 @@ register(
         "real .ppm files through the binaryFile source: metadata vs decoded bytes, stats oracle-checked",
     )
 )
+
+
+# --- x279/x280/x281: perceptual dHash image dedup over real bytes -------------
+# The image near-dup arrow (SURVEY §2.C X5 ∩ X2), enabled by the real
+# decoder: x279 computes the canonical 64-bit difference hash from
+# ACTUAL decoded pixel buffers (the arithmetic pixel law lets the
+# oracle predict every bit without touching bytes), x280 generates
+# near-dup candidate pairs by multi-index Hamming banding — the LSH
+# discipline applied to image hashes: a band-value equijoin with
+# capacity-capped buckets, never an all-pairs scan — and x281 executes
+# the exact-hash dedup (canonical survivor + reclaimed bytes), the
+# content-addressable-store economics readout.
+#
+# Scale: x279 is shuffle-free and embarrassingly parallel.  x280's pair
+# stage is bounded by construction: every (band, value) bucket is
+# chunked to DHASH_CAP members (row_number over doc_id — deterministic
+# on both engines), so a bucket of m docs yields ≤ ⌈m/CAP⌉·C(CAP,2)
+# pairs — linear in m, the x214 capacity-capping pattern.  Chunking can
+# split a true near-pair across chunk boundaries in one band, but a
+# pair within Hamming ≤ DHASH_HAM_T agrees exactly on ≥ ⌈4 − T/1⌉…
+# pigeonhole: with 4 bands and T=6, at least one band matches exactly,
+# and each of the 4 bands gives an independent chance to co-chunk — the
+# same recall argument x09's banded MinHash makes.
+DHASH_CAP = 8     # max bucket members co-chunked per (band, value)
+DHASH_HAM_T = 6   # near-dup threshold: Hamming distance over 64 bits
+
+
+def _dhash_ctes(where: str = "") -> str:
+    """Shared oracle CTE chain ending in ``hashes``: per-document dHash
+    bands + hex + payload byte length, recomputed from the fixture
+    pixel law (doc_id arithmetic) — no bytes touched.  ``where``
+    filters the documents scan (the streaming twin's file subset)."""
+    from ..operators.media import (
+        DHASH_BAND_BITS,
+        DHASH_GRID_H,
+        DHASH_GRID_W,
+        IMG_H_MIN,
+        IMG_H_MOD,
+        IMG_PIX_MOD,
+        IMG_W_MIN,
+        IMG_W_MOD,
+    )
+
+    gw1 = DHASH_GRID_W + 1
+    band_cols = ",\n                 ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN k // {DHASH_BAND_BITS} = {i} "
+        f"THEN b * (1::BIGINT << (k % {DHASH_BAND_BITS})) END), 0) "
+        f"AS BIGINT) AS band{i}"
+        for i in range(4)
+    )
+    return f"""
+        d AS (
+          SELECT doc_id,
+                 (doc_id % {IMG_W_MOD}) + {IMG_W_MIN} AS w,
+                 (doc_id % {IMG_H_MOD}) + {IMG_H_MIN} AS h
+          FROM documents {where}),
+        cell AS (
+          SELECT d.doc_id, gy.i AS gy, gx.i AS gx,
+                 d.doc_id + 3 * (((gy.i * d.h) // {DHASH_GRID_H}) * d.w
+                                 + ((gx.i * d.w) // {gw1})) AS q
+          FROM d
+          CROSS JOIN generate_series(0, {DHASH_GRID_H - 1}) AS gy(i)
+          CROSS JOIN generate_series(0, {gw1 - 1}) AS gx(i)),
+        g AS (
+          SELECT doc_id, gy, gx,
+                 q % {IMG_PIX_MOD} + (q + 1) % {IMG_PIX_MOD}
+                   + (q + 2) % {IMG_PIX_MOD} AS gray
+          FROM cell),
+        bit AS (
+          SELECT a.doc_id, a.gy * {DHASH_GRID_W} + a.gx AS k,
+                 CASE WHEN r.gray > a.gray THEN 1 ELSE 0 END AS b
+          FROM g a JOIN g r
+            ON r.doc_id = a.doc_id AND r.gy = a.gy AND r.gx = a.gx + 1
+          WHERE a.gx < {DHASH_GRID_W}),
+        bands AS (
+          SELECT doc_id,
+                 {band_cols}
+          FROM bit GROUP BY doc_id),
+        hashes AS (
+          SELECT d.doc_id,
+                 printf('%04x%04x%04x%04x',
+                        bands.band3, bands.band2,
+                        bands.band1, bands.band0) AS dhash_hex,
+                 bands.band0, bands.band1, bands.band2, bands.band3,
+                 CAST(9 + strlen(CAST(d.w AS VARCHAR))
+                        + strlen(CAST(d.h AS VARCHAR))
+                        + 3 * d.w * d.h AS BIGINT) AS n_bytes
+          FROM d JOIN bands USING (doc_id))
+        """
+
+
+def x279_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perceptual hash from REAL bytes: every doc's fixture
+    image is encoded as real binary PPM, parsed by the real pure-stdlib
+    decoder, and dHashed from the actual pixel buffer
+    (``operators/media.py::dhash_bands`` — resample + neighbor-compare
+    are pure integer arithmetic, so the oracle recomputes all 64 bits
+    from the pixel law without bytes).  One fused mapInPandas stage, no
+    shuffle; at 100 TB the stage is one decode per image, local to
+    whichever partition holds the bytes."""
+    from ..operators.media import (
+        documents_as_image_media,
+        extract_image_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_image_dhash(documents_as_image_media(docs, fmt="ppm"))
+
+
+def _x279_sql(where: str = "") -> str:
+    return f"""
+        WITH {_dhash_ctes(where)}
+        SELECT doc_id, dhash_hex, band0, band1, band2, band3, n_bytes
+        FROM hashes
+        """
+
+
+register(
+    QuerySpec(
+        "x279_image_dhash",
+        x279_image_dhash,
+        _x279_sql(),
+        "64-bit perceptual dHash from real decoded pixels: every bit oracle-predicted from the pixel law",
+    )
+)
+
+
+def x280_dhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup candidate pairs by multi-index Hamming banding:
+    the 64-bit dHash splits into four 16-bit bands; docs sharing a
+    band VALUE are candidates (pigeonhole: Hamming ≤ 6 over 64 bits
+    forces ≥ 1 of 4 bands to agree exactly), each (band, value) bucket
+    is capacity-chunked to DHASH_CAP by doc_id rank so pair volume is
+    linear in bucket size (the x214 discipline — no quadratic bucket
+    blowup on hash-clustered corpora, which this arithmetic corpus
+    deliberately is), and surviving pairs are scored by EXACT Hamming
+    distance over all 64 bits (bit_count(xor) per band, JVM-side).
+    Output: pairs within DHASH_HAM_T.  At 100 TB: one shuffle on
+    (band, value) + a chunk-local self-join — shuffle volume is 4 rows
+    per image, pair volume capacity-bounded."""
+    from pyspark.sql import Window
+
+    from ..operators.media import (
+        documents_as_image_media,
+        extract_image_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = extract_image_dhash(documents_as_image_media(docs, fmt="ppm"))
+    long = h.select(
+        "doc_id",
+        "band0",
+        "band1",
+        "band2",
+        "band3",
+        F.expr(
+            "stack(4, 0L, band0, 1L, band1, 2L, band2, 3L, band3) "
+            "AS (band, val)"
+        ),
+    )
+    w = Window.partitionBy("band", "val").orderBy("doc_id")
+    chunked = long.withColumn(
+        "chunk",
+        F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(DHASH_CAP)),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *[F.col(f"a.band{i}").alias(f"a{i}") for i in range(4)],
+            *[F.col(f"b.band{i}").alias(f"b{i}") for i in range(4)],
+        )
+        .distinct()
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}")))
+        for i in range(4)
+    ).cast("long")
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= DHASH_HAM_T)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _x280_sql() -> str:
+    return f"""
+        WITH {_dhash_ctes()},
+        long AS (
+          SELECT doc_id, band0, band1, band2, band3, v.band,
+                 CASE v.band WHEN 0 THEN band0 WHEN 1 THEN band1
+                             WHEN 2 THEN band2 ELSE band3 END AS val
+          FROM hashes CROSS JOIN (VALUES (0), (1), (2), (3)) AS v(band)),
+        chunked AS (
+          SELECT *,
+                 (ROW_NUMBER() OVER (PARTITION BY band, val
+                                     ORDER BY doc_id) - 1)
+                   // {DHASH_CAP} AS chunk
+          FROM long),
+        pairs AS (
+          SELECT DISTINCT
+                 a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.band0 AS a0, a.band1 AS a1, a.band2 AS a2, a.band3 AS a3,
+                 b.band0 AS b0, b.band1 AS b1, b.band2 AS b2, b.band3 AS b3
+          FROM chunked a JOIN chunked b
+            ON a.band = b.band AND a.val = b.val AND a.chunk = b.chunk
+               AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+                  + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3))
+                  AS BIGINT) AS hamming
+        FROM pairs
+        WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+            + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3))
+            <= {DHASH_HAM_T}
+        """
+
+
+register(
+    QuerySpec(
+        "x280_dhash_neardup_pairs",
+        x280_dhash_neardup_pairs,
+        _x280_sql(),
+        "banded-Hamming image near-dup pairs: capacity-capped band buckets, exact 64-bit rescore",
+    )
+)
+
+
+def x281_dhash_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-perceptual-hash dedup EXECUTION — the content-addressable
+    store manifest: group by the full 64-bit dHash, keep the lowest
+    doc_id as the canonical copy, and report the bytes a blob store
+    reclaims by deduplicating the rest (sum of member payload sizes
+    minus the keeper's — n_bytes comes from the REAL encoded payload
+    Spark-side, from the byte-length law oracle-side).  One shuffle on
+    the hash key with map-side partial aggregation; at 100 TB this is
+    the standard hash-groupBy dedup shape."""
+    from ..operators.media import (
+        documents_as_image_media,
+        extract_image_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = extract_image_dhash(documents_as_image_media(docs, fmt="ppm"))
+    return h.groupBy("dhash_hex").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        (F.sum("n_bytes") - F.min_by("n_bytes", "doc_id"))
+        .cast("long")
+        .alias("bytes_reclaimed"),
+    )
+
+
+def _x281_sql() -> str:
+    return f"""
+        WITH {_dhash_ctes()}
+        SELECT dhash_hex,
+               MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_members,
+               CAST(SUM(n_bytes) - MIN_BY(n_bytes, doc_id) AS BIGINT)
+                 AS bytes_reclaimed
+        FROM hashes GROUP BY dhash_hex
+        """
+
+
+register(
+    QuerySpec(
+        "x281_dhash_dedup_survivors",
+        x281_dhash_dedup_survivors,
+        _x281_sql(),
+        "exact-dHash dedup execute: canonical survivor per hash + reclaimed payload bytes",
+    )
+)

@@ -2104,3 +2104,78 @@ def _register_x278() -> None:
 
 
 _register_x278()
+
+
+def x282_stream_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the perceptual-hash extraction (x279): real
+    .ppm files arrive as a ``binaryFile`` FILE STREAM and each
+    micro-batch decodes + dHashes only its own files with the SAME
+    ``extract_image_dhash`` mapInPandas the batch path runs, appending
+    per-image hash rows.  Per-file rows are independent, so the union
+    of per-batch outputs equals the one-shot batch computation by
+    construction — the oracle is x279's SQL restricted to the fixture's
+    file subset (doc_id ≡ 0 mod MEDIA_FILE_MOD), the x278 anti-drift
+    shape: the streaming hash path can never diverge from the batch
+    op's contract without the gate seeing it."""
+    import math
+    import shutil as _sh
+
+    from ..operators.media import extract_image_dhash
+    from .multimodal import media_fixture_dir
+
+    fixture = media_fixture_dir(spark, sf_dir)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(GATE_DIR, f"src_x282_{sf_tag}")
+    dest = os.path.join(GATE_DIR, f"out_x282_{sf_tag}")
+    ckpt = os.path.join(GATE_DIR, f"ckpt_x282_{sf_tag}")
+    _fresh(src, dest, ckpt)
+    os.makedirs(src, exist_ok=True)
+    names = sorted(f for f in os.listdir(fixture) if f.endswith(".ppm"))
+    for f in names:
+        _sh.copy(os.path.join(fixture, f), os.path.join(src, f))
+    per_trigger = max(1, math.ceil(len(names) / 4))
+
+    def handle_batch(bdf, _bid: int) -> None:
+        files = bdf.select(
+            F.regexp_extract(F.col("path"), r"img_(\d+)\.ppm$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("content").alias("payload"),
+        )
+        extract_image_dhash(files).write.mode("append").parquet(dest)
+
+    q = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.ppm")
+        .option("maxFilesPerTrigger", per_trigger)
+        .load(src)
+        .writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q, 300)
+    return spark.read.parquet(dest).orderBy("doc_id")
+
+
+def _register_x282() -> None:
+    # Oracle builder imported from multimodal directly (not a _REGISTRY
+    # lookup) so this registration carries no import-order dependency —
+    # the ADVICE-r12 x270 lesson.
+    from .multimodal import MEDIA_FILE_MOD, _x279_sql
+
+    register(
+        QuerySpec(
+            "x282_stream_media_dhash",
+            x282_stream_media_dhash,
+            _x279_sql(where=f"WHERE doc_id % {MEDIA_FILE_MOD} = 0"),
+            "streaming binaryFile dHash: drained per-batch hashes union to the batch extraction",
+        )
+    )
+
+
+_register_x282()

@@ -143,3 +143,101 @@ def test_x277_fixture_dir_cache_keying(spark, sf_dir):
     assert (w, h) == image_dims(doc_id) and rgb == image_rgb(doc_id, w, h)
     # write-once: second call returns the same path without rebuilding
     assert media_fixture_dir(spark, sf_dir) == d1
+
+
+# --- round-16 additions: the perceptual dHash family (x279-x282) -------------
+
+
+def _dhash_via_resize(w, h, rgb):
+    """Independent dHash re-derivation through the separately-tested
+    resize primitive: physically resample to the (9×8) grid with
+    resize_nearest (same integer index law), then compare neighbors on
+    the small buffer — a different code path that must agree bit-for-bit
+    with dhash_bands' in-place sampling."""
+    from json_to_parquet_spark.operators.media import (
+        DHASH_BAND_BITS,
+        DHASH_BANDS,
+        DHASH_GRID_H,
+        DHASH_GRID_W,
+    )
+
+    gw = DHASH_GRID_W + 1
+    small = resize_nearest(w, h, rgb, gw, DHASH_GRID_H)
+    bands = [0] * DHASH_BANDS
+    for gy in range(DHASH_GRID_H):
+        for gx in range(DHASH_GRID_W):
+            p0 = 3 * (gy * gw + gx)
+            p1 = p0 + 3
+            if sum(small[p1 : p1 + 3]) > sum(small[p0 : p0 + 3]):
+                k = gy * DHASH_GRID_W + gx
+                bands[k // DHASH_BAND_BITS] |= 1 << (k % DHASH_BAND_BITS)
+    return bands
+
+
+@given(w=st.integers(1, 24), h=st.integers(1, 24), data=st.data())
+@settings(max_examples=40, deadline=None)
+def test_dhash_agrees_with_resize_path_property(w, h, data):
+    from json_to_parquet_spark.operators.media import dhash_bands
+
+    rgb = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=3 * w * h, max_size=3 * w * h
+            )
+        )
+    )
+    assert dhash_bands(w, h, rgb) == _dhash_via_resize(w, h, rgb)
+
+
+def test_dhash_gradient_extremes_and_hex_order():
+    """A strict left-to-right brightness ramp (w ≥ 9 so every grid
+    column samples a distinct pixel) sets all 64 bits; the reversed
+    ramp clears them.  Hex is big-endian band order."""
+    from json_to_parquet_spark.operators.media import dhash_bands, dhash_hex
+
+    w, h = 12, 8
+    ramp = bytes(
+        v
+        for y in range(h)
+        for x in range(w)
+        for v in (x * 20, x * 20, x * 20)
+    )
+    assert dhash_bands(w, h, ramp) == [0xFFFF] * 4
+    rev = bytes(
+        v
+        for y in range(h)
+        for x in range(w)
+        for v in ((w - 1 - x) * 20,) * 3
+    )
+    assert dhash_bands(w, h, rev) == [0] * 4
+    assert dhash_hex([0x0001, 0x0023, 0x0456, 0x789A]) == "789a045600230001"
+
+
+def test_x280_pairs_capacity_bounded_and_thresholded(spark, sf_dir):
+    """Every emitted pair respects the Hamming threshold, and the pair
+    count respects the capacity-cap law: ≤ bands · ⌈bucket/CAP⌉ ·
+    C(CAP,2) summed over buckets — the no-quadratic-blowup invariant on
+    a deliberately hash-clustered corpus."""
+    from json_to_parquet_spark.queries.multimodal import (
+        DHASH_CAP,
+        DHASH_HAM_T,
+        x279_image_dhash,
+        x280_dhash_neardup_pairs,
+    )
+
+    pairs = x280_dhash_neardup_pairs(spark, sf_dir).collect()
+    assert all(0 <= r.hamming <= DHASH_HAM_T for r in pairs)
+    assert all(r.doc_a < r.doc_b for r in pairs)
+    assert len({(r.doc_a, r.doc_b) for r in pairs}) == len(pairs)
+    h = x279_image_dhash(spark, sf_dir).collect()
+    bound = 0
+    buckets: dict[tuple[int, int], int] = {}
+    for row in h:
+        for b in range(4):
+            key = (b, row[f"band{b}"])
+            buckets[key] = buckets.get(key, 0) + 1
+    for m in buckets.values():
+        full, rem = divmod(m, DHASH_CAP)
+        bound += full * (DHASH_CAP * (DHASH_CAP - 1) // 2)
+        bound += rem * (rem - 1) // 2
+    assert len(pairs) <= bound
