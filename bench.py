@@ -249,6 +249,9 @@ HEADLINE = [
     "x280_dhash_neardup_pairs",
     "x281_dhash_dedup_survivors",
     "x282_stream_media_dhash",
+    # the media store-dedup decide arrow + its policy-routed manifest
+    "x283_media_dedup_policy",
+    "x284_policy_routed_media_store",
 ]
 
 CONVERT_RECORDS = 100_000

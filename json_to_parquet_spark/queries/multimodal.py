@@ -1087,3 +1087,192 @@ register(
         "exact-dHash dedup execute: canonical survivor per hash + reclaimed payload bytes",
     )
 )
+
+
+# --- x283/x284: dedup adoption policy + policy-routed media store serve -------
+# The media edition of the integer-decide discipline (x231/x258/x266/
+# x271): deduplicating a blob store pays a hash-keyed rewrite, which is
+# only worth it when duplicate mass is material.  x283 measures the
+# reclaimable fraction in basis points — pure BIGINT arithmetic the
+# oracle re-derives — and adopts the dedup iff it clears
+# DHASH_RECLAIM_BP.  x284 serves the store's shard manifest (objects
+# sharded by hash prefix — the content-addressable-store layout)
+# THROUGH the decision: 'dedup' stores one object per distinct hash,
+# 'hold' stores every object as-is and never pays the group-by-hash
+# rewrite.  The decision is named in every output row, so one gate hash
+# proves decision and served manifest agree cross-engine.
+BP_SCALE = 10_000
+DHASH_RECLAIM_BP = 2_000  # dedup iff ≥ 20.00% of payload bytes reclaimable
+
+
+def _dhash_store_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(shard, hash) store accounting off the REAL decode path:
+    logical bytes (all refs), stored bytes under dedup (the keeper's),
+    and the ref count.  Shard = leading hex nibble of the content hash,
+    the standard CAS fan-out key."""
+    from ..operators.media import (
+        documents_as_image_media,
+        extract_image_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = extract_image_dhash(
+        documents_as_image_media(docs, fmt="ppm")
+    ).withColumn("shard", F.substring("dhash_hex", 1, 1))
+    return h.groupBy("shard", "dhash_hex").agg(
+        F.count(F.lit(1)).alias("refs"),
+        F.sum("n_bytes").alias("logical"),
+        F.min_by("n_bytes", "doc_id").alias("stored"),
+    )
+
+
+# Shared oracle fragment: per-(shard, hash) groups + the integer decision.
+_SQL_DHASH_GROUPS = """
+        groups AS (
+          SELECT substring(dhash_hex, 1, 1) AS shard, dhash_hex,
+                 COUNT(*) AS refs,
+                 SUM(n_bytes) AS logical,
+                 MIN_BY(n_bytes, doc_id) AS stored
+          FROM hashes GROUP BY 1, 2),
+        agg AS (
+          SELECT CAST(SUM(refs) AS BIGINT) AS n_objects,
+                 CAST(SUM(logical) AS BIGINT) AS total_bytes,
+                 CAST(SUM(logical) - SUM(stored) AS BIGINT)
+                   AS reclaimable_bytes
+          FROM groups)"""
+
+_SQL_DHASH_DECISION = (
+    f"CASE WHEN ({BP_SCALE} * reclaimable_bytes) // total_bytes "
+    f">= {DHASH_RECLAIM_BP} THEN 'dedup' ELSE 'hold' END"
+)
+
+
+def x283_media_dedup_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (n_objects, total_bytes, reclaimable_bytes, reclaim_bp,
+    thr_bp, decision) — adopt the store dedup iff the reclaimable
+    payload fraction clears the threshold, in exact basis points
+    (BIGINT div, both engines).  Scale shapes: the measure is x281's
+    hash-groupBy (one shuffle, map-side partials) collapsed to one
+    metadata-plane row; no rewrite is paid to decide."""
+    g = _dhash_store_groups(spark, sf_dir)
+    agg = g.agg(
+        F.sum("refs").cast("long").alias("n_objects"),
+        F.sum("logical").cast("long").alias("total_bytes"),
+        (F.sum("logical") - F.sum("stored"))
+        .cast("long")
+        .alias("reclaimable_bytes"),
+    )
+    return agg.select(
+        "n_objects",
+        "total_bytes",
+        "reclaimable_bytes",
+        F.expr(
+            f"({BP_SCALE} * reclaimable_bytes) div total_bytes"
+        ).alias("reclaim_bp"),
+        F.lit(DHASH_RECLAIM_BP).cast("long").alias("thr_bp"),
+        F.when(
+            F.expr(f"({BP_SCALE} * reclaimable_bytes) div total_bytes")
+            >= F.lit(DHASH_RECLAIM_BP),
+            F.lit("dedup"),
+        )
+        .otherwise(F.lit("hold"))
+        .alias("decision"),
+    )
+
+
+def _x283_sql() -> str:
+    return f"""
+        WITH {_dhash_ctes()},
+        {_SQL_DHASH_GROUPS}
+        SELECT n_objects, total_bytes, reclaimable_bytes,
+               ({BP_SCALE} * reclaimable_bytes) // total_bytes
+                 AS reclaim_bp,
+               CAST({DHASH_RECLAIM_BP} AS BIGINT) AS thr_bp,
+               {_SQL_DHASH_DECISION} AS decision
+        FROM agg
+        """
+
+
+register(
+    QuerySpec(
+        "x283_media_dedup_policy",
+        x283_media_dedup_policy,
+        _x283_sql(),
+        "store-dedup adoption policy: dedup iff the reclaimable payload fraction clears the basis-point threshold",
+    )
+)
+
+
+def x284_policy_routed_media_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The store's shard manifest served THROUGH x283's decision, the
+    decision named in every row: (decision, shard, n_objects,
+    n_logical_refs, stored_bytes, logical_bytes).  'dedup' stores one
+    object per distinct content hash (n_objects = distinct hashes,
+    stored_bytes = keepers only); 'hold' stores every object verbatim
+    (n_objects = refs, stored = logical) and never pays the
+    group-by-hash rewrite beyond the measure itself.  The oracle
+    re-makes the integer decision and serves the same branch — one
+    hash proves decision and manifest agree.  Scale shapes: one
+    hash-keyed shuffle + a 16-key shard rollup."""
+    decision = (
+        x283_media_dedup_policy(spark, sf_dir).collect()[0].decision
+    )  # 1-row bounded decision (the x235 pattern)
+    g = _dhash_store_groups(spark, sf_dir)
+    if decision == "dedup":
+        out = g.groupBy("shard").agg(
+            F.count(F.lit(1)).cast("long").alias("n_objects"),
+            F.sum("refs").cast("long").alias("n_logical_refs"),
+            F.sum("stored").cast("long").alias("stored_bytes"),
+            F.sum("logical").cast("long").alias("logical_bytes"),
+        )
+    else:
+        out = g.groupBy("shard").agg(
+            F.sum("refs").cast("long").alias("n_objects"),
+            F.sum("refs").cast("long").alias("n_logical_refs"),
+            F.sum("logical").cast("long").alias("stored_bytes"),
+            F.sum("logical").cast("long").alias("logical_bytes"),
+        )
+    return out.select(
+        F.lit(decision).alias("decision"),
+        "shard",
+        "n_objects",
+        "n_logical_refs",
+        "stored_bytes",
+        "logical_bytes",
+    )
+
+
+def _x284_sql() -> str:
+    return f"""
+        WITH {_dhash_ctes()},
+        {_SQL_DHASH_GROUPS},
+        dec AS (SELECT {_SQL_DHASH_DECISION} AS decision FROM agg),
+        per AS (
+          SELECT shard,
+                 CAST(COUNT(*) AS BIGINT) AS dd_objects,
+                 CAST(SUM(refs) AS BIGINT) AS n_refs,
+                 CAST(SUM(stored) AS BIGINT) AS dd_bytes,
+                 CAST(SUM(logical) AS BIGINT) AS logical_bytes
+          FROM groups GROUP BY shard)
+        SELECT (SELECT decision FROM dec) AS decision,
+               shard,
+               CASE WHEN (SELECT decision FROM dec) = 'dedup'
+                    THEN dd_objects ELSE n_refs END AS n_objects,
+               n_refs AS n_logical_refs,
+               CASE WHEN (SELECT decision FROM dec) = 'dedup'
+                    THEN dd_bytes ELSE logical_bytes END AS stored_bytes,
+               logical_bytes
+        FROM per
+        """
+
+
+register(
+    QuerySpec(
+        "x284_policy_routed_media_store",
+        x284_policy_routed_media_store,
+        _x284_sql(),
+        "policy-routed media store manifest: shard accounting through whichever layout the dedup policy adopts",
+    )
+)
