@@ -252,6 +252,11 @@ HEADLINE = [
     # the media store-dedup decide arrow + its policy-routed manifest
     "x283_media_dedup_policy",
     "x284_policy_routed_media_store",
+    # its streaming twin (drained per-hash partials, x283's decision)
+    # and the banding+chunking recall audit (pair recall vs doc
+    # coverage against pigeonhole-complete truth on the 1/7 slice)
+    "x285_stream_media_dedup_policy",
+    "x286_dhash_recall_audit",
 ]
 
 CONVERT_RECORDS = 100_000

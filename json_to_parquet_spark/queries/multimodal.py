@@ -823,12 +823,15 @@ register(
 # stage is bounded by construction: every (band, value) bucket is
 # chunked to DHASH_CAP members (row_number over doc_id — deterministic
 # on both engines), so a bucket of m docs yields ≤ ⌈m/CAP⌉·C(CAP,2)
-# pairs — linear in m, the x214 capacity-capping pattern.  Chunking can
-# split a true near-pair across chunk boundaries in one band, but a
-# pair within Hamming ≤ DHASH_HAM_T agrees exactly on ≥ ⌈4 − T/1⌉…
-# pigeonhole: with 4 bands and T=6, at least one band matches exactly,
-# and each of the 4 bands gives an independent chance to co-chunk — the
-# same recall argument x09's banded MinHash makes.
+# pairs — linear in m, the x214 capacity-capping pattern.  Recall is
+# LSH-style, not complete: 4 bands guarantee an exact band match only
+# for Hamming ≤ 3 (pigeonhole needs radius < band count); at the
+# working threshold T=6 a pair CAN differ in all four bands, and
+# chunking can additionally split a matching band's bucket — x286
+# AUDITS the realized recall against pigeonhole-complete exact truth
+# (8 sub-bands of 8 bits, complete for Hamming ≤ 7) on a bounded
+# slice, the same measured-recall discipline x188/x240 apply to the
+# MinHash and graph sketches.
 DHASH_CAP = 8     # max bucket members co-chunked per (band, value)
 DHASH_HAM_T = 6   # near-dup threshold: Hamming distance over 64 bits
 
@@ -936,8 +939,9 @@ register(
 def x280_dhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup candidate pairs by multi-index Hamming banding:
     the 64-bit dHash splits into four 16-bit bands; docs sharing a
-    band VALUE are candidates (pigeonhole: Hamming ≤ 6 over 64 bits
-    forces ≥ 1 of 4 bands to agree exactly), each (band, value) bucket
+    band VALUE are candidates (complete for Hamming ≤ 3 by pigeonhole;
+    LSH-style probabilistic above that — realized recall at the
+    working threshold is AUDITED by x286), each (band, value) bucket
     is capacity-chunked to DHASH_CAP by doc_id rank so pair volume is
     linear in bucket size (the x214 discipline — no quadratic bucket
     blowup on hash-clustered corpora, which this arithmetic corpus
@@ -999,9 +1003,17 @@ def x280_dhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _x280_sql() -> str:
+_SQL_PAIR_HAMMING = (
+    "bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) "
+    "+ bit_count(xor(a2, b2)) + bit_count(xor(a3, b3))"
+)
+
+
+def _x280_ctes() -> str:
+    """x280's candidate chain ending in ``cand`` (doc_a, doc_b,
+    hamming ≤ T) — composable so the recall audit (x286) can reuse the
+    production candidate generator verbatim inside its own query."""
     return f"""
-        WITH {_dhash_ctes()},
         long AS (
           SELECT doc_id, band0, band1, band2, band3, v.band,
                  CASE v.band WHEN 0 THEN band0 WHEN 1 THEN band1
@@ -1020,15 +1032,19 @@ def _x280_sql() -> str:
                  b.band0 AS b0, b.band1 AS b1, b.band2 AS b2, b.band3 AS b3
           FROM chunked a JOIN chunked b
             ON a.band = b.band AND a.val = b.val AND a.chunk = b.chunk
-               AND a.doc_id < b.doc_id)
-        SELECT doc_a, doc_b,
-               CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
-                  + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3))
-                  AS BIGINT) AS hamming
-        FROM pairs
-        WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
-            + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3))
-            <= {DHASH_HAM_T}
+               AND a.doc_id < b.doc_id),
+        cand AS (
+          SELECT doc_a, doc_b,
+                 CAST({_SQL_PAIR_HAMMING} AS BIGINT) AS hamming
+          FROM pairs
+          WHERE {_SQL_PAIR_HAMMING} <= {DHASH_HAM_T})"""
+
+
+def _x280_sql() -> str:
+    return f"""
+        WITH {_dhash_ctes()},
+        {_x280_ctes()}
+        SELECT doc_a, doc_b, hamming FROM cand
         """
 
 
@@ -1147,14 +1163,12 @@ _SQL_DHASH_DECISION = (
 )
 
 
-def x283_media_dedup_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row: (n_objects, total_bytes, reclaimable_bytes, reclaim_bp,
-    thr_bp, decision) — adopt the store dedup iff the reclaimable
-    payload fraction clears the threshold, in exact basis points
-    (BIGINT div, both engines).  Scale shapes: the measure is x281's
-    hash-groupBy (one shuffle, map-side partials) collapsed to one
-    metadata-plane row; no rewrite is paid to decide."""
-    g = _dhash_store_groups(spark, sf_dir)
+def _dedup_policy_from(g: DataFrame) -> DataFrame:
+    """x283's measure + decide over a per-hash groups frame carrying
+    (refs, logical, stored) — shared VERBATIM by the batch policy and
+    the streaming twin x285 (the x266/_swap_policy_from pattern: the
+    drained partials feed the same Column expressions, so batching
+    cannot change the decision)."""
     agg = g.agg(
         F.sum("refs").cast("long").alias("n_objects"),
         F.sum("logical").cast("long").alias("total_bytes"),
@@ -1178,6 +1192,16 @@ def x283_media_dedup_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("hold"))
         .alias("decision"),
     )
+
+
+def x283_media_dedup_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (n_objects, total_bytes, reclaimable_bytes, reclaim_bp,
+    thr_bp, decision) — adopt the store dedup iff the reclaimable
+    payload fraction clears the threshold, in exact basis points
+    (BIGINT div, both engines).  Scale shapes: the measure is x281's
+    hash-groupBy (one shuffle, map-side partials) collapsed to one
+    metadata-plane row; no rewrite is paid to decide."""
+    return _dedup_policy_from(_dhash_store_groups(spark, sf_dir))
 
 
 def _x283_sql() -> str:
@@ -1274,5 +1298,197 @@ register(
         x284_policy_routed_media_store,
         _x284_sql(),
         "policy-routed media store manifest: shard accounting through whichever layout the dedup policy adopts",
+    )
+)
+
+
+# --- x286: the banding+chunking recall audit ----------------------------------
+# x280's candidate generation is LSH-style: 4 bands guarantee an exact
+# band match only for Hamming ≤ 3, and a matching band's bucket can
+# still chunk-split a pair.  This audit MEASURES the realized recall
+# (the x188/x240 discipline): exact truth on a bounded slice via a
+# pigeonhole-COMPLETE second index — 8 sub-bands of 8 bits, complete
+# for Hamming ≤ 7 ≥ T, so the truth equijoin provably misses nothing —
+# then the production candidates (x280's chain verbatim) are scored
+# against it, split into exact-dup (Hamming 0) and near-dup mass.
+DHASH_AUDIT_MOD = 7  # audit slice: doc_id ≡ 0 (mod 7) — bounded by design
+
+
+def x286_dhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (n_truth_pairs, n_cand_pairs, pair_recall_bp,
+    n_truth_docs, n_covered_docs, doc_coverage_bp).  Truth = ALL slice
+    pairs within DHASH_HAM_T, found by a pigeonhole-COMPLETE second
+    index (8 sub-bands of 8 bits — complete for Hamming ≤ 7 ≥ T; no
+    capacity cap — affordable because the slice is 1/DHASH_AUDIT_MOD
+    of the corpus and the audit is pay-per-audit, the x196-demotion
+    lesson applied at birth).
+
+    Two metrics because they answer different questions.  PAIR recall
+    is low by design on a hash-degenerate corpus (this one: ~1/3 of
+    all slice pairs are within T): the capacity cap exists precisely
+    to refuse to enumerate quadratic pair mass.  What dedup/clustering
+    actually needs is DOC coverage — every doc that HAS a true
+    near-dup gets linked to at least one candidate partner (any
+    partner, slice or not), after which cluster-closure (the x26
+    connected-components pass) recovers the group.  The gate pins
+    both numbers, so a cap retune that silently destroyed coverage
+    would fail loudly."""
+    sl = (
+        x279_image_dhash(spark, sf_dir)
+        .filter(F.col("doc_id") % DHASH_AUDIT_MOD == 0)
+        .select("doc_id", "band0", "band1", "band2", "band3")
+    )
+    sub = sl.select(
+        "doc_id",
+        "band0",
+        "band1",
+        "band2",
+        "band3",
+        F.expr(
+            "stack(8, 0L, band0 % 256, 1L, band0 div 256, "
+            "2L, band1 % 256, 3L, band1 div 256, "
+            "4L, band2 % 256, 5L, band2 div 256, "
+            "6L, band3 % 256, 7L, band3 div 256) AS (sb, val)"
+        ),
+    )
+    a, b = sub.alias("a"), sub.alias("b")
+    ham = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}")))
+        for i in range(4)
+    ).cast("long")
+    truth = (
+        a.join(
+            b,
+            (F.col("a.sb") == F.col("b.sb"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *[F.col(f"a.band{i}").alias(f"a{i}") for i in range(4)],
+            *[F.col(f"b.band{i}").alias(f"b{i}") for i in range(4)],
+        )
+        .distinct()
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= DHASH_HAM_T)
+        .select("doc_a", "doc_b")
+    )
+    cand_all = x280_dhash_neardup_pairs(spark, sf_dir)
+    cand_sliced = cand_all.filter(
+        (F.col("doc_a") % DHASH_AUDIT_MOD == 0)
+        & (F.col("doc_b") % DHASH_AUDIT_MOD == 0)
+    ).select("doc_a", "doc_b", F.lit(1).alias("hit"))
+    pair_agg = truth.join(cand_sliced, ["doc_a", "doc_b"], "left").agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth_pairs"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+        .cast("long")
+        .alias("n_hit_pairs"),
+    )
+    tdocs = (
+        truth.select(F.col("doc_a").alias("d"))
+        .unionAll(truth.select(F.col("doc_b").alias("d")))
+        .distinct()
+    )
+    cdocs = (
+        cand_all.select(F.col("doc_a").alias("d"))
+        .unionAll(cand_all.select(F.col("doc_b").alias("d")))
+        .filter(F.col("d") % DHASH_AUDIT_MOD == 0)
+        .distinct()
+        .withColumn("covered", F.lit(1))
+    )
+    doc_agg = tdocs.join(cdocs, "d", "left").agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth_docs"),
+        F.sum(F.coalesce(F.col("covered"), F.lit(0)))
+        .cast("long")
+        .alias("n_covered_docs"),
+    )
+    return pair_agg.join(doc_agg).select(
+        "n_truth_pairs",
+        F.col("n_hit_pairs").alias("n_cand_pairs"),
+        F.expr(
+            f"CASE WHEN n_truth_pairs = 0 THEN {BP_SCALE} "
+            f"ELSE ({BP_SCALE} * n_hit_pairs) div n_truth_pairs END"
+        ).alias("pair_recall_bp"),
+        "n_truth_docs",
+        "n_covered_docs",
+        F.expr(
+            f"CASE WHEN n_truth_docs = 0 THEN {BP_SCALE} "
+            f"ELSE ({BP_SCALE} * n_covered_docs) div n_truth_docs END"
+        ).alias("doc_coverage_bp"),
+    )
+
+
+def _x286_sql() -> str:
+    return f"""
+        WITH {_dhash_ctes()},
+        {_x280_ctes()},
+        sl AS (
+          SELECT doc_id, band0, band1, band2, band3
+          FROM hashes WHERE doc_id % {DHASH_AUDIT_MOD} = 0),
+        sub AS (
+          SELECT doc_id, band0, band1, band2, band3, s.i AS sb,
+                 CASE s.i
+                   WHEN 0 THEN band0 % 256 WHEN 1 THEN band0 // 256
+                   WHEN 2 THEN band1 % 256 WHEN 3 THEN band1 // 256
+                   WHEN 4 THEN band2 % 256 WHEN 5 THEN band2 // 256
+                   WHEN 6 THEN band3 % 256 ELSE band3 // 256 END AS val
+          FROM sl CROSS JOIN generate_series(0, 7) AS s(i)),
+        tpairs AS (
+          SELECT DISTINCT
+                 a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.band0 AS a0, a.band1 AS a1, a.band2 AS a2, a.band3 AS a3,
+                 b.band0 AS b0, b.band1 AS b1, b.band2 AS b2, b.band3 AS b3
+          FROM sub a JOIN sub b
+            ON a.sb = b.sb AND a.val = b.val AND a.doc_id < b.doc_id),
+        truth AS (
+          SELECT doc_a, doc_b
+          FROM tpairs
+          WHERE {_SQL_PAIR_HAMMING} <= {DHASH_HAM_T}),
+        scand AS (
+          SELECT doc_a, doc_b FROM cand
+          WHERE doc_a % {DHASH_AUDIT_MOD} = 0
+            AND doc_b % {DHASH_AUDIT_MOD} = 0),
+        pagg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_truth_pairs,
+                 CAST(SUM(CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END)
+                      AS BIGINT) AS n_hit_pairs
+          FROM truth t LEFT JOIN scand c
+            ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+        tdocs AS (
+          SELECT DISTINCT d FROM (
+            SELECT doc_a AS d FROM truth
+            UNION ALL SELECT doc_b FROM truth)),
+        cdocs AS (
+          SELECT DISTINCT d FROM (
+            SELECT doc_a AS d FROM cand
+            UNION ALL SELECT doc_b FROM cand)
+          WHERE d % {DHASH_AUDIT_MOD} = 0),
+        dagg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_truth_docs,
+                 CAST(SUM(CASE WHEN d IN (SELECT d FROM cdocs)
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_covered_docs
+          FROM tdocs)
+        SELECT n_truth_pairs,
+               n_hit_pairs AS n_cand_pairs,
+               CASE WHEN n_truth_pairs = 0 THEN {BP_SCALE}
+                    ELSE ({BP_SCALE} * n_hit_pairs) // n_truth_pairs END
+                 AS pair_recall_bp,
+               n_truth_docs,
+               n_covered_docs,
+               CASE WHEN n_truth_docs = 0 THEN {BP_SCALE}
+                    ELSE ({BP_SCALE} * n_covered_docs) // n_truth_docs END
+                 AS doc_coverage_bp
+        FROM pagg CROSS JOIN dagg
+        """
+
+
+register(
+    QuerySpec(
+        "x286_dhash_recall_audit",
+        x286_dhash_recall_audit,
+        _x286_sql(),
+        "banding+chunking recall audit: x280's candidates vs pigeonhole-complete exact Hamming truth on a bounded slice",
     )
 )

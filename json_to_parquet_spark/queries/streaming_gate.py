@@ -2179,3 +2179,92 @@ def _register_x282() -> None:
 
 
 _register_x282()
+
+
+def x285_stream_media_dedup_policy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of x283's store-dedup adoption policy — how a
+    blob-store maintenance loop actually reaches the decision on a
+    live ingest: the corpus arrives as a 4-file micro-batch stream;
+    each batch decodes + dHashes ONLY its own images (the same
+    ``extract_image_dhash`` stage) and appends narrow per-hash partials
+    (refs, logical bytes, min doc, min doc's bytes); the drained
+    partials compose exactly — counts and byte sums add, and the
+    keeper is min-of-mins with its bytes carried by ``min_by`` on the
+    batch-min doc_id — then measure + decide run ONCE through x283's
+    Column expressions verbatim (``_dedup_policy_from``), gated against
+    x283's registered oracle (the x270 anti-drift shape: partials
+    compose exactly, so batching cannot change the decision).
+
+    Scale shapes: per micro-batch work is batch-sized and shuffle-free
+    until the per-hash partial agg; the drained compose is a
+    hash-keyed shuffle; the decision is one 1-row select."""
+    from ..operators.media import (
+        documents_as_image_media,
+        extract_image_dhash,
+    )
+    from .multimodal import _dedup_policy_from
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(GATE_DIR, f"src_x285_{sf_tag}")
+    part_dir = os.path.join(GATE_DIR, f"parts_x285_{sf_tag}")
+    ckpt = os.path.join(GATE_DIR, f"ckpt_x285_{sf_tag}")
+    _fresh(src, part_dir, ckpt)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs.repartition(4, "doc_id").write.parquet(src)
+
+    def handle_batch(bdf: DataFrame, _bid: int) -> None:
+        h = extract_image_dhash(documents_as_image_media(bdf, fmt="ppm"))
+        (
+            h.groupBy("dhash_hex")
+            .agg(
+                F.count(F.lit(1)).alias("refs"),
+                F.sum("n_bytes").alias("logical"),
+                F.min("doc_id").alias("min_doc"),
+                F.min_by("n_bytes", "doc_id").alias("min_doc_bytes"),
+            )
+            .write.mode("append")
+            .parquet(part_dir)
+        )
+
+    q = (
+        spark.readStream.schema("doc_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q, 300)
+    drained = (
+        spark.read.parquet(part_dir)
+        .groupBy("dhash_hex")
+        .agg(
+            F.sum("refs").alias("refs"),
+            F.sum("logical").alias("logical"),
+            F.min_by("min_doc_bytes", "min_doc").alias("stored"),
+        )
+    )
+    return _dedup_policy_from(drained)
+
+
+def _register_x285() -> None:
+    # Anti-drift: gated against x283's batch oracle VERBATIM (oracle
+    # builder imported directly from multimodal — no _REGISTRY
+    # import-order dependency, the ADVICE-r12 x270 lesson).
+    from .multimodal import _x283_sql
+
+    register(
+        QuerySpec(
+            "x285_stream_media_dedup_policy",
+            x285_stream_media_dedup_policy,
+            _x283_sql(),
+            "streaming store-dedup policy: drained per-hash partials reach exactly the batch decision",
+        )
+    )
+
+
+_register_x285()

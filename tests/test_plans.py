@@ -214,6 +214,7 @@ _BNLJ_ALLOWED = {
     "x268_locdrift_reindex_execute",  # LOCD_NLIST-row centroid frame broadcast
     "x269_locdrift_reindex_io",  # LOCD_NLIST centroids + 1-row ledger aggregates crossed
     "x274_append_optimize_io",  # date-spine metadata + two 1-row ledger aggregates crossed
+    "x286_dhash_recall_audit",  # two 1-row audit aggregates crossed (the x188 shape)
 }
 
 

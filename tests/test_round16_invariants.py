@@ -118,3 +118,35 @@ def test_x284_dedup_branch_matches_x281(spark, sf_dir):
     assert sum(r.logical_bytes - r.stored_bytes for r in manifest) == sum(
         r.bytes_reclaimed for r in survivors
     )
+
+
+def test_x285_streaming_decision_equals_batch(spark, sf_dir):
+    """The drained per-hash partials must compose to exactly the batch
+    policy row — decision, basis points, and every byte count."""
+    from json_to_parquet_spark.queries.multimodal import (
+        x283_media_dedup_policy,
+    )
+    from json_to_parquet_spark.queries.streaming_gate import (
+        x285_stream_media_dedup_policy,
+    )
+
+    got = x285_stream_media_dedup_policy(spark, sf_dir).collect()
+    want = x283_media_dedup_policy(spark, sf_dir).collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+
+
+def test_x286_coverage_complete_and_pairs_bounded(spark, sf_dir):
+    """On the gate corpus the audit must show full DOC coverage (every
+    doc with a true near-dup linked to ≥ 1 candidate partner) while
+    PAIR recall stays partial — the capacity cap refusing quadratic
+    pair mass is the designed behavior, and candidates are a subset of
+    truth by construction."""
+    from json_to_parquet_spark.queries.multimodal import (
+        x286_dhash_recall_audit,
+    )
+
+    r = x286_dhash_recall_audit(spark, sf_dir).collect()[0]
+    assert r.doc_coverage_bp == 10000
+    assert r.n_covered_docs == r.n_truth_docs > 0
+    assert 0 < r.n_cand_pairs <= r.n_truth_pairs
+    assert r.pair_recall_bp < 10000
