@@ -1311,7 +1311,16 @@ register(
 # for Hamming ≤ 7 ≥ T, so the truth equijoin provably misses nothing —
 # then the production candidates (x280's chain verbatim) are scored
 # against it, split into exact-dup (Hamming 0) and near-dup mass.
-DHASH_AUDIT_MOD = 7  # audit slice: doc_id ≡ 0 (mod 7) — bounded by design
+#
+# The audit set is bounded ABSOLUTELY, not as a corpus fraction: a
+# fixed-fraction slice makes truth pair volume quadratic in corpus
+# size on a hash-degenerate corpus — the x196 failure mode, avoided
+# at birth by capping the set at the DHASH_AUDIT_N lowest slice ids
+# (at gate scale the slice is smaller than the cap, so gate evidence
+# is the uncapped slice; at probe scales the audit stays O(N²) in a
+# CONSTANT N).
+DHASH_AUDIT_MOD = 7    # audit slice: doc_id ≡ 0 (mod 7)
+DHASH_AUDIT_N = 128    # absolute bound: lowest N slice ids
 
 
 def x286_dhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1337,6 +1346,8 @@ def x286_dhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         x279_image_dhash(spark, sf_dir)
         .filter(F.col("doc_id") % DHASH_AUDIT_MOD == 0)
         .select("doc_id", "band0", "band1", "band2", "band3")
+        .orderBy("doc_id")
+        .limit(DHASH_AUDIT_N)
     )
     sub = sl.select(
         "doc_id",
@@ -1374,11 +1385,15 @@ def x286_dhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= DHASH_HAM_T)
         .select("doc_a", "doc_b")
     )
+    ids = sl.select(F.col("doc_id").alias("d"))  # ≤ DHASH_AUDIT_N rows
     cand_all = x280_dhash_neardup_pairs(spark, sf_dir)
-    cand_sliced = cand_all.filter(
-        (F.col("doc_a") % DHASH_AUDIT_MOD == 0)
-        & (F.col("doc_b") % DHASH_AUDIT_MOD == 0)
-    ).select("doc_a", "doc_b", F.lit(1).alias("hit"))
+    cand_sliced = (
+        cand_all.join(
+            F.broadcast(ids), cand_all.doc_a == ids.d, "left_semi"
+        )
+        .join(F.broadcast(ids), F.col("doc_b") == ids.d, "left_semi")
+        .select("doc_a", "doc_b", F.lit(1).alias("hit"))
+    )
     pair_agg = truth.join(cand_sliced, ["doc_a", "doc_b"], "left").agg(
         F.count(F.lit(1)).cast("long").alias("n_truth_pairs"),
         F.sum(F.coalesce(F.col("hit"), F.lit(0)))
@@ -1393,7 +1408,7 @@ def x286_dhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdocs = (
         cand_all.select(F.col("doc_a").alias("d"))
         .unionAll(cand_all.select(F.col("doc_b").alias("d")))
-        .filter(F.col("d") % DHASH_AUDIT_MOD == 0)
+        .join(F.broadcast(ids), "d", "left_semi")
         .distinct()
         .withColumn("covered", F.lit(1))
     )
@@ -1425,7 +1440,8 @@ def _x286_sql() -> str:
         {_x280_ctes()},
         sl AS (
           SELECT doc_id, band0, band1, band2, band3
-          FROM hashes WHERE doc_id % {DHASH_AUDIT_MOD} = 0),
+          FROM hashes WHERE doc_id % {DHASH_AUDIT_MOD} = 0
+          ORDER BY doc_id LIMIT {DHASH_AUDIT_N}),
         sub AS (
           SELECT doc_id, band0, band1, band2, band3, s.i AS sb,
                  CASE s.i
@@ -1447,8 +1463,8 @@ def _x286_sql() -> str:
           WHERE {_SQL_PAIR_HAMMING} <= {DHASH_HAM_T}),
         scand AS (
           SELECT doc_a, doc_b FROM cand
-          WHERE doc_a % {DHASH_AUDIT_MOD} = 0
-            AND doc_b % {DHASH_AUDIT_MOD} = 0),
+          WHERE doc_a IN (SELECT doc_id FROM sl)
+            AND doc_b IN (SELECT doc_id FROM sl)),
         pagg AS (
           SELECT CAST(COUNT(*) AS BIGINT) AS n_truth_pairs,
                  CAST(SUM(CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END)
@@ -1463,7 +1479,7 @@ def _x286_sql() -> str:
           SELECT DISTINCT d FROM (
             SELECT doc_a AS d FROM cand
             UNION ALL SELECT doc_b FROM cand)
-          WHERE d % {DHASH_AUDIT_MOD} = 0),
+          WHERE d IN (SELECT doc_id FROM sl)),
         dagg AS (
           SELECT CAST(COUNT(*) AS BIGINT) AS n_truth_docs,
                  CAST(SUM(CASE WHEN d IN (SELECT d FROM cdocs)
