@@ -257,6 +257,13 @@ HEADLINE = [
     # coverage against pigeonhole-complete truth on the 1/7 slice)
     "x285_stream_media_dedup_policy",
     "x286_dhash_recall_audit",
+    # the audio leg: real PCM WAV chunk-walk decode (stats, silence
+    # segmentation vs the LAG oracle, energy fingerprint dedup,
+    # binaryFile .wav ingest)
+    "x287_audio_decode_stats",
+    "x288_audio_silence_segments",
+    "x289_audio_fingerprint_dedup",
+    "x290_audio_binaryfile_source",
 ]
 
 CONVERT_RECORDS = 100_000

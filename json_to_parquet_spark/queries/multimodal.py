@@ -1508,3 +1508,343 @@ register(
         "banding+chunking recall audit: x280's candidates vs pigeonhole-complete exact Hamming truth on a bounded slice",
     )
 )
+
+
+# --- x287-x290: REAL audio decode (PCM WAV) -----------------------------------
+# The multimodal triad's second real-decode leg: RIFF/WAVE 16-bit mono
+# PCM parsed by a real stdlib chunk walk (operators/media.py
+# ``decode_wav`` — fmt/data located by walking chunk sizes, unknown
+# chunks skipped word-aligned), fixture clips doc_id-ARITHMETIC so the
+# oracle predicts every decoded statistic without bytes.  x287 = decode
+# stats; x288 = silence segmentation, where the SQL oracle re-derives
+# the Python kernel's run counting INDEPENDENTLY via LAG
+# gaps-and-islands — two different algorithms, one answer; x289 = the
+# energy-contour fingerprint (the dHash idea on the time axis) with
+# exact-dup grouping; x290 = real .wav files through the binaryFile
+# source (the x277 ingest shape).  Compressed codecs (MP3/AAC/FLAC)
+# remain the marked stub boundary, same as JPEG/PNG.
+
+
+def _audio_ctes(where: str = "") -> str:
+    from ..operators.media import (
+        AUD_NS_MAX,
+        AUD_NS_MIN,
+        AUD_NS_MOD,
+        AUD_SIL_THRESH,
+        AUD_SR_BASE,
+        AUD_SR_MOD,
+        AUD_SR_STEP,
+        AUD_VAL_A,
+        AUD_VAL_B,
+        AUD_VAL_MOD,
+    )
+
+    half = AUD_VAL_MOD // 2
+    return f"""
+        ad AS (
+          SELECT doc_id,
+                 {AUD_SR_BASE} + {AUD_SR_STEP} * (doc_id % {AUD_SR_MOD})
+                   AS sr,
+                 doc_id % {AUD_NS_MOD} + {AUD_NS_MIN} AS n
+          FROM documents {where}),
+        asamp AS (
+          SELECT ad.doc_id, g.i AS i,
+                 (ad.doc_id * {AUD_VAL_A} + g.i * {AUD_VAL_B})
+                   % {AUD_VAL_MOD} - {half} AS v
+          FROM ad JOIN generate_series(0, {AUD_NS_MAX - 1}) AS g(i)
+            ON g.i < ad.n),
+        asil AS (
+          SELECT doc_id, i,
+                 CASE WHEN abs(v) < {AUD_SIL_THRESH} THEN 1 ELSE 0 END
+                   AS silent
+          FROM asamp),
+        alag AS (
+          SELECT doc_id, silent,
+                 COALESCE(LAG(silent) OVER (
+                   PARTITION BY doc_id ORDER BY i), 0) AS prev
+          FROM asil),
+        aruns AS (
+          SELECT doc_id,
+                 CAST(SUM(silent) AS BIGINT) AS n_silent_samples,
+                 CAST(SUM(CASE WHEN silent = 1 AND prev = 0
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_silent_runs
+          FROM alag GROUP BY doc_id),
+        astat AS (
+          SELECT doc_id,
+                 CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
+                 CAST(MAX(abs(v)) AS BIGINT) AS peak
+          FROM asamp GROUP BY doc_id)"""
+
+
+def _audio_fp_ctes() -> str:
+    from ..operators.media import AUD_FP_WINDOWS
+
+    return f"""
+        awin AS (
+          SELECT s.doc_id, (s.i * {AUD_FP_WINDOWS}) // ad.n AS w,
+                 abs(s.v) AS av
+          FROM asamp s JOIN ad USING (doc_id)),
+        aen AS (
+          SELECT doc_id, w, SUM(av) AS e
+          FROM awin GROUP BY doc_id, w),
+        afp AS (
+          SELECT a.doc_id,
+                 CAST(COALESCE(SUM(CASE WHEN b.e > a.e
+                        THEN (1::BIGINT << a.w) ELSE 0 END), 0) AS BIGINT)
+                   AS fingerprint
+          FROM aen a JOIN aen b
+            ON b.doc_id = a.doc_id AND b.w = a.w + 1
+          WHERE a.w < {AUD_FP_WINDOWS - 1}
+          GROUP BY a.doc_id)"""
+
+
+def x287_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip stats through the REAL WAV chunk walk: byte length,
+    header sample rate, decoded sample count, Σ|s|, peak — every value
+    predicted by the oracle from the sample law, so the whole
+    encode→chunk-walk→decode path is value-checked.  One mapInPandas
+    stage, no shuffle, embarrassingly parallel at any scale."""
+    from ..operators.media import (
+        documents_as_audio_media,
+        extract_audio_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_audio_stats(documents_as_audio_media(docs)).select(
+        "doc_id", "n_bytes", "sample_rate", "n_samples", "sum_abs", "peak"
+    )
+
+
+def _x287_sql(where: str = "") -> str:
+    return f"""
+        WITH {_audio_ctes(where)}
+        SELECT ad.doc_id,
+               CAST(44 + 2 * ad.n AS BIGINT) AS n_bytes,
+               CAST(ad.sr AS BIGINT) AS sample_rate,
+               CAST(ad.n AS BIGINT) AS n_samples,
+               astat.sum_abs, astat.peak
+        FROM ad JOIN astat USING (doc_id)
+        """
+
+
+register(
+    QuerySpec(
+        "x287_audio_decode_stats",
+        x287_audio_decode_stats,
+        _x287_sql(),
+        "real PCM WAV chunk-walk decode: byte/rate/count/energy stats oracle-predicted from the sample law",
+    )
+)
+
+
+def x288_audio_silence_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Silence segmentation per clip — the VAD-shaped readout: count of
+    maximal silent runs (|s| < AUD_SIL_THRESH) and total silent
+    samples, plus the silent fraction in basis points.  The Spark side
+    counts runs in the decode kernel (a linear scan per clip); the
+    oracle re-derives them with LAG gaps-and-islands over the sample
+    law — two independent algorithms whose agreement the gate hashes."""
+    from ..operators.media import (
+        documents_as_audio_media,
+        extract_audio_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = extract_audio_stats(documents_as_audio_media(docs))
+    return h.select(
+        "doc_id",
+        "n_silent_runs",
+        "n_silent_samples",
+        F.expr(f"({BP_SCALE} * n_silent_samples) div n_samples").alias(
+            "silent_bp"
+        ),
+    )
+
+
+def _x288_sql() -> str:
+    return f"""
+        WITH {_audio_ctes()}
+        SELECT ad.doc_id, aruns.n_silent_runs, aruns.n_silent_samples,
+               ({BP_SCALE} * aruns.n_silent_samples) // ad.n AS silent_bp
+        FROM ad JOIN aruns USING (doc_id)
+        """
+
+
+register(
+    QuerySpec(
+        "x288_audio_silence_segments",
+        x288_audio_silence_segments,
+        _x288_sql(),
+        "silence segmentation: kernel run-count vs an independent LAG gaps-and-islands oracle",
+    )
+)
+
+
+def x289_audio_fingerprint_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Energy-contour fingerprint (the dHash idea on the time axis:
+    AUD_FP_WINDOWS integer window energies, bit w = energy rises) with
+    exact-fingerprint dedup grouping — keep-min survivor + member
+    count, the x281 execute shape for audio.  One hash-keyed shuffle
+    with map-side partials."""
+    from ..operators.media import (
+        documents_as_audio_media,
+        extract_audio_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = extract_audio_stats(documents_as_audio_media(docs))
+    return h.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+def _x289_sql() -> str:
+    return f"""
+        WITH {_audio_ctes()},
+        {_audio_fp_ctes()}
+        SELECT fingerprint,
+               MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_members
+        FROM afp GROUP BY fingerprint
+        """
+
+
+register(
+    QuerySpec(
+        "x289_audio_fingerprint_dedup",
+        x289_audio_fingerprint_dedup,
+        _x289_sql(),
+        "energy-contour audio fingerprint + exact-fingerprint dedup groups",
+    )
+)
+
+
+def audio_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once GATE_DIR directory of REAL .wav files — one per
+    doc_id ≡ 0 (mod MEDIA_FILE_MOD), the x277 fixture discipline: keyed
+    on every audio-law constant AND the documents fingerprint so a
+    retuned sample law or regenerated testdata busts the cache."""
+    import hashlib
+    import os
+
+    from ..operators.media import (
+        AUD_NS_MIN,
+        AUD_NS_MOD,
+        AUD_SR_BASE,
+        AUD_SR_MOD,
+        AUD_SR_STEP,
+        AUD_VAL_A,
+        AUD_VAL_B,
+        AUD_VAL_MOD,
+        make_audio,
+    )
+    from ..sources.catalog import load_table as _lt
+    from .convert_gate import GATE_DIR
+    from .similarity import _data_fingerprint
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    sig = repr(
+        (
+            "audiofiles-v1",
+            MEDIA_FILE_MOD,
+            AUD_NS_MOD,
+            AUD_NS_MIN,
+            AUD_SR_MOD,
+            AUD_SR_STEP,
+            AUD_SR_BASE,
+            AUD_VAL_MOD,
+            AUD_VAL_A,
+            AUD_VAL_B,
+        )
+    )
+    token = hashlib.sha256(sig.encode()).hexdigest()[:8]
+    dest = os.path.join(
+        GATE_DIR,
+        f"audio_{tag}_{token}_d{_data_fingerprint(sf_dir, 'documents')}",
+    )
+    marker = os.path.join(dest, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(dest, exist_ok=True)
+        ids = [
+            r.doc_id
+            for r in _lt(spark, sf_dir, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") % MEDIA_FILE_MOD == 0)
+            .collect()
+        ]
+        for d in ids:
+            with open(os.path.join(dest, f"clip_{d:08d}.wav"), "wb") as f:
+                f.write(make_audio(int(d)))
+        with open(marker, "w"):
+            pass
+    return dest
+
+
+def x290_audio_binaryfile_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Blob-store audio ingest through Spark's ``binaryFile`` source
+    (the x277 shape on the audio leg): real .wav files on disk →
+    (path, length, content) → doc_id parsed JVM-side → real chunk-walk
+    decode + stats in one mapInPandas stage, the source's own length
+    cross-checked against the delivered bytes."""
+    from ..operators.media import extract_audio_stats
+
+    src = audio_fixture_dir(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(src)
+        .select(
+            F.regexp_extract(F.col("path"), r"clip_(\d+)\.wav$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").alias("src_length"),
+            F.col("content").alias("payload"),
+        )
+    )
+    stats = extract_audio_stats(files)
+    return (
+        stats.join(files.select("doc_id", "src_length"), "doc_id")
+        .select(
+            "doc_id",
+            "src_length",
+            "n_bytes",
+            "sample_rate",
+            "n_samples",
+            "sum_abs",
+            (F.col("src_length") == F.col("n_bytes")).alias(
+                "length_agrees"
+            ),
+        )
+    )
+
+
+def _x290_sql() -> str:
+    return f"""
+        WITH {_audio_ctes(f"WHERE doc_id % {MEDIA_FILE_MOD} = 0")}
+        SELECT ad.doc_id,
+               CAST(44 + 2 * ad.n AS BIGINT) AS src_length,
+               CAST(44 + 2 * ad.n AS BIGINT) AS n_bytes,
+               CAST(ad.sr AS BIGINT) AS sample_rate,
+               CAST(ad.n AS BIGINT) AS n_samples,
+               astat.sum_abs,
+               TRUE AS length_agrees
+        FROM ad JOIN astat USING (doc_id)
+        """
+
+
+register(
+    QuerySpec(
+        "x290_audio_binaryfile_source",
+        x290_audio_binaryfile_source,
+        _x290_sql(),
+        "real .wav files through the binaryFile source: metadata vs chunk-walk decoded bytes",
+    )
+)

@@ -1309,7 +1309,11 @@ def _register_x212() -> None:
     # Anti-drift: the streaming twin is gated against x203's batch
     # oracle VERBATIM (the x186/x172 registry-reuse pattern; curation
     # registers before this module in registry()'s import order).
-    from . import _REGISTRY
+    # Explicit producer import: direct `import streaming_gate`
+    # (tests, tooling) must not depend on registry()'s import
+    # order for this lookup to resolve (the ADVICE-r12 x270
+    # lesson applied to every _REGISTRY reuse in this module).
+    from . import _REGISTRY, curation  # noqa: F401
 
     register(
         QuerySpec(
@@ -1391,7 +1395,11 @@ def x223_stream_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _register_x223() -> None:
     # Anti-drift: gated against x220's batch oracle VERBATIM (similarity
     # registers before this module in registry()'s import order).
-    from . import _REGISTRY
+    # Explicit producer import: direct `import streaming_gate`
+    # (tests, tooling) must not depend on registry()'s import
+    # order for this lookup to resolve (the ADVICE-r12 x270
+    # lesson applied to every _REGISTRY reuse in this module).
+    from . import _REGISTRY, similarity  # noqa: F401
 
     register(
         QuerySpec(
@@ -1472,7 +1480,11 @@ def x234_stream_tombstone_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _register_x234() -> None:
     # Anti-drift: gated against x224's batch oracle VERBATIM (similarity
     # registers before this module in registry()'s import order).
-    from . import _REGISTRY
+    # Explicit producer import: direct `import streaming_gate`
+    # (tests, tooling) must not depend on registry()'s import
+    # order for this lookup to resolve (the ADVICE-r12 x270
+    # lesson applied to every _REGISTRY reuse in this module).
+    from . import _REGISTRY, similarity  # noqa: F401
 
     register(
         QuerySpec(
@@ -1810,7 +1822,11 @@ def x264_stream_graph_tombstones(
 def _register_x264() -> None:
     # Anti-drift: gated against x263's batch oracle VERBATIM (graph_ssl
     # registers before this module in registry()'s import order).
-    from . import _REGISTRY
+    # Explicit producer import: direct `import streaming_gate`
+    # (tests, tooling) must not depend on registry()'s import
+    # order for this lookup to resolve (the ADVICE-r12 x270
+    # lesson applied to every _REGISTRY reuse in this module).
+    from . import _REGISTRY, graph_ssl  # noqa: F401
 
     register(
         QuerySpec(
@@ -1995,7 +2011,11 @@ def x275_stream_append_optimize(
 def _register_x275() -> None:
     # Anti-drift: gated against x273's oracle VERBATIM (== x265's
     # full-rewrite oracle — scale_layout registers before this module).
-    from . import _REGISTRY
+    # Explicit producer import: direct `import streaming_gate`
+    # (tests, tooling) must not depend on registry()'s import
+    # order for this lookup to resolve (the ADVICE-r12 x270
+    # lesson applied to every _REGISTRY reuse in this module).
+    from . import _REGISTRY, scale_layout  # noqa: F401
 
     register(
         QuerySpec(

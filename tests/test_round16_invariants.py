@@ -150,3 +150,94 @@ def test_x286_coverage_complete_and_pairs_bounded(spark, sf_dir):
     assert r.n_covered_docs == r.n_truth_docs > 0
     assert 0 < r.n_cand_pairs <= r.n_truth_pairs
     assert r.pair_recall_bp < 10000
+
+
+# --- the audio leg (x287-x290): real WAV chunk walk ---------------------------
+
+
+def test_wav_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from json_to_parquet_spark.operators.media import decode_wav, encode_wav
+
+    @given(
+        sr=st.integers(1000, 96000),
+        samples=st.lists(
+            st.integers(-32768, 32767), min_size=1, max_size=300
+        ),
+    )
+    @settings(max_examples=60, deadline=None)
+    def check(sr, samples):
+        dsr, ds = decode_wav(encode_wav(sr, samples))
+        assert (dsr, ds) == (sr, samples)
+
+    check()
+
+
+def test_wav_chunk_walk_skips_unknown_and_pads():
+    """A real RIFF file can carry LIST/fact/odd-sized chunks before
+    data; the walker must skip them by declared size with word
+    alignment — the structure the fixture clips never exercise."""
+    from json_to_parquet_spark.operators.media import decode_wav, encode_wav
+
+    base = encode_wav(8000, [1, -2, 3])
+    fmt_chunk = base[12:36]  # "fmt " + size + 16 body bytes
+    data_chunk = base[36:]
+    odd = b"junk" + (3).to_bytes(4, "little") + b"abc" + b"\x00"  # padded
+    lst = b"LIST" + (6).to_bytes(4, "little") + b"INFOxy"
+    body = lst + fmt_chunk + odd + data_chunk
+    payload = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+    assert decode_wav(payload) == (8000, [1, -2, 3])
+
+
+def test_wav_rejects_unsupported():
+    import pytest as _pytest
+
+    from json_to_parquet_spark.operators.media import decode_wav, encode_wav
+
+    with _pytest.raises(NotImplementedError):
+        decode_wav(b"ID3\x04" + b"\x00" * 40)  # mp3-shaped
+    stereo = bytearray(encode_wav(8000, [0, 0]))
+    stereo[22:24] = (2).to_bytes(2, "little")  # channels = 2
+    with _pytest.raises(NotImplementedError):
+        decode_wav(bytes(stereo))
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFF" + (4).to_bytes(4, "little") + b"WAVE")  # no chunks
+
+
+def test_silence_stats_against_independent_derivation():
+    """Kernel run-count vs an itertools.groupby re-derivation on the
+    fixture clips — a third algorithm besides the kernel loop and the
+    SQL LAG oracle."""
+    import itertools
+
+    from json_to_parquet_spark.operators.media import (
+        AUD_SIL_THRESH,
+        decode_wav,
+        make_audio,
+        silence_stats,
+    )
+
+    for d in (0, 1, 22, 123, 4567, 99991):
+        _sr, s = decode_wav(make_audio(d))
+        flags = [abs(v) < AUD_SIL_THRESH for v in s]
+        runs = sum(1 for k, _g in itertools.groupby(flags) if k)
+        total = sum(flags)
+        assert silence_stats(s) == (runs, total)
+
+
+def test_audio_fingerprint_window_law():
+    """A clip whose |s| rises monotonically across windows must set all
+    15 bits; the reverse must clear them (w ≥ windows so every window
+    is nonempty)."""
+    from json_to_parquet_spark.operators.media import (
+        AUD_FP_WINDOWS,
+        audio_fingerprint,
+    )
+
+    n = 64
+    rising = [i * 10 for i in range(n)]
+    assert audio_fingerprint(rising) == (1 << (AUD_FP_WINDOWS - 1)) - 1
+    falling = [(n - i) * 10 for i in range(n)]
+    assert audio_fingerprint(falling) == 0
