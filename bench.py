@@ -264,6 +264,9 @@ HEADLINE = [
     "x288_audio_silence_segments",
     "x289_audio_fingerprint_dedup",
     "x290_audio_binaryfile_source",
+    # the flat-IVF SERVING shape: x21's search over the persisted
+    # inverted-list store (assignment paid once, not per call)
+    "x291_ivf_persisted_search",
 ]
 
 CONVERT_RECORDS = 100_000

@@ -5035,3 +5035,140 @@ register(
         "localized-drift re-index ledger: one blob moves, migration executes, most rows provably preserved in place",
     )
 )
+
+
+# --- x291: flat-IVF search over a PERSISTED inverted-list store ----------------
+# The third-decade serve probe (SFX100_PROBE, round 16) showed x21's
+# warm serve ≈ its cold serve (29.8 vs 30.4 s at sfx10, 95.8 vs 107.8 s
+# at sfx100): the registered x21 re-pays the ~n^1.25 two-level corpus
+# assignment on EVERY call, which is the right shape for a one-shot
+# query but not for a serving deployment — production IVF assigns the
+# corpus once and every query touches only its probed lists.  x291 is
+# that serving shape: the inverted lists persist once per source state
+# (GATE_DIR store, partitioned by list id so a probe prunes whole
+# partition directories), and the per-query cost drops to
+# probe-broadcast + probed-list scan + rerank.  Results are identical
+# by construction — the store is exactly ``two_level_lists``'s frame —
+# so x21's REGISTERED oracle is reused verbatim (the anti-drift
+# pattern: the serving path can never diverge from the one-shot op's
+# contract without the gate seeing it).
+
+
+def _ivf_lists_token() -> str:
+    """8-hex digest of every constant the inverted-list routing depends
+    on (the _tomb_routing_token discipline): a two-level quantizer
+    retune changes the store path."""
+    import hashlib
+
+    sig = repr(("two-level-v1", IVF_N_CENTROIDS, IVF_K0_MIN))
+    return hashlib.sha256(sig.encode()).hexdigest()[:8]
+
+
+def ivf_lists_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once persisted inverted lists (vec_id, list_c =
+    partition): the materialized flat-IVF index.  Keyed on nlist + the
+    routing token + the source-data fingerprint (the CLAUDE.md store
+    invariant), so a retune or regenerated testdata busts the cache."""
+    import os
+
+    from .convert_gate import GATE_DIR
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    nlist = ivf_nlist(spark, sf_dir)
+    dest = os.path.join(
+        GATE_DIR,
+        f"ivf_lists_{tag}_nl{nlist}_r{_ivf_lists_token()}"
+        f"_d{_data_fingerprint(sf_dir)}",
+    )
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        two_level_lists(spark, sf_dir).write.mode("overwrite").partitionBy(
+            "list_c"
+        ).parquet(dest)
+    return dest
+
+
+def x291_ivf_persisted_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """x21's probe/scan/rerank over the PERSISTED list store: the
+    corpus assignment is read, not recomputed — per-query work is a
+    bounded probe broadcast against the list-partitioned scan plus the
+    exact rerank, the serving economics the probe asked for.  One
+    store build per source state, amortized across every query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < ivf_nlist(spark, sf_dir)).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    lists = spark.read.parquet(ivf_lists_path(spark, sf_dir)).select(
+        "vec_id", F.col("list_c").cast("long").alias("list_c")
+    )
+    corpus = emb.join(lists, "vec_id")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    qdist = queries.crossJoin(F.broadcast(cent)).select(
+        "q_id",
+        "c_id",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("q_vec"),
+                        F.col("c_vec"),
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ),
+            6,
+        ).alias("dist"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("c_id"))
+    probes = (
+        qdist.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= IVF_N_PROBE)
+        .select("q_id", F.col("c_id").alias("probe_c"))
+    )
+    cand = (
+        corpus.join(F.broadcast(probes), corpus.list_c == probes.probe_c)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(queries), "q_id")
+    )
+    scored = cand.select(
+        "q_id",
+        "vec_id",
+        cosine(F.col("q_vec"), F.col("embedding")).alias("cos_sim"),
+    )
+    w2 = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "q_id",
+            "vec_id",
+            "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _register_x291() -> None:
+    # x21 registers earlier in THIS module, so the lookup carries no
+    # cross-module import-order dependency.
+    from . import _REGISTRY
+
+    register(
+        QuerySpec(
+            "x291_ivf_persisted_search",
+            x291_ivf_persisted_search,
+            _REGISTRY["x21_ivf_ann"].oracle,
+            "flat-IVF serving shape: probed search over the persisted inverted-list store, x21's oracle verbatim",
+        )
+    )
+
+
+_register_x291()

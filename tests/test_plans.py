@@ -215,6 +215,7 @@ _BNLJ_ALLOWED = {
     "x269_locdrift_reindex_io",  # LOCD_NLIST centroids + 1-row ledger aggregates crossed
     "x274_append_optimize_io",  # date-spine metadata + two 1-row ledger aggregates crossed
     "x286_dhash_recall_audit",  # two 1-row audit aggregates crossed (the x188 shape)
+    "x291_ivf_persisted_search",  # bounded centroid/query broadcasts (x21's shapes)
 }
 
 
