@@ -267,6 +267,8 @@ HEADLINE = [
     # the flat-IVF SERVING shape: x21's search over the persisted
     # inverted-list store (assignment paid once, not per call)
     "x291_ivf_persisted_search",
+    # the audio streaming twin (binaryFile stream, x290's oracle)
+    "x292_stream_audio_decode",
 ]
 
 CONVERT_RECORDS = 100_000

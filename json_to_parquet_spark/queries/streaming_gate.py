@@ -2288,3 +2288,92 @@ def _register_x285() -> None:
 
 
 _register_x285()
+
+
+def x292_stream_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the binaryFile audio ingest (x290): real .wav
+    files arrive as a ``binaryFile`` FILE STREAM, each micro-batch
+    chunk-walks + stats only its own clips with the SAME
+    ``extract_audio_stats`` mapInPandas the batch path runs, appending
+    per-clip rows.  Per-file independence ⇒ union == the one-shot
+    batch read, so x290's REGISTERED oracle is reused verbatim (the
+    x278 anti-drift shape on the audio leg)."""
+    import math
+    import shutil as _sh
+
+    from ..operators.media import extract_audio_stats
+    from .multimodal import audio_fixture_dir
+
+    fixture = audio_fixture_dir(spark, sf_dir)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(GATE_DIR, f"src_x292_{sf_tag}")
+    dest = os.path.join(GATE_DIR, f"out_x292_{sf_tag}")
+    ckpt = os.path.join(GATE_DIR, f"ckpt_x292_{sf_tag}")
+    _fresh(src, dest, ckpt)
+    os.makedirs(src, exist_ok=True)
+    names = sorted(f for f in os.listdir(fixture) if f.endswith(".wav"))
+    for f in names:
+        _sh.copy(os.path.join(fixture, f), os.path.join(src, f))
+    per_trigger = max(1, math.ceil(len(names) / 4))
+
+    def handle_batch(bdf, _bid: int) -> None:
+        files = bdf.select(
+            F.regexp_extract(F.col("path"), r"clip_(\d+)\.wav$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").alias("src_length"),
+            F.col("content").alias("payload"),
+        )
+        out = extract_audio_stats(files).join(
+            files.select("doc_id", "src_length"), "doc_id"
+        )
+        (
+            out.select(
+                "doc_id",
+                "src_length",
+                "n_bytes",
+                "sample_rate",
+                "n_samples",
+                "sum_abs",
+                (F.col("src_length") == F.col("n_bytes")).alias(
+                    "length_agrees"
+                ),
+            )
+            .write.mode("append")
+            .parquet(dest)
+        )
+
+    q = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.wav")
+        .option("maxFilesPerTrigger", per_trigger)
+        .load(src)
+        .writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q, 300)
+    return spark.read.parquet(dest).orderBy("doc_id")
+
+
+def _register_x292() -> None:
+    # Oracle builder imported from multimodal directly — no
+    # import-order dependency (the ADVICE-r12 x270 lesson).
+    from .multimodal import _x290_sql
+
+    register(
+        QuerySpec(
+            "x292_stream_audio_decode",
+            x292_stream_audio_decode,
+            _x290_sql(),
+            "streaming binaryFile audio ingest: drained per-batch chunk-walk decodes union to the batch read",
+        )
+    )
+
+
+_register_x292()
