@@ -269,6 +269,14 @@ HEADLINE = [
     "x291_ivf_persisted_search",
     # the audio streaming twin (binaryFile stream, x290's oracle)
     "x292_stream_audio_decode",
+    # image near-dup cluster closure (min-label propagation over the
+    # capped pair graph vs recursive-CTE truth)
+    "x293_image_neardup_clusters",
+    # the video leg: real Y4M parse (stats + scene cuts, every-k-th
+    # frame sampling, .y4m binaryFile ingest)
+    "x294_video_decode_stats",
+    "x295_video_frame_sample",
+    "x296_video_binaryfile_source",
 ]
 
 CONVERT_RECORDS = 100_000

@@ -858,3 +858,234 @@ def extract_audio_stats(
     return media.select(id_col, payload_col).mapInPandas(
         batches, AUDIO_STATS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Video: REAL YUV4MPEG2 (.y4m) decode — the multimodal triad's third
+# real-decode leg.  Y4M is the uncompressed video interchange format
+# ffmpeg pipelines speak: a plain-text stream header (WIDTH/HEIGHT/
+# FRAMERATE/... tags), then per frame a "FRAME\n" marker + raw planes.
+# With C444 each frame is 3·w·h bytes (Y, U, V planes).  Fully
+# parseable with the stdlib — a real tag parse + frame walk — and the
+# fixture clips are doc_id ARITHMETIC (frame f, byte j =
+# (id·13 + f·37 + j·5) mod 256), so a SQL oracle predicts every frame
+# statistic and scene cut without touching bytes.  Compressed codecs
+# (H.264/VP9/AV1) remain the marked stub boundary.
+VID_W_MOD, VID_W_MIN = 7, 2    # width  = id % 7 + 2 ∈ [2, 8]
+VID_H_MOD, VID_H_MIN = 5, 2    # height = id % 5 + 2 ∈ [2, 6]
+VID_NF_MOD, VID_NF_MIN = 9, 2  # frames = id % 9 + 2 ∈ [2, 10]
+VID_FPS_NUM, VID_FPS_DEN = 25, 1
+VID_BYTE_A, VID_BYTE_F, VID_BYTE_J = 13, 37, 5
+VID_BYTE_MOD = 256
+VID_W_MAX = VID_W_MOD + VID_W_MIN - 1
+VID_H_MAX = VID_H_MOD + VID_H_MIN - 1
+VID_NF_MAX = VID_NF_MOD + VID_NF_MIN - 1
+VID_SAMPLE_K = 2               # frame sampling stride
+VID_CUT_THRESH_NUM = 64        # scene cut iff diff energy > 64·plane_bytes
+
+
+def video_spec(doc_id: int) -> tuple[int, int, int]:
+    """(width, height, n_frames) of the doc's fixture clip."""
+    return (
+        doc_id % VID_W_MOD + VID_W_MIN,
+        doc_id % VID_H_MOD + VID_H_MIN,
+        doc_id % VID_NF_MOD + VID_NF_MIN,
+    )
+
+
+def video_frame(doc_id: int, f: int, w: int, h: int) -> bytes:
+    n = 3 * w * h
+    return bytes(
+        (doc_id * VID_BYTE_A + f * VID_BYTE_F + j * VID_BYTE_J)
+        % VID_BYTE_MOD
+        for j in range(n)
+    )
+
+
+def make_video(doc_id: int) -> bytes:
+    w, h, nf = video_spec(doc_id)
+    hdr = (
+        f"YUV4MPEG2 W{w} H{h} F{VID_FPS_NUM}:{VID_FPS_DEN} "
+        "Ip A1:1 C444\n"
+    ).encode()
+    return hdr + b"".join(
+        b"FRAME\n" + video_frame(doc_id, f, w, h) for f in range(nf)
+    )
+
+
+def decode_y4m(payload: bytes) -> tuple[int, int, int, int, list[bytes]]:
+    """Real Y4M parse → (width, height, fps_num, fps_den, frames) with
+    each frame the raw 3·w·h C444 plane bytes.  Parses the stream
+    header by TAGS (order-independent, unknown tags ignored — the real
+    format's contract), requires C444 (or no C tag, whose Y4M default
+    is 420 — rejected explicitly), walks FRAME markers tolerating
+    frame-level parameters after the marker.  Anything non-Y4M raises
+    ``NotImplementedError`` (compressed codecs are not in this
+    build)."""
+    if payload[:9] != b"YUV4MPEG2":
+        raise NotImplementedError(
+            "compressed video requires a codec library not present in "
+            "this build (pure-stdlib decode covers YUV4MPEG2 C444)"
+        )
+    nl = payload.index(b"\n")
+    tags = payload[9:nl].split()
+    w = h = None
+    fn, fd = 30, 1
+    colorspace = None
+    for t in tags:
+        if t[:1] == b"W":
+            w = int(t[1:])
+        elif t[:1] == b"H":
+            h = int(t[1:])
+        elif t[:1] == b"F":
+            fn, fd = (int(x) for x in t[1:].split(b":"))
+        elif t[:1] == b"C":
+            colorspace = t[1:]
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W or H")
+    if colorspace != b"444":
+        raise NotImplementedError(
+            "only C444 Y4M supported (chroma-subsampled layouts need "
+            "per-plane geometry this build does not carry)"
+        )
+    frame_len = 3 * w * h
+    frames: list[bytes] = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed Y4M: missing FRAME marker")
+        fnl = payload.index(b"\n", pos)  # frame params (if any) end here
+        body = payload[fnl + 1 : fnl + 1 + frame_len]
+        if len(body) != frame_len:
+            raise ValueError("truncated Y4M frame")
+        frames.append(body)
+        pos = fnl + 1 + frame_len
+    return (w, h, fn, fd, frames)
+
+
+VIDEO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("fps_num", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("byte_sum", T.LongType()),
+        T.StructField("n_cuts", T.LongType()),
+    ]
+)
+
+
+def documents_as_video_media(docs: DataFrame) -> DataFrame:
+    """(doc_id) → (doc_id, payload binary): real .y4m bytes per doc."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pdf["doc_id"].map(
+                        lambda d: make_video(int(d))
+                    ),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema)
+
+
+def extract_video_stats(
+    media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """media(id, payload) → per-clip stats through the REAL Y4M parse:
+    byte length, header geometry/rate, frame count, total plane-byte
+    sum, and SCENE CUTS — frame transitions whose absolute-difference
+    energy Σ|frame_f − frame_{f−1}| exceeds VID_CUT_THRESH_NUM per
+    plane byte.  Arrow-batched mapInPandas; no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: [] for k in VIDEO_STATS_SCHEMA.fieldNames()
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                w, h, fn, _fd, frames = decode_y4m(b)
+                plane = 3 * w * h
+                cuts = 0
+                for f in range(1, len(frames)):
+                    diff = sum(
+                        abs(frames[f][j] - frames[f - 1][j])
+                        for j in range(plane)
+                    )
+                    if diff > VID_CUT_THRESH_NUM * plane:
+                        cuts += 1
+                rows["doc_id"].append(int(doc_id))
+                rows["n_bytes"].append(len(b))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["fps_num"].append(fn)
+                rows["n_frames"].append(len(frames))
+                rows["byte_sum"].append(sum(sum(fr) for fr in frames))
+                rows["n_cuts"].append(cuts)
+            yield pd.DataFrame(
+                {
+                    k: pd.Series(rows[k], dtype="int64")
+                    for k in VIDEO_STATS_SCHEMA.fieldNames()
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        batches, VIDEO_STATS_SCHEMA
+    )
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_sum", T.LongType()),
+        T.StructField("frame_peak", T.LongType()),
+    ]
+)
+
+
+def extract_video_frame_samples(
+    media: DataFrame,
+    stride: int = VID_SAMPLE_K,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Every ``stride``-th frame → one row (the frame-sampling shape a
+    vision-training pipeline feeds downstream), with per-frame byte
+    sum and peak from the REAL decoded planes.  Variable-cardinality
+    mapInPandas output, no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: [] for k in FRAME_SAMPLE_SCHEMA.fieldNames()
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                _w, _h, _fn, _fd, frames = decode_y4m(bytes(payload))
+                for f in range(0, len(frames), stride):
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_idx"].append(f)
+                    rows["frame_sum"].append(sum(frames[f]))
+                    rows["frame_peak"].append(max(frames[f]))
+            yield pd.DataFrame(
+                {
+                    k: pd.Series(rows[k], dtype="int64")
+                    for k in FRAME_SAMPLE_SCHEMA.fieldNames()
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        batches, FRAME_SAMPLE_SCHEMA
+    )

@@ -1848,3 +1848,381 @@ register(
         "real .wav files through the binaryFile source: metadata vs chunk-walk decoded bytes",
     )
 )
+
+
+# --- x293: image near-dup CLUSTER CLOSURE --------------------------------------
+# x286's coverage argument says cluster closure recovers dup groups
+# from capacity-capped links; this op IS that closure — connected
+# components over x280's pair graph (the x26 machinery on the image
+# leg), turning bounded pairwise links into dedup groups.  Spark side:
+# iterative min-label propagation (one join + aggregate per round,
+# lineage truncated per round); oracle: recursive-CTE transitive
+# closure over the SAME candidate chain.  A gate hash over (cluster,
+# size) proves the distributed loop reaches exactly the transitive
+# closure the SQL computes.
+X293_MAX_ITERS = 24  # diameter bound; chunk-chained components stay shallow
+
+
+def x293_image_neardup_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(cluster_id = MIN doc_id of the component, n_members) for every
+    image near-dup component of ≥ 2 docs.  At 100 TB each round is one
+    shuffle on the (tiny relative to the corpus) pair-graph edges —
+    pair volume is capacity-bounded upstream, and components converge
+    in O(diameter) rounds."""
+    pairs = x280_dhash_neardup_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).persist()
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
+    for _ in range(X293_MAX_ITERS):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        merged = F.least(
+            F.col("cluster_id"),
+            F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                merged.alias("new_cid"),
+                (merged < F.col("cluster_id")).alias("chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("chg")).count()
+        labels = new_labels.select(
+            "doc_id", F.col("new_cid").alias("cluster_id")
+        )
+        if changed == 0:
+            break
+    return labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+
+def _x293_sql() -> str:
+    return f"""
+        WITH RECURSIVE {_dhash_ctes()},
+        {_x280_ctes()},
+        csym AS (
+          SELECT doc_a AS src, doc_b AS dst FROM cand
+          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM cand),
+        cnodes AS (SELECT DISTINCT src AS id FROM csym),
+        reach(id, r) AS (
+          SELECT id, id FROM cnodes
+          UNION
+          SELECT s.dst, reach.r FROM reach JOIN csym s ON s.src = reach.id),
+        clabels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY 1)
+        SELECT cluster_id, COUNT(*) AS n_members
+        FROM clabels GROUP BY cluster_id
+        """
+
+
+register(
+    QuerySpec(
+        "x293_image_neardup_clusters",
+        x293_image_neardup_clusters,
+        _x293_sql(),
+        "image near-dup cluster closure: min-label propagation over the capped pair graph vs recursive-CTE truth",
+    )
+)
+
+
+# --- x294-x296: REAL video decode (YUV4MPEG2) ----------------------------------
+# The multimodal triad's third real-decode leg: Y4M — the uncompressed
+# interchange format ffmpeg pipelines speak — parsed by a real stdlib
+# tag parse + FRAME walk (operators/media.py ``decode_y4m``), fixture
+# clips doc_id-arithmetic so the oracle predicts every frame
+# statistic and scene cut without bytes.  x294 = per-clip stats + cut
+# counting (|frame − prev| energy threshold — the shot-boundary
+# primitive); x295 = every-k-th frame sampling (the vision-training
+# frame extraction shape, variable-cardinality mapInPandas); x296 =
+# real .y4m files through the binaryFile source.  Compressed codecs
+# (H.264/VP9/AV1) remain the marked stub boundary.
+
+
+def _video_ctes(where: str = "") -> str:
+    from ..operators.media import (
+        VID_BYTE_A,
+        VID_BYTE_F,
+        VID_BYTE_J,
+        VID_BYTE_MOD,
+        VID_CUT_THRESH_NUM,
+        VID_H_MAX,
+        VID_H_MIN,
+        VID_H_MOD,
+        VID_NF_MAX,
+        VID_NF_MIN,
+        VID_NF_MOD,
+        VID_W_MAX,
+        VID_W_MIN,
+        VID_W_MOD,
+    )
+
+    plane_max = 3 * VID_W_MAX * VID_H_MAX
+    return f"""
+        vd AS (
+          SELECT doc_id,
+                 doc_id % {VID_W_MOD} + {VID_W_MIN} AS w,
+                 doc_id % {VID_H_MOD} + {VID_H_MIN} AS h,
+                 doc_id % {VID_NF_MOD} + {VID_NF_MIN} AS nf
+          FROM documents {where}),
+        vbytes AS (
+          SELECT vd.doc_id, vd.w, vd.h, vd.nf, f.i AS f, j.i AS j,
+                 (vd.doc_id * {VID_BYTE_A} + f.i * {VID_BYTE_F}
+                  + j.i * {VID_BYTE_J}) % {VID_BYTE_MOD} AS v,
+                 (vd.doc_id * {VID_BYTE_A} + (f.i - 1) * {VID_BYTE_F}
+                  + j.i * {VID_BYTE_J}) % {VID_BYTE_MOD} AS v_prev
+          FROM vd
+          CROSS JOIN generate_series(0, {VID_NF_MAX - 1}) AS f(i)
+          CROSS JOIN generate_series(0, {plane_max - 1}) AS j(i)
+          WHERE f.i < vd.nf AND j.i < 3 * vd.w * vd.h),
+        vdiff AS (
+          SELECT doc_id, f,
+                 CASE WHEN SUM(abs(v - v_prev))
+                        > {VID_CUT_THRESH_NUM} * 3 * MAX(w) * MAX(h)
+                      THEN 1 ELSE 0 END AS cut
+          FROM vbytes WHERE f >= 1 GROUP BY doc_id, f),
+        vcuts AS (
+          SELECT doc_id, CAST(COALESCE(SUM(cut), 0) AS BIGINT) AS n_cuts
+          FROM vdiff GROUP BY doc_id)"""
+
+
+def x294_video_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip stats through the REAL Y4M parse: byte length (header
+    digits + per-frame marker law), header geometry and rate, frame
+    count, total plane-byte sum, and scene cuts — transitions whose
+    |frame − prev| energy exceeds the per-byte threshold.  One
+    mapInPandas stage, no shuffle; at 100 TB decode is per-clip Python
+    local to the partition holding the bytes."""
+    from ..operators.media import (
+        documents_as_video_media,
+        extract_video_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_video_stats(documents_as_video_media(docs))
+
+
+def _x294_sql(where: str = "") -> str:
+    from ..operators.media import VID_FPS_NUM
+
+    return f"""
+        WITH {_video_ctes(where)},
+        vsum AS (
+          SELECT doc_id, CAST(SUM(v) AS BIGINT) AS byte_sum
+          FROM vbytes GROUP BY doc_id)
+        SELECT vd.doc_id,
+               CAST(33 + strlen(CAST(vd.w AS VARCHAR))
+                       + strlen(CAST(vd.h AS VARCHAR))
+                       + vd.nf * (6 + 3 * vd.w * vd.h) AS BIGINT)
+                 AS n_bytes,
+               CAST(vd.w AS BIGINT) AS width,
+               CAST(vd.h AS BIGINT) AS height,
+               CAST({VID_FPS_NUM} AS BIGINT) AS fps_num,
+               CAST(vd.nf AS BIGINT) AS n_frames,
+               vsum.byte_sum,
+               vcuts.n_cuts
+        FROM vd JOIN vsum USING (doc_id) JOIN vcuts USING (doc_id)
+        """
+
+
+register(
+    QuerySpec(
+        "x294_video_decode_stats",
+        x294_video_decode_stats,
+        _x294_sql(),
+        "real Y4M parse: geometry/rate/frames/byte-sum + scene cuts, all oracle-predicted from the frame law",
+    )
+)
+
+
+def x295_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every VID_SAMPLE_K-th frame of every clip → one row with the
+    frame's byte sum and peak from the REAL decoded planes — the frame
+    extraction a vision-training pipeline feeds downstream.  Variable-
+    cardinality mapInPandas (one clip → many frame rows), no shuffle."""
+    from ..operators.media import (
+        documents_as_video_media,
+        extract_video_frame_samples,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_video_frame_samples(documents_as_video_media(docs))
+
+
+def _x295_sql() -> str:
+    from ..operators.media import VID_SAMPLE_K
+
+    return f"""
+        WITH {_video_ctes()}
+        SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+               CAST(SUM(v) AS BIGINT) AS frame_sum,
+               CAST(MAX(v) AS BIGINT) AS frame_peak
+        FROM vbytes
+        WHERE f % {VID_SAMPLE_K} = 0
+        GROUP BY doc_id, f
+        """
+
+
+register(
+    QuerySpec(
+        "x295_video_frame_sample",
+        x295_video_frame_sample,
+        _x295_sql(),
+        "every-k-th frame sampling over real decoded planes: per-frame sum/peak value-checked",
+    )
+)
+
+
+def video_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once GATE_DIR directory of REAL .y4m files — one per
+    doc_id ≡ 0 (mod MEDIA_FILE_MOD), keyed on every video-law constant
+    + the documents fingerprint (the store invariant)."""
+    import hashlib
+    import os
+
+    from ..operators.media import (
+        VID_BYTE_A,
+        VID_BYTE_F,
+        VID_BYTE_J,
+        VID_BYTE_MOD,
+        VID_FPS_DEN,
+        VID_FPS_NUM,
+        VID_H_MIN,
+        VID_H_MOD,
+        VID_NF_MIN,
+        VID_NF_MOD,
+        VID_W_MIN,
+        VID_W_MOD,
+        make_video,
+    )
+    from ..sources.catalog import load_table as _lt
+    from .convert_gate import GATE_DIR
+    from .similarity import _data_fingerprint
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    sig = repr(
+        (
+            "videofiles-v1",
+            MEDIA_FILE_MOD,
+            VID_W_MOD,
+            VID_W_MIN,
+            VID_H_MOD,
+            VID_H_MIN,
+            VID_NF_MOD,
+            VID_NF_MIN,
+            VID_FPS_NUM,
+            VID_FPS_DEN,
+            VID_BYTE_A,
+            VID_BYTE_F,
+            VID_BYTE_J,
+            VID_BYTE_MOD,
+        )
+    )
+    token = hashlib.sha256(sig.encode()).hexdigest()[:8]
+    dest = os.path.join(
+        GATE_DIR,
+        f"video_{tag}_{token}_d{_data_fingerprint(sf_dir, 'documents')}",
+    )
+    marker = os.path.join(dest, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(dest, exist_ok=True)
+        ids = [
+            r.doc_id
+            for r in _lt(spark, sf_dir, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") % MEDIA_FILE_MOD == 0)
+            .collect()
+        ]
+        for d in ids:
+            with open(os.path.join(dest, f"vid_{d:08d}.y4m"), "wb") as f:
+                f.write(make_video(int(d)))
+        with open(marker, "w"):
+            pass
+    return dest
+
+
+def x296_video_binaryfile_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Blob-store video ingest through Spark's ``binaryFile`` source
+    (the x277/x290 shape on the video leg): real .y4m files → doc_id
+    parsed JVM-side → real tag parse + frame walk + stats in one
+    mapInPandas stage, source length cross-checked against the bytes."""
+    from ..operators.media import extract_video_stats
+
+    src = video_fixture_dir(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.y4m")
+        .load(src)
+        .select(
+            F.regexp_extract(F.col("path"), r"vid_(\d+)\.y4m$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").alias("src_length"),
+            F.col("content").alias("payload"),
+        )
+    )
+    stats = extract_video_stats(files)
+    return (
+        stats.join(files.select("doc_id", "src_length"), "doc_id")
+        .select(
+            "doc_id",
+            "src_length",
+            "n_bytes",
+            "width",
+            "height",
+            "n_frames",
+            "n_cuts",
+            (F.col("src_length") == F.col("n_bytes")).alias(
+                "length_agrees"
+            ),
+        )
+    )
+
+
+def _x296_sql() -> str:
+    return f"""
+        WITH {_video_ctes(f"WHERE doc_id % {MEDIA_FILE_MOD} = 0")}
+        SELECT vd.doc_id,
+               CAST(33 + strlen(CAST(vd.w AS VARCHAR))
+                       + strlen(CAST(vd.h AS VARCHAR))
+                       + vd.nf * (6 + 3 * vd.w * vd.h) AS BIGINT)
+                 AS src_length,
+               CAST(33 + strlen(CAST(vd.w AS VARCHAR))
+                       + strlen(CAST(vd.h AS VARCHAR))
+                       + vd.nf * (6 + 3 * vd.w * vd.h) AS BIGINT)
+                 AS n_bytes,
+               CAST(vd.w AS BIGINT) AS width,
+               CAST(vd.h AS BIGINT) AS height,
+               CAST(vd.nf AS BIGINT) AS n_frames,
+               vcuts.n_cuts,
+               TRUE AS length_agrees
+        FROM vd JOIN vcuts USING (doc_id)
+        """
+
+
+register(
+    QuerySpec(
+        "x296_video_binaryfile_source",
+        x296_video_binaryfile_source,
+        _x296_sql(),
+        "real .y4m files through the binaryFile source: metadata vs frame-walked bytes",
+    )
+)

@@ -267,3 +267,88 @@ def test_x291_persisted_search_equals_x21_and_store_reused(spark, sf_dir):
     mtime = os.path.getmtime(os.path.join(p1, "_SUCCESS"))
     assert ivf_lists_path(spark, sf_dir) == p1
     assert os.path.getmtime(os.path.join(p1, "_SUCCESS")) == mtime
+
+
+# --- the video leg (x294-x296): real Y4M tag parse + frame walk ---------------
+
+
+def test_y4m_roundtrip_and_adversarial_structure():
+    from json_to_parquet_spark.operators.media import (
+        decode_y4m,
+        make_video,
+        video_frame,
+        video_spec,
+    )
+
+    for d in (0, 1, 22, 123, 4567):
+        w, h, nf = video_spec(d)
+        dw, dh, fn, fd, frames = decode_y4m(make_video(d))
+        assert (dw, dh, fn, fd, len(frames)) == (w, h, 25, 1, nf)
+        assert frames[0] == video_frame(d, 0, w, h)
+    # real-format structure the fixture never emits: unknown header
+    # tags, reordered tags, and frame-level parameters after FRAME
+    body = bytes(range(12))
+    payload = (
+        b"YUV4MPEG2 Xcustom H2 F30:1 W2 C444 Ip\n"
+        + b"FRAME Ixy\n"
+        + body
+    )
+    w, h, fn, fd, frames = decode_y4m(payload)
+    assert (w, h, fn, fd) == (2, 2, 30, 1)
+    assert frames == [body]
+
+
+def test_y4m_rejects_unsupported():
+    import pytest as _pytest
+
+    from json_to_parquet_spark.operators.media import decode_y4m
+
+    with _pytest.raises(NotImplementedError):
+        decode_y4m(b"\x00\x00\x01\xba" + b"\x00" * 40)  # MPEG-PS-shaped
+    with _pytest.raises(NotImplementedError):
+        decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C420jpeg\nFRAME\n" + b"\x00" * 6)
+    with _pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C444\nFRAME\n" + b"\x00" * 5)
+
+
+def test_video_scene_cut_threshold_is_shared():
+    """The kernel's cut decision and a direct re-derivation from the
+    arithmetic law must agree doc-for-doc (the constant is f-strung
+    into the oracle, so a retune moves both engines — this pins the
+    PYTHON side to the same constant)."""
+    from json_to_parquet_spark.operators.media import (
+        VID_BYTE_A,
+        VID_BYTE_F,
+        VID_BYTE_J,
+        VID_BYTE_MOD,
+        VID_CUT_THRESH_NUM,
+        decode_y4m,
+        make_video,
+        video_spec,
+    )
+
+    for d in (2, 17, 88, 123):
+        w, h, nf = video_spec(d)
+        plane = 3 * w * h
+        want = 0
+        for f in range(1, nf):
+            diff = sum(
+                abs(
+                    (d * VID_BYTE_A + f * VID_BYTE_F + j * VID_BYTE_J)
+                    % VID_BYTE_MOD
+                    - (d * VID_BYTE_A + (f - 1) * VID_BYTE_F + j * VID_BYTE_J)
+                    % VID_BYTE_MOD
+                )
+                for j in range(plane)
+            )
+            if diff > VID_CUT_THRESH_NUM * plane:
+                want += 1
+        _w, _h, _fn, _fd, frames = decode_y4m(make_video(d))
+        got = 0
+        for f in range(1, len(frames)):
+            diff = sum(
+                abs(frames[f][j] - frames[f - 1][j]) for j in range(plane)
+            )
+            if diff > VID_CUT_THRESH_NUM * plane:
+                got += 1
+        assert got == want
