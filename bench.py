@@ -277,6 +277,8 @@ HEADLINE = [
     "x294_video_decode_stats",
     "x295_video_frame_sample",
     "x296_video_binaryfile_source",
+    # the multimodal sample manifest (all three real decodes joined)
+    "x297_multimodal_sample_manifest",
 ]
 
 CONVERT_RECORDS = 100_000

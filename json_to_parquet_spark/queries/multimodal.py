@@ -2226,3 +2226,139 @@ register(
         "real .y4m files through the binaryFile source: metadata vs frame-walked bytes",
     )
 )
+
+
+# --- x297: the multimodal training-sample manifest -----------------------------
+# The deliverable the three real-decode legs exist FOR: one row per
+# training sample assembling text + image + audio + video metadata —
+# the WebDataset-style sample record a multimodal trainer reads.
+# Spark side: the three REAL extractors (image stats, audio stats,
+# video stats) joined on doc_id with the documents row — every number
+# comes from actually decoding bytes; oracle side: the three
+# arithmetic-law CTE chains composed in one query.  The gate hash over
+# the full manifest proves the composed decode paths agree end-to-end.
+
+
+def x297_multimodal_sample_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(doc_id, text_chars, img_bytes, img_w, img_h, wav_bytes,
+    wav_samples, vid_bytes, vid_frames, total_bytes): the per-sample
+    manifest.  Scale shapes: three shuffle-free decode stages + three
+    doc_id-keyed joins (co-partitioned on the same key — at scale these
+    are one shuffle each on narrow stats frames, or zero with
+    bucketing; the payloads themselves never move)."""
+    from ..operators.media import (
+        documents_as_audio_media,
+        documents_as_image_media,
+        documents_as_video_media,
+        extract_audio_stats,
+        extract_image_stats,
+        extract_video_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    img = extract_image_stats(
+        documents_as_image_media(docs, fmt="ppm")
+    ).select(
+        "doc_id",
+        F.col("n_bytes").alias("img_bytes"),
+        F.col("width").alias("img_w"),
+        F.col("height").alias("img_h"),
+    )
+    wav = extract_audio_stats(documents_as_audio_media(docs)).select(
+        "doc_id",
+        F.col("n_bytes").alias("wav_bytes"),
+        F.col("n_samples").alias("wav_samples"),
+    )
+    vid = extract_video_stats(documents_as_video_media(docs)).select(
+        "doc_id",
+        F.col("n_bytes").alias("vid_bytes"),
+        F.col("n_frames").alias("vid_frames"),
+    )
+    return (
+        docs.select("doc_id", F.col("n_chars").cast("long").alias("text_chars"))
+        .join(img, "doc_id")
+        .join(wav, "doc_id")
+        .join(vid, "doc_id")
+        .select(
+            "doc_id",
+            "text_chars",
+            "img_bytes",
+            "img_w",
+            "img_h",
+            "wav_bytes",
+            "wav_samples",
+            "vid_bytes",
+            "vid_frames",
+            (
+                F.col("text_chars")
+                + F.col("img_bytes")
+                + F.col("wav_bytes")
+                + F.col("vid_bytes")
+            )
+            .cast("long")
+            .alias("total_bytes"),
+        )
+    )
+
+
+def _x297_sql() -> str:
+    from ..operators.media import (
+        AUD_NS_MIN,
+        AUD_NS_MOD,
+        IMG_H_MIN,
+        IMG_H_MOD,
+        IMG_W_MIN,
+        IMG_W_MOD,
+        VID_H_MIN,
+        VID_H_MOD,
+        VID_NF_MIN,
+        VID_NF_MOD,
+        VID_W_MIN,
+        VID_W_MOD,
+    )
+
+    return f"""
+        WITH m AS (
+          SELECT doc_id,
+                 CAST(n_chars AS BIGINT) AS text_chars,
+                 (doc_id % {IMG_W_MOD}) + {IMG_W_MIN} AS iw,
+                 (doc_id % {IMG_H_MOD}) + {IMG_H_MIN} AS ih,
+                 doc_id % {AUD_NS_MOD} + {AUD_NS_MIN} AS an,
+                 doc_id % {VID_W_MOD} + {VID_W_MIN} AS vw,
+                 doc_id % {VID_H_MOD} + {VID_H_MIN} AS vh,
+                 doc_id % {VID_NF_MOD} + {VID_NF_MIN} AS vnf
+          FROM documents)
+        SELECT doc_id, text_chars,
+               CAST(9 + strlen(CAST(iw AS VARCHAR))
+                      + strlen(CAST(ih AS VARCHAR))
+                      + 3 * iw * ih AS BIGINT) AS img_bytes,
+               CAST(iw AS BIGINT) AS img_w,
+               CAST(ih AS BIGINT) AS img_h,
+               CAST(44 + 2 * an AS BIGINT) AS wav_bytes,
+               CAST(an AS BIGINT) AS wav_samples,
+               CAST(33 + strlen(CAST(vw AS VARCHAR))
+                       + strlen(CAST(vh AS VARCHAR))
+                       + vnf * (6 + 3 * vw * vh) AS BIGINT) AS vid_bytes,
+               CAST(vnf AS BIGINT) AS vid_frames,
+               CAST(text_chars
+                    + (9 + strlen(CAST(iw AS VARCHAR))
+                         + strlen(CAST(ih AS VARCHAR)) + 3 * iw * ih)
+                    + (44 + 2 * an)
+                    + (33 + strlen(CAST(vw AS VARCHAR))
+                          + strlen(CAST(vh AS VARCHAR))
+                          + vnf * (6 + 3 * vw * vh)) AS BIGINT)
+                 AS total_bytes
+        FROM m
+        """
+
+
+register(
+    QuerySpec(
+        "x297_multimodal_sample_manifest",
+        x297_multimodal_sample_manifest,
+        _x297_sql(),
+        "the multimodal training-sample manifest: text+image+audio+video metadata from real decodes, one row per sample",
+    )
+)
