@@ -722,6 +722,10 @@ def decode_wav(payload: bytes) -> tuple[int, list[int]]:
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if pos + 8 + size > len(payload):
+            # A chunk whose declared size overruns the payload would
+            # otherwise silently decode to fewer samples (ADVICE r13).
+            raise ValueError("truncated WAV chunk")
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt_tag = int.from_bytes(body[0:2], "little")

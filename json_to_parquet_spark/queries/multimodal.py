@@ -1884,6 +1884,7 @@ def x293_image_neardup_clusters(
         .distinct()
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
     )
+    changed = -1  # defined even if the iteration bound is 0
     for _ in range(X293_MAX_ITERS):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.doc_id)
@@ -1909,6 +1910,16 @@ def x293_image_neardup_clusters(
         )
         if changed == 0:
             break
+    else:
+        # A component deeper than the iteration bound would otherwise
+        # serve clusters that are NOT the transitive closure, with no
+        # signal — fail loudly instead (ADVICE r13).  Only reachable
+        # when the final round still relabeled something.
+        raise RuntimeError(
+            f"x293 min-label propagation did not converge within "
+            f"{X293_MAX_ITERS} rounds ({changed} labels still moving); "
+            f"a component's diameter exceeds the bound"
+        )
     return labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members")
     )

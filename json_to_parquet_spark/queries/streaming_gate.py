@@ -112,6 +112,23 @@ def _fresh(*paths: str) -> None:
         shutil.rmtree(p, ignore_errors=True)
 
 
+def _write_batch_idempotent(bdf: DataFrame, bid: int, dest: str) -> None:
+    """Idempotent ``foreachBatch`` parquet sink (ADVICE r13): each
+    micro-batch overwrites its OWN ``bid=N`` partition directory, so a
+    retried batch replaces its previous output instead of appending a
+    duplicate — a double-counted partial could otherwise flip a drained
+    policy decision.  Read the union back with ``_read_batches`` (the
+    discovered ``bid`` partition column is dropped)."""
+    bdf.write.mode("overwrite").parquet(os.path.join(dest, f"bid={bid}"))
+
+
+def _read_batches(spark: SparkSession, dest: str) -> DataFrame:
+    """Union of every drained micro-batch written by
+    ``_write_batch_idempotent`` (partition-discovers ``bid=N`` dirs,
+    drops the synthetic column)."""
+    return spark.read.parquet(dest).drop("bid")
+
+
 def x28_stream_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream → foreachBatch(convert) → parquet, drained with
     availableNow; returns the converted output projected to scalars."""
@@ -2155,14 +2172,14 @@ def x282_stream_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sh.copy(os.path.join(fixture, f), os.path.join(src, f))
     per_trigger = max(1, math.ceil(len(names) / 4))
 
-    def handle_batch(bdf, _bid: int) -> None:
+    def handle_batch(bdf, bid: int) -> None:
         files = bdf.select(
             F.regexp_extract(F.col("path"), r"img_(\d+)\.ppm$", 1)
             .cast("long")
             .alias("doc_id"),
             F.col("content").alias("payload"),
         )
-        extract_image_dhash(files).write.mode("append").parquet(dest)
+        _write_batch_idempotent(extract_image_dhash(files), bid, dest)
 
     q = (
         spark.readStream.format("binaryFile")
@@ -2179,7 +2196,7 @@ def x282_stream_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _drain(q, 300)
-    return spark.read.parquet(dest).orderBy("doc_id")
+    return _read_batches(spark, dest).orderBy("doc_id")
 
 
 def _register_x282() -> None:
@@ -2235,19 +2252,17 @@ def x285_stream_media_dedup_policy(
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     docs.repartition(4, "doc_id").write.parquet(src)
 
-    def handle_batch(bdf: DataFrame, _bid: int) -> None:
+    def handle_batch(bdf: DataFrame, bid: int) -> None:
         h = extract_image_dhash(documents_as_image_media(bdf, fmt="ppm"))
-        (
-            h.groupBy("dhash_hex")
-            .agg(
-                F.count(F.lit(1)).alias("refs"),
-                F.sum("n_bytes").alias("logical"),
-                F.min("doc_id").alias("min_doc"),
-                F.min_by("n_bytes", "doc_id").alias("min_doc_bytes"),
-            )
-            .write.mode("append")
-            .parquet(part_dir)
+        partials = h.groupBy("dhash_hex").agg(
+            F.count(F.lit(1)).alias("refs"),
+            F.sum("n_bytes").alias("logical"),
+            F.min("doc_id").alias("min_doc"),
+            F.min_by("n_bytes", "doc_id").alias("min_doc_bytes"),
         )
+        # Idempotent per-batch sink: a retried batch must not
+        # double-count refs/bytes and flip the decision (ADVICE r13).
+        _write_batch_idempotent(partials, bid, part_dir)
 
     q = (
         spark.readStream.schema("doc_id bigint")
@@ -2260,7 +2275,7 @@ def x285_stream_media_dedup_policy(
     )
     _drain(q, 300)
     drained = (
-        spark.read.parquet(part_dir)
+        _read_batches(spark, part_dir)
         .groupBy("dhash_hex")
         .agg(
             F.sum("refs").alias("refs"),
@@ -2316,7 +2331,7 @@ def x292_stream_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sh.copy(os.path.join(fixture, f), os.path.join(src, f))
     per_trigger = max(1, math.ceil(len(names) / 4))
 
-    def handle_batch(bdf, _bid: int) -> None:
+    def handle_batch(bdf, bid: int) -> None:
         files = bdf.select(
             F.regexp_extract(F.col("path"), r"clip_(\d+)\.wav$", 1)
             .cast("long")
@@ -2327,7 +2342,7 @@ def x292_stream_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = extract_audio_stats(files).join(
             files.select("doc_id", "src_length"), "doc_id"
         )
-        (
+        _write_batch_idempotent(
             out.select(
                 "doc_id",
                 "src_length",
@@ -2338,9 +2353,9 @@ def x292_stream_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("src_length") == F.col("n_bytes")).alias(
                     "length_agrees"
                 ),
-            )
-            .write.mode("append")
-            .parquet(dest)
+            ),
+            bid,
+            dest,
         )
 
     q = (
@@ -2358,7 +2373,7 @@ def x292_stream_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _drain(q, 300)
-    return spark.read.parquet(dest).orderBy("doc_id")
+    return _read_batches(spark, dest).orderBy("doc_id")
 
 
 def _register_x292() -> None:
