@@ -2373,3 +2373,240 @@ register(
         "the multimodal training-sample manifest: text+image+audio+video metadata from real decodes, one row per sample",
     )
 )
+
+
+# --- x298/x299: REAL PNG decode — a compressed format, pure stdlib -------------
+# VERDICT r13 ask #1: PNG's pixel data is DEFLATE, which stdlib ``zlib``
+# inflates, so the 'compressed codecs' stub boundary was overdrawn by
+# one format.  ``operators/media.py::decode_png`` is a real decoder —
+# chunk walk with per-chunk CRC32 verification, concatenated-IDAT
+# inflate, per-scanline unfilter of all five filter types — and the
+# fixture encoder deliberately filters row y with type y%5 so any image
+# of ≥5 rows exercises None/Sub/Up/Average/Paeth on real DEFLATE data.
+# x298 proves the branch the way x276 proved BMP: the SAME logical
+# image decoded from PNG and PPM must agree pixel-exactly, and the
+# filter histogram read from the actual DEFLATE stream must match the
+# y%5 law (so the oracle pins that Paeth rows really ran).  x299 covers
+# the RGBA leg: the alpha plane follows its own arithmetic law,
+# independent of the RGB law, so a plane mix-up cannot cancel in the
+# checksums.  Compressed-but-LOSSY codecs (JPEG/WebP) remain the honest
+# stub boundary.
+
+
+def x298_png_decode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document dual decode: the doc's fixture image as real PNG
+    (inflate + unfilter) AND as real binary PPM, pixel buffers compared
+    byte-for-byte.  ``n_filter_kinds``/``paeth_rows`` come from the
+    filter bytes OBSERVED in the decoded scanlines — the oracle
+    recomputes them from the y%5 encoder law, so a decoder that
+    silently skipped a filter path (or an encoder that stopped
+    exercising one) breaks the gate.  One fused mapInPandas stage, no
+    shuffle, embarrassingly parallel."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators.media import decode_image_pixels, decode_png, make_image
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("channels", T.LongType()),
+            T.StructField("pix_sum", T.LongType()),
+            T.StructField("n_filter_kinds", T.LongType()),
+            T.StructField("paeth_rows", T.LongType()),
+            T.StructField("formats_agree", T.BooleanType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = {k: [] for k in schema.fieldNames()}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                png = make_image(d, "png")
+                ppm = make_image(d, "ppm")
+                gw, gh, gc, gpix, filters = decode_png(png)
+                pw, ph, pc, ppix = decode_image_pixels(ppm)
+                rows["doc_id"].append(d)
+                rows["width"].append(gw)
+                rows["height"].append(gh)
+                rows["channels"].append(gc)
+                rows["pix_sum"].append(sum(gpix))
+                rows["n_filter_kinds"].append(len(set(filters)))
+                rows["paeth_rows"].append(sum(1 for f in filters if f == 4))
+                rows["formats_agree"].append(
+                    (gw, gh, gc, gpix) == (pw, ph, pc, ppix)
+                )
+            yield pd.DataFrame(
+                {
+                    k: pd.Series(
+                        rows[k],
+                        dtype="bool" if k == "formats_agree" else "int64",
+                    )
+                    for k in schema.fieldNames()
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id").mapInPandas(batches, schema)
+
+
+def _x298_sql() -> str:
+    from ..operators.media import (
+        IMG_H_MAX,
+        IMG_H_MIN,
+        IMG_H_MOD,
+        IMG_PIX_MOD,
+        IMG_W_MAX,
+        IMG_W_MIN,
+        IMG_W_MOD,
+    )
+
+    # Filter law: row y carries filter y % 5 → distinct kinds =
+    # LEAST(h, 5); Paeth (type 4) rows = rows with y % 5 = 4, and
+    # h ≤ IMG_H_MAX = 9 < 10 means that count is 1 iff h ≥ 5.
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 (doc_id % {IMG_W_MOD}) + {IMG_W_MIN} AS w,
+                 (doc_id % {IMG_H_MOD}) + {IMG_H_MIN} AS h
+          FROM documents),
+        px AS (
+          SELECT d.doc_id, (d.doc_id + g.i) % {IMG_PIX_MOD} AS v
+          FROM d JOIN generate_series(0, {3 * IMG_W_MAX * IMG_H_MAX - 1})
+                      AS g(i) ON g.i < 3 * d.w * d.h),
+        ps AS (
+          SELECT doc_id, CAST(SUM(v) AS BIGINT) AS pix_sum
+          FROM px GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(d.w AS BIGINT) AS width,
+               CAST(d.h AS BIGINT) AS height,
+               CAST(3 AS BIGINT) AS channels,
+               ps.pix_sum,
+               CAST(LEAST(d.h, 5) AS BIGINT) AS n_filter_kinds,
+               CAST(CASE WHEN d.h >= 5 THEN 1 ELSE 0 END AS BIGINT)
+                 AS paeth_rows,
+               TRUE AS formats_agree
+        FROM d JOIN ps USING (doc_id)
+        """
+
+
+register(
+    QuerySpec(
+        "x298_png_decode_parity",
+        x298_png_decode_parity,
+        _x298_sql(),
+        "real PNG decode (zlib inflate + all-five-filter unfilter, CRC-verified) vs the PPM twin: pixel-exact parity + observed filter histogram",
+    )
+)
+
+
+def x299_png_rgba_alpha_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RGBA PNG decode: the alpha plane follows its OWN arithmetic law
+    (alpha_p = (doc_id·PNG_ALPHA_A + p) mod 256), so the oracle
+    predicts ``alpha_sum`` independently of ``rgb_sum`` — a decoder
+    that interleaved planes wrong would break one sum without the
+    other covering for it.  ``rgb_agrees`` pins the color bytes to the
+    opaque twin's law byte-for-byte."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators.media import decode_png, image_rgb, make_image_rgba
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("channels", T.LongType()),
+            T.StructField("rgb_sum", T.LongType()),
+            T.StructField("alpha_sum", T.LongType()),
+            T.StructField("rgb_agrees", T.BooleanType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = {k: [] for k in schema.fieldNames()}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, c, pix, _f = decode_png(make_image_rgba(d))
+                rgb = bytes(
+                    pix[i] for i in range(len(pix)) if i % 4 != 3
+                )
+                alpha = pix[3::4]
+                rows["doc_id"].append(d)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(c)
+                rows["rgb_sum"].append(sum(rgb))
+                rows["alpha_sum"].append(sum(alpha))
+                rows["rgb_agrees"].append(rgb == image_rgb(d, w, h))
+            yield pd.DataFrame(
+                {
+                    k: pd.Series(
+                        rows[k],
+                        dtype="bool" if k == "rgb_agrees" else "int64",
+                    )
+                    for k in schema.fieldNames()
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id").mapInPandas(batches, schema)
+
+
+def _x299_sql() -> str:
+    from ..operators.media import (
+        IMG_H_MAX,
+        IMG_H_MIN,
+        IMG_H_MOD,
+        IMG_PIX_MOD,
+        IMG_W_MAX,
+        IMG_W_MIN,
+        IMG_W_MOD,
+        PNG_ALPHA_A,
+    )
+
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 (doc_id % {IMG_W_MOD}) + {IMG_W_MIN} AS w,
+                 (doc_id % {IMG_H_MOD}) + {IMG_H_MIN} AS h
+          FROM documents),
+        px AS (
+          SELECT d.doc_id, (d.doc_id + g.i) % {IMG_PIX_MOD} AS v
+          FROM d JOIN generate_series(0, {3 * IMG_W_MAX * IMG_H_MAX - 1})
+                      AS g(i) ON g.i < 3 * d.w * d.h),
+        ps AS (
+          SELECT doc_id, CAST(SUM(v) AS BIGINT) AS rgb_sum
+          FROM px GROUP BY doc_id),
+        ap AS (
+          SELECT d.doc_id,
+                 (d.doc_id * {PNG_ALPHA_A} + g.i) % {IMG_PIX_MOD} AS a
+          FROM d JOIN generate_series(0, {IMG_W_MAX * IMG_H_MAX - 1})
+                      AS g(i) ON g.i < d.w * d.h),
+        asum AS (
+          SELECT doc_id, CAST(SUM(a) AS BIGINT) AS alpha_sum
+          FROM ap GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(d.w AS BIGINT) AS width,
+               CAST(d.h AS BIGINT) AS height,
+               CAST(4 AS BIGINT) AS channels,
+               ps.rgb_sum,
+               asum.alpha_sum,
+               TRUE AS rgb_agrees
+        FROM d JOIN ps USING (doc_id) JOIN asum USING (doc_id)
+        """
+
+
+register(
+    QuerySpec(
+        "x299_png_rgba_alpha_stats",
+        x299_png_rgba_alpha_stats,
+        _x299_sql(),
+        "RGBA PNG decode: independent alpha-plane law vs RGB law, plane mix-ups cannot cancel",
+    )
+)
