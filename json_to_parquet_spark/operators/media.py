@@ -1308,6 +1308,64 @@ def extract_video_stats(
     )
 
 
+def video_fingerprint(frames: list[bytes], plane: int) -> int:
+    """Scene fingerprint: bit (f−1) set iff transition f is a cut
+    (|frame_f − frame_{f−1}| energy > VID_CUT_THRESH_NUM per plane
+    byte) — the cut pattern as an integer, ≤ VID_NF_MAX−1 bits of pure
+    integer arithmetic the SQL oracle recomputes from the frame law."""
+    fp = 0
+    for f in range(1, len(frames)):
+        diff = sum(
+            abs(frames[f][j] - frames[f - 1][j]) for j in range(plane)
+        )
+        if diff > VID_CUT_THRESH_NUM * plane:
+            fp |= 1 << (f - 1)
+    return fp
+
+
+VIDEO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("fingerprint", T.LongType()),
+    ]
+)
+
+
+def extract_video_fingerprints(
+    media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """media(id, payload) → per-clip scene fingerprint through the REAL
+    Y4M parse — the near-dup primitive for the video leg.  Arrow-
+    batched mapInPandas; no shuffle; embarrassingly parallel."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: [] for k in VIDEO_FP_SCHEMA.fieldNames()
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                w, h, _fn, _fd, frames = decode_y4m(b)
+                rows["doc_id"].append(int(doc_id))
+                rows["n_bytes"].append(len(b))
+                rows["n_frames"].append(len(frames))
+                rows["fingerprint"].append(
+                    video_fingerprint(frames, 3 * w * h)
+                )
+            yield pd.DataFrame(
+                {
+                    k: pd.Series(rows[k], dtype="int64")
+                    for k in VIDEO_FP_SCHEMA.fieldNames()
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        batches, VIDEO_FP_SCHEMA
+    )
+
+
 FRAME_SAMPLE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -1163,12 +1163,14 @@ _SQL_DHASH_DECISION = (
 )
 
 
-def _dedup_policy_from(g: DataFrame) -> DataFrame:
+def _dedup_policy_from(
+    g: DataFrame, thr_bp: int = DHASH_RECLAIM_BP
+) -> DataFrame:
     """x283's measure + decide over a per-hash groups frame carrying
-    (refs, logical, stored) — shared VERBATIM by the batch policy and
-    the streaming twin x285 (the x266/_swap_policy_from pattern: the
-    drained partials feed the same Column expressions, so batching
-    cannot change the decision)."""
+    (refs, logical, stored) — shared VERBATIM by the batch policy, the
+    streaming twin x285, and the audio edition x301 (the
+    x266/_swap_policy_from pattern: the drained partials feed the same
+    Column expressions, so batching cannot change the decision)."""
     agg = g.agg(
         F.sum("refs").cast("long").alias("n_objects"),
         F.sum("logical").cast("long").alias("total_bytes"),
@@ -1183,10 +1185,10 @@ def _dedup_policy_from(g: DataFrame) -> DataFrame:
         F.expr(
             f"({BP_SCALE} * reclaimable_bytes) div total_bytes"
         ).alias("reclaim_bp"),
-        F.lit(DHASH_RECLAIM_BP).cast("long").alias("thr_bp"),
+        F.lit(thr_bp).cast("long").alias("thr_bp"),
         F.when(
             F.expr(f"({BP_SCALE} * reclaimable_bytes) div total_bytes")
-            >= F.lit(DHASH_RECLAIM_BP),
+            >= F.lit(thr_bp),
             F.lit("dedup"),
         )
         .otherwise(F.lit("hold"))
@@ -2608,5 +2610,556 @@ register(
         x299_png_rgba_alpha_stats,
         _x299_sql(),
         "RGBA PNG decode: independent alpha-plane law vs RGB law, plane mix-ups cannot cancel",
+    )
+)
+
+
+def png_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once GATE_DIR directory of REAL .png files — one per
+    doc_id ≡ 0 (mod MEDIA_FILE_MOD), the x277 fixture discipline: keyed
+    on every image-law constant (incl. the alpha constant, which pins
+    the encoder version) AND the documents fingerprint."""
+    import hashlib
+    import os
+
+    from ..operators.media import (
+        IMG_H_MIN,
+        IMG_H_MOD,
+        IMG_PIX_MOD,
+        IMG_W_MIN,
+        IMG_W_MOD,
+        PNG_ALPHA_A,
+        make_image,
+    )
+    from ..sources.catalog import load_table as _lt
+    from .convert_gate import GATE_DIR
+    from .similarity import _data_fingerprint
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    sig = repr(
+        (
+            "pngfiles-v1",
+            MEDIA_FILE_MOD,
+            IMG_W_MOD,
+            IMG_W_MIN,
+            IMG_H_MOD,
+            IMG_H_MIN,
+            IMG_PIX_MOD,
+            PNG_ALPHA_A,
+        )
+    )
+    token = hashlib.sha256(sig.encode()).hexdigest()[:8]
+    dest = os.path.join(
+        GATE_DIR,
+        f"png_{tag}_{token}_d{_data_fingerprint(sf_dir, 'documents')}",
+    )
+    marker = os.path.join(dest, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(dest, exist_ok=True)
+        ids = [
+            r.doc_id
+            for r in _lt(spark, sf_dir, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") % MEDIA_FILE_MOD == 0)
+            .collect()
+        ]
+        for d in ids:
+            with open(os.path.join(dest, f"img_{d:08d}.png"), "wb") as f:
+                f.write(make_image(int(d), "png"))
+        with open(marker, "w"):
+            pass
+    return dest
+
+
+def x306_png_binaryfile_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Blob-store PNG ingest through Spark's ``binaryFile`` source (the
+    x277 shape on the compressed-format leg): real .png files on disk →
+    (path, length, content) → doc_id parsed JVM-side → real inflate +
+    unfilter + stats in one mapInPandas stage.  A PNG's DEFLATE length
+    is not an arithmetic law, so the byte-count check here is
+    ``length_agrees`` (source metadata vs delivered payload) rather
+    than a predicted size; the decoded dims and pixel checksum ARE
+    law-predicted, which is what proves the decompression path."""
+    from ..operators.media import extract_image_stats
+
+    src = png_fixture_dir(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(src)
+        .select(
+            F.regexp_extract(F.col("path"), r"img_(\d+)\.png$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").alias("src_length"),
+            F.col("content").alias("payload"),
+        )
+    )
+    stats = extract_image_stats(files)
+    return (
+        stats.join(files.select("doc_id", "src_length"), "doc_id")
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            "pix_sum",
+            (F.col("src_length") == F.col("n_bytes")).alias("length_agrees"),
+        )
+    )
+
+
+def _x306_sql() -> str:
+    from ..operators.media import (
+        IMG_H_MAX,
+        IMG_H_MIN,
+        IMG_H_MOD,
+        IMG_PIX_MOD,
+        IMG_W_MAX,
+        IMG_W_MIN,
+        IMG_W_MOD,
+    )
+
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 (doc_id % {IMG_W_MOD}) + {IMG_W_MIN} AS w,
+                 (doc_id % {IMG_H_MOD}) + {IMG_H_MIN} AS h
+          FROM documents
+          WHERE doc_id % {MEDIA_FILE_MOD} = 0),
+        px AS (
+          SELECT d.doc_id, (d.doc_id + g.i) % {IMG_PIX_MOD} AS v
+          FROM d JOIN generate_series(0, {3 * IMG_W_MAX * IMG_H_MAX - 1})
+                      AS g(i) ON g.i < 3 * d.w * d.h),
+        ps AS (
+          SELECT doc_id, CAST(SUM(v) AS BIGINT) AS pix_sum
+          FROM px GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(d.w AS BIGINT) AS width,
+               CAST(d.h AS BIGINT) AS height,
+               ps.pix_sum,
+               TRUE AS length_agrees
+        FROM d JOIN ps USING (doc_id)
+        """
+
+
+register(
+    QuerySpec(
+        "x306_png_binaryfile_source",
+        x306_png_binaryfile_source,
+        _x306_sql(),
+        "real .png files through the binaryFile source: inflate+unfilter per file, dims/pixel-sum law-checked",
+    )
+)
+
+
+# --- x300-x302: the audio near-dup → policy → routed-store arrow ---------------
+# VERDICT r13 ask #4 (audio leg): bring the audio modality to parity
+# with the image arrow (x280 → x283 → x284).  The near-dup primitive is
+# the 15-bit energy-contour fingerprint (x289's hash, from REAL WAV
+# chunk-walk decode): x300 generates candidate pairs by multi-index
+# Hamming banding — 3 bands of 5 bits, so an exact band match is
+# PIGEONHOLE-COMPLETE for Hamming ≤ 2 = the working threshold (unlike
+# the image case, no recall audit is owed at this T; capacity chunking
+# is the only loss channel and the x286 doc-coverage argument carries
+# over).  x301 measures duplicate mass and adopts/holds the store dedup
+# in exact basis points; x302 serves the shard manifest THROUGH the
+# decision.  Every constant is f-strung into the oracle SQL
+# (CLAUDE.md invariant).
+AUD_FP_BAND_BITS = 5   # 3 bands × 5 bits cover the 15 fingerprint bits
+AUD_FP_BANDS = 3
+AUD_HAM_T = 2          # pigeonhole: ≤ 2 bit flips cannot touch all 3 bands
+AUD_NEARDUP_CAP = 8    # max bucket members co-chunked per (band, value)
+AUD_RECLAIM_BP = 2_000  # dedup iff ≥ 20.00% of payload bytes reclaimable
+AUD_STORE_SHARDS = 16  # CAS fan-out: shard = fingerprint mod 16
+
+
+def x300_audio_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup candidate pairs by multi-index Hamming banding
+    over the energy-contour fingerprint: docs sharing a 5-bit band
+    value are candidates, each (band, value) bucket capacity-chunked
+    to AUD_NEARDUP_CAP by doc_id rank (pair volume linear in bucket
+    size — the x214/x280 discipline), surviving pairs rescored by
+    EXACT Hamming distance over all 15 bits (bit_count(xor),
+    JVM-side).  At 100 TB: one shuffle on (band, value) — 3 rows per
+    clip — plus a chunk-local self-join; decode cost is paid once in
+    the upstream shuffle-free stats stage."""
+    from pyspark.sql import Window
+
+    from ..operators.media import (
+        documents_as_audio_media,
+        extract_audio_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = extract_audio_stats(documents_as_audio_media(docs)).select(
+        "doc_id", "fingerprint"
+    )
+    band_pairs = ", ".join(
+        f"{b}L, (fingerprint div {1 << (AUD_FP_BAND_BITS * b)}) "
+        f"% {1 << AUD_FP_BAND_BITS}"
+        for b in range(AUD_FP_BANDS)
+    )
+    long = h.select(
+        "doc_id",
+        "fingerprint",
+        F.expr(f"stack({AUD_FP_BANDS}, {band_pairs}) AS (band, val)"),
+    )
+    w = Window.partitionBy("band", "val").orderBy("doc_id")
+    chunked = long.withColumn(
+        "chunk",
+        F.floor(
+            (F.row_number().over(w) - F.lit(1)) / F.lit(AUD_NEARDUP_CAP)
+        ),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fingerprint").alias("fa"),
+            F.col("b.fingerprint").alias("fb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("long")
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= AUD_HAM_T)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _x300_ctes() -> str:
+    """x300's candidate chain ending in ``acand`` (doc_a, doc_b,
+    hamming ≤ T) — assumes the ``afp`` CTE (doc_id, fingerprint) is in
+    scope from ``_audio_fp_ctes``."""
+    band_val = " ".join(
+        f"WHEN {b} THEN (fingerprint // {1 << (AUD_FP_BAND_BITS * b)}) "
+        f"% {1 << AUD_FP_BAND_BITS}"
+        for b in range(AUD_FP_BANDS - 1)
+    )
+    last = (
+        f"(fingerprint // {1 << (AUD_FP_BAND_BITS * (AUD_FP_BANDS - 1))}) "
+        f"% {1 << AUD_FP_BAND_BITS}"
+    )
+    values = ", ".join(f"({b})" for b in range(AUD_FP_BANDS))
+    return f"""
+        along AS (
+          SELECT doc_id, fingerprint, v.band,
+                 CASE v.band {band_val} ELSE {last} END AS val
+          FROM afp CROSS JOIN (VALUES {values}) AS v(band)),
+        achunked AS (
+          SELECT *,
+                 (ROW_NUMBER() OVER (PARTITION BY band, val
+                                     ORDER BY doc_id) - 1)
+                   // {AUD_NEARDUP_CAP} AS chunk
+          FROM along),
+        apairs AS (
+          SELECT DISTINCT
+                 a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.fingerprint AS fa, b.fingerprint AS fb
+          FROM achunked a JOIN achunked b
+            ON a.band = b.band AND a.val = b.val AND a.chunk = b.chunk
+               AND a.doc_id < b.doc_id),
+        acand AS (
+          SELECT doc_a, doc_b,
+                 CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+          FROM apairs
+          WHERE bit_count(xor(fa, fb)) <= {AUD_HAM_T})"""
+
+
+def _x300_sql() -> str:
+    return f"""
+        WITH {_audio_ctes()},
+        {_audio_fp_ctes()},
+        {_x300_ctes()}
+        SELECT doc_a, doc_b, hamming FROM acand
+        """
+
+
+register(
+    QuerySpec(
+        "x300_audio_neardup_pairs",
+        x300_audio_neardup_pairs,
+        _x300_sql(),
+        "banded-Hamming audio near-dup pairs over the energy-contour fingerprint: pigeonhole-complete at T=2, capacity-capped buckets",
+    )
+)
+
+
+def _audio_store_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(shard, fingerprint) store accounting off the REAL WAV
+    decode path — the audio edition of ``_dhash_store_groups``: shard =
+    fingerprint mod AUD_STORE_SHARDS (the CAS fan-out key), logical
+    bytes all refs, stored bytes the keeper's."""
+    from ..operators.media import (
+        documents_as_audio_media,
+        extract_audio_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = extract_audio_stats(documents_as_audio_media(docs)).withColumn(
+        "shard", (F.col("fingerprint") % AUD_STORE_SHARDS).cast("long")
+    )
+    return h.groupBy("shard", "fingerprint").agg(
+        F.count(F.lit(1)).alias("refs"),
+        F.sum("n_bytes").alias("logical"),
+        F.min_by("n_bytes", "doc_id").alias("stored"),
+    )
+
+
+_SQL_AUDIO_GROUPS = f"""
+        ab AS (
+          SELECT afp.doc_id, afp.fingerprint,
+                 CAST(44 + 2 * ad.n AS BIGINT) AS n_bytes
+          FROM afp JOIN ad USING (doc_id)),
+        agroups AS (
+          SELECT fingerprint % {AUD_STORE_SHARDS} AS shard, fingerprint,
+                 COUNT(*) AS refs,
+                 SUM(n_bytes) AS logical,
+                 MIN_BY(n_bytes, doc_id) AS stored
+          FROM ab GROUP BY 1, 2),
+        aagg AS (
+          SELECT CAST(SUM(refs) AS BIGINT) AS n_objects,
+                 CAST(SUM(logical) AS BIGINT) AS total_bytes,
+                 CAST(SUM(logical) - SUM(stored) AS BIGINT)
+                   AS reclaimable_bytes
+          FROM agroups)"""
+
+_SQL_AUDIO_DECISION = (
+    f"CASE WHEN ({BP_SCALE} * reclaimable_bytes) // total_bytes "
+    f">= {AUD_RECLAIM_BP} THEN 'dedup' ELSE 'hold' END"
+)
+
+
+def x301_audio_dedup_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: adopt the audio store dedup iff the reclaimable payload
+    fraction clears AUD_RECLAIM_BP, in exact basis points — x283's
+    measure + decide Column expressions VERBATIM over the audio
+    groups frame."""
+    return _dedup_policy_from(
+        _audio_store_groups(spark, sf_dir), thr_bp=AUD_RECLAIM_BP
+    )
+
+
+def _x301_sql() -> str:
+    return f"""
+        WITH {_audio_ctes()},
+        {_audio_fp_ctes()},
+        {_SQL_AUDIO_GROUPS}
+        SELECT n_objects, total_bytes, reclaimable_bytes,
+               ({BP_SCALE} * reclaimable_bytes) // total_bytes
+                 AS reclaim_bp,
+               CAST({AUD_RECLAIM_BP} AS BIGINT) AS thr_bp,
+               {_SQL_AUDIO_DECISION} AS decision
+        FROM aagg
+        """
+
+
+register(
+    QuerySpec(
+        "x301_audio_dedup_policy",
+        x301_audio_dedup_policy,
+        _x301_sql(),
+        "audio store-dedup adoption policy: fingerprint-duplicate mass vs the basis-point threshold",
+    )
+)
+
+
+def x302_policy_routed_audio_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The audio store's shard manifest served THROUGH x301's decision
+    (the x284 shape): 'dedup' stores one object per distinct
+    fingerprint, 'hold' stores every clip verbatim; the decision is
+    named in every row so one gate hash proves decision and manifest
+    agree.  Scale shapes: one fingerprint-keyed shuffle + a
+    AUD_STORE_SHARDS-key rollup."""
+    decision = (
+        x301_audio_dedup_policy(spark, sf_dir).collect()[0].decision
+    )  # 1-row bounded decision (the x235 pattern)
+    g = _audio_store_groups(spark, sf_dir)
+    if decision == "dedup":
+        out = g.groupBy("shard").agg(
+            F.count(F.lit(1)).cast("long").alias("n_objects"),
+            F.sum("refs").cast("long").alias("n_logical_refs"),
+            F.sum("stored").cast("long").alias("stored_bytes"),
+            F.sum("logical").cast("long").alias("logical_bytes"),
+        )
+    else:
+        out = g.groupBy("shard").agg(
+            F.sum("refs").cast("long").alias("n_objects"),
+            F.sum("refs").cast("long").alias("n_logical_refs"),
+            F.sum("logical").cast("long").alias("stored_bytes"),
+            F.sum("logical").cast("long").alias("logical_bytes"),
+        )
+    return out.select(
+        F.lit(decision).alias("decision"),
+        "shard",
+        "n_objects",
+        "n_logical_refs",
+        "stored_bytes",
+        "logical_bytes",
+    )
+
+
+def _x302_sql() -> str:
+    return f"""
+        WITH {_audio_ctes()},
+        {_audio_fp_ctes()},
+        {_SQL_AUDIO_GROUPS},
+        adec AS (SELECT {_SQL_AUDIO_DECISION} AS decision FROM aagg),
+        aper AS (
+          SELECT shard,
+                 CAST(COUNT(*) AS BIGINT) AS dd_objects,
+                 CAST(SUM(refs) AS BIGINT) AS n_refs,
+                 CAST(SUM(stored) AS BIGINT) AS dd_bytes,
+                 CAST(SUM(logical) AS BIGINT) AS logical_bytes
+          FROM agroups GROUP BY shard)
+        SELECT (SELECT decision FROM adec) AS decision,
+               shard,
+               CASE WHEN (SELECT decision FROM adec) = 'dedup'
+                    THEN dd_objects ELSE n_refs END AS n_objects,
+               n_refs AS n_logical_refs,
+               CASE WHEN (SELECT decision FROM adec) = 'dedup'
+                    THEN dd_bytes ELSE logical_bytes END AS stored_bytes,
+               logical_bytes
+        FROM aper
+        """
+
+
+register(
+    QuerySpec(
+        "x302_policy_routed_audio_store",
+        x302_policy_routed_audio_store,
+        _x302_sql(),
+        "policy-routed audio store manifest: shard accounting through whichever layout the dedup policy adopts",
+    )
+)
+
+
+# --- x303: video scene-fingerprint near-dup ------------------------------------
+# VERDICT r13 ask #4 (video leg): the near-dup primitive for video is
+# the scene fingerprint — the cut pattern of the clip as an integer
+# (bit f−1 = transition f is a cut, from REAL Y4M frame-walk decode;
+# ``operators/media.py::video_fingerprint``).  Banding: ≤ 10 bits split
+# into 2 bands of 5, so an exact band match is pigeonhole-complete for
+# Hamming ≤ 1 = the working threshold; capacity chunking is the only
+# loss channel (the x286 coverage argument carries over).
+VID_FP_BAND_BITS = 5
+VID_FP_BANDS = 2       # covers VID_NF_MAX − 1 = 10 fingerprint bits
+VID_HAM_T = 1          # pigeonhole: 1 bit flip cannot touch both bands
+VID_NEARDUP_CAP = 8
+
+
+def x303_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup candidate pairs by banded Hamming over the scene
+    fingerprint — the x280/x300 chain on the video leg: (band, value)
+    equijoin, capacity-chunked buckets, exact bit_count(xor) rescore.
+    At 100 TB: the decode stage is shuffle-free; the pair stage
+    shuffles 2 narrow rows per clip."""
+    from pyspark.sql import Window
+
+    from ..operators.media import (
+        documents_as_video_media,
+        extract_video_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = extract_video_fingerprints(documents_as_video_media(docs)).select(
+        "doc_id", "fingerprint"
+    )
+    band_pairs = ", ".join(
+        f"{b}L, (fingerprint div {1 << (VID_FP_BAND_BITS * b)}) "
+        f"% {1 << VID_FP_BAND_BITS}"
+        for b in range(VID_FP_BANDS)
+    )
+    long = h.select(
+        "doc_id",
+        "fingerprint",
+        F.expr(f"stack({VID_FP_BANDS}, {band_pairs}) AS (band, val)"),
+    )
+    w = Window.partitionBy("band", "val").orderBy("doc_id")
+    chunked = long.withColumn(
+        "chunk",
+        F.floor(
+            (F.row_number().over(w) - F.lit(1)) / F.lit(VID_NEARDUP_CAP)
+        ),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fingerprint").alias("fa"),
+            F.col("b.fingerprint").alias("fb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("long")
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= VID_HAM_T)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _x303_sql() -> str:
+    return f"""
+        WITH {_video_ctes()},
+        vfp AS (
+          SELECT doc_id,
+                 CAST(COALESCE(SUM(cut * (1::BIGINT << (f - 1))), 0)
+                      AS BIGINT) AS fingerprint
+          FROM vdiff GROUP BY doc_id),
+        vlong AS (
+          SELECT doc_id, fingerprint, v.band,
+                 CASE v.band
+                   WHEN 0 THEN fingerprint % {1 << VID_FP_BAND_BITS}
+                   ELSE (fingerprint // {1 << VID_FP_BAND_BITS})
+                        % {1 << VID_FP_BAND_BITS} END AS val
+          FROM vfp CROSS JOIN (VALUES (0), (1)) AS v(band)),
+        vchunked AS (
+          SELECT *,
+                 (ROW_NUMBER() OVER (PARTITION BY band, val
+                                     ORDER BY doc_id) - 1)
+                   // {VID_NEARDUP_CAP} AS chunk
+          FROM vlong),
+        vpairs AS (
+          SELECT DISTINCT
+                 a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.fingerprint AS fa, b.fingerprint AS fb
+          FROM vchunked a JOIN vchunked b
+            ON a.band = b.band AND a.val = b.val AND a.chunk = b.chunk
+               AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+        FROM vpairs
+        WHERE bit_count(xor(fa, fb)) <= {VID_HAM_T}
+        """
+
+
+register(
+    QuerySpec(
+        "x303_video_neardup_pairs",
+        x303_video_neardup_pairs,
+        _x303_sql(),
+        "banded-Hamming video near-dup pairs over the scene fingerprint: pigeonhole-complete at T=1, capacity-capped buckets",
     )
 )

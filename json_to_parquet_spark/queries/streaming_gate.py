@@ -2391,4 +2391,183 @@ def _register_x292() -> None:
     )
 
 
+def x304_stream_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the binaryFile video ingest (x296) — closes
+    the modality-symmetry gap (image had x278/x282, audio x292, video
+    none; VERDICT r13 ask #4): real .y4m files arrive as a
+    ``binaryFile`` FILE STREAM, each micro-batch tag-parses +
+    frame-walks only its own clips with the SAME ``extract_video_stats``
+    mapInPandas the batch path runs, writing per-clip rows through the
+    idempotent ``bid=N`` sink.  Per-file independence ⇒ drained union
+    == the one-shot batch read, so x296's oracle is reused verbatim."""
+    import math
+    import shutil as _sh
+
+    from ..operators.media import extract_video_stats
+    from .multimodal import video_fixture_dir
+
+    fixture = video_fixture_dir(spark, sf_dir)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(GATE_DIR, f"src_x304_{sf_tag}")
+    dest = os.path.join(GATE_DIR, f"out_x304_{sf_tag}")
+    ckpt = os.path.join(GATE_DIR, f"ckpt_x304_{sf_tag}")
+    _fresh(src, dest, ckpt)
+    os.makedirs(src, exist_ok=True)
+    names = sorted(f for f in os.listdir(fixture) if f.endswith(".y4m"))
+    for f in names:
+        _sh.copy(os.path.join(fixture, f), os.path.join(src, f))
+    per_trigger = max(1, math.ceil(len(names) / 4))
+
+    def handle_batch(bdf, bid: int) -> None:
+        files = bdf.select(
+            F.regexp_extract(F.col("path"), r"vid_(\d+)\.y4m$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").alias("src_length"),
+            F.col("content").alias("payload"),
+        )
+        out = extract_video_stats(files).join(
+            files.select("doc_id", "src_length"), "doc_id"
+        )
+        _write_batch_idempotent(
+            out.select(
+                "doc_id",
+                "src_length",
+                "n_bytes",
+                "width",
+                "height",
+                "n_frames",
+                "n_cuts",
+                (F.col("src_length") == F.col("n_bytes")).alias(
+                    "length_agrees"
+                ),
+            ),
+            bid,
+            dest,
+        )
+
+    q = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.y4m")
+        .option("maxFilesPerTrigger", per_trigger)
+        .load(src)
+        .writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q, 300)
+    return _read_batches(spark, dest).orderBy("doc_id")
+
+
+def _register_x304() -> None:
+    # Oracle builder imported from multimodal directly — no
+    # import-order dependency (the ADVICE-r12 x270 lesson).
+    from .multimodal import _x296_sql
+
+    register(
+        QuerySpec(
+            "x304_stream_video_decode",
+            x304_stream_video_decode,
+            _x296_sql(),
+            "streaming binaryFile video ingest: drained per-batch frame-walk decodes union to the batch read",
+        )
+    )
+
+
+_register_x304()
+
+
+def x307_stream_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the PNG binaryFile ingest (x306): real .png
+    files arrive as a ``binaryFile`` FILE STREAM, each micro-batch
+    inflates + unfilters only its own files with the SAME
+    ``extract_image_stats`` mapInPandas the batch path runs, writing
+    per-image rows through the idempotent ``bid=N`` sink.  Per-file
+    independence ⇒ drained union == the one-shot batch read, so x306's
+    oracle is reused verbatim (the x278 anti-drift shape on the
+    compressed-format leg)."""
+    import math
+    import shutil as _sh
+
+    from ..operators.media import extract_image_stats
+    from .multimodal import png_fixture_dir
+
+    fixture = png_fixture_dir(spark, sf_dir)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(GATE_DIR, f"src_x307_{sf_tag}")
+    dest = os.path.join(GATE_DIR, f"out_x307_{sf_tag}")
+    ckpt = os.path.join(GATE_DIR, f"ckpt_x307_{sf_tag}")
+    _fresh(src, dest, ckpt)
+    os.makedirs(src, exist_ok=True)
+    names = sorted(f for f in os.listdir(fixture) if f.endswith(".png"))
+    for f in names:
+        _sh.copy(os.path.join(fixture, f), os.path.join(src, f))
+    per_trigger = max(1, math.ceil(len(names) / 4))
+
+    def handle_batch(bdf, bid: int) -> None:
+        files = bdf.select(
+            F.regexp_extract(F.col("path"), r"img_(\d+)\.png$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").alias("src_length"),
+            F.col("content").alias("payload"),
+        )
+        out = extract_image_stats(files).join(
+            files.select("doc_id", "src_length"), "doc_id"
+        )
+        _write_batch_idempotent(
+            out.select(
+                "doc_id",
+                "width",
+                "height",
+                "pix_sum",
+                (F.col("src_length") == F.col("n_bytes")).alias(
+                    "length_agrees"
+                ),
+            ),
+            bid,
+            dest,
+        )
+
+    q = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.png")
+        .option("maxFilesPerTrigger", per_trigger)
+        .load(src)
+        .writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q, 300)
+    return _read_batches(spark, dest).orderBy("doc_id")
+
+
+def _register_x307() -> None:
+    # Oracle builder imported from multimodal directly — no
+    # import-order dependency (the ADVICE-r12 x270 lesson).
+    from .multimodal import _x306_sql
+
+    register(
+        QuerySpec(
+            "x307_stream_png_decode",
+            x307_stream_png_decode,
+            _x306_sql(),
+            "streaming binaryFile PNG ingest: drained per-batch inflate+unfilter decodes union to the batch read",
+        )
+    )
+
+
+_register_x307()
+
+
 _register_x292()
