@@ -279,6 +279,26 @@ HEADLINE = [
     "x296_video_binaryfile_source",
     # the multimodal sample manifest (all three real decodes joined)
     "x297_multimodal_sample_manifest",
+    # round-17 additions: REAL PNG decode (zlib inflate + five-filter
+    # unfilter; PPM parity, RGBA alpha law, binaryFile ingest +
+    # streaming twin)
+    "x298_png_decode_parity",
+    "x299_png_rgba_alpha_stats",
+    "x306_png_binaryfile_source",
+    "x307_stream_png_decode",
+    # audio arrow parity: banded-Hamming fingerprint near-dup, store
+    # decide, policy-routed shard manifest
+    "x300_audio_neardup_pairs",
+    "x301_audio_dedup_policy",
+    "x302_policy_routed_audio_store",
+    # video arrow: scene-fingerprint near-dup, store decide, routed
+    # manifest, streaming ingest twin
+    "x303_video_neardup_pairs",
+    "x308_video_dedup_policy",
+    "x309_policy_routed_video_store",
+    "x304_stream_video_decode",
+    # WebDataset tar shard round-trip (write + binaryFile re-read gate)
+    "x305_tar_shard_roundtrip",
 ]
 
 CONVERT_RECORDS = 100_000

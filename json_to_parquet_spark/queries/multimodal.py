@@ -3120,14 +3120,18 @@ def x303_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _x303_sql() -> str:
-    return f"""
-        WITH {_video_ctes()},
+_SQL_VIDEO_FP_CTE = """
         vfp AS (
           SELECT doc_id,
                  CAST(COALESCE(SUM(cut * (1::BIGINT << (f - 1))), 0)
                       AS BIGINT) AS fingerprint
-          FROM vdiff GROUP BY doc_id),
+          FROM vdiff GROUP BY doc_id)"""
+
+
+def _x303_sql() -> str:
+    return f"""
+        WITH {_video_ctes()},
+        {_SQL_VIDEO_FP_CTE},
         vlong AS (
           SELECT doc_id, fingerprint, v.band,
                  CASE v.band
@@ -3161,6 +3165,165 @@ register(
         x303_video_neardup_pairs,
         _x303_sql(),
         "banded-Hamming video near-dup pairs over the scene fingerprint: pigeonhole-complete at T=1, capacity-capped buckets",
+    )
+)
+
+
+# --- x308/x309: video store decide arrow + policy-routed manifest --------------
+# Completes the three-modality symmetry: every modality now carries the
+# full near-dup → decide → policy-routed-store arrow (image x280/x283/
+# x284, audio x300/x301/x302, video x303/x308/x309).  Same integer
+# discipline; constants f-strung into the oracle.
+VID_RECLAIM_BP = 2_000
+VID_STORE_SHARDS = 16
+
+
+def _video_store_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(shard, fingerprint) store accounting off the REAL Y4M
+    decode path: shard = scene fingerprint mod VID_STORE_SHARDS,
+    logical bytes all refs, stored bytes the keeper's."""
+    from ..operators.media import (
+        documents_as_video_media,
+        extract_video_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = extract_video_fingerprints(
+        documents_as_video_media(docs)
+    ).withColumn(
+        "shard", (F.col("fingerprint") % VID_STORE_SHARDS).cast("long")
+    )
+    return h.groupBy("shard", "fingerprint").agg(
+        F.count(F.lit(1)).alias("refs"),
+        F.sum("n_bytes").alias("logical"),
+        F.min_by("n_bytes", "doc_id").alias("stored"),
+    )
+
+
+_SQL_VIDEO_GROUPS = f"""
+        vb AS (
+          SELECT vfp.doc_id, vfp.fingerprint,
+                 CAST(33 + strlen(CAST(vd.w AS VARCHAR))
+                         + strlen(CAST(vd.h AS VARCHAR))
+                         + vd.nf * (6 + 3 * vd.w * vd.h) AS BIGINT)
+                   AS n_bytes
+          FROM vfp JOIN vd USING (doc_id)),
+        vgroups AS (
+          SELECT fingerprint % {VID_STORE_SHARDS} AS shard, fingerprint,
+                 COUNT(*) AS refs,
+                 SUM(n_bytes) AS logical,
+                 MIN_BY(n_bytes, doc_id) AS stored
+          FROM vb GROUP BY 1, 2),
+        vagg AS (
+          SELECT CAST(SUM(refs) AS BIGINT) AS n_objects,
+                 CAST(SUM(logical) AS BIGINT) AS total_bytes,
+                 CAST(SUM(logical) - SUM(stored) AS BIGINT)
+                   AS reclaimable_bytes
+          FROM vgroups)"""
+
+_SQL_VIDEO_DECISION = (
+    f"CASE WHEN ({BP_SCALE} * reclaimable_bytes) // total_bytes "
+    f">= {VID_RECLAIM_BP} THEN 'dedup' ELSE 'hold' END"
+)
+
+
+def x308_video_dedup_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: adopt the video store dedup iff the reclaimable payload
+    fraction clears VID_RECLAIM_BP — the shared measure+decide Column
+    expressions over the video groups frame."""
+    return _dedup_policy_from(
+        _video_store_groups(spark, sf_dir), thr_bp=VID_RECLAIM_BP
+    )
+
+
+def _x308_sql() -> str:
+    return f"""
+        WITH {_video_ctes()},
+        {_SQL_VIDEO_FP_CTE},
+        {_SQL_VIDEO_GROUPS}
+        SELECT n_objects, total_bytes, reclaimable_bytes,
+               ({BP_SCALE} * reclaimable_bytes) // total_bytes
+                 AS reclaim_bp,
+               CAST({VID_RECLAIM_BP} AS BIGINT) AS thr_bp,
+               {_SQL_VIDEO_DECISION} AS decision
+        FROM vagg
+        """
+
+
+register(
+    QuerySpec(
+        "x308_video_dedup_policy",
+        x308_video_dedup_policy,
+        _x308_sql(),
+        "video store-dedup adoption policy: scene-fingerprint duplicate mass vs the basis-point threshold",
+    )
+)
+
+
+def x309_policy_routed_video_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The video store's shard manifest served THROUGH x308's decision
+    (the x284/x302 shape), decision named in every row."""
+    decision = (
+        x308_video_dedup_policy(spark, sf_dir).collect()[0].decision
+    )  # 1-row bounded decision (the x235 pattern)
+    g = _video_store_groups(spark, sf_dir)
+    if decision == "dedup":
+        out = g.groupBy("shard").agg(
+            F.count(F.lit(1)).cast("long").alias("n_objects"),
+            F.sum("refs").cast("long").alias("n_logical_refs"),
+            F.sum("stored").cast("long").alias("stored_bytes"),
+            F.sum("logical").cast("long").alias("logical_bytes"),
+        )
+    else:
+        out = g.groupBy("shard").agg(
+            F.sum("refs").cast("long").alias("n_objects"),
+            F.sum("refs").cast("long").alias("n_logical_refs"),
+            F.sum("logical").cast("long").alias("stored_bytes"),
+            F.sum("logical").cast("long").alias("logical_bytes"),
+        )
+    return out.select(
+        F.lit(decision).alias("decision"),
+        "shard",
+        "n_objects",
+        "n_logical_refs",
+        "stored_bytes",
+        "logical_bytes",
+    )
+
+
+def _x309_sql() -> str:
+    return f"""
+        WITH {_video_ctes()},
+        {_SQL_VIDEO_FP_CTE},
+        {_SQL_VIDEO_GROUPS},
+        vdec AS (SELECT {_SQL_VIDEO_DECISION} AS decision FROM vagg),
+        vper AS (
+          SELECT shard,
+                 CAST(COUNT(*) AS BIGINT) AS dd_objects,
+                 CAST(SUM(refs) AS BIGINT) AS n_refs,
+                 CAST(SUM(stored) AS BIGINT) AS dd_bytes,
+                 CAST(SUM(logical) AS BIGINT) AS logical_bytes
+          FROM vgroups GROUP BY shard)
+        SELECT (SELECT decision FROM vdec) AS decision,
+               shard,
+               CASE WHEN (SELECT decision FROM vdec) = 'dedup'
+                    THEN dd_objects ELSE n_refs END AS n_objects,
+               n_refs AS n_logical_refs,
+               CASE WHEN (SELECT decision FROM vdec) = 'dedup'
+                    THEN dd_bytes ELSE logical_bytes END AS stored_bytes,
+               logical_bytes
+        FROM vper
+        """
+
+
+register(
+    QuerySpec(
+        "x309_policy_routed_video_store",
+        x309_policy_routed_video_store,
+        _x309_sql(),
+        "policy-routed video store manifest: shard accounting through whichever layout the dedup policy adopts",
     )
 )
 
