@@ -297,8 +297,12 @@ HEADLINE = [
     "x308_video_dedup_policy",
     "x309_policy_routed_video_store",
     "x304_stream_video_decode",
-    # WebDataset tar shard round-trip (write + binaryFile re-read gate)
+    # WebDataset tar shard round-trip (write + binaryFile re-read gate),
+    # its streaming ingest twin, and cross-modal sample dedup (all
+    # three real decode kernels composed into one sample identity)
     "x305_tar_shard_roundtrip",
+    "x311_stream_tar_ingest",
+    "x310_crossmodal_sample_dedup",
 ]
 
 CONVERT_RECORDS = 100_000

@@ -3602,3 +3602,107 @@ register(
         "WebDataset tar shard round-trip: law-packed shards written by tarfile, re-read via binaryFile + tar parse, member bytes identity-gated",
     )
 )
+
+
+# --- x310: CROSS-MODAL sample-level dedup --------------------------------------
+# The per-modality near-dup arrows find duplicate images, clips, and
+# videos separately; a multimodal TRAINING-SAMPLE is duplicated only
+# when all of its modalities are — the sample-level key is the triple
+# (image dHash, audio fingerprint, video fingerprint).  This op
+# composes the three REAL decode kernels into one sample-identity
+# dedup: per doc, decode all three payloads, group by the triple, keep
+# the lowest doc_id.  Spark side: three shuffle-free decode stages +
+# two doc_id-keyed joins + one triple-keyed shuffle; oracle side: the
+# three arithmetic-law chains (dHash, audio fp, video fp) composed in
+# one WITH and grouped — the x297 composition applied to DEDUP.
+
+
+def x310_crossmodal_sample_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(dhash_hex, audio_fp, video_fp, keep_id, n_members,
+    sample_bytes) per distinct sample identity — the dedup manifest a
+    multimodal trainer consumes (n_members > 1 ⇒ the whole SAMPLE is a
+    re-occurrence, not just one modality).  sample_bytes is the
+    triple's payload total for the keeper, from real encoded bytes."""
+    from ..operators.media import (
+        documents_as_audio_media,
+        documents_as_image_media,
+        documents_as_video_media,
+        extract_audio_stats,
+        extract_image_dhash,
+        extract_video_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    img = extract_image_dhash(
+        documents_as_image_media(docs, fmt="ppm")
+    ).select(
+        "doc_id", "dhash_hex", F.col("n_bytes").alias("img_bytes")
+    )
+    aud = extract_audio_stats(documents_as_audio_media(docs)).select(
+        "doc_id",
+        F.col("fingerprint").alias("audio_fp"),
+        F.col("n_bytes").alias("wav_bytes"),
+    )
+    vid = extract_video_fingerprints(
+        documents_as_video_media(docs)
+    ).select(
+        "doc_id",
+        F.col("fingerprint").alias("video_fp"),
+        F.col("n_bytes").alias("vid_bytes"),
+    )
+    samples = (
+        img.join(aud, "doc_id")
+        .join(vid, "doc_id")
+        .withColumn(
+            "sample_bytes",
+            (
+                F.col("img_bytes") + F.col("wav_bytes") + F.col("vid_bytes")
+            ).cast("long"),
+        )
+    )
+    return samples.groupBy("dhash_hex", "audio_fp", "video_fp").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.min_by("sample_bytes", "doc_id").alias("sample_bytes"),
+    )
+
+
+def _x310_sql() -> str:
+    return f"""
+        WITH {_dhash_ctes()},
+        {_audio_ctes()},
+        {_audio_fp_ctes()},
+        {_video_ctes()},
+        {_SQL_VIDEO_FP_CTE},
+        s AS (
+          SELECT h.doc_id, h.dhash_hex,
+                 afp.fingerprint AS audio_fp,
+                 vfp.fingerprint AS video_fp,
+                 h.n_bytes
+                 + (44 + 2 * ad.n)
+                 + (33 + strlen(CAST(vd.w AS VARCHAR))
+                       + strlen(CAST(vd.h AS VARCHAR))
+                       + vd.nf * (6 + 3 * vd.w * vd.h)) AS sample_bytes
+          FROM hashes h
+          JOIN afp USING (doc_id)
+          JOIN ad USING (doc_id)
+          JOIN vfp USING (doc_id)
+          JOIN vd USING (doc_id))
+        SELECT dhash_hex, audio_fp, video_fp,
+               MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_members,
+               CAST(MIN_BY(sample_bytes, doc_id) AS BIGINT) AS sample_bytes
+        FROM s GROUP BY 1, 2, 3
+        """
+
+
+register(
+    QuerySpec(
+        "x310_crossmodal_sample_dedup",
+        x310_crossmodal_sample_dedup,
+        _x310_sql(),
+        "cross-modal sample dedup: the (image dHash, audio fp, video fp) triple as the sample identity, three real decodes composed",
+    )
+)

@@ -2552,6 +2552,135 @@ def x307_stream_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _read_batches(spark, dest).orderBy("doc_id")
 
 
+def x311_stream_tar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the tar shard re-read (x305): .tar shards land
+    as a ``binaryFile`` FILE STREAM (the arrival shape of a WebDataset
+    drop-off directory) and each micro-batch parses ONLY its own
+    shards — a whole shard always sits in one binary row, so the
+    per-shard rollup (member count, byte sum, doc range, identity
+    check) is computable batch-locally and the drained union equals
+    the one-shot batch read; x305's oracle is reused verbatim.
+    Idempotent ``bid=N`` sink."""
+    import math
+    import shutil as _sh
+
+    from ..operators.media import make_image
+    from .multimodal import tar_shard_dir
+
+    fixture = tar_shard_dir(spark, sf_dir)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(GATE_DIR, f"src_x311_{sf_tag}")
+    dest = os.path.join(GATE_DIR, f"out_x311_{sf_tag}")
+    ckpt = os.path.join(GATE_DIR, f"ckpt_x311_{sf_tag}")
+    _fresh(src, dest, ckpt)
+    os.makedirs(src, exist_ok=True)
+    names = sorted(f for f in os.listdir(fixture) if f.endswith(".tar"))
+    for f in names:
+        _sh.copy(os.path.join(fixture, f), os.path.join(src, f))
+    per_trigger = max(1, math.ceil(len(names) / 2))
+
+    member_schema = T.StructType(
+        [
+            T.StructField("shard_id", T.LongType()),
+            T.StructField("n_members", T.LongType()),
+            T.StructField("member_bytes", T.LongType()),
+            T.StructField("first_doc", T.LongType()),
+            T.StructField("last_doc", T.LongType()),
+            T.StructField("all_match", T.BooleanType()),
+        ]
+    )
+
+    def parse_tars(it):
+        import io
+        import re
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: [] for k in member_schema.fieldNames()
+            }
+            for sid, content in zip(pdf["shard_id"], pdf["content"]):
+                docs, sizes, match = [], [], True
+                with tarfile.open(
+                    fileobj=io.BytesIO(bytes(content)), mode="r:"
+                ) as tf:
+                    for m in tf.getmembers():
+                        doc_id = int(
+                            re.fullmatch(
+                                r"img_(\d+)\.ppm", m.name
+                            ).group(1)
+                        )
+                        payload = tf.extractfile(m).read()
+                        docs.append(doc_id)
+                        sizes.append(len(payload))
+                        match = match and payload == make_image(
+                            doc_id, "ppm"
+                        )
+                rows["shard_id"].append(int(sid))
+                rows["n_members"].append(len(docs))
+                rows["member_bytes"].append(sum(sizes))
+                rows["first_doc"].append(min(docs))
+                rows["last_doc"].append(max(docs))
+                rows["all_match"].append(match)
+            yield pd.DataFrame(
+                {
+                    k: pd.Series(
+                        rows[k],
+                        dtype="bool" if k == "all_match" else "int64",
+                    )
+                    for k in member_schema.fieldNames()
+                }
+            )
+
+    def handle_batch(bdf, bid: int) -> None:
+        shards = bdf.select(
+            F.regexp_extract(F.col("path"), r"shard_(\d+)\.tar$", 1)
+            .cast("long")
+            .alias("shard_id"),
+            F.col("content"),
+        )
+        _write_batch_idempotent(
+            shards.mapInPandas(parse_tars, member_schema), bid, dest
+        )
+
+    q = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.tar")
+        .option("maxFilesPerTrigger", per_trigger)
+        .load(src)
+        .writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q, 300)
+    return _read_batches(spark, dest).orderBy("shard_id")
+
+
+def _register_x311() -> None:
+    # Oracle builder imported from multimodal directly — no
+    # import-order dependency (the ADVICE-r12 x270 lesson).
+    from .multimodal import _x305_sql
+
+    register(
+        QuerySpec(
+            "x311_stream_tar_ingest",
+            x311_stream_tar_ingest,
+            _x305_sql(),
+            "streaming tar shard ingest: per-batch shard parses union to the batch round-trip read",
+        )
+    )
+
+
+_register_x311()
+
+
 def _register_x307() -> None:
     # Oracle builder imported from multimodal directly — no
     # import-order dependency (the ADVICE-r12 x270 lesson).
