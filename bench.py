@@ -284,6 +284,7 @@ HEADLINE = [
     # streaming twin)
     "x298_png_decode_parity",
     "x299_png_rgba_alpha_stats",
+    "x312_png_palette_gray_decode",
     "x306_png_binaryfile_source",
     "x307_stream_png_decode",
     # audio arrow parity: banded-Hamming fingerprint near-dup, store

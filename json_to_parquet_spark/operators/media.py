@@ -196,19 +196,24 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes, list[int]]:
     gate query can prove which filter paths ran).
 
     Walks length/type/data/CRC chunks verifying each CRC32, parses
-    IHDR, inflates the concatenation of all IDAT chunks with ``zlib``,
-    and unfilters every scanline (None/Sub/Up/Average/Paeth).  Raises
-    ``ValueError`` for corrupt structure/CRC/length and
-    ``NotImplementedError`` for the out-of-scope shapes (interlaced,
-    non-8-bit, palette/grayscale)."""
+    IHDR (+ PLTE for color type 3), inflates the concatenation of all
+    IDAT chunks with ``zlib``, and unfilters every scanline
+    (None/Sub/Up/Average/Paeth) over the color type's filter unit
+    (1 byte for gray/palette, 3/4 for truecolor±alpha); grayscale and
+    palette images expand to RGB output.  Raises ``ValueError`` for
+    corrupt structure/CRC/length/palette and ``NotImplementedError``
+    for the out-of-scope shapes (interlaced, non-8-bit)."""
     import zlib
 
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG stream")
     pos = 8
     w = h = None
+    color_type = None
     channels = 0
+    bpp = 0
     idat = bytearray()
+    plte = None
     saw_end = False
     while pos < len(payload):
         if pos + 8 > len(payload):
@@ -232,12 +237,19 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes, list[int]]:
                 raise ValueError("invalid PNG compression/filter method")
             if interlace != 0:
                 raise NotImplementedError("interlaced PNG not supported")
-            if bit_depth != 8 or color_type not in (2, 6):
+            if bit_depth != 8 or color_type not in (0, 2, 3, 6):
                 raise NotImplementedError(
-                    "only non-interlaced 8-bit truecolor(+alpha) PNG "
-                    "supported"
+                    "only non-interlaced 8-bit grayscale/palette/"
+                    "truecolor(+alpha) PNG supported"
                 )
-            channels = 3 if color_type == 2 else 4
+            # bpp = filter-unit bytes per pixel; channels = OUTPUT
+            # channels (palette/gray expand to RGB below).
+            bpp = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
+            channels = {0: 3, 2: 3, 3: 3, 6: 4}[color_type]
+        elif ctype == b"PLTE":
+            if clen % 3 or clen == 0 or clen > 768:
+                raise ValueError("malformed PLTE chunk")
+            plte = bytes(data)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -246,11 +258,12 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes, list[int]]:
         pos += 12 + clen
     if w is None or not saw_end:
         raise ValueError("PNG missing IHDR or IEND")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"corrupt PNG DEFLATE stream: {e}") from e
-    bpp = channels
     stride = w * bpp
     if len(raw) != h * (1 + stride):
         raise ValueError("PNG pixel data length mismatch")
@@ -283,7 +296,23 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes, list[int]]:
             raise ValueError(f"invalid PNG filter type {ft}")
         out[y * stride : (y + 1) * stride] = line
         prev = bytes(line)
-    return (w, h, channels, bytes(out), filters)
+    pix = bytes(out)
+    if color_type == 0:
+        # Grayscale expands to RGB (g, g, g) — the 3-byte output
+        # contract; the filter unit stays the 1-byte gray sample.
+        expanded = bytearray(3 * len(pix))
+        for i, g in enumerate(pix):
+            expanded[3 * i] = expanded[3 * i + 1] = expanded[3 * i + 2] = g
+        pix = bytes(expanded)
+    elif color_type == 3:
+        n_entries = len(plte) // 3
+        expanded = bytearray(3 * len(pix))
+        for i, idx in enumerate(pix):
+            if idx >= n_entries:
+                raise ValueError("PNG palette index out of range")
+            expanded[3 * i : 3 * i + 3] = plte[3 * idx : 3 * idx + 3]
+        pix = bytes(expanded)
+    return (w, h, channels, pix, filters)
 
 
 def encode_png(
@@ -301,14 +330,35 @@ def encode_png(
 
     if channels not in (3, 4):
         raise ValueError("channels must be 3 or 4")
-    bpp = channels
-    stride = width * bpp
+    stride = width * channels
     if len(pixels) != height * stride:
         raise ValueError("pixels length must be channels*w*h")
+    filtered = _png_filter_stream(width, height, pixels, channels)
+    color_type = 2 if channels == 3 else 6
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes((8, color_type, 0, 0, 0))
+    )
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(filtered), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_filter_stream(
+    width: int, height: int, samples: bytes, bpp: int
+) -> bytes:
+    """The y%5 forward-filtered scanline stream over ``samples`` with a
+    ``bpp``-byte filter unit — shared by the truecolor, grayscale, and
+    palette encoders (palette filters over INDEX bytes, per spec)."""
+    stride = width * bpp
     filtered = bytearray()
     prev = bytes(stride)
     for y in range(height):
-        cur = pixels[y * stride : (y + 1) * stride]
+        cur = samples[y * stride : (y + 1) * stride]
         ft = y % 5
         filtered.append(ft)
         if ft == 0:
@@ -345,16 +395,59 @@ def encode_png(
                 for x in range(stride)
             )
         prev = cur
-    color_type = 2 if channels == 3 else 6
+    return bytes(filtered)
+
+
+def encode_png_gray(width: int, height: int, gray: bytes) -> bytes:
+    """8-bit grayscale (color type 0) PNG, y%5 filter law."""
+    import zlib
+
+    if len(gray) != width * height:
+        raise ValueError("gray length must be w*h")
     ihdr = (
         width.to_bytes(4, "big")
         + height.to_bytes(4, "big")
-        + bytes((8, color_type, 0, 0, 0))
+        + bytes((8, 0, 0, 0, 0))
     )
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(filtered), 6))
+        + _png_chunk(
+            b"IDAT",
+            zlib.compress(_png_filter_stream(width, height, gray, 1), 6),
+        )
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(
+    width: int, height: int, indices: bytes, palette: bytes
+) -> bytes:
+    """8-bit palette (color type 3, PNG-8) PNG: PLTE carries the
+    3-byte RGB entries, IDAT the y%5-filtered INDEX bytes."""
+    import zlib
+
+    if len(indices) != width * height:
+        raise ValueError("indices length must be w*h")
+    if len(palette) % 3 or not 0 < len(palette) <= 768:
+        raise ValueError("palette must be 1..256 RGB triples")
+    if max(indices) >= len(palette) // 3:
+        raise ValueError("index exceeds palette")
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes((8, 3, 0, 0, 0))
+    )
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette)
+        + _png_chunk(
+            b"IDAT",
+            zlib.compress(
+                _png_filter_stream(width, height, indices, 1), 6
+            ),
+        )
         + _png_chunk(b"IEND", b"")
     )
 
@@ -647,6 +740,44 @@ def image_alpha(doc_id: int, width: int, height: int) -> bytes:
     return bytes(
         (doc_id * PNG_ALPHA_A + p) % IMG_PIX_MOD
         for p in range(width * height)
+    )
+
+
+# Grayscale / palette (PNG-8) fixture laws — independent of the RGB
+# law so plane/LUT mix-ups cannot cancel in the checksums.
+PNG_GRAY_A, PNG_GRAY_B = 3, 7    # gray_p = (id·3 + 7p) mod 256
+PNG_PAL_N = 16                   # palette entries
+PNG_PAL_A, PNG_PAL_K = 5, 3      # entry k chan c = (id·5 + 3k + c) mod 256
+
+
+def image_gray(doc_id: int, width: int, height: int) -> bytes:
+    return bytes(
+        (doc_id * PNG_GRAY_A + PNG_GRAY_B * p) % IMG_PIX_MOD
+        for p in range(width * height)
+    )
+
+
+def make_image_gray(doc_id: int) -> bytes:
+    w, h = image_dims(doc_id)
+    return encode_png_gray(w, h, image_gray(doc_id, w, h))
+
+
+def image_palette(doc_id: int) -> bytes:
+    return bytes(
+        (doc_id * PNG_PAL_A + PNG_PAL_K * k + c) % IMG_PIX_MOD
+        for k in range(PNG_PAL_N)
+        for c in range(3)
+    )
+
+
+def image_pal_indices(doc_id: int, width: int, height: int) -> bytes:
+    return bytes((doc_id + p) % PNG_PAL_N for p in range(width * height))
+
+
+def make_image_pal(doc_id: int) -> bytes:
+    w, h = image_dims(doc_id)
+    return encode_png_palette(
+        w, h, image_pal_indices(doc_id, w, h), image_palette(doc_id)
     )
 
 

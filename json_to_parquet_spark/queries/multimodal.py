@@ -2754,6 +2754,127 @@ register(
 )
 
 
+def x312_png_palette_gray_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PNG-8 (palette) and grayscale decode — the two remaining lossless
+    PNG color types real corpora carry (icons/screenshots are PNG-8):
+    per doc, a palette image (PLTE lookup over y%5-filtered INDEX
+    bytes — filtering runs over indices per spec, so the unfilter unit
+    is 1 byte) and a grayscale image (expanded to RGB), each under its
+    OWN arithmetic law.  The oracle re-derives both pixel checksums
+    from the laws, so a LUT/plane mix-up or a wrong 1-byte filter unit
+    breaks the gate.  One fused mapInPandas stage, no shuffle."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators.media import (
+        decode_png,
+        make_image_gray,
+        make_image_pal,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("gray_pix_sum", T.LongType()),
+            T.StructField("pal_pix_sum", T.LongType()),
+            T.StructField("filters_lawful", T.BooleanType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = {k: [] for k in schema.fieldNames()}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                gw, gh, _gc, gpix, gf = decode_png(make_image_gray(d))
+                pw, ph, _pc, ppix, pf = decode_png(make_image_pal(d))
+                law = [y % 5 for y in range(gh)]
+                rows["doc_id"].append(d)
+                rows["width"].append(gw)
+                rows["height"].append(gh)
+                rows["gray_pix_sum"].append(sum(gpix))
+                rows["pal_pix_sum"].append(sum(ppix))
+                rows["filters_lawful"].append(
+                    gf == law and pf == law and (gw, gh) == (pw, ph)
+                )
+            yield pd.DataFrame(
+                {
+                    k: pd.Series(
+                        rows[k],
+                        dtype="bool" if k == "filters_lawful" else "int64",
+                    )
+                    for k in schema.fieldNames()
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id").mapInPandas(batches, schema)
+
+
+def _x312_sql() -> str:
+    from ..operators.media import (
+        IMG_H_MAX,
+        IMG_H_MIN,
+        IMG_H_MOD,
+        IMG_PIX_MOD,
+        IMG_W_MAX,
+        IMG_W_MIN,
+        IMG_W_MOD,
+        PNG_GRAY_A,
+        PNG_GRAY_B,
+        PNG_PAL_A,
+        PNG_PAL_K,
+        PNG_PAL_N,
+    )
+
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 (doc_id % {IMG_W_MOD}) + {IMG_W_MIN} AS w,
+                 (doc_id % {IMG_H_MOD}) + {IMG_H_MIN} AS h
+          FROM documents),
+        px AS (
+          SELECT d.doc_id, g.i AS p
+          FROM d JOIN generate_series(0, {IMG_W_MAX * IMG_H_MAX - 1})
+                      AS g(i) ON g.i < d.w * d.h),
+        gs AS (
+          SELECT doc_id,
+                 CAST(3 * SUM((doc_id * {PNG_GRAY_A}
+                               + {PNG_GRAY_B} * p) % {IMG_PIX_MOD})
+                      AS BIGINT) AS gray_pix_sum
+          FROM px GROUP BY doc_id),
+        ps AS (
+          SELECT px.doc_id,
+                 CAST(SUM((px.doc_id * {PNG_PAL_A}
+                           + {PNG_PAL_K} * ((px.doc_id + px.p) % {PNG_PAL_N})
+                           + c.i) % {IMG_PIX_MOD}) AS BIGINT)
+                   AS pal_pix_sum
+          FROM px CROSS JOIN generate_series(0, 2) AS c(i)
+          GROUP BY px.doc_id)
+        SELECT d.doc_id,
+               CAST(d.w AS BIGINT) AS width,
+               CAST(d.h AS BIGINT) AS height,
+               gs.gray_pix_sum,
+               ps.pal_pix_sum,
+               TRUE AS filters_lawful
+        FROM d JOIN gs USING (doc_id) JOIN ps USING (doc_id)
+        """
+
+
+register(
+    QuerySpec(
+        "x312_png_palette_gray_decode",
+        x312_png_palette_gray_decode,
+        _x312_sql(),
+        "PNG-8 palette + grayscale decode: LUT resolution and 1-byte filter unit under independent laws",
+    )
+)
+
+
 # --- x300-x302: the audio near-dup → policy → routed-store arrow ---------------
 # VERDICT r13 ask #4 (audio leg): bring the audio modality to parity
 # with the image arrow (x280 → x283 → x284).  The near-dup primitive is

@@ -176,8 +176,8 @@ def test_out_of_scope_shapes_raise_notimplemented():
     for tail in (
         bytes((8, 2, 0, 0, 1)),  # interlaced
         bytes((16, 2, 0, 0, 0)),  # 16-bit
-        bytes((8, 3, 0, 0, 0)),  # palette
-        bytes((8, 0, 0, 0, 0)),  # grayscale
+        bytes((8, 4, 0, 0, 0)),  # gray+alpha (not in scope)
+        bytes((1, 3, 0, 0, 0)),  # sub-8-bit palette
     ):
         png = (
             PNG_SIG
@@ -199,3 +199,96 @@ def test_encoder_rejects_bad_args():
         encode_png(2, 2, bytes(12), channels=5)
     with pytest.raises(ValueError):
         encode_png(2, 2, bytes(11), channels=3)
+
+
+@pytest.mark.parametrize("doc_id", [0, 6, 77])
+def test_grayscale_roundtrip_expands_to_rgb(doc_id):
+    from json_to_parquet_spark.operators.media import (
+        image_gray,
+        make_image_gray,
+    )
+
+    w, h = image_dims(doc_id)
+    rw, rh, c, pix, filters = decode_png(make_image_gray(doc_id))
+    assert (rw, rh, c) == (w, h, 3)
+    gray = image_gray(doc_id, w, h)
+    assert pix == bytes(v for g in gray for v in (g, g, g))
+    assert filters == [y % 5 for y in range(h)]
+
+
+@pytest.mark.parametrize("doc_id", [1, 23, 140])
+def test_palette_roundtrip_resolves_lut(doc_id):
+    from json_to_parquet_spark.operators.media import (
+        image_pal_indices,
+        image_palette,
+        make_image_pal,
+    )
+
+    w, h = image_dims(doc_id)
+    rw, rh, c, pix, filters = decode_png(make_image_pal(doc_id))
+    assert (rw, rh, c) == (w, h, 3)
+    pal = image_palette(doc_id)
+    idx = image_pal_indices(doc_id, w, h)
+    assert pix == b"".join(pal[3 * i : 3 * i + 3] for i in idx)
+    # Filtering runs over INDEX bytes (the spec), still the y%5 law.
+    assert filters == [y % 5 for y in range(h)]
+
+
+def test_palette_missing_plte_and_bad_index_raise():
+    import zlib as _z
+
+    from json_to_parquet_spark.operators.media import (
+        _png_filter_stream,
+        make_image_pal,
+    )
+
+    # Strip the PLTE chunk from a valid palette PNG.
+    png = make_image_pal(1)
+    pos = 8
+    keep = [png[:8]]
+    while pos < len(png):
+        clen = int.from_bytes(png[pos : pos + 4], "big")
+        ctype = png[pos + 4 : pos + 8]
+        if ctype != b"PLTE":
+            keep.append(png[pos : pos + 12 + clen])
+        pos += 12 + clen
+    with pytest.raises(ValueError, match="missing PLTE"):
+        decode_png(b"".join(keep))
+    # An index beyond the palette must be rejected at decode.
+    pal = bytes(6)  # 2 entries
+    idat = _z.compress(_png_filter_stream(2, 1, bytes([0, 5]), 1))
+    bad = (
+        PNG_SIG
+        + _png_chunk(
+            b"IHDR",
+            (2).to_bytes(4, "big") + (1).to_bytes(4, "big")
+            + bytes((8, 3, 0, 0, 0)),
+        )
+        + _png_chunk(b"PLTE", pal)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index out of range"):
+        decode_png(bad)
+
+
+def test_gray_hand_computed_sub_filter():
+    """1-byte filter unit: Sub's left neighbor is the PREVIOUS BYTE
+    (bpp=1), hand-checked."""
+    import zlib as _z
+
+    filtered = b"\x01" + bytes([10, 5, 5])
+    png = (
+        PNG_SIG
+        + _png_chunk(
+            b"IHDR",
+            (3).to_bytes(4, "big") + (1).to_bytes(4, "big")
+            + bytes((8, 0, 0, 0, 0)),
+        )
+        + _png_chunk(b"IDAT", _z.compress(filtered))
+        + _png_chunk(b"IEND", b"")
+    )
+    _w, _h, c, pix, _f = decode_png(png)
+    assert c == 3
+    # gray recon = [10, 15, 20] → RGB-expanded
+    assert list(pix) == [10, 10, 10, 15, 15, 15, 20, 20, 20]
