@@ -85,7 +85,10 @@ def test_truncated_and_unknown_payloads_raise():
     # dropping only pad bytes is legitimately decodable
     with pytest.raises(ValueError):
         decode_image_pixels(bmp[:-4])
-    with pytest.raises(NotImplementedError):
+    # PNG is a REAL decode path since round 17 (VERDICT r13 ask #1):
+    # a payload with the PNG signature but garbage chunks is now
+    # MALFORMED (ValueError), no longer out-of-scope.
+    with pytest.raises(ValueError):
         decode_image_pixels(b"\x89PNG\r\n\x1a\n not a real png")
     with pytest.raises(NotImplementedError):
         decode_image_pixels(b"\xff\xd8\xff jpeg-ish")
