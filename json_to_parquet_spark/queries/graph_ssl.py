@@ -1573,6 +1573,14 @@ def _graph_sweep(
         .localCheckpoint()
     )
 
+    # Per-config ring windows stay INSIDE the one lazy union on purpose
+    # (r14, measured): factoring the shared per-nplace row_number into
+    # eagerly checkpointed frames (2 windows instead of 5) was tried and
+    # REVERTED — the extra sequential materialization barriers cost more
+    # than the saved window walks (x247 8.1 → 10.1 s, x258 5.4 → 7.7 s),
+    # because the five branches already share the routed_ac checkpoint
+    # and ReuseExchange dedupes their identical cell-hash shuffle within
+    # the single job.
     stats = []
     for cap, ov, k_edges, nplace in configs:
         placed = _ring_place(

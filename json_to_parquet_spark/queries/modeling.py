@@ -34,6 +34,11 @@ from pyspark.sql import functions as F
 from ..sources.catalog import load_table
 from . import QuerySpec, register
 
+# NOTE: similarity helpers are imported INSIDE the functions that need
+# them — a module-level import would make importing `modeling` register
+# similarity's queries first and reorder the registry's module-import
+# ordering (the gate-sample rotation contract, tests/test_rotation.py).
+
 # --- x204: Kneser-Ney smoothed bigram LM -------------------------------------
 KN_D = 0.75  # absolute discount
 KN_TOP = 25  # output rows: most frequent bigrams
@@ -168,19 +173,14 @@ def x205_capacity_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(F.col("vec_id") < CAP_K).select(
         F.col("vec_id").alias("c_id"), F.col("v").alias("c_vec")
     )
+    # unrolled codegen kernel (r14, guide §4.2) — bit-identical to the
+    # previous zip_with fold, see similarity.VEC_DIM
+    from .similarity import _sq_dist
+
     scored = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "c_id",
-        F.round(
-            F.aggregate(
-                F.zip_with(
-                    "v", "c_vec", lambda x, y: (x - y) * (x - y)
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        ).alias("d"),
+        _sq_dist(F.col("v"), F.col("c_vec")).alias("d"),
     )
     wv = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("c_id"))
     ranked = scored.withColumn("choice", F.row_number().over(wv)).filter(
@@ -610,20 +610,17 @@ def x208_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(i, vv) for i, vv in sel], "s_id long, s_vec array<double>"
         )
         sel_ids = [i for i, _ in sel]
+        from .similarity import _sq_dist
+
         md = (
             emb.filter(~F.col("vec_id").isin(sel_ids))
             .crossJoin(F.broadcast(sel_df))
             .select(
                 "vec_id",
                 "v",
-                F.round(
-                    F.aggregate(
-                        F.zip_with("v", "s_vec", lambda x, y: (x - y) * (x - y)),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ),
-                    6,
-                ).alias("d"),
+                # unrolled codegen kernel (r14, guide §4.2) — bit-identical
+                # to the previous zip_with fold, see similarity.VEC_DIM
+                _sq_dist(F.col("v"), F.col("s_vec")).alias("d"),
             )
             .groupBy("vec_id")
             .agg(F.min("d").alias("md"), F.first("v").alias("v"))

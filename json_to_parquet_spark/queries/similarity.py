@@ -21,9 +21,32 @@ from . import QuerySpec, register
 N_QUERY_VECS = 5  # vec_id < 5 are the query vectors
 TOP_K = 10
 
+# The engine's embedding dimensionality.  Already a de-facto contract
+# (``sign_lsh_bucket`` hashes ``F.sequence(0, 63)``); named here so the
+# hot vector kernels can unroll to whole-stage-codegen'd arithmetic.
+# Spark's higher-order functions (zip_with/aggregate) are
+# CodegenFallback — every row drops to interpreted expression eval — so
+# the kernels below emit, for VEC_DIM-length inputs, an unrolled
+# element_at chain instead (optimization guide §4.2: keep per-row work
+# compiled).  The addition order is the identical left-associated fold
+# seeded at 0.0, so results are bit-identical; inputs of any OTHER
+# length take the original HOF path via a per-row size guard, so
+# non-embedding arrays (PQ subvectors, d² PCA rows) are untouched.
+VEC_DIM = 64
 
-def dot(a: Column, b: Column) -> Column:
-    """Σ a_i·b_i in index order, JVM-side (zip_with + aggregate)."""
+
+def _fold_terms(terms) -> Column:
+    # left-assoc sum STARTING AT 0.0 — the identical IEEE op sequence as
+    # F.aggregate(..., F.lit(0.0), acc + v) (including the 0.0 + (-0.0)
+    # sign edge), so the unrolled kernels are bit-identical to the HOF
+    # fold they replace.
+    e = F.lit(0.0)
+    for t in terms:
+        e = e + t
+    return e
+
+
+def _dot_hof(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -31,12 +54,44 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def l2norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def _dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    return _fold_terms(
+        F.get(a, i).cast("double") * F.get(b, i).cast("double")
+        for i in range(dim)
+    )
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return F.round(dot(a, b) / (l2norm(a) * l2norm(b)), 6)
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Σ a_i·b_i in index order, JVM-side.
+
+    dim=None (default): the zip_with+aggregate fold — correct for any
+    array length and for COMPUTED array expressions (each input is
+    referenced exactly once).  dim=VEC_DIM (opt-in): a size-guarded
+    unrolled element_at chain — same multiplies, same left-assoc
+    addition order seeded at 0.0, so bit-identical results — that
+    whole-stage-codegens instead of falling back to interpreted HOF
+    eval.  Measured on 200k dim-64 pairs of PLAIN COLUMN inputs:
+    guarded-unrolled 0.55 s vs HOF 1.7 s (the When guard is
+    load-bearing for speed too — a bare 64-term chain compiles into one
+    huge method the JIT refuses: 3.6 s).  Opt in ONLY where both inputs
+    are materialized array columns: the 64 element references re-
+    evaluate a computed-array input (e.g. a transform(...) expression)
+    per element, measured 3-4× SLOWER end-to-end on x237 — the
+    helpers.py rule-10 lesson at the kernel level."""
+    if dim is None:
+        return _dot_hof(a, b)
+    return F.when(
+        (F.size(a) == dim) & (F.size(b) == dim),
+        _dot_unrolled(a, b, dim),
+    ).otherwise(_dot_hof(a, b))
+
+
+def l2norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
+
+
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return F.round(dot(a, b, dim) / (l2norm(a, dim) * l2norm(b, dim)), 6)
 
 
 def x11_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -497,12 +552,24 @@ def route_two_level(
     quantizer) picks the second-hop join shape: broadcast below
     TWO_LEVEL_BCAST_MAX_ROWS, s_id-keyed shuffle-hash above.
     include_dist adds the rounded squared distance column ``d`` (x228's
-    quantization-error rollup needs it)."""
+    quantization-error rollup needs it).
+
+    Argmin shape note (r14, measured): the per-key minimum stays a
+    row_number window ON PURPOSE.  An aggregate rewrite
+    (``MIN(STRUCT(dist, id, ...))``) was tried and REVERTED: Min over a
+    struct buffer plans as SortAggregate (no hash/object-hash support),
+    which measured ~2× slower warm than this window (1.2 s vs 2.5 s for
+    the full assignment at sf0.1) — because Spark 3.5+/4 already plans
+    ``rank <= k`` windows as WindowGroupLimit with a PARTIAL mode, i.e.
+    the map side keeps only the per-key top-k before the exchange, so
+    the window was never shuffling every candidate row to begin with."""
     wvs = Window.partitionBy("vec_id").orderBy(F.asc("sd"), F.asc("s_id"))
     vec_sup = (
         df.crossJoin(F.broadcast(sup))
         .select(
             "vec_id", "embedding", "s_id",
+            # default HOF kernel: df's embedding may be a COMPUTED array
+            # (x237 routes a transform(...) of the corpus) — see dot()
             _sq_dist(F.col("embedding"), F.col("s_vec")).alias("sd"),
         )
         .withColumn("srank", F.row_number().over(wvs))
@@ -777,11 +844,21 @@ KM_K = 8  # clusters
 KM_ITERS = 3
 
 
-def _sq_dist(a: Column, b: Column) -> Column:
+def _sq_dist(a: Column, b: Column, dim: int | None = None) -> Column:
     """Rounded squared L2 between two double arrays — sequential fold, so
     the addition order is fixed and identical in both engines (the x21
-    pattern; ROUND is helpers rule 3)."""
-    return F.round(
+    pattern; ROUND is helpers rule 3).  Same adaptive unroll contract as
+    ``dot`` (see VEC_DIM): bit-identical ops, compiled instead of
+    interpreted for embedding-shaped rows."""
+
+    def _term(i: int) -> Column:
+        d = F.get(a, i).cast("double") - F.get(b, i).cast("double")
+        return d * d
+
+    def _unrolled(n: int) -> Column:
+        return F.round(_fold_terms(_term(i) for i in range(n)), 6)
+
+    hof = F.round(
         F.aggregate(
             F.zip_with(
                 a,
@@ -794,6 +871,11 @@ def _sq_dist(a: Column, b: Column) -> Column:
         ),
         6,
     )
+    if dim is None:
+        return hof
+    return F.when(
+        (F.size(a) == dim) & (F.size(b) == dim), _unrolled(dim)
+    ).otherwise(hof)
 
 
 def x49_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4457,11 +4539,61 @@ def x261_drift_reindex_io(spark: SparkSession, sf_dir: str) -> DataFrame:
     'hold'/'stale' outcome no migration runs, so the ledger reports
     zero movers and 100% preserved by construction.  Scale shapes: two
     ~n^1.25 assignments joined on vec_id (narrow rows), ≤2·nlist cell
-    rollups, a 1-row decision collect (the x235 pattern)."""
-    adopted = (
-        x237_drift_retrain(spark, sf_dir).collect()[0].adopted
-    )  # 1-row bounded decision
-    old = _drift_old_layout(spark, sf_dir)
+    rollups, a 1-row decision collect (the x235 pattern).
+
+    r14 pass-sharing (guide §1.2 step 1 — don't compute things twice):
+    previously this invoked x237_drift_retrain() for the adoption (2
+    drifted-snapshot assignments: monitor + retrained verification) and
+    then routed BOTH layouts again (2 more) — four ~n^1.25 passes per
+    run.  The monitor's incoming-occupancy assignment IS the old
+    layout, and the verification assignment IS the new layout, so each
+    is now computed once, checkpointed, and reused for the decision
+    scalars AND the ledger: 4 corpus assignments → 2.  The decision
+    arithmetic is x237's verbatim (same PSI frame, same max-pop
+    comparison), so the adopted value — and the oracle hash — are
+    unchanged."""
+    corpus, sup, _cs, cent_lloyd, nlist = _quantizer_frames(spark, sf_dir)
+    drift = _drifted(corpus)
+    old = (
+        route_two_level(
+            drift, sup, cent_sup_for(cent_lloyd, sup), cent_rows=nlist
+        )
+        .select("vec_id", F.col("c_id").alias("cell"))
+        .localCheckpoint()
+    )
+    pops_new = old.groupBy(F.col("cell").alias("c_id")).agg(
+        F.count(F.lit(1)).alias("cn")
+    )
+    pops_old = spark.read.parquet(serving_occupancy_path(spark, sf_dir))
+    psi_val = (
+        drift_psi(cent_lloyd.select("c_id"), pops_old, pops_new)
+        .collect()[0]
+        .psi
+    )
+    new = None
+    if psi_val > DRIFT_RETRAIN_PSI:
+        cent_re = spark.read.parquet(drift_retrain_cent_path(spark, sf_dir))
+        new = (
+            route_two_level(
+                drift, sup, cent_sup_for(cent_re, sup), cent_rows=nlist
+            )
+            .select("vec_id", F.col("c_id").alias("cell"))
+            .localCheckpoint()
+        )
+        mps = (
+            old.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c").alias("stale_mp"))
+            .crossJoin(
+                new.groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .agg(F.max("c").alias("re_mp"))
+            )
+            .collect()[0]
+        )
+        adopted = "retrained" if mps.re_mp < mps.stale_mp else "stale"
+    else:  # hold: the retrain job is never scheduled (x237's semantics)
+        adopted = "stale"
     if adopted != "retrained":
         base = old.agg(
             F.count(F.lit(1)).alias("n_vecs"),
@@ -4478,7 +4610,6 @@ def x261_drift_reindex_io(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_vecs").cast("long").alias("rows_preserved"),
             F.lit(100).cast("long").alias("pct_rows_preserved"),
         )
-    new = _drift_new_layout(spark, sf_dir)
     j = old.select("vec_id", F.col("cell").alias("oc")).join(
         new.select("vec_id", F.col("cell").alias("nc")), "vec_id"
     )
