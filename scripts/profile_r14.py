@@ -81,10 +81,24 @@ def main() -> None:
     # ---- aggregate the event log ----
     logs = [os.path.join(EVLOG, f) for f in os.listdir(EVLOG)]
     assert len(logs) == 1, logs
+    if os.path.isdir(logs[0]):
+        # Spark 4 rolling event log: a directory of events_* part files
+        logs = sorted(
+            os.path.join(logs[0], f)
+            for f in os.listdir(logs[0])
+            if f.startswith("events_")
+        )
     jobs: dict[int, dict] = {}
     stage_job: dict[int, int] = {}
-    with open(logs[0]) as f:
-        for line in f:
+    import itertools
+
+    def _lines():
+        for lg in logs:
+            with open(lg) as f:
+                yield from f
+
+    if True:
+        for line in _lines():
             ev = json.loads(line)
             k = ev.get("Event")
             if k == "SparkListenerJobStart":

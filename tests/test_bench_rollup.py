@@ -22,21 +22,25 @@ def test_rollup_under_2kb_at_300_entries():
     prev = {k: v * (1.0 + (i % 7 - 3) * 0.1) for i, (k, v) in enumerate(timings.items())}
     doc = rollup_line(timings, medians, prev, {"x172_drain"}, 123.456, 0.1, 3)
     line = json.dumps(doc)
-    assert len(line.encode()) < 1500, f"rollup line {len(line)}B — must stay well under 2KB"
+    assert len(line.encode()) < 1800, f"rollup line {len(line)}B — must stay under the ~2KB tail window"
     parsed = json.loads(line)
     # driver contract shape
     assert parsed["metric"] == "headline_queries_total_wall_clock"
     assert parsed["value"] == 123.456
     assert parsed["unit"] == "sec"
     assert parsed["sf"] == 0.1
-    assert isinstance(parsed["queries"], dict) and len(parsed["queries"]) == 5
+    assert isinstance(parsed["queries"], dict) and len(parsed["queries"]) == 20
 
 
-def test_rollup_top5_are_heaviest_and_decomp_excluded():
+def test_rollup_top_entries_are_heaviest_and_decomp_excluded():
     timings = {"a": 1.0, "b": 9.0, "c": 3.0, "d": 7.0, "e": 2.0, "f": 8.0, "x172_drain": 99.0}
+    # pad with 20 light entries so the cut is exercised at the new width
+    timings.update({f"pad{i:02d}": 0.1 + i * 0.001 for i in range(20)})
     doc = rollup_line(timings, timings, {}, {"x172_drain"}, 30.0, 0.01, 3)
-    assert list(doc["queries"]) == ["b", "f", "d", "c", "e"]
-    assert doc["entries"] == 6  # decomp rows don't count
+    assert len(doc["queries"]) == 20
+    # the decomp row is excluded and the heaviest lead in order
+    assert list(doc["queries"])[:6] == ["b", "f", "d", "c", "e", "a"]
+    assert doc["entries"] == 26  # decomp rows don't count
 
 
 def test_rollup_movers_threshold_and_cap():

@@ -216,6 +216,10 @@ _BNLJ_ALLOWED = {
     "x274_append_optimize_io",  # date-spine metadata + two 1-row ledger aggregates crossed
     "x286_dhash_recall_audit",  # two 1-row audit aggregates crossed (the x188 shape)
     "x291_ivf_persisted_search",  # bounded centroid/query broadcasts (x21's shapes)
+    # r15 lateral sweep: the constant-size config frame (≤5 rows) crossed
+    # with the bounded GRA_NQ·K truth table (the x65/x73 constant-spine shape)
+    "x247_graph_knob_sweep",
+    "x258_graph_config_policy",
 }
 
 
