@@ -1589,34 +1589,59 @@ def _graph_sweep(
     gid = {g: i for i, g in enumerate(groups)}
     # one row per (crank, group) admitting that crank: `crank <= nplace`
     # expressed as an EQUI-join key so the lateral replication plans as
-    # a BroadcastHashJoin, not a nested loop (test_plans BNLJ guard)
-    grp_df = spark.createDataFrame(
+    # a BroadcastHashJoin, not a nested loop (test_plans BNLJ guard).
+    # Both spines are inline VALUES tables (LocalTableScan): a
+    # createDataFrame here parallelizes through 32 Python-worker
+    # partitions and its broadcast build costs ~5 task-seconds per use
+    # (measured r15) — pure fixed overhead on a ≤10-row constant frame.
+    def _values(rows: "list[tuple]", cols: str) -> DataFrame:
+        vals = ",".join(
+            "(" + ",".join(str(x) for x in r) + ")" for r in rows
+        )
+        return spark.sql(f"SELECT * FROM VALUES {vals} AS t({cols})")
+
+    grp_df = _values(
         [
             (ck, i, cap, ov)
             for (cap, ov, nplace), i in gid.items()
             for ck in range(1, nplace + 1)
         ],
-        "crank INT, grp INT, cap INT, ov INT",
+        "crank, grp, cap, ov",
     )
-    cfg_df = spark.createDataFrame(
+    cfg_df = _values(
         [
-            (ci, gid[(cap, ov, nplace)], cap, ov, k_edges, nplace)
+            (
+                ci,
+                gid[(cap, ov, nplace)],
+                f"{cap}L",
+                f"{ov}L",
+                f"{k_edges}L",
+                f"{nplace}L",
+            )
             for ci, (cap, ov, k_edges, nplace) in enumerate(configs)
         ],
-        "cfg INT, grp INT, cap LONG, ov LONG, k_edges LONG, nplace LONG",
+        "cfg, grp, cap, ov, k_edges, nplace",
     )
     members = routed_ac.join(F.broadcast(grp_df), "crank")
     wcell = Window.partitionBy("grp", "cell").orderBy(
         F.asc("d"), F.asc("vec_id")
     )
-    placed = members.withColumn("rn0", F.row_number().over(wcell) - 1).select(
-        "grp",
-        "cap",
-        "ov",
-        "vec_id",
-        "cell",
-        F.expr("rn0 div cap").alias("ring"),
-        (F.col("rn0") % F.col("cap")).alias("pos"),
+    # Deliberately LAZY (the r14 lesson holds even in lateral form: an
+    # eager checkpoint of the placement was re-tried here in r15 and
+    # measured ≥0.2 s SLOWER per query — the barrier costs more than
+    # the 6 re-planned window subtrees, which all reuse the routed_ac
+    # checkpoint and the deduped (grp, cell) exchange inside one job).
+    placed = (
+        members.withColumn("rn0", F.row_number().over(wcell) - 1)
+        .select(
+            "grp",
+            "cap",
+            "ov",
+            "vec_id",
+            "cell",
+            F.expr("rn0 div cap").alias("ring"),
+            (F.col("rn0") % F.col("cap")).alias("pos"),
+        )
     )
     s = placed.filter(F.col("vec_id") < GRA_NQ).select(
         F.col("vec_id").alias("src_id"), "grp", "cap", "ov", "cell",
@@ -1661,8 +1686,15 @@ def _graph_sweep(
         # pairs are unique by construction) and required for nplace>1.
         cand = cand.distinct()
     sv, tv = _norm_sides(emb)
+    # The candidate set is audit-bounded (≤ GRA_NQ·nplace·(cap+2·ov)
+    # rows per config at ANY corpus size) — broadcast IT and stream the
+    # corpus (vector, norm) sides, so the corpus is never shuffled OR
+    # broadcast for the scoring rejoin.  Measured (r15): without the
+    # hints the lateral cand's inflated size estimate flips the planner
+    # into broadcasting sv/tv — two full corpus scan+norm+collect
+    # builds, 4×5.4 task-seconds at sf0.1 — which also cannot scale.
     scored = (
-        cand.join(sv, "src_id")
+        F.broadcast(F.broadcast(cand).join(sv, "src_id"))
         .join(tv, "dst_id")
         .select(
             "grp",
