@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
 from . import QuerySpec, register
-from .helpers import SQL_DEC_SUM, dec_sum
+from .helpers import SQL_DEC_SUM, dec_sum, inline_rows
 from .similarity import cosine, dot, l2norm
 
 
@@ -719,8 +719,8 @@ def x73_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(
             F.broadcast(
-                ev.sparkSession.createDataFrame(
-                    [("early",), ("late",)], ["half"]
+                inline_rows(
+                    ev.sparkSession, [("early",), ("late",)], "half string"
                 )
             )
         )

@@ -1502,7 +1502,10 @@ def x194_lr_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = [stat[f"w{j}"] for j in range(4)]
         rows.append((it, w[0], w[1], w[2], w[3], stat.brier, stat.acc))
     feats.unpersist()
-    return spark.createDataFrame(
+    from .helpers import inline_rows
+
+    return inline_rows(
+        spark,
         rows,
         "iter long, w0 double, w1 double, w2 double, w3 double, "
         "brier double, acc double",

@@ -396,7 +396,10 @@ def x103_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = {i: float(str(total)) for i, total in acc.items()}
         m = max(abs(x) for x in w.values())
         v = {i: rnd6(w[i] / m) for i in w}
-    return spark.createDataFrame(
+    from .helpers import inline_rows
+
+    return inline_rows(
+        spark,
         [(int(r.i), r.mu, v[r.i], rnd6(m)) for r in mean_rows],
         "dim long, mu double, loading double, eigval double",
     )

@@ -1594,33 +1594,24 @@ def _graph_sweep(
     # createDataFrame here parallelizes through 32 Python-worker
     # partitions and its broadcast build costs ~5 task-seconds per use
     # (measured r15) — pure fixed overhead on a ≤10-row constant frame.
-    def _values(rows: "list[tuple]", cols: str) -> DataFrame:
-        vals = ",".join(
-            "(" + ",".join(str(x) for x in r) + ")" for r in rows
-        )
-        return spark.sql(f"SELECT * FROM VALUES {vals} AS t({cols})")
+    from .helpers import inline_rows
 
-    grp_df = _values(
+    grp_df = inline_rows(
+        spark,
         [
             (ck, i, cap, ov)
             for (cap, ov, nplace), i in gid.items()
             for ck in range(1, nplace + 1)
         ],
-        "crank, grp, cap, ov",
+        "crank int, grp int, cap int, ov int",
     )
-    cfg_df = _values(
+    cfg_df = inline_rows(
+        spark,
         [
-            (
-                ci,
-                gid[(cap, ov, nplace)],
-                f"{cap}L",
-                f"{ov}L",
-                f"{k_edges}L",
-                f"{nplace}L",
-            )
+            (ci, gid[(cap, ov, nplace)], cap, ov, k_edges, nplace)
             for ci, (cap, ov, k_edges, nplace) in enumerate(configs)
         ],
-        "cfg, grp, cap, ov, k_edges, nplace",
+        "cfg int, grp int, cap long, ov long, k_edges long, nplace long",
     )
     members = routed_ac.join(F.broadcast(grp_df), "crank")
     wcell = Window.partitionBy("grp", "cell").orderBy(

@@ -86,3 +86,86 @@ def ts_us(col: Column | str, alias: str) -> Column:
     """Timestamp as epoch microseconds (SQL: epoch_us(x))."""
     c = F.col(col) if isinstance(col, str) else col
     return F.unix_micros(c).alias(alias)
+
+
+_INLINE_SQL_TYPES = {
+    "int": "INT",
+    "integer": "INT",
+    "bigint": "BIGINT",
+    "long": "BIGINT",
+    "double": "DOUBLE",
+    "string": "STRING",
+    "boolean": "BOOLEAN",
+}
+
+
+def _inline_lit(v, sql_type: str) -> str:
+    if v is None:
+        return f"CAST(NULL AS {sql_type})"
+    if sql_type == "DOUBLE":
+        f = float(v)
+        if f != f:
+            return "CAST('NaN' AS DOUBLE)"
+        if f == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if f == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
+        # repr is the shortest round-trip decimal; Java's correctly-
+        # rounded parse restores the identical binary64 (helpers rule:
+        # the SQL_DEC_SUM varchar round-trip, applied to literals)
+        return f"CAST('{f!r}' AS DOUBLE)"
+    if sql_type == "STRING":
+        s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{s}'"
+    if sql_type == "BOOLEAN":
+        return "true" if v else "false"
+    return f"{int(v)}{'L' if sql_type == 'BIGINT' else ''}"
+
+
+def inline_rows(spark, rows, schema: str):
+    """Small local rows -> DataFrame via an inline VALUES table
+    (LocalTableScan) instead of ``createDataFrame``'s parallelize.
+
+    ``createDataFrame`` ships even a 5-row spine through a 32-partition
+    ParallelCollectionRDD + PythonRDD: every plan execution that embeds
+    it pays ~0.4 s of Python-worker round-trips, and a broadcast built
+    over it costs ~5 task-seconds (measured r15; guide §4.1 — the
+    Python boundary).  The VALUES table is pure Catalyst: no RDD, no
+    Python workers, broadcast builds are instant.  Values are
+    bit-exact (doubles travel as repr strings — the shortest
+    round-trip decimal — which the JVM's correctly-rounded parse
+    restores; the helpers-docstring VARCHAR-round-trip rule applied to
+    literals).
+
+    ``schema`` is flat DDL like ``"a long, b double, c string"`` —
+    scalar types only (int/long/double/string/boolean), which is every
+    spine and driver-side rollup the registry builds.  Falls back to
+    ``createDataFrame`` for empty input (VALUES needs at least one
+    row)."""
+    fields = []
+    for part in schema.split(","):
+        name, typ = part.split()
+        fields.append((name, _INLINE_SQL_TYPES[typ.lower()]))
+    if not rows:
+        return spark.createDataFrame([], schema)
+    vals = ",".join(
+        "("
+        + ",".join(_inline_lit(v, t) for v, (_n, t) in zip(r, fields))
+        + ",true)"
+        for r in rows
+    )
+    # createDataFrame marks every field nullable; VALUES infers
+    # non-null for columns without a NULL literal.  One all-NULL row
+    # (filtered back out by the __keep marker) makes every column
+    # nullable, so the swap is schema-invisible to the driver and to
+    # downstream unions.
+    nullrow = (
+        "(" + ",".join(f"CAST(NULL AS {t})" for _n, t in fields)
+        + ",false)"
+    )
+    names = ", ".join(n for n, _t in fields)
+    sel = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in fields)
+    return spark.sql(
+        f"SELECT {sel} FROM VALUES {vals},{nullrow}"
+        f" AS t({names}, __keep) WHERE __keep"
+    )

@@ -647,8 +647,10 @@ def x208_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .localCheckpoint()
             )
-    return spark.createDataFrame(
-        picks, "pick long, vec_id long, dist_at_pick double"
+    from .helpers import inline_rows
+
+    return inline_rows(
+        spark, picks, "pick long, vec_id long, dist_at_pick double"
     )
 
 
@@ -893,7 +895,10 @@ def x225_doremi_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = {d: _tdiv(pre[d] * DOREMI_SCALE, s) for d in domains}
         for d in domains:
             acc[d] += w[d]
-    return spark.createDataFrame(
+    from .helpers import inline_rows
+
+    return inline_rows(
+        spark,
         [
             (
                 d,

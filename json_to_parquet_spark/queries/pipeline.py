@@ -649,8 +649,10 @@ def x45_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             v: base_u + (PR_DAMP_NUM * sums.get(v, 0)) // PR_DAMP_DEN
             for v in nodes
         }
-    return spark.createDataFrame(
-        [(int(v), int(pr[v])) for v in nodes], "node long, pr_micro long"
+    from .helpers import inline_rows
+
+    return inline_rows(
+        spark, [(int(v), int(pr[v])) for v in nodes], "node long, pr_micro long"
     )
 
 
@@ -1132,7 +1134,10 @@ def x179_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             for v in nodes
         }
     top = sorted(nodes, key=lambda v: (-pr[v], v))[:TR_TOP]
-    return spark.createDataFrame(
+    from .helpers import inline_rows
+
+    return inline_rows(
+        spark,
         [(i + 1, v, int(pr[v])) for i, v in enumerate(top)],
         "rank long, keyword string, pr_micro long",
     )
@@ -1175,7 +1180,10 @@ def textrank_distributed_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
             # plan-growth truncation WITHOUT executor-block dependence:
             # collect the ≤V-row frame and re-create it (the frame is
             # vocab-sized by construction, never corpus-sized)
-            pr = spark.createDataFrame(
+            from .helpers import inline_rows
+
+            pr = inline_rows(
+                spark,
                 [(r.node, r.pr_u) for r in pr.collect()],
                 "node string, pr_u long",
             )

@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 from ..sources.catalog import load_table
 from . import QuerySpec, register
 from .convert_gate import GATE_DIR
-from .helpers import SQL_DEC_SUM, dec_sum
+from .helpers import SQL_DEC_SUM, dec_sum, inline_rows
 
 # x98's oracle references a parquet file by literal path (DuckDB's
 # parquet_metadata takes a filename, not a view), so the registered SQL
@@ -295,7 +295,7 @@ def x98_parquet_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    file_df = spark.createDataFrame([(f,) for f in files], "path string")
+    file_df = inline_rows(spark, [(f,) for f in files], "path string")
     return (
         file_df.repartition(min(len(files), 32))
         .mapInPandas(read_footers, _X98_SCHEMA)
@@ -964,13 +964,14 @@ def x185_stats_pruning_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["path", "f_min", "f_max", "f_rows"])
 
-    file_df = spark.createDataFrame([(f,) for f in files], "path string")
+    file_df = inline_rows(spark, [(f,) for f in files], "path string")
     stats = file_df.repartition(min(len(files), 32)).mapInPandas(
         read_minmax, "path string, f_min long, f_max long, f_rows long"
     )
     max_id = stats.agg(F.max("f_max").alias("mx"))
     ev = spark.read.parquet(layout)
-    preds = spark.createDataFrame(
+    preds = inline_rows(
+        spark,
         [(i, *fr) for i, fr in enumerate(PRUNE_RANGES)],
         "pred_id long, lo_n long, lo_d long, hi_n long, hi_d long",
     )
@@ -1144,7 +1145,8 @@ def x221_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").alias("sk_hi"),
         )
 
-    preds = spark.createDataFrame(
+    preds = inline_rows(
+        spark,
         [(i, j) for i in range(ZO_GRID) for j in range(ZO_GRID)],
         "qi long, qj long",
     ).select(

@@ -1993,9 +1993,9 @@ def x218_filtered_ann_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sel", "q_id")
         .agg(F.count(F.lit(1)).alias("hits"))
     )
-    sels = spark.createDataFrame(
-        [(s,) for s in SEL_LEVELS], "sel string"
-    )
+    from .helpers import inline_rows
+
+    sels = inline_rows(spark, [(s,) for s in SEL_LEVELS], "sel string")
     return (
         queries.select("q_id")
         .crossJoin(sels)
@@ -2190,8 +2190,10 @@ def x219_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= FANN_TOPK)
         .select("q_id", "vec_id")
     )
-    levels = spark.createDataFrame(
-        [(p,) for p in NPROBE_LEVELS], "nprobe long"
+    from .helpers import inline_rows
+
+    levels = inline_rows(
+        spark, [(p,) for p in NPROBE_LEVELS], "nprobe long"
     )
     fanned = cbase.crossJoin(F.broadcast(levels)).filter(
         F.col("via_crank") <= F.col("nprobe")
@@ -3809,7 +3811,9 @@ def x236_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     asn = route_two_level(
         corpus, sup, cent_sup_for(cent_lloyd, sup), cent_rows=nlist
     )
-    halves = spark.createDataFrame([("old",), ("new",)], ["half"])
+    from .helpers import inline_rows
+
+    halves = inline_rows(spark, [("old",), ("new",)], "half string")
     cnts = (
         asn.select(
             "c_id",

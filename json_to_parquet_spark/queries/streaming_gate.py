@@ -865,8 +865,10 @@ def x146_stream_watermark_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(k.replace(tzinfo=timezone.utc).timestamp() * 1_000_000), v)
         for k, v in emitted
     ]
-    return spark.createDataFrame(
-        rows, "window_start_us long, n_events long"
+    from .helpers import inline_rows
+
+    return inline_rows(
+        spark, rows, "window_start_us long, n_events long"
     ).orderBy("window_start_us")
 
 
@@ -992,7 +994,9 @@ def x147_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _drain(q, 900)
-    return spark.createDataFrame(out, "c_id long, p_id long").orderBy(
+    from .helpers import inline_rows
+
+    return inline_rows(spark, out, "c_id long, p_id long").orderBy(
         "c_id", "p_id"
     )
 
@@ -1072,9 +1076,11 @@ def x148_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _drain(q, 600)
+    from .helpers import inline_rows
+
     rows = [(int(u), n, us) for u, (n, us) in final.items()]
-    return spark.createDataFrame(
-        rows, "user_id long, n_events long, last_seen_us long"
+    return inline_rows(
+        spark, rows, "user_id long, n_events long, last_seen_us long"
     ).orderBy("user_id")
 
 

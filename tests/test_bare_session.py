@@ -15,6 +15,11 @@ from pyspark.sql import SparkSession
 spark = SparkSession.builder.master("local[4]").appName("bare").getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as e
+import pytest
+
+# driver-window profile (pytest.ini): fresh-subprocess Spark sessions — release gate runs it via -m ""
+pytestmark = pytest.mark.slow
+
 failed = []
 # events-dependent queries are the regression surface (nanos timestamps,
 # TZ-dependent rendering); one non-events query guards the general path

@@ -5,6 +5,11 @@ to applying all changes at once in version order."""
 from __future__ import annotations
 
 from json_to_parquet_spark.streaming.cdc_stream import stream_apply_changes
+import pytest
+
+# driver-window profile (pytest.ini): stream drains — release gate runs it via -m ""
+pytestmark = pytest.mark.slow
+
 
 SCHEMA = "k long, val string, op string, version long"
 

@@ -20,6 +20,10 @@ from json_to_parquet_spark.operators.media import (
 from json_to_parquet_spark.sources.catalog import load_table
 from json_to_parquet_spark.streaming import stream_convert
 
+# driver-window profile (pytest.ini): decode + stream drains — release gate runs it via -m ""
+pytestmark = pytest.mark.slow
+
+
 
 def test_media_features_plumbing(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(50)

@@ -13,6 +13,10 @@ import pytest
 
 from json_to_parquet_spark.queries import registry
 
+# driver-window profile (pytest.ini): 828 per-query plan builds — release gate runs it via -m ""
+pytestmark = pytest.mark.slow
+
+
 
 def _plan(spark, sf_dir, name: str) -> str:
     df = registry()[name].spark(spark, sf_dir)

@@ -12,6 +12,7 @@ import zlib
 import pytest
 
 from json_to_parquet_spark.operators.media import (
+
     PNG_SIG,
     decode_image_pixels,
     decode_png,
@@ -23,6 +24,9 @@ from json_to_parquet_spark.operators.media import (
     make_image_rgba,
     _png_chunk,
 )
+
+# driver-window profile (pytest.ini): decode-heavy — release gate runs it via -m ""
+pytestmark = pytest.mark.slow
 
 
 def _build_png(w: int, h: int, filtered: bytes, color_type: int = 2) -> bytes:

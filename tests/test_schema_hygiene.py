@@ -21,6 +21,10 @@ from pyspark.sql import types as T
 
 from json_to_parquet_spark.queries import registry
 
+# driver-window profile (pytest.ini): 399 per-query schema compares — release gate runs it via -m ""
+pytestmark = pytest.mark.slow
+
+
 _HAZARD = (T.ArrayType, T.MapType, T.StructType, T.TimestampType, T.TimestampNTZType, T.DateType)
 
 

@@ -7,6 +7,11 @@ from pyspark.sql import functions as F
 
 from json_to_parquet_spark.sources.catalog import load_table
 from json_to_parquet_spark.streaming.stateful import running_user_totals
+import pytest
+
+# driver-window profile (pytest.ini): stream drain — release gate runs it via -m ""
+pytestmark = pytest.mark.slow
+
 
 
 def test_running_totals_accumulate_across_microbatches(spark, sf_dir, tmp_path):

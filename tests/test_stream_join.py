@@ -7,6 +7,11 @@ from __future__ import annotations
 from json_to_parquet_spark.sources.catalog import load_table
 from json_to_parquet_spark.sources.ndjson import read_ndjson
 from json_to_parquet_spark.streaming.joins import purchases_with_recent_clicks
+import pytest
+
+# driver-window profile (pytest.ini): stream drains — release gate runs it via -m ""
+pytestmark = pytest.mark.slow
+
 
 
 def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):

@@ -17,9 +17,13 @@ pytest.importorskip("google.protobuf", reason="transformWithState needs protobuf
 
 from json_to_parquet_spark.sources.catalog import load_table
 from json_to_parquet_spark.streaming.transform_state import (
+
     ROCKSDB_PROVIDER,
     top_event_type_stream,
 )
+
+# driver-window profile (pytest.ini): stream drain — release gate runs it via -m ""
+pytestmark = pytest.mark.slow
 
 
 def test_map_state_leaderboard_across_microbatches(spark, sf_dir, tmp_path):
