@@ -5288,6 +5288,13 @@ def x291_ivf_persisted_search(
     scored = cand.select(
         "q_id",
         "vec_id",
+        # dim=VEC_DIM unrolled-kernel opt-in TRIED here in r15 (plain
+        # store columns — the one shape r14's probes said wins) and
+        # REVERTED: paired probe 1.29 s (HOF) vs 2.75-2.92 s (unrolled)
+        # — under bench conditions every run re-plans, and the unrolled
+        # chain's codegen compile cost dwarfs the per-row win at this
+        # candidate volume.  Steady-state serving with a REUSED plan is
+        # still the opt-in's documented home; do not re-try per-run.
         cosine(F.col("q_vec"), F.col("embedding")).alias("cos_sim"),
     )
     w2 = Window.partitionBy("q_id").orderBy(
