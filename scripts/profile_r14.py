@@ -90,14 +90,12 @@ def main() -> None:
         )
     jobs: dict[int, dict] = {}
     stage_job: dict[int, int] = {}
-    import itertools
-
     def _lines():
         for lg in logs:
             with open(lg) as f:
                 yield from f
 
-    if True:
+    if True:  # keep the original loop body's indentation
         for line in _lines():
             ev = json.loads(line)
             k = ev.get("Event")
